@@ -1,0 +1,23 @@
+from .columns import (
+    candidate_party,
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+    lsh_bucket,
+    minhash_signature,
+    simhash16,
+    tokens,
+    word_shingles,
+)
+
+__all__ = [
+    "candidate_party",
+    "cosine_similarity",
+    "dot_product",
+    "l2_norm",
+    "lsh_bucket",
+    "minhash_signature",
+    "simhash16",
+    "tokens",
+    "word_shingles",
+]

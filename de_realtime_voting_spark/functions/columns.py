@@ -1,0 +1,142 @@
+"""Column-expression helpers.
+
+Everything here compiles to Catalyst expressions (higher-order array
+functions, builtin hashes) -- no Python UDFs, so the hot path stays
+inside whole-stage codegen and scales linearly with executors.
+
+Each helper has an exact DuckDB-SQL mirror in
+``de_realtime_voting_spark.oracles`` built from the same constants;
+integer/double arithmetic is written so both engines produce
+bit-identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..constants import (
+    CANDIDATE_PARTY,
+    LSH_PLANES,
+    MINHASH_SIGS,
+    SHINGLE_K,
+    SIMHASH_BITS,
+)
+
+_HEX = "0123456789abcdef"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens with empties dropped (split of '' yields [''])."""
+    return F.filter(F.split(text, " "), lambda x: x != F.lit(""))
+
+
+def word_shingles(toks: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-word shingles: ['a','b','c','d'] -> ['a b c','b c d'].
+
+    Shingles (not raw tokens) keep MinHash selective when the token
+    vocabulary is small -- token *sets* converge on long docs.
+    Guarded: sequence(1, n) would run DESCENDING for n < 1, so short
+    docs short-circuit to an empty array.
+    """
+    shingled = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        )
+    )
+    return F.when(F.size(toks) >= k, shingled).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature(shingles: Column, n_sigs: int = MINHASH_SIGS) -> Column:
+    """MinHash signature as an array of md5-permutation minima.
+
+    Permutation i orders shingles by md5(f"{i}:" + s); the min hex
+    string is an order-statistic under a pseudo-random permutation,
+    which is all MinHash needs.  Pure string ops -> identical in any
+    engine with md5.
+    """
+    def perm(i: int):
+        # closure factory: PySpark infers lambda arity from the
+        # signature, so the seed must be captured, not a default arg
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    return F.array(*[F.array_min(F.transform(shingles, perm(i))) for i in range(n_sigs)])
+
+
+def _hexval(c: Column) -> Column:
+    """Value 0..15 of a single lowercase hex char."""
+    return F.instr(F.lit(_HEX), c) - F.lit(1)
+
+
+def simhash16(toks: Column) -> Column:
+    """16-bit SimHash over distinct tokens.
+
+    Bit j comes from hex digit j//4 of md5(token); a bit of the
+    signature is set when the +1/-1 vote over tokens is positive.
+    Computed with array lambdas only -- map-side, no shuffle.
+    """
+    def bit_pred(pos: int, weight: int):
+        return lambda w: (
+            F.floor(_hexval(F.substring(F.md5(w), pos, 1)) / F.lit(weight)).cast("int") % 2
+        ) == F.lit(1)
+
+    distinct = F.array_distinct(toks)
+    n = F.size(distinct)
+    out = F.lit(0)
+    for j in range(SIMHASH_BITS):
+        pos = j // 4 + 1  # 1-based hex char position in md5
+        weight = 2 ** (3 - j % 4)
+        ones = F.size(F.filter(distinct, bit_pred(pos, weight)))
+        out = out + F.when(ones * 2 > n, F.lit(2**j)).otherwise(F.lit(0))
+    return out
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Left-to-right double-precision dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def lsh_bucket(emb: Column) -> Column:
+    """Random-hyperplane LSH bucket id (sign pattern over fixed planes).
+
+    Plane weights are deterministic literals from constants.LSH_PLANES
+    so the DuckDB oracle uses the exact same planes.
+    """
+    bucket = F.lit(0)
+    for p, plane in enumerate(LSH_PLANES):
+        dot = dot_product(emb, F.array(*[F.lit(w) for w in plane]))
+        bucket = bucket + F.when(dot >= 0, F.lit(2**p)).otherwise(F.lit(0))
+    return bucket
+
+
+def candidate_party(candidate: Column) -> Column:
+    """Reference party round-robin (reference main.py:15,81)."""
+    mapping = F.lit(None).cast("string")
+    expr = None
+    for cand, party in CANDIDATE_PARTY.items():
+        cond = candidate == F.lit(cand)
+        expr = F.when(cond, F.lit(party)) if expr is None else expr.when(cond, F.lit(party))
+    return expr.otherwise(mapping)

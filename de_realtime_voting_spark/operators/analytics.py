@@ -1,0 +1,140 @@
+"""General analytics over the star schema (engine completeness).
+
+TPC-H-style query shapes proving out the relational core: multi-agg
+scans, multi-way joins, window functions, semi-joins, top-N.  Filters
+are written directly against scan columns so Catalyst pushes them
+into the parquet reader; dimension sides of joins are broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shape: single wide scan, grouped multi-aggregate.
+    Predicate on l_shipdate is pushed to the parquet scan."""
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Q3-shape: selective dim filter -> join -> agg -> top 10.
+    Customer (filtered) broadcasts into orders; orders⋈lineitem is the
+    only real shuffle."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.where(F.col("l_shipdate") > F.lit("1998-01-01"))
+        .join(orders.where(F.col("o_orderdate") < F.lit("1998-01-01")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.where(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_regional_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Q5-shape: 6-way join through the region hierarchy; the dim
+    chain (region->nation->customer, supplier) broadcasts, the
+    orders⋈lineitem fact join shuffles on orderkey."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dims = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.where(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier.withColumnRenamed("s_nationkey", "sn")),
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("sn") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )
+
+
+def top_brand_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Fact⋈dim agg + top-N; part dim broadcasts."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("p_brand").asc())
+        .limit(10)
+    )
+
+
+def customer_top_orders(orders: DataFrame) -> DataFrame:
+    """Window-function top-3 orders per customer."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("order_rank", F.row_number().over(w))
+        .where(F.col("order_rank") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+            F.col("order_rank"),
+        )
+    )
+
+
+def order_priority_count(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Q4-shape EXISTS semi-join: orders having any heavy lineitem.
+    left_semi avoids materializing the join -- one shuffle, no dup
+    explosion."""
+    heavy = lineitem.where(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        orders.join(heavy, orders["o_orderkey"] == heavy["l_orderkey"], "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def nation_acctbal(customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Dim⋈dim rollup: customer balances per nation."""
+    return (
+        customer.join(F.broadcast(nation), customer["c_nationkey"] == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )

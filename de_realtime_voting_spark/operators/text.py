@@ -1,0 +1,97 @@
+"""Text analysis operators for training-data curation.
+
+All pure Catalyst array/string expressions -- tokenization, stopword
+ratios, fingerprints run map-side inside whole-stage codegen; the
+only shuffles are the final small aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import STOPWORDS
+from ..functions import tokens, word_shingles
+
+
+def _stopword_count(toks):
+    return F.size(F.filter(toks, lambda w: w.isin(STOPWORDS)))
+
+
+def text_token_count(documents: DataFrame) -> DataFrame:
+    """Per-language token/char statistics."""
+    toks = tokens(F.col("text"))
+    per_doc = documents.select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.sum("n_chars_actual").cast("bigint").alias("total_chars"),
+    )
+
+
+def text_lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-ratio language-ID heuristic vs. the labeled lang.
+
+    Confusion-matrix output (lang x predicted) -- on synthetic text
+    the interesting part is the deterministic plumbing, mirrored by
+    the oracle.
+    """
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    ratio = _stopword_count(toks) / n
+    pred = (
+        F.when(n == 0, F.lit("unknown"))
+        .when(ratio > 0.05, F.lit("en"))
+        .otherwise(F.lit("other"))
+    )
+    return (
+        documents.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def text_quality_score(documents: DataFrame) -> DataFrame:
+    """Composite doc-quality score (length, stopword ratio, word
+    length) aggregated per source -- the classic pre-training quality
+    filter signal."""
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    stop_ratio = _stopword_count(toks) / n
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+    avg_word_len = total_len / n
+    score = F.round(
+        F.least(n / F.lit(200.0), F.lit(1.0)) * 0.5
+        + stop_ratio * 0.3
+        + F.least(avg_word_len / F.lit(10.0), F.lit(1.0)) * 0.2,
+        6,
+    )
+    per_doc = documents.select(
+        "source", F.when(n > 0, score).otherwise(F.lit(0.0)).alias("quality")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.round(F.min("quality"), 4).alias("min_quality"),
+        F.round(F.max("quality"), 4).alias("max_quality"),
+    )
+
+
+def doc_fingerprint(documents: DataFrame) -> DataFrame:
+    """Min-shingle-hash fingerprint (winnowing-lite): duplicate
+    fingerprints flag near-identical docs; groupBy fingerprint is the
+    only shuffle."""
+    toks = tokens(F.col("text"))
+    fp = F.array_min(F.transform(word_shingles(toks), F.md5))
+    return (
+        documents.select("doc_id", fp.alias("fingerprint"))
+        .where(F.col("fingerprint").isNotNull())
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .where(F.col("n_docs") > 1)
+    )

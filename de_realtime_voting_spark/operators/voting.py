@@ -1,0 +1,230 @@
+"""Voting-domain operators (reference parity, Spark-first).
+
+Domain mapping onto the driver testdata: ``events`` is the vote
+stream (user_id=voter, event_type=candidate, ts=voting_time,
+value=vote weight); ``customer`` is the voter registry;
+``nation``/``region`` give voter geography.
+
+Every function is a pure DataFrame transform so the exact same logic
+runs in batch queries AND under readStream (Structured Streaming
+reuses these in streaming/pipelines.py) -- the Spark-native analog of
+the reference running one streaming job (spark-streaming.py) against
+the same tables Postgres holds (main.py).
+
+Scale notes: voter/candidate dims are tiny next to the vote fact at
+100 TB -> dimension joins are broadcast.  All aggregations are
+builtin groupBy aggs (map-side partial aggregation for free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import candidate_party
+
+
+def _votes_with_location(votes: DataFrame, voters: DataFrame, nations: DataFrame) -> DataFrame:
+    """Vote fact enriched with voter nation; dims broadcast."""
+    return votes.join(
+        F.broadcast(voters.select("c_custkey", "c_nationkey", "c_mktsegment", "c_name", "c_acctbal")),
+        votes["user_id"] == F.col("c_custkey"),
+    ).join(F.broadcast(nations.select("n_nationkey", "n_name", "n_regionkey")),
+           F.col("c_nationkey") == F.col("n_nationkey"))
+
+
+def votes_per_candidate(votes: DataFrame) -> DataFrame:
+    """Total votes + weighted votes per candidate.
+
+    Reference parity: spark-streaming.py:75-76 (groupBy candidate,
+    sum(vote)); here count(*) is the unit-vote sum and ``value`` the
+    weighted variant.
+    """
+    return (
+        votes.groupBy(F.col("event_type").alias("candidate_id"))
+        .agg(
+            F.count(F.lit(1)).alias("total_votes"),
+            F.round(F.sum("value"), 2).alias("total_weight"),
+        )
+    )
+
+
+def turnout_by_location(votes: DataFrame, voters: DataFrame, nations: DataFrame) -> DataFrame:
+    """Turnout per voter nation (reference spark-streaming.py:78-79
+    groupBy address.state -> count)."""
+    return (
+        _votes_with_location(votes, voters, nations)
+        .groupBy(F.col("n_name").alias("location"))
+        .agg(F.count(F.lit(1)).alias("total_turnout_votes"))
+    )
+
+
+def turnout_by_region(
+    votes: DataFrame, voters: DataFrame, nations: DataFrame, regions: DataFrame
+) -> DataFrame:
+    return (
+        _votes_with_location(votes, voters, nations)
+        .join(F.broadcast(regions), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.count(F.lit(1)).alias("total_turnout_votes"))
+    )
+
+
+def turnout_by_segment(votes: DataFrame, voters: DataFrame) -> DataFrame:
+    """Demographic turnout breakdown (reference dashboard-style split
+    by voter attributes, main.py voter demographics)."""
+    return (
+        votes.join(
+            F.broadcast(voters.select("c_custkey", "c_mktsegment")),
+            votes["user_id"] == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("total_turnout_votes"),
+            F.round(F.avg("value"), 4).alias("avg_vote_weight"),
+        )
+    )
+
+
+def votes_per_candidate_hourly(votes: DataFrame) -> DataFrame:
+    """Tumbling 1-hour event-time window per candidate -- the batch
+    twin of the watermarked streaming agg (spark-streaming.py:72-76).
+
+    Uses F.window so the identical expression works under
+    readStream with ``withWatermark``; window starts align to the
+    hour, matching date_trunc('hour') in the oracle.
+    """
+    return (
+        votes.groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"),
+            F.col("event_type").alias("candidate_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total_votes"),
+            F.round(F.sum("value"), 2).alias("total_weight"),
+        )
+    )
+
+
+def one_vote_per_voter(votes: DataFrame) -> DataFrame:
+    """First-vote-wins dedup: the reference enforces one vote per
+    voter with a UNIQUE/PK constraint (main.py:56-66); Spark-natively
+    that is a row_number window keeping the earliest event."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("voter_id"),
+            F.col("event_id").alias("vote_event_id"),
+            F.col("event_type").alias("candidate_id"),
+            F.col("ts").alias("voting_time"),
+        )
+    )
+
+
+def votes_enriched(votes: DataFrame, voters: DataFrame, nations: DataFrame) -> DataFrame:
+    """The reference's enriched vote record: vote = voter | candidate
+    | timestamp (voting.py:86-91), normalized through the dims."""
+    return _votes_with_location(votes, voters, nations).select(
+        F.col("event_id").alias("vote_id"),
+        F.col("user_id").alias("voter_id"),
+        F.col("c_name").alias("voter_name"),
+        F.col("n_name").alias("nationality"),
+        F.col("event_type").alias("candidate_id"),
+        candidate_party(F.col("event_type")).alias("party_affiliation"),
+        F.col("ts").alias("voting_time"),
+        F.lit(1).alias("vote"),
+    )
+
+
+def election_winner(votes: DataFrame) -> DataFrame:
+    """Overall winner over deduped (one-per-voter) votes."""
+    counted = (
+        one_vote_per_voter(votes)
+        .groupBy("candidate_id")
+        .agg(F.count(F.lit(1)).alias("total_votes"))
+    )
+    w = Window.orderBy(F.col("total_votes").desc(), F.col("candidate_id").asc())
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("candidate_id", "total_votes")
+    )
+
+
+def leading_candidate_per_hour(votes: DataFrame) -> DataFrame:
+    """Per-window argmax candidate (live leaderboard top-1)."""
+    hourly = votes.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        F.col("event_type").alias("candidate_id"),
+    ).agg(F.count(F.lit(1)).alias("total_votes"))
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("total_votes").desc(), F.col("candidate_id").asc()
+    )
+    return (
+        hourly.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("window_start", "candidate_id", "total_votes")
+    )
+
+
+def voter_registration_stats(
+    voters: DataFrame, nations: DataFrame, regions: DataFrame
+) -> DataFrame:
+    """Registered-voter demographics per region x segment (the
+    reference's voter-registration analytics, main.py:91-116)."""
+    return (
+        voters.join(F.broadcast(nations), voters["c_nationkey"] == F.col("n_nationkey"))
+        .join(F.broadcast(regions), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("registered_voters"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+def votes_value_stats(votes: DataFrame) -> DataFrame:
+    """Per-candidate weight distribution stats."""
+    return (
+        votes.groupBy(F.col("event_type").alias("candidate_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_votes"),
+            F.round(F.min("value"), 2).alias("min_weight"),
+            F.round(F.max("value"), 2).alias("max_weight"),
+            F.round(F.avg("value"), 4).alias("avg_weight"),
+            F.round(F.stddev("value"), 4).alias("stddev_weight"),
+        )
+    )
+
+
+def invalid_vote_rate(votes: DataFrame, voters: DataFrame, nations: DataFrame) -> DataFrame:
+    """Share of 'error' events per nation -- the stream-quality
+    monitor a production voting pipeline runs beside the tallies."""
+    return (
+        _votes_with_location(votes, voters, nations)
+        .groupBy(F.col("n_name").alias("location"))
+        .agg(
+            F.count(F.lit(1)).alias("total_votes"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("invalid_votes"),
+        )
+        .withColumn("invalid_rate", F.col("invalid_votes") / F.col("total_votes"))
+    )
+
+
+def events_json_props(votes: DataFrame) -> DataFrame:
+    """JSON payload extraction + agg: the reference's from_json parse
+    of Kafka values (spark-streaming.py:62-65) applied to ``props``."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        votes.select(F.col("event_type").alias("candidate_id"), k.alias("k"))
+        .groupBy("candidate_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("bigint").alias("n_high"),
+        )
+    )

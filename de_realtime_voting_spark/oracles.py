@@ -1,0 +1,517 @@
+"""DuckDB oracle SQL for every query in queries.QUERY_REGISTRY.
+
+Each statement mirrors the Spark implementation exactly -- same
+aliases, same arithmetic order, same constants (imported from
+constants.py, the single source of truth) -- so integer ratios are
+bit-identical and double expressions agree to the last ulp wherever
+both engines evaluate the same fold order.
+"""
+
+from __future__ import annotations
+
+from .constants import (
+    ANN_K,
+    ANN_QUERY_IDS,
+    CANDIDATE_PARTY,
+    COSINE_THRESHOLD,
+    EMBEDDING_DIM,
+    JACCARD_THRESHOLD,
+    LSH_PLANES,
+    MINHASH_BAND_ROWS,
+    MINHASH_SIGS,
+    SIMHASH_BITS,
+    STOPWORDS,
+)
+
+# ---------------------------------------------------------------- shared
+_N_BANDS = MINHASH_SIGS // MINHASH_BAND_ROWS
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_STOPLIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+# word 3-shingles over toks (requires len(toks) >= 3)
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+_DOC_SHINGLES_CTE = f"""
+toksed AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+    SELECT doc_id, {_SHINGLES} AS shingles
+    FROM toksed WHERE len(toks) >= 3
+)"""
+
+_SIG_COLS = ", ".join(
+    f"list_aggregate(list_transform(shingles, s -> md5('{i}:' || s)), 'min') AS sig{i}"
+    for i in range(MINHASH_SIGS)
+)
+
+_BANDS_UNION = "\n    UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_idx, md5({cat}) AS band_hash FROM sigs".format(
+        b=b,
+        cat=" || '|' || ".join(
+            f"sig{b * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS)
+        ),
+    )
+    for b in range(_N_BANDS)
+)
+
+_MINHASH_CTES = f"""WITH {_DOC_SHINGLES_CTE},
+sigs AS (SELECT doc_id, {_SIG_COLS} FROM sh),
+bands AS (
+    {_BANDS_UNION}
+)"""
+
+
+def _simhash_expr() -> str:
+    terms = []
+    for j in range(SIMHASH_BITS):
+        pos = j // 4 + 1
+        weight = 2 ** (3 - j % 4)
+        pred = (
+            f"(CAST(FLOOR((strpos('0123456789abcdef', substr(md5(w), {pos}, 1)) - 1)"
+            f" / {weight}) AS INT) % 2) = 1"
+        )
+        terms.append(
+            f"CASE WHEN 2 * len(list_filter(dt, w -> {pred})) > n "
+            f"THEN {2 ** j} ELSE 0 END"
+        )
+    return "0 + " + "\n        + ".join(terms)
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_aggregate(list_transform(range(1, {EMBEDDING_DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+    )
+
+
+def _cos(a: str, b: str) -> str:
+    return f"({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})))"
+
+
+def _plane_literal(p: int) -> str:
+    return "[" + ", ".join(repr(w) for w in LSH_PLANES[p]) + "]"
+
+
+def _bucket_expr(emb: str) -> str:
+    terms = []
+    for p in range(len(LSH_PLANES)):
+        dot = (
+            f"list_aggregate(list_transform(range(1, {EMBEDDING_DIM + 1}), "
+            f"i -> CAST({emb}[i] AS DOUBLE) * ({_plane_literal(p)})[i]), 'sum')"
+        )
+        terms.append(f"CASE WHEN {dot} >= 0 THEN {2 ** p} ELSE 0 END")
+    return "0 + " + " + ".join(terms)
+
+
+_PARTY_CASE = "CASE event_type " + " ".join(
+    f"WHEN '{c}' THEN '{p}'" for c, p in CANDIDATE_PARTY.items()
+) + " ELSE NULL END"
+
+_ANN_IDS = "(" + ", ".join(str(i) for i in ANN_QUERY_IDS) + ")"
+
+# events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as long ns
+# and floors to microseconds, so the oracle casts ns -> us the same way.
+_EVENTS_CTE = (
+    "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, "
+    "event_type, value, props FROM events)"
+)
+
+_VOTE_GEO_JOIN = """FROM ev e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey"""
+
+# ---------------------------------------------------------------- SQL
+SQL: dict[str, str] = {}
+
+SQL["votes_per_candidate"] = f"""
+WITH {_EVENTS_CTE}
+SELECT event_type AS candidate_id,
+       CAST(COUNT(*) AS BIGINT) AS total_votes,
+       ROUND(SUM(value), 2) AS total_weight
+FROM ev GROUP BY event_type
+"""
+
+SQL["turnout_by_location"] = f"""
+WITH {_EVENTS_CTE}
+SELECT n.n_name AS location, CAST(COUNT(*) AS BIGINT) AS total_turnout_votes
+{_VOTE_GEO_JOIN}
+GROUP BY n.n_name
+"""
+
+SQL["turnout_by_region"] = f"""
+WITH {_EVENTS_CTE}
+SELECT r.r_name AS region, CAST(COUNT(*) AS BIGINT) AS total_turnout_votes
+{_VOTE_GEO_JOIN}
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+SQL["turnout_by_segment"] = f"""
+WITH {_EVENTS_CTE}
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS total_turnout_votes,
+       ROUND(AVG(e.value), 4) AS avg_vote_weight
+FROM ev e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+SQL["votes_per_candidate_hourly"] = f"""
+WITH {_EVENTS_CTE}
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type AS candidate_id,
+       CAST(COUNT(*) AS BIGINT) AS total_votes,
+       ROUND(SUM(value), 2) AS total_weight
+FROM ev GROUP BY 1, 2
+"""
+
+SQL["one_vote_per_voter"] = f"""
+WITH {_EVENTS_CTE}
+SELECT user_id AS voter_id, event_id AS vote_event_id,
+       event_type AS candidate_id, ts AS voting_time
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM ev
+) WHERE rn = 1
+"""
+
+SQL["votes_enriched"] = f"""
+WITH {_EVENTS_CTE}
+SELECT e.event_id AS vote_id, e.user_id AS voter_id,
+       c.c_name AS voter_name, n.n_name AS nationality,
+       e.event_type AS candidate_id,
+       {_PARTY_CASE} AS party_affiliation,
+       e.ts AS voting_time, CAST(1 AS INTEGER) AS vote
+{_VOTE_GEO_JOIN}
+"""
+
+SQL["election_winner"] = f"""
+WITH {_EVENTS_CTE},
+deduped AS (
+    SELECT event_type FROM (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM ev
+    ) WHERE rn = 1
+),
+counted AS (
+    SELECT event_type AS candidate_id, CAST(COUNT(*) AS BIGINT) AS total_votes
+    FROM deduped GROUP BY 1
+)
+SELECT candidate_id, total_votes FROM counted
+ORDER BY total_votes DESC, candidate_id LIMIT 1
+"""
+
+SQL["leading_candidate_per_hour"] = f"""
+WITH {_EVENTS_CTE},
+hourly AS (
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type AS candidate_id,
+           CAST(COUNT(*) AS BIGINT) AS total_votes
+    FROM ev GROUP BY 1, 2
+)
+SELECT window_start, candidate_id, total_votes FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY window_start ORDER BY total_votes DESC, candidate_id
+    ) AS rk FROM hourly
+) WHERE rk = 1
+"""
+
+SQL["voter_registration_stats"] = """
+SELECT r.r_name AS region, c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS registered_voters,
+       ROUND(AVG(c.c_acctbal), 4) AS avg_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+"""
+
+SQL["votes_value_stats"] = f"""
+WITH {_EVENTS_CTE}
+SELECT event_type AS candidate_id,
+       CAST(COUNT(*) AS BIGINT) AS n_votes,
+       ROUND(MIN(value), 2) AS min_weight,
+       ROUND(MAX(value), 2) AS max_weight,
+       ROUND(AVG(value), 4) AS avg_weight,
+       ROUND(STDDEV_SAMP(value), 4) AS stddev_weight
+FROM ev GROUP BY 1
+"""
+
+SQL["invalid_vote_rate"] = f"""
+WITH {_EVENTS_CTE},
+g AS (
+    SELECT n.n_name AS location,
+           CAST(COUNT(*) AS BIGINT) AS total_votes,
+           CAST(SUM(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS invalid_votes
+    {_VOTE_GEO_JOIN}
+    GROUP BY 1
+)
+SELECT location, total_votes, invalid_votes,
+       invalid_votes / total_votes AS invalid_rate
+FROM g
+"""
+
+SQL["events_json_props"] = f"""
+WITH {_EVENTS_CTE},
+parsed AS (
+    SELECT event_type AS candidate_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM ev
+)
+SELECT candidate_id,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       ROUND(AVG(k), 4) AS avg_k,
+       CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM parsed GROUP BY 1
+"""
+
+SQL["q1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+SQL["q3_shipping_priority"] = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND c_mktsegment = 'BUILDING'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+SQL["q5_regional_revenue"] = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+"""
+
+SQL["top_brand_revenue"] = """
+SELECT p_brand,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+ORDER BY revenue DESC, p_brand LIMIT 10
+"""
+
+SQL["customer_top_orders"] = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       ROUND(o_totalprice, 2) AS totalprice,
+       CAST(order_rank AS INTEGER) AS order_rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+    ) AS order_rank
+    FROM orders
+) WHERE order_rank <= 3
+"""
+
+SQL["order_priority_count"] = """
+SELECT o_orderpriority AS order_priority,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_quantity > 45
+)
+GROUP BY 1
+"""
+
+SQL["nation_acctbal"] = """
+SELECT n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS sum_acctbal,
+       ROUND(AVG(c_acctbal), 4) AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+SQL["dedup_exact"] = """
+SELECT md5(text) AS text_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1
+"""
+
+SQL["dedup_minhash_bands"] = f"""{_MINHASH_CTES}
+SELECT band_idx, band_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS min_doc_id
+FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 1
+"""
+
+SQL["dedup_minhash_pairs"] = f"""{_MINHASH_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM (
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.shingles, sb.shingles))
+           / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+) WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+SQL["dedup_simhash"] = f"""
+WITH toksed AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+d AS (
+    SELECT doc_id, list_distinct(toks) AS dt, len(list_distinct(toks)) AS n
+    FROM toksed WHERE len(toks) > 0
+),
+sims AS (SELECT doc_id, {_simhash_expr()} AS simhash FROM d)
+SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM sims GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+SQL["dedup_embedding_cosine"] = f"""
+SELECT vec_a, vec_b, label, cosine FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cosine >= {COSINE_THRESHOLD}
+"""
+
+SQL["ann_bruteforce_topk"] = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS q_emb
+    FROM embeddings WHERE vec_id IN {_ANN_IDS}
+),
+j AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           {_cos('q.q_emb', 'e.embedding')} AS cosine
+    FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+),
+r AS (
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS INTEGER) AS "rank",
+           cosine
+    FROM j
+)
+SELECT query_id, neighbor_id, "rank", ROUND(cosine, 6) AS cosine
+FROM r WHERE "rank" <= {ANN_K}
+"""
+
+SQL["ann_lsh_topk"] = f"""
+WITH b AS (
+    SELECT vec_id, embedding, {_bucket_expr('embedding')} AS bucket
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+    FROM b WHERE vec_id IN {_ANN_IDS}
+),
+j AS (
+    SELECT q.query_id, b.vec_id AS neighbor_id,
+           {_cos('q.q_emb', 'b.embedding')} AS cosine
+    FROM b JOIN q ON b.bucket = q.q_bucket AND b.vec_id <> q.query_id
+),
+r AS (
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS INTEGER) AS "rank",
+           cosine
+    FROM j
+)
+SELECT query_id, neighbor_id, "rank", ROUND(cosine, 6) AS cosine
+FROM r WHERE "rank" <= {ANN_K}
+"""
+
+SQL["text_token_count"] = f"""
+WITH d AS (
+    SELECT lang, len({_TOKS}) AS n_tokens, length(text) AS n_chars_actual
+    FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(n_tokens), 4) AS avg_tokens,
+       CAST(SUM(n_chars_actual) AS BIGINT) AS total_chars
+FROM d GROUP BY 1
+"""
+
+SQL["text_lang_id"] = f"""
+WITH d AS (SELECT lang, {_TOKS} AS toks FROM documents),
+p AS (
+    SELECT lang,
+           CASE WHEN len(toks) = 0 THEN 'unknown'
+                WHEN len(list_filter(toks, w -> list_contains({_STOPLIST}, w)))
+                     / len(toks) > 0.05 THEN 'en'
+                ELSE 'other' END AS pred_lang
+    FROM d
+)
+SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM p GROUP BY 1, 2
+"""
+
+SQL["text_quality_score"] = f"""
+WITH d AS (SELECT source, {_TOKS} AS toks FROM documents),
+s AS (
+    SELECT source,
+           CASE WHEN len(toks) > 0 THEN ROUND(
+               LEAST(len(toks) / 200.0, 1.0) * 0.5
+               + (len(list_filter(toks, w -> list_contains({_STOPLIST}, w)))
+                  / len(toks)) * 0.3
+               + LEAST((list_aggregate(list_transform(toks, w -> length(w)), 'sum')
+                        / len(toks)) / 10.0, 1.0) * 0.2,
+               6)
+           ELSE 0.0 END AS quality
+    FROM d
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(quality), 4) AS avg_quality,
+       ROUND(MIN(quality), 4) AS min_quality,
+       ROUND(MAX(quality), 4) AS max_quality
+FROM s GROUP BY 1
+"""
+
+SQL["doc_fingerprint"] = f"""
+WITH {_DOC_SHINGLES_CTE},
+f AS (
+    SELECT doc_id,
+           list_aggregate(list_transform(shingles, s -> md5(s)), 'min') AS fingerprint
+    FROM sh
+)
+SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM f GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+SQL["multimodal_binary_stats"] = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       ROUND(AVG(octet_length(encode(text))), 4) AS avg_bytes,
+       CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_distinct_payloads
+FROM documents GROUP BY 1
+"""

@@ -1,0 +1,100 @@
+"""Query registry: name -> callable(spark, sf_dir) -> DataFrame.
+
+Single source of truth consumed by __spark_entry__.queries(), the
+pytest suite, and bench.py.  Each entry has a DuckDB oracle twin in
+``oracles.SQL`` (same name, same column aliases) unless it is listed
+in ``NO_ORACLE`` (non-SQL-expressible ops get the driver's weaker
+rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import analytics, dedup, similarity, text, voting
+from .operators import multimodal
+from .sources import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+QUERY_REGISTRY: dict[str, QueryFn] = {
+    # --- voting-domain core (SURVEY §2 #1-13) ---
+    "votes_per_candidate": lambda s, d: voting.votes_per_candidate(_t(s, d, "events")),
+    "turnout_by_location": lambda s, d: voting.turnout_by_location(
+        _t(s, d, "events"), _t(s, d, "customer"), _t(s, d, "nation")
+    ),
+    "turnout_by_region": lambda s, d: voting.turnout_by_region(
+        _t(s, d, "events"), _t(s, d, "customer"), _t(s, d, "nation"), _t(s, d, "region")
+    ),
+    "turnout_by_segment": lambda s, d: voting.turnout_by_segment(
+        _t(s, d, "events"), _t(s, d, "customer")
+    ),
+    "votes_per_candidate_hourly": lambda s, d: voting.votes_per_candidate_hourly(
+        _t(s, d, "events")
+    ),
+    "one_vote_per_voter": lambda s, d: voting.one_vote_per_voter(_t(s, d, "events")),
+    "votes_enriched": lambda s, d: voting.votes_enriched(
+        _t(s, d, "events"), _t(s, d, "customer"), _t(s, d, "nation")
+    ),
+    "election_winner": lambda s, d: voting.election_winner(_t(s, d, "events")),
+    "leading_candidate_per_hour": lambda s, d: voting.leading_candidate_per_hour(
+        _t(s, d, "events")
+    ),
+    "voter_registration_stats": lambda s, d: voting.voter_registration_stats(
+        _t(s, d, "customer"), _t(s, d, "nation"), _t(s, d, "region")
+    ),
+    "votes_value_stats": lambda s, d: voting.votes_value_stats(_t(s, d, "events")),
+    "invalid_vote_rate": lambda s, d: voting.invalid_vote_rate(
+        _t(s, d, "events"), _t(s, d, "customer"), _t(s, d, "nation")
+    ),
+    "events_json_props": lambda s, d: voting.events_json_props(_t(s, d, "events")),
+    # --- general analytics (SURVEY §2 #14-20) ---
+    "q1_pricing_summary": lambda s, d: analytics.q1_pricing_summary(_t(s, d, "lineitem")),
+    "q3_shipping_priority": lambda s, d: analytics.q3_shipping_priority(
+        _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
+    ),
+    "q5_regional_revenue": lambda s, d: analytics.q5_regional_revenue(
+        _t(s, d, "region"), _t(s, d, "nation"), _t(s, d, "customer"),
+        _t(s, d, "supplier"), _t(s, d, "orders"), _t(s, d, "lineitem"),
+    ),
+    "top_brand_revenue": lambda s, d: analytics.top_brand_revenue(
+        _t(s, d, "lineitem"), _t(s, d, "part")
+    ),
+    "customer_top_orders": lambda s, d: analytics.customer_top_orders(_t(s, d, "orders")),
+    "order_priority_count": lambda s, d: analytics.order_priority_count(
+        _t(s, d, "orders"), _t(s, d, "lineitem")
+    ),
+    "nation_acctbal": lambda s, d: analytics.nation_acctbal(
+        _t(s, d, "customer"), _t(s, d, "nation")
+    ),
+    # --- LLM-training-data pipeline (SURVEY §2 #21-32) ---
+    "dedup_exact": lambda s, d: dedup.dedup_exact(_t(s, d, "documents")),
+    "dedup_minhash_bands": lambda s, d: dedup.dedup_minhash_bands(_t(s, d, "documents")),
+    "dedup_minhash_pairs": lambda s, d: dedup.dedup_minhash_pairs(_t(s, d, "documents")),
+    "dedup_simhash": lambda s, d: dedup.dedup_simhash(_t(s, d, "documents")),
+    "dedup_embedding_cosine": lambda s, d: dedup.dedup_embedding_cosine(
+        _t(s, d, "embeddings")
+    ),
+    "ann_bruteforce_topk": lambda s, d: similarity.ann_bruteforce_topk(
+        _t(s, d, "embeddings")
+    ),
+    "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(_t(s, d, "embeddings")),
+    "text_token_count": lambda s, d: text.text_token_count(_t(s, d, "documents")),
+    "text_lang_id": lambda s, d: text.text_lang_id(_t(s, d, "documents")),
+    "text_quality_score": lambda s, d: text.text_quality_score(_t(s, d, "documents")),
+    "doc_fingerprint": lambda s, d: text.doc_fingerprint(_t(s, d, "documents")),
+    "multimodal_binary_stats": lambda s, d: multimodal.multimodal_binary_stats(
+        _t(s, d, "documents")
+    ),
+}
+
+# Queries intentionally without a SQL oracle (none currently -- the
+# full inventory is SQL-expressible; streaming ops live in pytest).
+NO_ORACLE: set[str] = set()

@@ -1,0 +1,61 @@
+"""Batch sources: the parquet star schema.
+
+The scan is the single biggest lever at 100 TB: operators must select
+only the columns they need (column pruning reaches the parquet
+footer) and filter as early as possible (predicate pushdown).  Loads
+here are plain ``spark.read.parquet`` so Catalyst owns both.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _load_events(spark, os.path.join(sf_dir, "events.parquet"))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects outright.  Read nanos as long (legacy conf, set
+    before the scan) and floor-divide to microseconds JVM-side --
+    integer `div`, not `/`, because the ns epoch (~1.7e18) exceeds
+    double's 2^53 exact-integer range.  The DuckDB oracle mirrors
+    this with CAST(ts AS TIMESTAMP) (ns -> us truncation)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql use."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,40 @@
+"""Mirror of the driver's t2 gate at sf0.001: every registry query
+must match its DuckDB oracle on row count, sorted column names,
+and order-insensitive values."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from de_realtime_voting_spark.oracles import SQL
+from de_realtime_voting_spark.queries import NO_ORACLE, QUERY_REGISTRY
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64").round(9)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("name", sorted(QUERY_REGISTRY))
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    sdf = _normalize(QUERY_REGISTRY[name](spark, sf_dir).toPandas())
+    if name in NO_ORACLE:
+        assert len(sdf) >= 0
+        return
+    ddf = _normalize(duck.sql(SQL[name]).df())
+    assert list(sdf.columns) == list(ddf.columns)
+    assert len(sdf) == len(ddf), f"{len(sdf)} vs {len(ddf)} rows"
+    pd.testing.assert_frame_equal(sdf, ddf, check_dtype=False)
+
+
+def test_every_query_has_oracle_or_waiver():
+    for name in QUERY_REGISTRY:
+        assert name in SQL or name in NO_ORACLE
