@@ -73,19 +73,24 @@ def _hexval(c: Column) -> Column:
     return F.instr(F.lit(_HEX), c) - F.lit(1)
 
 
-def simhash16(toks: Column) -> Column:
+def simhash16(distinct_toks: Column) -> Column:
     """16-bit SimHash over distinct tokens.
 
     Bit j comes from hex digit j//4 of md5(token); a bit of the
     signature is set when the +1/-1 vote over tokens is positive.
     Computed with array lambdas only -- map-side, no shuffle.
+
+    Pass an ALREADY-DISTINCT, materialized column (project
+    array_distinct(...) in a prior select): this expression references
+    its input in 16 lambdas, and Catalyst re-evaluates inlined
+    subexpressions inside each one.
     """
     def bit_pred(pos: int, weight: int):
         return lambda w: (
             F.floor(_hexval(F.substring(F.md5(w), pos, 1)) / F.lit(weight)).cast("int") % 2
         ) == F.lit(1)
 
-    distinct = F.array_distinct(toks)
+    distinct = distinct_toks
     n = F.size(distinct)
     out = F.lit(0)
     for j in range(SIMHASH_BITS):

@@ -22,9 +22,17 @@ from ..constants import (
     MINHASH_SIGS,
     SHINGLE_K,
 )
-from ..functions import cosine_similarity, minhash_signature, simhash16, tokens, word_shingles
+from ..functions import dot_product, l2_norm, minhash_signature, simhash16, tokens, word_shingles
 
 N_BANDS = MINHASH_SIGS // MINHASH_BAND_ROWS
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Documents/embeddings arrive as few parquet splits (small files,
+    heavy rows).  Per-row signature work is CPU-bound, so spread it
+    across all cores first; at 100 TB the scan produces enough splits
+    naturally and this becomes a cheap no-op-ish rebalance."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def dedup_exact(documents: DataFrame) -> DataFrame:
@@ -40,16 +48,33 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
 
 
 def _doc_shingles(documents: DataFrame) -> DataFrame:
-    toks = tokens(F.col("text"))
+    # The repartition sits BETWEEN the toks and shingles projections
+    # on purpose: it is both the parallelism spread AND a
+    # CollapseProject barrier.  Adjacent projections get merged by
+    # Catalyst, re-inlining tokens(text) into every element_at inside
+    # the shingle lambdas (no common-subexpression elimination inside
+    # higher-order functions -> text re-split per element, ~6x
+    # slowdown measured at sf0.1).  The shuffle materializes `toks`
+    # once per row.
+    # The short-doc filter runs on size(toks) BELOW the shuffle: a
+    # post-shingle filter would be pushed down by Catalyst with the
+    # whole shingle expression re-inlined (measured 4s extra at
+    # sf0.1).  size(toks) >= 3 <=> at least one shingle.
     return (
-        documents.select("doc_id", word_shingles(toks).alias("shingles"))
-        .where(F.size("shingles") > 0)
+        documents.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 3)
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .select("doc_id", word_shingles(F.col("toks")).alias("shingles"))
     )
 
 
 def _doc_bands(documents: DataFrame) -> DataFrame:
     """(doc_id, band_idx, band_hash): LSH bands over the MinHash
     signature; docs sharing any band are near-dup candidates."""
+    return _doc_bands_from(_doc_shingles(documents))
+
+
+def _doc_bands_from(sh: DataFrame) -> DataFrame:
     sig = minhash_signature(F.col("shingles"))
     bands = F.array(
         *[
@@ -66,8 +91,7 @@ def _doc_bands(documents: DataFrame) -> DataFrame:
         ]
     )
     return (
-        _doc_shingles(documents)
-        .select("doc_id", sig.alias("sig"))
+        sh.select("doc_id", sig.alias("sig"))
         .select("doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
     )
 
@@ -89,7 +113,10 @@ def dedup_minhash_pairs(documents: DataFrame) -> DataFrame:
     Jaccard is |A∩B| / |A∪B| of distinct shingle sets -- an integer
     ratio, so Spark and the oracle agree bit-for-bit.
     """
-    bands = _doc_bands(documents)
+    # shingles feed the band join AND both sides of the verify join;
+    # persist so the signature computation runs once, not three times
+    sh = _doc_shingles(documents).persist()
+    bands = _doc_bands_from(sh)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -102,7 +129,6 @@ def dedup_minhash_pairs(documents: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = _doc_shingles(documents)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
@@ -116,11 +142,16 @@ def dedup_minhash_pairs(documents: DataFrame) -> DataFrame:
 
 def dedup_simhash(documents: DataFrame) -> DataFrame:
     """SimHash collision buckets (16-bit signature over tokens)."""
-    toks = tokens(F.col("text"))
+    # distinct tokens materialized by the shuffle (CollapseProject
+    # barrier, see _doc_shingles) before simhash16 references the
+    # column from its 16 bit-filter lambdas
     per_doc = (
-        documents.select("doc_id", toks.alias("toks"))
-        .where(F.size("toks") > 0)
-        .select("doc_id", simhash16(F.col("toks")).alias("simhash"))
+        documents.select(
+            "doc_id", F.array_distinct(tokens(F.col("text"))).alias("dt")
+        )
+        .where(F.size("dt") > 0)
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .select("doc_id", simhash16(F.col("dt")).alias("simhash"))
     )
     return (
         per_doc.groupBy("simhash")
@@ -133,15 +164,25 @@ def dedup_embedding_cosine(embeddings: DataFrame) -> DataFrame:
     """Embedding near-dup pairs, blocked by label (the blocking key a
     real pipeline gets from coarse clustering/LSH): pairwise cosine
     only *within* blocks."""
-    a = embeddings.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("emb_a")
+    # precompute each vector's norm once (map-side) instead of three
+    # dot products per pair; the oracle's sqrt(dot(x,x)) is the exact
+    # same double regardless of when it's computed
+    normed = _spread(embeddings.select("vec_id", "label", "embedding")).select(
+        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("norm")
     )
-    b = embeddings.select(
+    a = normed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = normed.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
     )
-    cos = cosine_similarity(F.col("emb_a"), F.col("emb_b"))
+    cos = dot_product(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", "label", F.round(cos, 6).alias("cosine"))

@@ -20,10 +20,9 @@ def _stopword_count(toks):
 
 def text_token_count(documents: DataFrame) -> DataFrame:
     """Per-language token/char statistics."""
-    toks = tokens(F.col("text"))
     per_doc = documents.select(
         "lang",
-        F.size(toks).alias("n_tokens"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
         F.length("text").alias("n_chars_actual"),
     )
     return per_doc.groupBy("lang").agg(
@@ -41,7 +40,7 @@ def text_lang_id(documents: DataFrame) -> DataFrame:
     the interesting part is the deterministic plumbing, mirrored by
     the oracle.
     """
-    toks = tokens(F.col("text"))
+    toks = F.col("toks")
     n = F.size(toks)
     ratio = _stopword_count(toks) / n
     pred = (
@@ -50,7 +49,8 @@ def text_lang_id(documents: DataFrame) -> DataFrame:
         .otherwise(F.lit("other"))
     )
     return (
-        documents.select("lang", pred.alias("pred_lang"))
+        documents.select("lang", tokens(F.col("text")).alias("toks"))
+        .select("lang", pred.alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -60,7 +60,7 @@ def text_quality_score(documents: DataFrame) -> DataFrame:
     """Composite doc-quality score (length, stopword ratio, word
     length) aggregated per source -- the classic pre-training quality
     filter signal."""
-    toks = tokens(F.col("text"))
+    toks = F.col("toks")
     n = F.size(toks)
     stop_ratio = _stopword_count(toks) / n
     total_len = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
@@ -72,8 +72,8 @@ def text_quality_score(documents: DataFrame) -> DataFrame:
         6,
     )
     per_doc = documents.select(
-        "source", F.when(n > 0, score).otherwise(F.lit(0.0)).alias("quality")
-    )
+        "source", tokens(F.col("text")).alias("toks")
+    ).select("source", F.when(n > 0, score).otherwise(F.lit(0.0)).alias("quality"))
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("quality"), 4).alias("avg_quality"),
@@ -86,11 +86,15 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
     """Min-shingle-hash fingerprint (winnowing-lite): duplicate
     fingerprints flag near-identical docs; groupBy fingerprint is the
     only shuffle."""
-    toks = tokens(F.col("text"))
-    fp = F.array_min(F.transform(word_shingles(toks), F.md5))
+    fp = F.array_min(F.transform(word_shingles(F.col("toks")), F.md5))
     return (
-        documents.select("doc_id", fp.alias("fingerprint"))
-        .where(F.col("fingerprint").isNotNull())
+        # filter on size(toks) below the shuffle, shingle+hash above
+        # it -- same pushdown/CollapseProject reasoning as
+        # dedup._doc_shingles; >=3 tokens guarantees a fingerprint
+        documents.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 3)
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .select("doc_id", fp.alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
         .where(F.col("n_docs") > 1)

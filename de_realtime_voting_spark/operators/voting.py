@@ -96,12 +96,21 @@ def votes_per_candidate_hourly(votes: DataFrame) -> DataFrame:
     """
     return (
         votes.groupBy(
-            F.window("ts", "1 hour").start.alias("window_start"),
+            # group by the window() expression itself (not .start):
+            # streaming append mode only recognizes the watermark on a
+            # windowed aggregate in this form
+            F.window("ts", "1 hour").alias("w"),
             F.col("event_type").alias("candidate_id"),
         )
         .agg(
             F.count(F.lit(1)).alias("total_votes"),
             F.round(F.sum("value"), 2).alias("total_weight"),
+        )
+        .select(
+            F.col("w").start.alias("window_start"),
+            "candidate_id",
+            "total_votes",
+            "total_weight",
         )
     )
 

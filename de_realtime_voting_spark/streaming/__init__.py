@@ -1,0 +1,22 @@
+from .pipelines import (
+    VOTE_SCHEMA,
+    parse_vote_stream,
+    stream_votes_per_candidate,
+    stream_votes_per_candidate_hourly,
+    watermark_votes,
+)
+from .sinks import foreach_batch_upsert, kafka_sink, kafka_source, to_kafka_frame
+from .state import running_tally
+
+__all__ = [
+    "VOTE_SCHEMA",
+    "parse_vote_stream",
+    "stream_votes_per_candidate",
+    "stream_votes_per_candidate_hourly",
+    "watermark_votes",
+    "foreach_batch_upsert",
+    "kafka_sink",
+    "kafka_source",
+    "to_kafka_frame",
+    "running_tally",
+]

@@ -1,0 +1,72 @@
+"""Structured Streaming pipelines (reference spark-streaming.py,
+re-expressed Spark-first).
+
+The reference runs: Kafka JSON -> from_json(schema) -> cast/watermark
+-> groupBy aggregations -> to_json -> Kafka, in update mode with
+checkpoints.  Here the SAME transform functions that power the batch
+queries (operators/voting.py) are applied to streaming DataFrames --
+batch/stream parity by construction, which is the property the tests
+assert.
+
+At scale: streaming aggs shuffle on the group key exactly like batch;
+the watermark bounds state (candidates x windows), so state size is
+O(candidates * active-windows), independent of input volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..operators import voting
+
+# The vote-event schema for JSON payloads (the reference's
+# vote_schema, spark-streaming.py:28-53, mapped to our vote domain).
+VOTE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def parse_vote_stream(raw: DataFrame, value_col: str = "value_json") -> DataFrame:
+    """JSON payload -> typed columns (reference spark-streaming.py:62-65:
+    CAST(value AS STRING) -> from_json -> data.*).  Works identically
+    on a Kafka stream, a file stream, or a batch frame."""
+    return (
+        raw.select(F.from_json(F.col(value_col).cast("string"), VOTE_SCHEMA).alias("data"))
+        .select("data.*")
+    )
+
+
+def watermark_votes(votes: DataFrame, delay: str = "1 minute") -> DataFrame:
+    """Event-time watermark (reference spark-streaming.py:72): late
+    vote events beyond `delay` are dropped and window state is
+    reclaimed."""
+    return votes.withWatermark("ts", delay)
+
+
+def stream_votes_per_candidate(votes: DataFrame) -> DataFrame:
+    """The reference's headline live tally (spark-streaming.py:75-76)
+    -- literally the batch operator applied to a streaming frame
+    (update/complete output mode)."""
+    return voting.votes_per_candidate(votes)
+
+
+def stream_votes_per_candidate_hourly(votes: DataFrame, delay: str = "1 minute") -> DataFrame:
+    """Watermarked tumbling-window tally: append-mode capable because
+    the watermark finalizes windows."""
+    return voting.votes_per_candidate_hourly(watermark_votes(votes, delay))

@@ -1,0 +1,144 @@
+"""Structured Streaming tests: file-source micro-batches through the
+same transforms as batch (parity), JSON parse, stateful tally, and
+the idempotent foreachBatch upsert sink."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+import time
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from de_realtime_voting_spark.operators import voting
+from de_realtime_voting_spark.sources import load_table
+from de_realtime_voting_spark.streaming import (
+    VOTE_SCHEMA,
+    parse_vote_stream,
+    foreach_batch_upsert,
+    running_tally,
+    stream_votes_per_candidate,
+    stream_votes_per_candidate_hourly,
+    to_kafka_frame,
+)
+
+
+@pytest.fixture(scope="module")
+def vote_json_dir(spark, sf_dir):
+    """events table as JSON files -- a Kafka-free streaming source
+    with the same payload shape the reference consumes."""
+    d = tempfile.mkdtemp(prefix="votes_json_")
+    events = load_table(spark, sf_dir, "events")
+    events.select(F.to_json(F.struct(*events.columns)).alias("value_json")).coalesce(
+        2
+    ).write.mode("overwrite").text(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream_to_memory(spark, stream_df, name, output_mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_parse_vote_stream_batch_equivalence(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    as_json = events.select(F.to_json(F.struct(*events.columns)).alias("value_json"))
+    parsed = parse_vote_stream(as_json)
+    assert [f.name for f in parsed.schema.fields] == [f.name for f in VOTE_SCHEMA.fields]
+    assert parsed.count() == events.count()
+    # spot-check values survive the JSON round trip
+    a = sorted(r["event_id"] for r in parsed.select("event_id").collect())
+    b = sorted(r["event_id"] for r in events.select("event_id").collect())
+    assert a == b
+
+
+def test_stream_votes_per_candidate_matches_batch(spark, sf_dir, vote_json_dir):
+    stream = parse_vote_stream(
+        spark.readStream.schema("value_json string").text(vote_json_dir),
+        "value_json",
+    )
+    out = _run_stream_to_memory(
+        spark, stream_votes_per_candidate(stream), "vpc_stream", "complete"
+    )
+    batch = voting.votes_per_candidate(load_table(spark, sf_dir, "events"))
+    got = {r["candidate_id"]: (r["total_votes"], r["total_weight"]) for r in out.collect()}
+    want = {r["candidate_id"]: (r["total_votes"], r["total_weight"]) for r in batch.collect()}
+    assert got == want
+
+
+def test_stream_hourly_window_with_watermark(spark, sf_dir, vote_json_dir):
+    stream = parse_vote_stream(
+        spark.readStream.schema("value_json string").text(vote_json_dir),
+        "value_json",
+    )
+    out = _run_stream_to_memory(
+        spark,
+        stream_votes_per_candidate_hourly(stream, "1 minute"),
+        "vpch_stream",
+        "append",
+    ).collect()
+    # watermark finalizes all but the max-event-time window; compare
+    # totals for the windows that were emitted
+    batch = {
+        (r["window_start"], r["candidate_id"]): r["total_votes"]
+        for r in voting.votes_per_candidate_hourly(
+            load_table(spark, sf_dir, "events")
+        ).collect()
+    }
+    assert len(out) > 0
+    for r in out:
+        assert batch[(r["window_start"], r["candidate_id"])] == r["total_votes"]
+
+
+def test_running_tally_state(spark, sf_dir, vote_json_dir):
+    stream = parse_vote_stream(
+        spark.readStream.schema("value_json string").text(vote_json_dir),
+        "value_json",
+    )
+    out = _run_stream_to_memory(
+        spark, running_tally(stream), "tally_stream", "update"
+    ).collect()
+    # final state per candidate must equal the batch tally
+    batch = {
+        r["candidate_id"]: r["total_votes"]
+        for r in voting.votes_per_candidate(load_table(spark, sf_dir, "events")).collect()
+    }
+    # keep the last emitted row per candidate (update mode may emit per batch)
+    final = {}
+    for r in out:
+        final[r["candidate_id"]] = r["total_votes"]
+    assert final == batch
+
+
+def test_to_kafka_frame_shape(spark, sf_dir):
+    agg = voting.votes_per_candidate(load_table(spark, sf_dir, "events"))
+    framed = to_kafka_frame(agg, key_col="candidate_id")
+    assert framed.columns == ["key", "value"]
+    row = framed.first()
+    payload = json.loads(row["value"])
+    assert {"candidate_id", "total_votes", "total_weight"} <= set(payload)
+
+
+def test_foreach_batch_upsert_idempotent(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").limit(200)
+    target = tempfile.mkdtemp(prefix="upsert_") + "/votes"
+    write = foreach_batch_upsert(target, key_cols=["user_id"], order_col="ts")
+    write(events, 0)
+    n1 = spark.read.parquet(target).count()
+    write(events, 1)  # replay the same batch -- must not double-count
+    n2 = spark.read.parquet(target).count()
+    assert n1 == n2
+    # one row per voter (the reference's votes PK semantics)
+    assert n1 == events.select("user_id").distinct().count()
+    shutil.rmtree(Path(target).parent, ignore_errors=True)
