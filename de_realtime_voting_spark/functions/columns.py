@@ -26,6 +26,22 @@ from ..constants import (
 _HEX = "0123456789abcdef"
 
 
+def round_half_up(col: Column, n: int) -> Column:
+    """Cross-engine-deterministic rounding: floor(x*10^n + 0.5)/10^n.
+
+    Spark's round() (BigDecimal HALF_UP on the decimal expansion) and
+    DuckDB's round() disagree on the SAME input double when x*10^n
+    lands exactly on .5 -- e.g. avg of 2-decimal values over a
+    power-of-two count.  This formula is plain double arithmetic, so
+    identical inputs give identical outputs in any IEEE engine; the
+    oracle SQL uses the literal same expression.
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    s = float(10**n)
+    return F.floor(col * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokens with empties dropped (split of '' yields [''])."""
     return F.filter(F.split(text, " "), lambda x: x != F.lit(""))

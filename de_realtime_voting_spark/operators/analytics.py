@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.columns import round_half_up as rnd
+
 
 def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q1-shape: single wide scan, grouped multi-aggregate.
@@ -21,13 +23,13 @@ def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
         lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+            rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            rnd(F.sum(disc_price), 4).alias("sum_disc_price"),
+            rnd(F.sum(charge), 6).alias("sum_charge"),
+            rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
+            rnd(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            rnd(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -47,7 +49,7 @@ def q3_shipping_priority(
         .join(F.broadcast(customer.where(F.col("c_mktsegment") == "BUILDING")),
               F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(rnd(F.sum(revenue), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
@@ -78,7 +80,7 @@ def q5_regional_revenue(
             (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("sn") == F.col("c_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(rnd(F.sum(revenue), 4).alias("revenue"))
     )
 
 
@@ -90,7 +92,7 @@ def top_brand_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
                       F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(revenue), 2).alias("revenue"),
+            rnd(F.sum(revenue), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.col("revenue").desc(), F.col("p_brand").asc())
@@ -109,7 +111,7 @@ def customer_top_orders(orders: DataFrame) -> DataFrame:
         .select(
             F.col("o_custkey").alias("custkey"),
             F.col("o_orderkey").alias("orderkey"),
-            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+            rnd(F.col("o_totalprice"), 2).alias("totalprice"),
             F.col("order_rank"),
         )
     )
@@ -127,6 +129,69 @@ def order_priority_count(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
+def q7_nation_volume(
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Q7-shape: cross-nation shipping volume (supplier nation x
+    customer nation, different nations).  Both nation lookups
+    broadcast; the fact join shuffles once on orderkey."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            rnd(F.sum(revenue), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q10_returned_items(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Q10-shape: top 20 customers by revenue lost to returns."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(rnd(F.sum(revenue), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("custkey").asc())
+        .limit(20)
+    )
+
+
 def nation_acctbal(customer: DataFrame, nation: DataFrame) -> DataFrame:
     """Dim⋈dim rollup: customer balances per nation."""
     return (
@@ -134,7 +199,7 @@ def nation_acctbal(customer: DataFrame, nation: DataFrame) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            rnd(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            rnd(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
         )
     )

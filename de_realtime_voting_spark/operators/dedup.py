@@ -22,6 +22,7 @@ from ..constants import (
     MINHASH_SIGS,
     SHINGLE_K,
 )
+from ..functions.columns import round_half_up as rnd
 from ..functions import dot_product, l2_norm, minhash_signature, simhash16, tokens, word_shingles
 
 N_BANDS = MINHASH_SIGS // MINHASH_BAND_ROWS
@@ -185,6 +186,6 @@ def dedup_embedding_cosine(embeddings: DataFrame) -> DataFrame:
     cos = dot_product(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .select("vec_a", "vec_b", "label", F.round(cos, 6).alias("cosine"))
+        .select("vec_a", "vec_b", "label", rnd(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= COSINE_THRESHOLD)
     )

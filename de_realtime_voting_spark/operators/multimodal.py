@@ -15,6 +15,8 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.columns import round_half_up as rnd
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -97,7 +99,7 @@ def multimodal_binary_stats(documents: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(payload_len).cast("bigint").alias("total_bytes"),
-            F.round(F.avg(payload_len), 4).alias("avg_bytes"),
+            rnd(F.avg(payload_len), 4).alias("avg_bytes"),
             F.countDistinct(F.sha2(F.col("text"), 256)).alias("n_distinct_payloads"),
         )
     )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..constants import ANN_K, ANN_QUERY_IDS
+from ..functions.columns import round_half_up as rnd
 from ..functions import cosine_similarity, lsh_bucket
 
 
@@ -33,7 +34,7 @@ def _topk(joined: DataFrame) -> DataFrame:
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= ANN_K)
-        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+        .select("query_id", "neighbor_id", "rank", rnd("cosine", 6).alias("cosine"))
     )
 
 
@@ -44,6 +45,20 @@ def ann_bruteforce_topk(embeddings: DataFrame) -> DataFrame:
         F.broadcast(_queries(embeddings)), F.col("vec_id") != F.col("query_id")
     )
     return _topk(joined)
+
+
+def embedding_lsh_buckets(embeddings: DataFrame) -> DataFrame:
+    """LSH bucket histogram: the operational check that hyperplane
+    bucketing spreads the corpus (skewed buckets = bad recall AND a
+    hot partition at scale)."""
+    return (
+        embeddings.select("vec_id", lsh_bucket(F.col("embedding")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
 
 
 def ann_lsh_topk(embeddings: DataFrame) -> DataFrame:

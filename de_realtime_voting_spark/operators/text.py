@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..constants import STOPWORDS
+from ..functions.columns import round_half_up as rnd
 from ..functions import tokens, word_shingles
 
 
@@ -28,7 +29,7 @@ def text_token_count(documents: DataFrame) -> DataFrame:
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        rnd(F.avg("n_tokens"), 4).alias("avg_tokens"),
         F.sum("n_chars_actual").cast("bigint").alias("total_chars"),
     )
 
@@ -65,7 +66,7 @@ def text_quality_score(documents: DataFrame) -> DataFrame:
     stop_ratio = _stopword_count(toks) / n
     total_len = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
     avg_word_len = total_len / n
-    score = F.round(
+    score = rnd(
         F.least(n / F.lit(200.0), F.lit(1.0)) * 0.5
         + stop_ratio * 0.3
         + F.least(avg_word_len / F.lit(10.0), F.lit(1.0)) * 0.2,
@@ -76,9 +77,25 @@ def text_quality_score(documents: DataFrame) -> DataFrame:
     ).select("source", F.when(n > 0, score).otherwise(F.lit(0.0)).alias("quality"))
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("quality"), 4).alias("avg_quality"),
-        F.round(F.min("quality"), 4).alias("min_quality"),
-        F.round(F.max("quality"), 4).alias("max_quality"),
+        rnd(F.avg("quality"), 4).alias("avg_quality"),
+        rnd(F.min("quality"), 4).alias("min_quality"),
+        rnd(F.max("quality"), 4).alias("max_quality"),
+    )
+
+
+def ngram_top(documents: DataFrame, n_top: int = 20) -> DataFrame:
+    """Most frequent word bigrams across the corpus: map-side bigram
+    arrays -> explode -> one count shuffle -> top-N."""
+    bigrams = word_shingles(F.col("toks"), k=2)
+    return (
+        documents.select(tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 2)
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("bigram").asc())
+        .limit(n_top)
     )
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.columns import round_half_up as rnd
 from ..functions import candidate_party
 
 
@@ -44,7 +45,7 @@ def votes_per_candidate(votes: DataFrame) -> DataFrame:
         votes.groupBy(F.col("event_type").alias("candidate_id"))
         .agg(
             F.count(F.lit(1)).alias("total_votes"),
-            F.round(F.sum("value"), 2).alias("total_weight"),
+            rnd(F.sum("value"), 2).alias("total_weight"),
         )
     )
 
@@ -81,7 +82,7 @@ def turnout_by_segment(votes: DataFrame, voters: DataFrame) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("total_turnout_votes"),
-            F.round(F.avg("value"), 4).alias("avg_vote_weight"),
+            rnd(F.avg("value"), 4).alias("avg_vote_weight"),
         )
     )
 
@@ -104,7 +105,7 @@ def votes_per_candidate_hourly(votes: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("total_votes"),
-            F.round(F.sum("value"), 2).alias("total_weight"),
+            rnd(F.sum("value"), 2).alias("total_weight"),
         )
         .select(
             F.col("w").start.alias("window_start"),
@@ -189,7 +190,7 @@ def voter_registration_stats(
         .groupBy(F.col("r_name").alias("region"), F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("registered_voters"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            rnd(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
         )
     )
 
@@ -200,10 +201,10 @@ def votes_value_stats(votes: DataFrame) -> DataFrame:
         votes.groupBy(F.col("event_type").alias("candidate_id"))
         .agg(
             F.count(F.lit(1)).alias("n_votes"),
-            F.round(F.min("value"), 2).alias("min_weight"),
-            F.round(F.max("value"), 2).alias("max_weight"),
-            F.round(F.avg("value"), 4).alias("avg_weight"),
-            F.round(F.stddev("value"), 4).alias("stddev_weight"),
+            rnd(F.min("value"), 2).alias("min_weight"),
+            rnd(F.max("value"), 2).alias("max_weight"),
+            rnd(F.avg("value"), 4).alias("avg_weight"),
+            rnd(F.stddev("value"), 4).alias("stddev_weight"),
         )
     )
 
@@ -224,6 +225,81 @@ def invalid_vote_rate(votes: DataFrame, voters: DataFrame, nations: DataFrame) -
     )
 
 
+def unique_voters_per_candidate(votes: DataFrame) -> DataFrame:
+    """Distinct-voter reach per candidate (dedup-aware tally)."""
+    return (
+        votes.groupBy(F.col("event_type").alias("candidate_id"))
+        .agg(
+            F.countDistinct("user_id").alias("unique_voters"),
+            F.count(F.lit(1)).alias("total_votes"),
+        )
+    )
+
+
+def votes_sessionized(votes: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Voting sessions per voter: events within `gap` of the previous
+    event share a session (Spark's native session_window -- the same
+    expression works under readStream with a watermark).
+
+    Session state at scale is bounded by the watermark; batch-side it
+    is one shuffle on user_id."""
+    return (
+        votes.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_votes"),
+            F.max("ts").alias("last_vote"),
+            rnd(F.sum("value"), 2).alias("session_weight"),
+        )
+        .select(
+            F.col("user_id").alias("voter_id"),
+            F.col("w").start.alias("session_start"),
+            F.col("last_vote"),
+            "n_votes",
+            "session_weight",
+        )
+    )
+
+
+def cumulative_daily_votes(votes: DataFrame) -> DataFrame:
+    """Daily tally per candidate plus the running (election-to-date)
+    total -- the dashboard cumulative chart."""
+    daily = votes.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("event_type").alias("candidate_id"),
+    ).agg(F.count(F.lit(1)).alias("daily_votes"))
+    w = (
+        Window.partitionBy("candidate_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.withColumn(
+        "cumulative_votes", F.sum("daily_votes").over(w).cast("bigint")
+    )
+
+
+def votes_minute_rate(votes: DataFrame) -> DataFrame:
+    """15-minute ingest-rate monitor over the vote stream."""
+    return (
+        votes.groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_votes"),
+            rnd(F.avg("value"), 4).alias("avg_weight"),
+        )
+        .select(F.col("w").start.alias("bucket_start"), "n_votes", "avg_weight")
+    )
+
+
+def voter_profile(votes: DataFrame) -> DataFrame:
+    """Wide per-voter activity profile (feature-store style rollup)."""
+    return votes.groupBy(F.col("user_id").alias("voter_id")).agg(
+        F.count(F.lit(1)).alias("n_votes"),
+        F.countDistinct("event_type").alias("n_candidates"),
+        F.min("ts").alias("first_vote"),
+        F.max("ts").alias("last_vote"),
+        rnd(F.sum("value"), 2).alias("total_weight"),
+    )
+
+
 def events_json_props(votes: DataFrame) -> DataFrame:
     """JSON payload extraction + agg: the reference's from_json parse
     of Kafka values (spark-streaming.py:62-65) applied to ``props``."""
@@ -233,7 +309,7 @@ def events_json_props(votes: DataFrame) -> DataFrame:
         .groupBy("candidate_id")
         .agg(
             F.sum("k").cast("bigint").alias("sum_k"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            rnd(F.avg("k"), 4).alias("avg_k"),
             F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("bigint").alias("n_high"),
         )
     )

@@ -273,8 +273,8 @@ SQL["q1_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
        ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
        ROUND(AVG(l_quantity), 4) AS avg_qty,
        ROUND(AVG(l_extendedprice), 4) AS avg_price,
        ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -286,7 +286,7 @@ GROUP BY 1, 2
 
 SQL["q3_shipping_priority"] = """
 SELECT o_orderkey, o_orderdate, o_orderpriority,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -299,7 +299,7 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 
 SQL["q5_regional_revenue"] = """
 SELECT n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -312,7 +312,7 @@ GROUP BY 1
 
 SQL["top_brand_revenue"] = """
 SELECT p_brand,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1
@@ -515,3 +515,156 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_distinct_payloads
 FROM documents GROUP BY 1
 """
+
+SQL["unique_voters_per_candidate"] = f"""
+WITH {_EVENTS_CTE}
+SELECT event_type AS candidate_id,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_voters,
+       CAST(COUNT(*) AS BIGINT) AS total_votes
+FROM ev GROUP BY 1
+"""
+
+SQL["votes_sessionized"] = f"""
+WITH {_EVENTS_CTE},
+lagged AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS new_s
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts, value,
+           SUM(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS sid
+    FROM lagged
+)
+SELECT user_id AS voter_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS last_vote,
+       CAST(COUNT(*) AS BIGINT) AS n_votes,
+       ROUND(SUM(value), 2) AS session_weight
+FROM sess GROUP BY user_id, sid
+"""
+
+SQL["cumulative_daily_votes"] = f"""
+WITH {_EVENTS_CTE},
+daily AS (
+    SELECT date_trunc('day', ts) AS day,
+           event_type AS candidate_id,
+           CAST(COUNT(*) AS BIGINT) AS daily_votes
+    FROM ev GROUP BY 1, 2
+)
+SELECT day, candidate_id, daily_votes,
+       CAST(SUM(daily_votes) OVER (
+           PARTITION BY candidate_id ORDER BY day ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS cumulative_votes
+FROM daily
+"""
+
+SQL["votes_minute_rate"] = f"""
+WITH {_EVENTS_CTE}
+SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
+       CAST(COUNT(*) AS BIGINT) AS n_votes,
+       ROUND(AVG(value), 4) AS avg_weight
+FROM ev GROUP BY 1
+"""
+
+SQL["voter_profile"] = f"""
+WITH {_EVENTS_CTE}
+SELECT user_id AS voter_id,
+       CAST(COUNT(*) AS BIGINT) AS n_votes,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_candidates,
+       MIN(ts) AS first_vote,
+       MAX(ts) AS last_vote,
+       ROUND(SUM(value), 2) AS total_weight
+FROM ev GROUP BY 1
+"""
+
+SQL["q7_nation_volume"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2
+"""
+
+SQL["q10_returned_items"] = """
+SELECT c_custkey AS custkey, c_name AS cust_name, n_name AS nation,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, custkey LIMIT 20
+"""
+
+SQL["ngram_top"] = f"""
+WITH toksed AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bi AS (
+    SELECT list_distinct(
+        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+    ) AS bigrams
+    FROM toksed WHERE len(toks) >= 2
+),
+x AS (SELECT unnest(bigrams) AS bigram FROM bi)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM x GROUP BY 1 ORDER BY n_docs DESC, bigram LIMIT 20
+"""
+
+SQL["embedding_lsh_buckets"] = f"""
+WITH b AS (
+    SELECT vec_id, {_bucket_expr('embedding')} AS bucket FROM embeddings
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors, MIN(vec_id) AS min_vec_id
+FROM b GROUP BY 1
+"""
+
+
+def _rewrite_rounds(sql: str) -> str:
+    """Replace ROUND(expr, n) with FLOOR((expr) * 10^n + 0.5) / 10^n.
+
+    Spark round() (BigDecimal HALF_UP) and DuckDB round() can disagree
+    on the SAME double when x*10^n sits exactly on .5; the Spark
+    operators use functions.columns.round_half_up with this identical
+    floor formula, making rounding bit-deterministic across engines.
+    """
+    out = []
+    i = 0
+    upper = sql.upper()
+    while True:
+        j = upper.find("ROUND(", i)
+        if j < 0:
+            out.append(sql[i:])
+            return "".join(out)
+        out.append(sql[i:j])
+        depth = 0
+        k = j + 5  # points at '('
+        end = None
+        for k in range(j + 5, len(sql)):
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    end = k
+                    break
+        inner = sql[j + 6 : end]
+        expr, _, ndigits = inner.rpartition(",")
+        scale = 10 ** int(ndigits.strip())
+        out.append(f"FLOOR(({expr.strip()}) * {scale}.0 + 0.5) / {scale}.0")
+        i = end + 1
+
+
+SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

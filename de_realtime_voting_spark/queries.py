@@ -55,6 +55,15 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
         _t(s, d, "events"), _t(s, d, "customer"), _t(s, d, "nation")
     ),
     "events_json_props": lambda s, d: voting.events_json_props(_t(s, d, "events")),
+    "unique_voters_per_candidate": lambda s, d: voting.unique_voters_per_candidate(
+        _t(s, d, "events")
+    ),
+    "votes_sessionized": lambda s, d: voting.votes_sessionized(_t(s, d, "events")),
+    "cumulative_daily_votes": lambda s, d: voting.cumulative_daily_votes(
+        _t(s, d, "events")
+    ),
+    "votes_minute_rate": lambda s, d: voting.votes_minute_rate(_t(s, d, "events")),
+    "voter_profile": lambda s, d: voting.voter_profile(_t(s, d, "events")),
     # --- general analytics (SURVEY §2 #14-20) ---
     "q1_pricing_summary": lambda s, d: analytics.q1_pricing_summary(_t(s, d, "lineitem")),
     "q3_shipping_priority": lambda s, d: analytics.q3_shipping_priority(
@@ -74,6 +83,14 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "nation_acctbal": lambda s, d: analytics.nation_acctbal(
         _t(s, d, "customer"), _t(s, d, "nation")
     ),
+    "q7_nation_volume": lambda s, d: analytics.q7_nation_volume(
+        _t(s, d, "nation"), _t(s, d, "customer"), _t(s, d, "supplier"),
+        _t(s, d, "orders"), _t(s, d, "lineitem"),
+    ),
+    "q10_returned_items": lambda s, d: analytics.q10_returned_items(
+        _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem"),
+        _t(s, d, "nation"),
+    ),
     # --- LLM-training-data pipeline (SURVEY §2 #21-32) ---
     "dedup_exact": lambda s, d: dedup.dedup_exact(_t(s, d, "documents")),
     "dedup_minhash_bands": lambda s, d: dedup.dedup_minhash_bands(_t(s, d, "documents")),
@@ -86,10 +103,14 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
         _t(s, d, "embeddings")
     ),
     "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(_t(s, d, "embeddings")),
+    "embedding_lsh_buckets": lambda s, d: similarity.embedding_lsh_buckets(
+        _t(s, d, "embeddings")
+    ),
     "text_token_count": lambda s, d: text.text_token_count(_t(s, d, "documents")),
     "text_lang_id": lambda s, d: text.text_lang_id(_t(s, d, "documents")),
     "text_quality_score": lambda s, d: text.text_quality_score(_t(s, d, "documents")),
     "doc_fingerprint": lambda s, d: text.doc_fingerprint(_t(s, d, "documents")),
+    "ngram_top": lambda s, d: text.ngram_top(_t(s, d, "documents")),
     "multimodal_binary_stats": lambda s, d: multimodal.multimodal_binary_stats(
         _t(s, d, "documents")
     ),

@@ -1,0 +1,83 @@
+"""Plan-shape guardrails: broadcasts, pushdown, pruning, no
+cartesians -- the properties that keep operators viable at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from de_realtime_voting_spark.operators import analytics, dedup, voting
+from de_realtime_voting_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filter,
+    assert_read_schema_only,
+)
+from de_realtime_voting_spark.queries import QUERY_REGISTRY
+from de_realtime_voting_spark.sources import load_table
+
+
+def test_turnout_by_location_broadcasts_dims(spark, sf_dir):
+    df = voting.turnout_by_location(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+    assert_broadcast_join(df, at_least=2)
+    assert_no_cartesian(df)
+
+
+def test_q3_broadcasts_filtered_customer(spark, sf_dir):
+    df = analytics.q3_shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    assert_broadcast_join(df, at_least=1)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_pushed_filter(df, "c_mktsegment")
+
+
+def test_q1_pushes_shipdate_and_prunes_columns(spark, sf_dir):
+    df = analytics.q1_pricing_summary(load_table(spark, sf_dir, "lineitem"))
+    assert_pushed_filter(df, "l_shipdate")
+    assert_read_schema_only(
+        df,
+        "lineitem",
+        {
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        },
+    )
+
+
+def test_top_brand_prunes_part_columns(spark, sf_dir):
+    df = analytics.top_brand_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+    assert_broadcast_join(df, at_least=1)
+    assert_read_schema_only(df, "part.parquet", {"p_partkey", "p_brand"})
+
+
+def test_minhash_pairs_no_cartesian(spark, sf_dir):
+    df = dedup.dedup_minhash_pairs(load_table(spark, sf_dir, "documents"))
+    assert_no_cartesian(df)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "votes_per_candidate",
+        "turnout_by_region",
+        "q5_regional_revenue",
+        "dedup_minhash_bands",
+        "ann_bruteforce_topk",
+        "text_quality_score",
+    ],
+)
+def test_no_cartesian_anywhere(name, spark, sf_dir):
+    assert_no_cartesian(QUERY_REGISTRY[name](spark, sf_dir))
