@@ -300,6 +300,33 @@ def voter_profile(votes: DataFrame) -> DataFrame:
     )
 
 
+def vote_weight_percentiles(votes: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles of vote weight per candidate
+    (Spark `percentile` == DuckDB `quantile_cont`, verified
+    bit-identical)."""
+    return votes.groupBy(F.col("event_type").alias("candidate_id")).agg(
+        F.count(F.lit(1)).alias("n_votes"),
+        F.percentile("value", 0.25).alias("p25"),
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.75).alias("p75"),
+        F.percentile("value", 0.9).alias("p90"),
+    )
+
+
+def turnout_rollup(votes: DataFrame, voters: DataFrame, nations: DataFrame,
+                   regions: DataFrame) -> DataFrame:
+    """Hierarchical turnout: region -> nation -> grand total in one
+    pass via ROLLUP grouping sets (single shuffle, partial aggs)."""
+    enriched = (
+        _votes_with_location(votes, voters, nations)
+        .join(F.broadcast(regions), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        enriched.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("total_turnout_votes"))
+    )
+
+
 def events_json_props(votes: DataFrame) -> DataFrame:
     """JSON payload extraction + agg: the reference's from_json parse
     of Kafka values (spark-streaming.py:62-65) applied to ``props``."""

@@ -632,6 +632,27 @@ FROM b GROUP BY 1
 """
 
 
+SQL["vote_weight_percentiles"] = f"""
+WITH {_EVENTS_CTE}
+SELECT event_type AS candidate_id,
+       CAST(COUNT(*) AS BIGINT) AS n_votes,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.75) AS p75,
+       quantile_cont(value, 0.9) AS p90
+FROM ev GROUP BY 1
+"""
+
+SQL["turnout_rollup"] = f"""
+WITH {_EVENTS_CTE}
+SELECT r.r_name AS region, n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS total_turnout_votes
+{_VOTE_GEO_JOIN}
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+"""
+
+
 def _rewrite_rounds(sql: str) -> str:
     """Replace ROUND(expr, n) with FLOOR((expr) * 10^n + 0.5) / 10^n.
 

@@ -64,6 +64,12 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     ),
     "votes_minute_rate": lambda s, d: voting.votes_minute_rate(_t(s, d, "events")),
     "voter_profile": lambda s, d: voting.voter_profile(_t(s, d, "events")),
+    "vote_weight_percentiles": lambda s, d: voting.vote_weight_percentiles(
+        _t(s, d, "events")
+    ),
+    "turnout_rollup": lambda s, d: voting.turnout_rollup(
+        _t(s, d, "events"), _t(s, d, "customer"), _t(s, d, "nation"), _t(s, d, "region")
+    ),
     # --- general analytics (SURVEY §2 #14-20) ---
     "q1_pricing_summary": lambda s, d: analytics.q1_pricing_summary(_t(s, d, "lineitem")),
     "q3_shipping_priority": lambda s, d: analytics.q3_shipping_priority(

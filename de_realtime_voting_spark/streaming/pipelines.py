@@ -66,6 +66,19 @@ def stream_votes_per_candidate(votes: DataFrame) -> DataFrame:
     return voting.votes_per_candidate(votes)
 
 
+def stream_turnout_by_location(
+    votes: DataFrame, voters: DataFrame, nations: DataFrame
+) -> DataFrame:
+    """Stream-static join: the live vote stream enriched against the
+    static voter/nation dims (broadcast on every micro-batch), then
+    the reference's turnout aggregation (spark-streaming.py:78-79).
+    At scale the static side is a broadcast -- no stream-side state
+    beyond the aggregation."""
+    from ..operators import voting as _v
+
+    return _v.turnout_by_location(votes, voters, nations)
+
+
 def stream_votes_per_candidate_hourly(votes: DataFrame, delay: str = "1 minute") -> DataFrame:
     """Watermarked tumbling-window tally: append-mode capable because
     the watermark finalizes windows."""

@@ -121,6 +121,33 @@ def test_running_tally_state(spark, sf_dir, vote_json_dir):
     assert final == batch
 
 
+def test_stream_static_join_turnout(spark, sf_dir, vote_json_dir):
+    from de_realtime_voting_spark.streaming import pipelines
+
+    stream = parse_vote_stream(
+        spark.readStream.schema("value_json string").text(vote_json_dir),
+        "value_json",
+    )
+    out = _run_stream_to_memory(
+        spark,
+        pipelines.stream_turnout_by_location(
+            stream,
+            load_table(spark, sf_dir, "customer"),
+            load_table(spark, sf_dir, "nation"),
+        ),
+        "turnout_stream",
+        "complete",
+    )
+    batch = voting.turnout_by_location(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+    got = {r["location"]: r["total_turnout_votes"] for r in out.collect()}
+    want = {r["location"]: r["total_turnout_votes"] for r in batch.collect()}
+    assert got == want
+
+
 def test_to_kafka_frame_shape(spark, sf_dir):
     agg = voting.votes_per_candidate(load_table(spark, sf_dir, "events"))
     framed = to_kafka_frame(agg, key_col="candidate_id")
