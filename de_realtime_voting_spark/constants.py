@@ -24,12 +24,32 @@ MINHASH_BAND_ROWS = 2  # rows per LSH band -> 4 bands
 JACCARD_THRESHOLD = 0.8
 SIMHASH_BITS = 16      # bits taken from the first 4 hex chars of md5
 
+# --- char n-gram Jaccard near-dup ---------------------------------
+CHAR_NGRAM_K = 3           # character trigram width
+NGRAM_JACCARD_THRESHOLD = 0.65
+NGRAM_LEN_BUCKET = 32      # length-bucket blocking key width (chars)
+
+# --- BPE-ish regex tokenizer --------------------------------------
+# letter runs | digit runs | single non-alnum-non-space (the classic
+# pre-tokenizer split; identical semantics in Java regex and RE2)
+BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+# --- multimodal chunking ------------------------------------------
+MEDIA_CHUNK_BYTES = 64     # fixed payload chunk width
+
 # --- embeddings ----------------------------------------------------
 EMBEDDING_DIM = 64
 COSINE_THRESHOLD = 0.30   # near-dup threshold (synthetic data tops out ~0.4)
 ANN_QUERY_IDS = list(range(10))
 ANN_K = 5
 LSH_NUM_PLANES = 6        # 64 hyperplane buckets
+
+# IVF coarse quantizer: centroids are a fixed, deterministic sample of
+# corpus vectors (exists at every SF: vec_id <= 452 < 500).  A real
+# pipeline would k-means these; the index structure -- assign to
+# nearest centroid, probe the closest NPROBE cells -- is identical.
+IVF_CENTROID_IDS = [17 + 29 * i for i in range(16)]
+IVF_NPROBE = 2
 
 
 def lsh_plane_weight(p: int, i: int) -> float:

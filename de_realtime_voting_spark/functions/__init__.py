@@ -1,5 +1,6 @@
 from .columns import (
     candidate_party,
+    char_ngrams,
     cosine_similarity,
     dot_product,
     l2_norm,
@@ -12,6 +13,7 @@ from .columns import (
 
 __all__ = [
     "candidate_party",
+    "char_ngrams",
     "cosine_similarity",
     "dot_product",
     "l2_norm",

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..constants import (
     CANDIDATE_PARTY,
+    CHAR_NGRAM_K,
     LSH_PLANES,
     MINHASH_SIGS,
     SHINGLE_K,
@@ -64,6 +65,23 @@ def word_shingles(toks: Column, k: int = SHINGLE_K) -> Column:
         )
     )
     return F.when(F.size(toks) >= k, shingled).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def char_ngrams(text: Column, k: int = CHAR_NGRAM_K) -> Column:
+    """Distinct character k-grams of a string ('abcd' -> ['abc','bcd']).
+
+    Guarded like word_shingles: texts shorter than k chars yield an
+    empty array (sequence would run descending otherwise).
+    """
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - (k - 1)),
+            lambda i: text.substr(i, F.lit(k)),
+        )
+    )
+    return F.when(F.length(text) >= k, grams).otherwise(
         F.array().cast("array<string>")
     )
 

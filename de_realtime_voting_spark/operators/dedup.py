@@ -20,10 +20,20 @@ from ..constants import (
     JACCARD_THRESHOLD,
     MINHASH_BAND_ROWS,
     MINHASH_SIGS,
+    NGRAM_JACCARD_THRESHOLD,
+    NGRAM_LEN_BUCKET,
     SHINGLE_K,
 )
 from ..functions.columns import round_half_up as rnd
-from ..functions import dot_product, l2_norm, minhash_signature, simhash16, tokens, word_shingles
+from ..functions import (
+    char_ngrams,
+    dot_product,
+    l2_norm,
+    minhash_signature,
+    simhash16,
+    tokens,
+    word_shingles,
+)
 
 N_BANDS = MINHASH_SIGS // MINHASH_BAND_ROWS
 
@@ -138,6 +148,67 @@ def dedup_minhash_pairs(documents: DataFrame) -> DataFrame:
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def dedup_ngram_jaccard(documents: DataFrame) -> DataFrame:
+    """Character-trigram Jaccard near-dup pairs, blocked by
+    (lang, length bucket).
+
+    The block key bounds pair generation: the self-join shuffles on
+    (lang, len_bucket) and compares only within blocks -- near-dups
+    share language and approximate length, so the blocking loses
+    little recall while keeping the join linear-ish in corpus size.
+    Char n-grams (vs word shingles) catch edit-level near-dups that
+    tokenization hides.
+    """
+    g = (
+        documents.select(
+            "doc_id",
+            "lang",
+            F.floor(F.length("text") / NGRAM_LEN_BUCKET).cast("int").alias("len_bucket"),
+            F.col("text"),
+        )
+        .where(F.length("text") >= 3)
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .select("doc_id", "lang", "len_bucket", char_ngrams(F.col("text")).alias("grams"))
+        .persist()
+    )
+    # Intersections by co-occurrence counting, NOT per-pair set ops:
+    # explode grams, self-join on (block, gram), count shared grams
+    # per pair.  Per-pair array_intersect was measured 14x slower at
+    # sf0.1 (per-pair hash-set builds); this shape is one shuffle on
+    # (block, gram) whose expansion is bounded by block size, then a
+    # pair-count agg.  |union| = |A| + |B| - |A cap B|, so sizes join
+    # back in and no union is ever materialized.
+    e = g.select("doc_id", "lang", "len_bucket", F.explode("grams").alias("gram"))
+    a = e.select(F.col("doc_id").alias("doc_a"), "lang", "len_bucket", "gram")
+    b = e.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("len_bucket").alias("len_bucket_b"),
+        F.col("gram").alias("gram_b"),
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("gram") == F.col("gram_b"))
+            & (F.col("lang") == F.col("lang_b"))
+            & (F.col("len_bucket") == F.col("len_bucket_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b", "lang")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = g.select("doc_id", F.size("grams").alias("n_grams"))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "lang", rnd(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
     )
 
 

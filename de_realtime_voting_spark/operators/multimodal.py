@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..constants import MEDIA_CHUNK_BYTES
 from ..functions.columns import round_half_up as rnd
 from pyspark.sql.types import (
     BinaryType,
@@ -88,6 +89,76 @@ def decode_media(
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def multimodal_chunk_stats(documents: DataFrame) -> DataFrame:
+    """Fixed-width chunking of the opaque payload (the frame/tile
+    layout video and image pipelines shard media into): per-source
+    chunk counts, distinct-chunk cardinality (dedup potential at the
+    chunk level) and mean chunk fill.
+
+    Chunking is a pure Catalyst expression (sequence + substr +
+    explode) -- map-side, no Python; the only shuffle is the final
+    per-source agg.
+    """
+    n_chunks = F.ceil(F.length("text") / F.lit(MEDIA_CHUNK_BYTES)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.col("text").substr(
+            i * MEDIA_CHUNK_BYTES + 1, F.lit(MEDIA_CHUNK_BYTES)
+        ),
+    )
+    per_chunk = (
+        documents.where(F.length("text") > 0)
+        .select("source", F.explode(chunks).alias("chunk"))
+        .select("source", F.md5("chunk").alias("chunk_hash"), F.length("chunk").alias("chunk_len"))
+    )
+    return per_chunk.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("chunk_hash").alias("n_distinct_chunks"),
+        rnd(F.avg("chunk_len"), 4).alias("avg_chunk_len"),
+    )
+
+
+def sample_frames(
+    media: DataFrame,
+    every_n_bytes: int = MEDIA_CHUNK_BYTES,
+    decode_fn: Callable[[bytes], bytes] | None = None,
+) -> DataFrame:
+    """Frame sampling over the binary payload: every ``every_n_bytes``
+    offset yields one 'frame' (the video-pipeline shape: seek + decode
+    a keyframe per stride).  Arrow-batched ``mapInPandas``; the codec
+    step is stubbed like decode_media -- ``decode_fn=None`` raises at
+    execution, tests inject a deterministic fake that slices bytes.
+    """
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame_bytes", IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_fn is None:
+                raise NotImplementedError(
+                    "media codecs not available in this environment; "
+                    "inject decode_fn (see tests for the deterministic fake)"
+                )
+            out = {"doc_id": [], "media_type": [], "frame_idx": [], "frame_bytes": []}
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                for idx, off in enumerate(range(0, len(payload), every_n_bytes)):
+                    frame = decode_fn(payload[off : off + every_n_bytes])
+                    out["doc_id"].append(row["doc_id"])
+                    out["media_type"].append(row["media_type"])
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(len(frame))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=schema)
 
 
 def multimodal_binary_stats(documents: DataFrame) -> DataFrame:

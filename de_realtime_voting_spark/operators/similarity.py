@@ -12,9 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..constants import ANN_K, ANN_QUERY_IDS
+import math
+
+from ..constants import ANN_K, ANN_QUERY_IDS, IVF_CENTROID_IDS, IVF_NPROBE
 from ..functions.columns import round_half_up as rnd
-from ..functions import cosine_similarity, lsh_bucket
+from ..functions import cosine_similarity, dot_product, l2_norm, lsh_bucket
 
 
 def _queries(embeddings: DataFrame) -> DataFrame:
@@ -59,6 +61,83 @@ def embedding_lsh_buckets(embeddings: DataFrame) -> DataFrame:
             F.min("vec_id").alias("min_vec_id"),
         )
     )
+
+
+def ann_ivf_topk(embeddings: DataFrame) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest coarse
+    centroid (the inverted-file cell), probe the query's IVF_NPROBE
+    closest cells, exact top-k within probed cells only.
+
+    Scale shape: the 16 centroids are collected once (an index/model
+    artifact, like trained k-means centroids) and embedded as plan
+    literals, so cell assignment is a pure map-side expression -- no
+    corpus shuffle, no window over the corpus.  Queries x probes is a
+    tiny broadcast; the only corpus shuffle is the final per-query
+    top-k, which AQE sizes by the probed subset, not the corpus.
+    """
+    cents = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in embeddings.where(F.col("vec_id").isin(IVF_CENTROID_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    # centroid norms fold to literals driver-side (same left-to-right
+    # sum the engines use, so the doubles are identical); the row norm
+    # is materialized ONCE in a projection below -- higher-order
+    # lambdas are interpreted, so hoisting both norms out of the
+    # 16-way transform cuts the per-row work ~3x
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cent_id"),
+                F.array(*[F.lit(x) for x in emb]).alias("c_emb"),
+                F.lit(math.sqrt(sum(x * x for x in emb))).alias("c_norm"),
+            )
+            for cid, emb in cents
+        ]
+    )
+    # per-row: cosine against all centroids, sort by (-cos, cent_id)
+    # -> element 1 is the cell, slice(1, NPROBE) are the probe cells
+    ranked = F.array_sort(
+        F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                (
+                    -(
+                        dot_product(F.col("embedding"), c["c_emb"])
+                        / (F.col("v_norm") * c["c_norm"])
+                    )
+                ).alias("neg_cos"),
+                c["cent_id"].alias("cent_id"),
+            ),
+        )
+    )
+    assigned = (
+        embeddings.select(
+            "vec_id", "embedding", l2_norm(F.col("embedding")).alias("v_norm")
+        )
+        .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+        .select("vec_id", "embedding", ranked.alias("ranked"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.element_at("ranked", 1)["cent_id"].alias("cell"),
+            F.slice("ranked", 1, IVF_NPROBE).alias("probes"),
+        )
+    )
+    q = (
+        assigned.where(F.col("vec_id").isin(ANN_QUERY_IDS))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(F.col("probes")["cent_id"]).alias("probe_cell"),
+        )
+    )
+    joined = assigned.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    return _topk(joined)
 
 
 def ann_lsh_topk(embeddings: DataFrame) -> DataFrame:

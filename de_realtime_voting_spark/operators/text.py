@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..constants import STOPWORDS
+from ..constants import BPE_TOKEN_RE, STOPWORDS
 from ..functions.columns import round_half_up as rnd
 from ..functions import tokens, word_shingles
 
@@ -31,6 +31,31 @@ def text_token_count(documents: DataFrame) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         rnd(F.avg("n_tokens"), 4).alias("avg_tokens"),
         F.sum("n_chars_actual").cast("bigint").alias("total_chars"),
+    )
+
+
+def text_bpe_tokens(documents: DataFrame) -> DataFrame:
+    """Subword-style token counting: a BPE-ish pre-tokenizer regex
+    (letter runs | digit runs | single punctuation) next to plain
+    whitespace tokens, with per-language fertility (subword/word
+    ratio) -- the cost estimate a training pipeline runs first.
+
+    regexp_extract_all runs JVM-side inside codegen; no Python in the
+    row loop.
+    """
+    per_doc = documents.select(
+        "lang",
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_TOKEN_RE), F.lit(0))).alias(
+            "n_bpe"
+        ),
+        F.size(tokens(F.col("text"))).alias("n_ws"),
+    )
+    fertility = F.when(F.col("n_ws") > 0, F.col("n_bpe") / F.col("n_ws"))
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+        F.sum("n_ws").cast("bigint").alias("total_ws_tokens"),
+        rnd(F.avg(fertility), 4).alias("avg_fertility"),
     )
 
 

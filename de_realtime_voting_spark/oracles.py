@@ -12,13 +12,20 @@ from __future__ import annotations
 from .constants import (
     ANN_K,
     ANN_QUERY_IDS,
+    BPE_TOKEN_RE,
     CANDIDATE_PARTY,
+    CHAR_NGRAM_K,
     COSINE_THRESHOLD,
     EMBEDDING_DIM,
+    IVF_CENTROID_IDS,
+    IVF_NPROBE,
     JACCARD_THRESHOLD,
     LSH_PLANES,
+    MEDIA_CHUNK_BYTES,
     MINHASH_BAND_ROWS,
     MINHASH_SIGS,
+    NGRAM_JACCARD_THRESHOLD,
+    NGRAM_LEN_BUCKET,
     SIMHASH_BITS,
     STOPWORDS,
 )
@@ -111,6 +118,7 @@ _PARTY_CASE = "CASE event_type " + " ".join(
 ) + " ELSE NULL END"
 
 _ANN_IDS = "(" + ", ".join(str(i) for i in ANN_QUERY_IDS) + ")"
+_IVF_IDS = "(" + ", ".join(str(i) for i in IVF_CENTROID_IDS) + ")"
 
 # events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as long ns
 # and floors to microseconds, so the oracle casts ns -> us the same way.
@@ -650,6 +658,94 @@ SELECT r.r_name AS region, n.n_name AS nation,
 {_VOTE_GEO_JOIN}
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY ROLLUP(r.r_name, n.n_name)
+"""
+
+
+SQL["dedup_ngram_jaccard"] = f"""
+WITH g AS (
+    SELECT doc_id, lang,
+           CAST(FLOOR(length(text) / {NGRAM_LEN_BUCKET}) AS INT) AS len_bucket,
+           list_distinct(list_transform(
+               range(1, length(text) - {CHAR_NGRAM_K - 2}),
+               i -> substr(text, i, {CHAR_NGRAM_K}))) AS grams
+    FROM documents WHERE length(text) >= {CHAR_NGRAM_K}
+)
+SELECT doc_a, doc_b, lang, jaccard FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+           ROUND(len(list_intersect(a.grams, b.grams))
+                 / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+    FROM g a JOIN g b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+     AND a.doc_id < b.doc_id
+) WHERE jaccard >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
+SQL["ann_ivf_topk"] = f"""
+WITH cent AS (
+    SELECT vec_id AS cent_id, embedding AS c_emb
+    FROM embeddings WHERE vec_id IN {_IVF_IDS}
+),
+scored AS (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           {_cos('e.embedding', 'c.c_emb')} AS cos
+    FROM embeddings e CROSS JOIN cent c
+),
+asg AS (
+    SELECT vec_id, embedding, cent_id,
+           row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, cent_id
+           ) AS rn
+    FROM scored
+),
+cells AS (SELECT vec_id, embedding, cent_id AS cell FROM asg WHERE rn = 1),
+q AS (
+    SELECT vec_id AS query_id, embedding AS q_emb, cent_id AS probe_cell
+    FROM asg WHERE vec_id IN {_ANN_IDS} AND rn <= {IVF_NPROBE}
+),
+j AS (
+    SELECT q.query_id, cells.vec_id AS neighbor_id,
+           {_cos('q.q_emb', 'cells.embedding')} AS cosine
+    FROM cells JOIN q
+      ON cells.cell = q.probe_cell AND cells.vec_id <> q.query_id
+),
+r AS (
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS INTEGER) AS "rank",
+           cosine
+    FROM j
+)
+SELECT query_id, neighbor_id, "rank", ROUND(cosine, 6) AS cosine
+FROM r WHERE "rank" <= {ANN_K}
+"""
+
+SQL["text_bpe_tokens"] = f"""
+WITH d AS (
+    SELECT lang,
+           len(regexp_extract_all(lower(text), '{BPE_TOKEN_RE}')) AS n_bpe,
+           len({_TOKS}) AS n_ws
+    FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+       ROUND(AVG(CASE WHEN n_ws > 0 THEN n_bpe / n_ws END), 4) AS avg_fertility
+FROM d GROUP BY 1
+"""
+
+SQL["multimodal_chunk_stats"] = f"""
+WITH c AS (
+    SELECT source,
+           unnest(list_transform(
+               range(0, CAST(ceil(length(text) / {MEDIA_CHUNK_BYTES}) AS INT)),
+               i -> substr(text, i * {MEDIA_CHUNK_BYTES} + 1, {MEDIA_CHUNK_BYTES}))) AS chunk
+    FROM documents WHERE length(text) > 0
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT md5(chunk)) AS BIGINT) AS n_distinct_chunks,
+       ROUND(AVG(length(chunk)), 4) AS avg_chunk_len
+FROM c GROUP BY 1
 """
 
 

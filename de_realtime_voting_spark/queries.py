@@ -102,6 +102,7 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "dedup_minhash_bands": lambda s, d: dedup.dedup_minhash_bands(_t(s, d, "documents")),
     "dedup_minhash_pairs": lambda s, d: dedup.dedup_minhash_pairs(_t(s, d, "documents")),
     "dedup_simhash": lambda s, d: dedup.dedup_simhash(_t(s, d, "documents")),
+    "dedup_ngram_jaccard": lambda s, d: dedup.dedup_ngram_jaccard(_t(s, d, "documents")),
     "dedup_embedding_cosine": lambda s, d: dedup.dedup_embedding_cosine(
         _t(s, d, "embeddings")
     ),
@@ -109,15 +110,20 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
         _t(s, d, "embeddings")
     ),
     "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(_t(s, d, "embeddings")),
+    "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(_t(s, d, "embeddings")),
     "embedding_lsh_buckets": lambda s, d: similarity.embedding_lsh_buckets(
         _t(s, d, "embeddings")
     ),
     "text_token_count": lambda s, d: text.text_token_count(_t(s, d, "documents")),
+    "text_bpe_tokens": lambda s, d: text.text_bpe_tokens(_t(s, d, "documents")),
     "text_lang_id": lambda s, d: text.text_lang_id(_t(s, d, "documents")),
     "text_quality_score": lambda s, d: text.text_quality_score(_t(s, d, "documents")),
     "doc_fingerprint": lambda s, d: text.doc_fingerprint(_t(s, d, "documents")),
     "ngram_top": lambda s, d: text.ngram_top(_t(s, d, "documents")),
     "multimodal_binary_stats": lambda s, d: multimodal.multimodal_binary_stats(
+        _t(s, d, "documents")
+    ),
+    "multimodal_chunk_stats": lambda s, d: multimodal.multimodal_chunk_stats(
         _t(s, d, "documents")
     ),
 }

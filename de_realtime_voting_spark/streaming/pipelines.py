@@ -79,6 +79,18 @@ def stream_turnout_by_location(
     return _v.turnout_by_location(votes, voters, nations)
 
 
+def stream_one_vote_per_voter(votes: DataFrame, delay: str = "1 minute") -> DataFrame:
+    """Streaming one-vote-per-voter: dropDuplicates on voter id over
+    the live stream -- the reference's votes-table UNIQUE constraint
+    (main.py:56-66) enforced in-stream instead of at insert time.
+
+    Keyed on user_id alone, so the dedup state lives for the whole
+    run: an election is a bounded job and the state is one small row
+    per voter, hash-partitioned across executors.  (A time-bounded
+    variant would add the watermark column to the key.)"""
+    return watermark_votes(votes, delay).dropDuplicates(["user_id"])
+
+
 def stream_votes_per_candidate_hourly(votes: DataFrame, delay: str = "1 minute") -> DataFrame:
     """Watermarked tumbling-window tally: append-mode capable because
     the watermark finalizes windows."""

@@ -59,3 +59,34 @@ def test_decode_media_stub_raises(spark, sf_dir):
     stub = decode_media(to_media_frame(docs))  # no codec injected
     with pytest.raises(Exception, match="NotImplementedError|media codecs"):
         stub.collect()
+
+
+def test_sample_frames_with_fake_codec(spark, sf_dir):
+    from de_realtime_voting_spark.constants import MEDIA_CHUNK_BYTES
+    from de_realtime_voting_spark.operators.multimodal import sample_frames
+
+    def fake_keyframe(chunk: bytes) -> bytes:
+        return chunk[: max(len(chunk) // 2, 1)]  # "decode" = downsample
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = to_media_frame(docs)
+    frames = sample_frames(media, decode_fn=fake_keyframe).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    lens = {r["doc_id"]: r["byte_len"] for r in media.collect()}
+    assert set(by_doc) == set(lens)
+    for doc_id, doc_frames in by_doc.items():
+        expect_n = -(-lens[doc_id] // MEDIA_CHUNK_BYTES)  # ceil-div
+        assert sorted(r["frame_idx"] for r in doc_frames) == list(range(expect_n))
+        # every full stride decodes to half the chunk width
+        full = [r for r in doc_frames if r["frame_idx"] < expect_n - 1]
+        assert all(r["frame_bytes"] == MEDIA_CHUNK_BYTES // 2 for r in full)
+
+
+def test_sample_frames_stub_raises(spark, sf_dir):
+    from de_realtime_voting_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").limit(3)
+    with pytest.raises(Exception, match="NotImplementedError|media codecs"):
+        sample_frames(to_media_frame(docs)).collect()

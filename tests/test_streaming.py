@@ -148,6 +148,26 @@ def test_stream_static_join_turnout(spark, sf_dir, vote_json_dir):
     assert got == want
 
 
+def test_stream_one_vote_per_voter(spark, sf_dir, vote_json_dir):
+    from de_realtime_voting_spark.streaming import stream_one_vote_per_voter
+
+    stream = parse_vote_stream(
+        spark.readStream.schema("value_json string").text(vote_json_dir),
+        "value_json",
+    )
+    out = _run_stream_to_memory(
+        spark, stream_one_vote_per_voter(stream), "ovpv_stream", "append"
+    )
+    events = load_table(spark, sf_dir, "events")
+    n_voters = events.select("user_id").distinct().count()
+    rows = out.collect()
+    # exactly one surviving vote per voter, each a real event
+    assert len(rows) == n_voters
+    assert len({r["user_id"] for r in rows}) == n_voters
+    event_ids = {r["event_id"] for r in events.select("event_id").collect()}
+    assert all(r["event_id"] in event_ids for r in rows)
+
+
 def test_to_kafka_frame_shape(spark, sf_dir):
     agg = voting.votes_per_candidate(load_table(spark, sf_dir, "events"))
     framed = to_kafka_frame(agg, key_col="candidate_id")
