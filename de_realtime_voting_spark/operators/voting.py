@@ -327,6 +327,46 @@ def turnout_rollup(votes: DataFrame, voters: DataFrame, nations: DataFrame,
     )
 
 
+def vote_interarrival(votes: DataFrame) -> DataFrame:
+    """Per-candidate inter-arrival-time statistics: lag() over each
+    voter's event-time-ordered vote stream, then one agg shuffle.
+
+    The window partitions on user_id (high cardinality -- spreads
+    evenly); ties on ts break on event_id so both engines rank
+    identically."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = (
+        F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    ) / F.lit(1000000.0)
+    per_vote = votes.select(
+        F.col("event_type").alias("candidate_id"), gap_s.alias("gap_s")
+    ).where(F.col("gap_s").isNotNull())
+    return per_vote.groupBy("candidate_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        rnd(F.avg("gap_s"), 4).alias("avg_gap_s"),
+        rnd(F.min("gap_s"), 4).alias("min_gap_s"),
+        rnd(F.max("gap_s"), 4).alias("max_gap_s"),
+    )
+
+
+def votes_approx_stats(votes: DataFrame) -> DataFrame:
+    """Sketch-based per-candidate stats: HyperLogLog++ distinct voters
+    and t-digest-style approximate percentiles.
+
+    THE scale path for 100 TB: exact count-distinct shuffles every
+    (candidate, voter) pair; the HLL sketch is a few KB per candidate
+    and merges map-side.  No SQL oracle -- sketch internals are
+    engine-specific (driver records the weaker rows-only check);
+    tests assert <5% error against the exact answers instead."""
+    return votes.groupBy(F.col("event_type").alias("candidate_id")).agg(
+        F.approx_count_distinct("user_id").alias("approx_voters"),
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)), 10000).alias(
+            "value_p50_p95"
+        ),
+        F.count(F.lit(1)).alias("total_votes"),
+    )
+
+
 def events_json_props(votes: DataFrame) -> DataFrame:
     """JSON payload extraction + agg: the reference's from_json parse
     of Kafka values (spark-streaming.py:62-65) applied to ``props``."""

@@ -661,6 +661,22 @@ GROUP BY ROLLUP(r.r_name, n.n_name)
 """
 
 
+SQL["vote_interarrival"] = f"""
+WITH {_EVENTS_CTE},
+l AS (
+    SELECT event_type AS candidate_id,
+           (epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ))) / 1000000.0 AS gap_s
+    FROM ev
+)
+SELECT candidate_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(AVG(gap_s), 4) AS avg_gap_s,
+       ROUND(MIN(gap_s), 4) AS min_gap_s,
+       ROUND(MAX(gap_s), 4) AS max_gap_s
+FROM l WHERE gap_s IS NOT NULL GROUP BY 1
+"""
+
 SQL["dedup_ngram_jaccard"] = f"""
 WITH g AS (
     SELECT doc_id, lang,

@@ -70,6 +70,8 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "turnout_rollup": lambda s, d: voting.turnout_rollup(
         _t(s, d, "events"), _t(s, d, "customer"), _t(s, d, "nation"), _t(s, d, "region")
     ),
+    "vote_interarrival": lambda s, d: voting.vote_interarrival(_t(s, d, "events")),
+    "votes_approx_stats": lambda s, d: voting.votes_approx_stats(_t(s, d, "events")),
     # --- general analytics (SURVEY §2 #14-20) ---
     "q1_pricing_summary": lambda s, d: analytics.q1_pricing_summary(_t(s, d, "lineitem")),
     "q3_shipping_priority": lambda s, d: analytics.q3_shipping_priority(
@@ -128,6 +130,9 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     ),
 }
 
-# Queries intentionally without a SQL oracle (none currently -- the
-# full inventory is SQL-expressible; streaming ops live in pytest).
-NO_ORACLE: set[str] = set()
+# Queries intentionally without a SQL oracle (the driver records the
+# weaker rows-only check for these; streaming ops live in pytest).
+# votes_approx_stats: HLL++ / approximate-percentile sketch internals
+# are engine-specific -- no cross-engine bit parity exists by design.
+# Its pytest asserts <5% error against the exact answers instead.
+NO_ORACLE: set[str] = {"votes_approx_stats"}

@@ -1,3 +1,13 @@
+from .io import jdbc_reader, read_csv, read_json, write_partitioned
 from .tables import TABLE_NAMES, load_table, load_tables, register_views
 
-__all__ = ["TABLE_NAMES", "load_table", "load_tables", "register_views"]
+__all__ = [
+    "TABLE_NAMES",
+    "jdbc_reader",
+    "load_table",
+    "load_tables",
+    "read_csv",
+    "read_json",
+    "register_views",
+    "write_partitioned",
+]

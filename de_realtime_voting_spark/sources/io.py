@@ -1,0 +1,96 @@
+"""Generic sources & sinks beyond the star-schema parquet loader.
+
+The reference ingests JSON from Kafka and lands rows in Postgres
+(reference spark-streaming.py:56-61, main.py:20-66); batch-side the
+equivalents are schema-enforced JSON/CSV readers, a partitioned
+parquet sink, and a partition-parallel JDBC reader.  Everything here
+keeps Catalyst in charge: explicit schemas (no inference scans),
+partition columns that prune at the scan, and no driver-side I/O.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: StructType | str
+) -> DataFrame:
+    """Schema-enforced JSON lines reader.
+
+    An explicit schema skips the inference pass (a full extra scan at
+    100 TB) and pins column types; malformed rows land in
+    ``_corrupt_record`` instead of failing the job (PERMISSIVE), so
+    one bad producer message cannot kill a backfill.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType | str, header: bool = True
+) -> DataFrame:
+    """Schema-enforced CSV reader (same no-inference rationale)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet sink.
+
+    Partition columns become directories, so downstream filters on
+    them prune whole files before any row is read (PartitionFilters
+    in the scan plan).  Partition by low-cardinality query keys
+    (candidate, date, lang) -- never by a high-cardinality id, which
+    would explode into millions of tiny files.
+    """
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def jdbc_reader(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    **options: str,
+):
+    """Partition-parallel JDBC reader builder (the reference's
+    Postgres dimension tables at scale).
+
+    Without partition_column a JDBC read is ONE task on one executor;
+    the (column, bounds, numPartitions) split turns it into
+    num_partitions range-predicate queries that run in parallel.
+    Returns the configured DataFrameReader -- ``.load()`` executes it
+    (needs the JDBC driver jar on the classpath, absent here, so
+    construction stays lazy and testable).
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partition_column requires lower_bound and upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader

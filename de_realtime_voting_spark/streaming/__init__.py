@@ -5,6 +5,7 @@ from .pipelines import (
     stream_turnout_by_location,
     stream_votes_per_candidate,
     stream_votes_per_candidate_hourly,
+    stream_votes_sessionized,
     watermark_votes,
 )
 from .sinks import foreach_batch_upsert, kafka_sink, kafka_source, to_kafka_frame
@@ -17,6 +18,7 @@ __all__ = [
     "stream_turnout_by_location",
     "stream_votes_per_candidate",
     "stream_votes_per_candidate_hourly",
+    "stream_votes_sessionized",
     "watermark_votes",
     "foreach_batch_upsert",
     "kafka_sink",

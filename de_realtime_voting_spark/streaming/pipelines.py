@@ -91,6 +91,18 @@ def stream_one_vote_per_voter(votes: DataFrame, delay: str = "1 minute") -> Data
     return watermark_votes(votes, delay).dropDuplicates(["user_id"])
 
 
+def stream_votes_sessionized(
+    votes: DataFrame, gap: str = "30 minutes", delay: str = "1 minute"
+) -> DataFrame:
+    """Watermarked session windows over the live vote stream -- the
+    SAME transform as batch voting.votes_sessionized (single logical
+    plan, two execution modes).  The watermark closes sessions whose
+    gap has passed, bounding state to in-flight sessions only."""
+    from ..operators import voting as _v
+
+    return _v.votes_sessionized(watermark_votes(votes, delay), gap)
+
+
 def stream_votes_per_candidate_hourly(votes: DataFrame, delay: str = "1 minute") -> DataFrame:
     """Watermarked tumbling-window tally: append-mode capable because
     the watermark finalizes windows."""

@@ -25,10 +25,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", sorted(QUERY_REGISTRY))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
-    sdf = _normalize(QUERY_REGISTRY[name](spark, sf_dir).toPandas())
     if name in NO_ORACLE:
-        assert len(sdf) >= 0
+        # driver-style rows-only check (array columns don't normalize)
+        assert QUERY_REGISTRY[name](spark, sf_dir).count() >= 0
         return
+    sdf = _normalize(QUERY_REGISTRY[name](spark, sf_dir).toPandas())
     ddf = _normalize(duck.sql(SQL[name]).df())
     assert list(sdf.columns) == list(ddf.columns)
     assert len(sdf) == len(ddf), f"{len(sdf)} vs {len(ddf)} rows"
@@ -38,3 +39,23 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
 def test_every_query_has_oracle_or_waiver():
     for name in QUERY_REGISTRY:
         assert name in SQL or name in NO_ORACLE
+
+
+def test_votes_approx_stats_tolerance(spark, sf_dir):
+    """The sketch op has no SQL oracle; bound its error against the
+    exact answers instead (HLL++ rsd default 5%; percentile_approx at
+    10k accuracy is near-exact at this SF)."""
+    approx = {
+        r["candidate_id"]: r
+        for r in QUERY_REGISTRY["votes_approx_stats"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["candidate_id"]: r
+        for r in QUERY_REGISTRY["unique_voters_per_candidate"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for cand, row in approx.items():
+        got, want = row["approx_voters"], exact[cand]["unique_voters"]
+        assert abs(got - want) / want < 0.05, (cand, got, want)
+        p50, p95 = row["value_p50_p95"]
+        assert 0.0 <= p50 <= p95

@@ -1,0 +1,86 @@
+"""Sources & sinks: schema-enforced readers, partitioned parquet sink
+with partition pruning, and the lazy JDBC reader builder."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from de_realtime_voting_spark.sources import (
+    jdbc_reader,
+    load_table,
+    read_csv,
+    read_json,
+    write_partitioned,
+)
+
+
+@pytest.fixture(scope="module")
+def tmp_out():
+    d = tempfile.mkdtemp(prefix="io_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_write_partitioned_roundtrip_and_pruning(spark, sf_dir, tmp_out):
+    events = load_table(spark, sf_dir, "events")
+    path = f"{tmp_out}/events_by_type"
+    write_partitioned(events, path, ["event_type"])
+
+    back = spark.read.parquet(path)
+    assert back.count() == events.count()
+
+    # a filter on the partition column must prune at the scan --
+    # whole directories skipped, zero data files of other candidates read
+    pruned = back.where(F.col("event_type") == "click")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
+    want = events.where(F.col("event_type") == "click").count()
+    assert pruned.count() == want
+
+
+def test_read_json_schema_and_corrupt_record(spark, tmp_out):
+    path = f"{tmp_out}/votes_json"
+    good = '{"event_id": 1, "user_id": 10, "value": 2.5}'
+    bad = '{"event_id": oops'
+    spark.createDataFrame([(good,), (bad,)], "value string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(path)
+
+    df = read_json(
+        spark,
+        path,
+        "event_id bigint, user_id bigint, value double, _corrupt_record string",
+    )
+    rows = {r["event_id"]: r for r in df.collect()}
+    assert rows[1]["user_id"] == 10 and rows[1]["_corrupt_record"] is None
+    assert rows[None]["_corrupt_record"] is not None  # bad row quarantined
+
+
+def test_read_csv_schema(spark, tmp_out):
+    path = f"{tmp_out}/votes_csv"
+    spark.createDataFrame(
+        [("event_id,user_id",), ("1,10",), ("2,20",)], "value string"
+    ).coalesce(1).write.mode("overwrite").text(path)
+    df = read_csv(spark, path, "event_id bigint, user_id bigint")
+    got = sorted((r["event_id"], r["user_id"]) for r in df.collect())
+    assert got == [(1, 10), (2, 20)]
+
+
+def test_jdbc_reader_is_lazy_and_validates(spark):
+    # builds without a driver or database -- only .load() would connect
+    reader = jdbc_reader(
+        spark,
+        "jdbc:postgresql://localhost:5432/voting",
+        "votes",
+        partition_column="voter_id",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=16,
+    )
+    assert reader is not None
+    with pytest.raises(ValueError, match="lower_bound"):
+        jdbc_reader(spark, "jdbc:x", "t", partition_column="id")

@@ -32,9 +32,14 @@ def vote_json_dir(spark, sf_dir):
     with the same payload shape the reference consumes."""
     d = tempfile.mkdtemp(prefix="votes_json_")
     events = load_table(spark, sf_dir, "events")
-    events.select(F.to_json(F.struct(*events.columns)).alias("value_json")).coalesce(
-        2
-    ).write.mode("overwrite").text(d)
+    # micros precision: to_json's default format truncates to millis,
+    # which shifts session_window starts vs the parquet ground truth
+    events.select(
+        F.to_json(
+            F.struct(*events.columns),
+            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+        ).alias("value_json")
+    ).coalesce(2).write.mode("overwrite").text(d)
     yield d
     shutil.rmtree(d, ignore_errors=True)
 
@@ -145,6 +150,23 @@ def test_stream_static_join_turnout(spark, sf_dir, vote_json_dir):
     )
     got = {r["location"]: r["total_turnout_votes"] for r in out.collect()}
     want = {r["location"]: r["total_turnout_votes"] for r in batch.collect()}
+    assert got == want
+
+
+def test_stream_sessionized_matches_batch(spark, sf_dir, vote_json_dir):
+    from de_realtime_voting_spark.streaming import stream_votes_sessionized
+
+    stream = parse_vote_stream(
+        spark.readStream.schema("value_json string").text(vote_json_dir),
+        "value_json",
+    )
+    out = _run_stream_to_memory(
+        spark, stream_votes_sessionized(stream), "sess_stream", "complete"
+    )
+    batch = voting.votes_sessionized(load_table(spark, sf_dir, "events"))
+    key = lambda r: (r["voter_id"], r["session_start"])
+    got = {key(r): (r["n_votes"], r["session_weight"]) for r in out.collect()}
+    want = {key(r): (r["n_votes"], r["session_weight"]) for r in batch.collect()}
     assert got == want
 
 

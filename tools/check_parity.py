@@ -19,7 +19,7 @@ import duckdb
 import pandas as pd
 
 from de_realtime_voting_spark.oracles import SQL
-from de_realtime_voting_spark.queries import QUERY_REGISTRY
+from de_realtime_voting_spark.queries import NO_ORACLE, QUERY_REGISTRY
 from de_realtime_voting_spark.session import get_spark
 from de_realtime_voting_spark.sources.tables import TABLE_NAMES
 
@@ -62,6 +62,9 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            continue
+        if name in NO_ORACLE:
+            print(f"ok   {name} ({time.time() - t0:.1f}s, {len(sdf)} rows, rows-only: no oracle)")
             continue
         try:
             ddf = con.sql(SQL[name]).df()
