@@ -232,6 +232,59 @@ def dedup_simhash(documents: DataFrame) -> DataFrame:
     )
 
 
+def dedup_clusters(documents: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over the verified near-dup graph
+    (dedup_minhash_pairs edges): each cluster keeps one canonical doc
+    and drops the rest -- the final step of MinHash-LSH dedup.
+
+    Iterative min-label propagation (the Pregel pattern): every round
+    each node takes the min label among itself and its neighbors;
+    converged when no label changes.  Rounds are joins on doc_id --
+    hash-partitioned, no driver data beyond the 1-row convergence
+    count.  Iterations are bounded by component diameter (near-dup
+    clusters are shallow); at extreme scale swap in the
+    large-star/small-star contraction, same interface.
+    """
+    pairs = dedup_minhash_pairs(documents).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["doc_a"])
+            .select(
+                "doc_id",
+                F.least("label", "nbr_label").alias("label"),
+                (F.col("nbr_label") < F.col("label")).cast("int").alias("changed"),
+            )
+            .persist()
+        )
+        # localCheckpoint cuts the lineage so plan depth stays O(1)
+        # across rounds instead of doubling per iteration
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.agg(F.sum("changed")).first()[0] or 0
+        labels.unpersist()
+        labels = new_labels.select("doc_id", "label")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 def dedup_embedding_cosine(embeddings: DataFrame) -> DataFrame:
     """Embedding near-dup pairs, blocked by label (the blocking key a
     real pipeline gets from coarse clustering/LSH): pairwise cosine

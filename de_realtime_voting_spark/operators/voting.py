@@ -367,6 +367,45 @@ def votes_approx_stats(votes: DataFrame) -> DataFrame:
     )
 
 
+def registered_non_voters(
+    votes: DataFrame, voters: DataFrame, nations: DataFrame
+) -> DataFrame:
+    """Registered voters who never cast a vote, per nation -- the
+    turnout-gap report.  LEFT ANTI join: the vote fact is reduced to
+    distinct user_ids map-side, then the anti-join probes it; no wide
+    row ever shuffles."""
+    voted = votes.select(F.col("user_id").alias("c_custkey")).distinct()
+    non = voters.join(voted, "c_custkey", "left_anti")
+    return (
+        non.join(
+            F.broadcast(nations.select("n_nationkey", "n_name")),
+            non["c_nationkey"] == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_non_voters"),
+            rnd(F.avg("c_acctbal"), 4).alias("avg_balance"),
+        )
+    )
+
+
+def party_vote_share(votes: DataFrame) -> DataFrame:
+    """Vote share per party: candidate -> party via the reference's
+    round-robin affiliation (main.py:15,81), then share-of-total with
+    a window over the 3-row aggregate (no second scan)."""
+    per_party = (
+        votes.select(candidate_party(F.col("event_type")).alias("party"))
+        .groupBy("party")
+        .agg(F.count(F.lit(1)).alias("party_votes"))
+    )
+    total = F.sum("party_votes").over(Window.partitionBy())
+    return per_party.select(
+        "party",
+        "party_votes",
+        rnd(F.col("party_votes") / total, 6).alias("vote_share"),
+    )
+
+
 def events_json_props(votes: DataFrame) -> DataFrame:
     """JSON payload extraction + agg: the reference's from_json parse
     of Kafka values (spark-streaming.py:62-65) applied to ``props``."""

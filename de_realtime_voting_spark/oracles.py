@@ -677,6 +677,62 @@ SELECT candidate_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
 FROM l WHERE gap_s IS NOT NULL GROUP BY 1
 """
 
+SQL["registered_non_voters"] = f"""
+WITH {_EVENTS_CTE},
+voted AS (SELECT DISTINCT user_id FROM ev),
+non AS (
+    SELECT c.c_nationkey, c.c_acctbal FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM voted v WHERE v.user_id = c.c_custkey)
+)
+SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_non_voters,
+       ROUND(AVG(c_acctbal), 4) AS avg_balance
+FROM non JOIN nation n ON non.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+SQL["party_vote_share"] = f"""
+WITH {_EVENTS_CTE},
+p AS (SELECT {_PARTY_CASE} AS party FROM ev),
+a AS (SELECT party, CAST(COUNT(*) AS BIGINT) AS party_votes FROM p GROUP BY 1)
+SELECT party, party_votes,
+       ROUND(party_votes / (SUM(party_votes) OVER ()), 6) AS vote_share
+FROM a
+"""
+
+SQL["dedup_clusters"] = "WITH RECURSIVE " + _MINHASH_CTES[len("WITH "):] + f""",
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               len(list_intersect(sa.shingles, sb.shingles))
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b
+    ) WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a, doc_b FROM pairs
+    UNION ALL
+    SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+reach(doc_id, label) AS (
+    SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM edges
+    UNION
+    SELECT e.doc_a AS doc_id, r.label
+    FROM reach r JOIN edges e ON e.doc_b = r.doc_id
+),
+final AS (SELECT doc_id, MIN(label) AS label FROM reach GROUP BY doc_id)
+SELECT label AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MAX(doc_id) AS max_doc_id
+FROM final GROUP BY 1
+"""
+
 SQL["dedup_ngram_jaccard"] = f"""
 WITH g AS (
     SELECT doc_id, lang,

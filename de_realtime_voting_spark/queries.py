@@ -71,6 +71,10 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
         _t(s, d, "events"), _t(s, d, "customer"), _t(s, d, "nation"), _t(s, d, "region")
     ),
     "vote_interarrival": lambda s, d: voting.vote_interarrival(_t(s, d, "events")),
+    "registered_non_voters": lambda s, d: voting.registered_non_voters(
+        _t(s, d, "events"), _t(s, d, "customer"), _t(s, d, "nation")
+    ),
+    "party_vote_share": lambda s, d: voting.party_vote_share(_t(s, d, "events")),
     "votes_approx_stats": lambda s, d: voting.votes_approx_stats(_t(s, d, "events")),
     # --- general analytics (SURVEY §2 #14-20) ---
     "q1_pricing_summary": lambda s, d: analytics.q1_pricing_summary(_t(s, d, "lineitem")),
@@ -105,6 +109,7 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "dedup_minhash_pairs": lambda s, d: dedup.dedup_minhash_pairs(_t(s, d, "documents")),
     "dedup_simhash": lambda s, d: dedup.dedup_simhash(_t(s, d, "documents")),
     "dedup_ngram_jaccard": lambda s, d: dedup.dedup_ngram_jaccard(_t(s, d, "documents")),
+    "dedup_clusters": lambda s, d: dedup.dedup_clusters(_t(s, d, "documents")),
     "dedup_embedding_cosine": lambda s, d: dedup.dedup_embedding_cosine(
         _t(s, d, "embeddings")
     ),

@@ -1,6 +1,8 @@
 from .pipelines import (
     VOTE_SCHEMA,
     parse_vote_stream,
+    repeat_vote_pairs,
+    stream_repeat_vote_pairs,
     stream_one_vote_per_voter,
     stream_turnout_by_location,
     stream_votes_per_candidate,
@@ -14,7 +16,9 @@ from .state import running_tally
 __all__ = [
     "VOTE_SCHEMA",
     "parse_vote_stream",
+    "repeat_vote_pairs",
     "stream_one_vote_per_voter",
+    "stream_repeat_vote_pairs",
     "stream_turnout_by_location",
     "stream_votes_per_candidate",
     "stream_votes_per_candidate_hourly",

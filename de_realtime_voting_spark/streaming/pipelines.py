@@ -91,6 +91,50 @@ def stream_one_vote_per_voter(votes: DataFrame, delay: str = "1 minute") -> Data
     return watermark_votes(votes, delay).dropDuplicates(["user_id"])
 
 
+def repeat_vote_pairs(votes: DataFrame, within: str = "1 hour") -> DataFrame:
+    """Same-voter vote pairs within a time window -- the fraud-audit
+    query behind the one-vote-per-voter rule.  Pure transform shared
+    by batch and stream; under readStream both sides must be
+    watermarked (stream_repeat_vote_pairs) so the join state expires.
+    """
+    a = votes.select(
+        F.col("user_id"),
+        F.col("event_id").alias("first_event"),
+        F.col("ts").alias("first_ts"),
+        F.col("event_type").alias("first_candidate"),
+    )
+    b = votes.select(
+        F.col("user_id").alias("user_id_b"),
+        F.col("event_id").alias("second_event"),
+        F.col("ts").alias("second_ts"),
+        F.col("event_type").alias("second_candidate"),
+    )
+    return a.join(
+        b,
+        (F.col("user_id") == F.col("user_id_b"))
+        & (F.col("first_event") < F.col("second_event"))
+        & (F.col("second_ts") >= F.col("first_ts"))
+        & (F.col("second_ts") <= F.col("first_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        "user_id",
+        "first_event",
+        "second_event",
+        "first_candidate",
+        "second_candidate",
+        "first_ts",
+        "second_ts",
+    )
+
+
+def stream_repeat_vote_pairs(
+    votes: DataFrame, within: str = "1 hour", delay: str = "1 minute"
+) -> DataFrame:
+    """Stream-stream self-join: both sides watermarked, join condition
+    time-bounded, so Spark can expire buffered state past
+    watermark + interval -- bounded memory on an unbounded stream."""
+    return repeat_vote_pairs(watermark_votes(votes, delay), within)
+
+
 def stream_votes_sessionized(
     votes: DataFrame, gap: str = "30 minutes", delay: str = "1 minute"
 ) -> DataFrame:

@@ -190,6 +190,27 @@ def test_stream_one_vote_per_voter(spark, sf_dir, vote_json_dir):
     assert all(r["event_id"] in event_ids for r in rows)
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir, vote_json_dir):
+    from de_realtime_voting_spark.streaming import (
+        repeat_vote_pairs,
+        stream_repeat_vote_pairs,
+    )
+
+    stream = parse_vote_stream(
+        spark.readStream.schema("value_json string").text(vote_json_dir),
+        "value_json",
+    )
+    out = _run_stream_to_memory(
+        spark, stream_repeat_vote_pairs(stream), "pairs_stream", "append"
+    )
+    batch = repeat_vote_pairs(load_table(spark, sf_dir, "events"))
+    key = lambda r: (r["user_id"], r["first_event"], r["second_event"])
+    got = {key(r) for r in out.collect()}
+    want = {key(r) for r in batch.collect()}
+    assert got == want
+    assert len(want) > 0  # the self-join actually fires at this SF
+
+
 def test_to_kafka_frame_shape(spark, sf_dir):
     agg = voting.votes_per_candidate(load_table(spark, sf_dir, "events"))
     framed = to_kafka_frame(agg, key_col="candidate_id")
