@@ -192,6 +192,28 @@ def q10_returned_items(
     )
 
 
+def supplier_nation_revenue(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Revenue by supplier nation and ship year (TPC-H Q9's rollup
+    shape without partsupp).  nation broadcasts; supplier joins on
+    the shuffled suppkey -- a dim too large to pin at extreme SF, so
+    AQE picks broadcast vs shuffle at runtime."""
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("rev")
+    return (
+        lineitem.select("l_suppkey", F.year("l_shipdate").alias("ship_year"), rev)
+        .join(supplier.select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "ship_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            rnd(F.sum("rev"), 2).alias("revenue"),
+        )
+    )
+
+
 def nation_acctbal(customer: DataFrame, nation: DataFrame) -> DataFrame:
     """Dim⋈dim rollup: customer balances per nation."""
     return (

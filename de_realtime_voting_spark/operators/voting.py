@@ -406,6 +406,63 @@ def party_vote_share(votes: DataFrame) -> DataFrame:
     )
 
 
+def candidate_hourly_pivot(votes: DataFrame) -> DataFrame:
+    """Hour x candidate tally matrix via PIVOT.  The candidate list
+    is pinned (shared constant), so Spark skips the distinct-values
+    discovery pass and the pivot is a single groupBy shuffle."""
+    from ..constants import CANDIDATES
+
+    return (
+        votes.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .pivot("event_type", CANDIDATES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, CANDIDATES)
+    )
+
+
+def votes_cube(
+    votes: DataFrame, voters: DataFrame, nations: DataFrame
+) -> DataFrame:
+    """CUBE over (candidate, nation): every marginal in one shuffle
+    with partial aggregation -- the dashboard's drill-down matrix."""
+    enriched = _votes_with_location(votes, voters, nations)
+    return enriched.cube(
+        F.col("event_type").alias("candidate_id"), F.col("n_name").alias("nation")
+    ).agg(
+        F.count(F.lit(1)).alias("n_votes"),
+        rnd(F.sum("value"), 2).alias("total_weight"),
+    )
+
+
+def voter_value_quartiles(votes: DataFrame) -> DataFrame:
+    """Voters bucketed into activity quartiles by total vote weight
+    (ntile over a deterministic total order), then per-quartile
+    stats -- the segmentation cut analytics teams run on any fact.
+
+    NOTE the un-partitioned window is a deliberate exactness choice:
+    it funnels the per-voter aggregate (already reduced by the first
+    groupBy) through one task.  At 100 TB swap the exact ntile for
+    approx_percentile cut-points joined back broadcast -- same output
+    columns, fully parallel -- and keep this exact variant for
+    dimension-sized inputs."""
+    per_voter = votes.groupBy("user_id").agg(
+        rnd(F.sum("value"), 2).alias("total_weight")
+    )
+    q = F.ntile(4).over(
+        Window.orderBy(F.col("total_weight").asc(), F.col("user_id").asc())
+    )
+    return (
+        per_voter.select("user_id", "total_weight", q.alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_voters"),
+            rnd(F.min("total_weight"), 2).alias("min_weight"),
+            rnd(F.max("total_weight"), 2).alias("max_weight"),
+            rnd(F.avg("total_weight"), 4).alias("avg_weight"),
+        )
+    )
+
+
 def events_json_props(votes: DataFrame) -> DataFrame:
     """JSON payload extraction + agg: the reference's from_json parse
     of Kafka values (spark-streaming.py:62-65) applied to ``props``."""

@@ -699,6 +699,55 @@ SELECT party, party_votes,
 FROM a
 """
 
+_PIVOT_COLS = ",\n       ".join(
+    f"CAST(COUNT(*) FILTER (event_type = '{c}') AS BIGINT) AS {c}"
+    for c in CANDIDATE_PARTY
+)
+
+SQL["candidate_hourly_pivot"] = f"""
+WITH {_EVENTS_CTE}
+SELECT date_trunc('hour', ts) AS hour,
+       {_PIVOT_COLS}
+FROM ev GROUP BY 1
+"""
+
+SQL["votes_cube"] = f"""
+WITH {_EVENTS_CTE}
+SELECT e.event_type AS candidate_id, n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_votes,
+       ROUND(SUM(e.value), 2) AS total_weight
+{_VOTE_GEO_JOIN}
+GROUP BY CUBE(e.event_type, n.n_name)
+"""
+
+SQL["voter_value_quartiles"] = f"""
+WITH {_EVENTS_CTE},
+pv AS (
+    SELECT user_id, ROUND(SUM(value), 2) AS total_weight
+    FROM ev GROUP BY 1
+),
+t AS (
+    SELECT total_weight,
+           ntile(4) OVER (ORDER BY total_weight, user_id) AS quartile
+    FROM pv
+)
+SELECT quartile, CAST(COUNT(*) AS BIGINT) AS n_voters,
+       ROUND(MIN(total_weight), 2) AS min_weight,
+       ROUND(MAX(total_weight), 2) AS max_weight,
+       ROUND(AVG(total_weight), 4) AS avg_weight
+FROM t GROUP BY 1
+"""
+
+SQL["supplier_nation_revenue"] = """
+SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS INT) AS ship_year,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
 SQL["dedup_clusters"] = "WITH RECURSIVE " + _MINHASH_CTES[len("WITH "):] + f""",
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

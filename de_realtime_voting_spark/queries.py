@@ -75,6 +75,15 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
         _t(s, d, "events"), _t(s, d, "customer"), _t(s, d, "nation")
     ),
     "party_vote_share": lambda s, d: voting.party_vote_share(_t(s, d, "events")),
+    "candidate_hourly_pivot": lambda s, d: voting.candidate_hourly_pivot(
+        _t(s, d, "events")
+    ),
+    "votes_cube": lambda s, d: voting.votes_cube(
+        _t(s, d, "events"), _t(s, d, "customer"), _t(s, d, "nation")
+    ),
+    "voter_value_quartiles": lambda s, d: voting.voter_value_quartiles(
+        _t(s, d, "events")
+    ),
     "votes_approx_stats": lambda s, d: voting.votes_approx_stats(_t(s, d, "events")),
     # --- general analytics (SURVEY §2 #14-20) ---
     "q1_pricing_summary": lambda s, d: analytics.q1_pricing_summary(_t(s, d, "lineitem")),
@@ -94,6 +103,9 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     ),
     "nation_acctbal": lambda s, d: analytics.nation_acctbal(
         _t(s, d, "customer"), _t(s, d, "nation")
+    ),
+    "supplier_nation_revenue": lambda s, d: analytics.supplier_nation_revenue(
+        _t(s, d, "lineitem"), _t(s, d, "supplier"), _t(s, d, "nation")
     ),
     "q7_nation_volume": lambda s, d: analytics.q7_nation_volume(
         _t(s, d, "nation"), _t(s, d, "customer"), _t(s, d, "supplier"),

@@ -68,16 +68,44 @@ def test_minhash_pairs_no_cartesian(spark, sf_dir):
     assert_no_cartesian(df)
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "votes_per_candidate",
-        "turnout_by_region",
-        "q5_regional_revenue",
-        "dedup_minhash_bands",
-        "ann_bruteforce_topk",
-        "text_quality_score",
-    ],
-)
+@pytest.mark.parametrize("name", sorted(QUERY_REGISTRY))
 def test_no_cartesian_anywhere(name, spark, sf_dir):
+    """Every registry query: nothing may degenerate into a cartesian
+    product (non-equi broadcast joins are fine; unbounded pair
+    explosions are not)."""
     assert_no_cartesian(QUERY_REGISTRY[name](spark, sf_dir))
+
+
+def test_events_scan_prunes_columns(spark, sf_dir):
+    """Column pruning must survive the events ns->us timestamp
+    wrapper: a 2-column agg reads 2 columns, not the whole fact."""
+    df = voting.votes_per_candidate(load_table(spark, sf_dir, "events"))
+    assert_read_schema_only(df, "events.parquet", {"event_type", "value"})
+
+
+def test_registered_non_voters_anti_join_shape(spark, sf_dir):
+    from de_realtime_voting_spark.plans import physical_plan
+
+    df = voting.registered_non_voters(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan
+    assert_broadcast_join(df, at_least=2)
+    assert_no_cartesian(df)
+
+
+def test_ann_ivf_broadcasts_probes(spark, sf_dir):
+    from de_realtime_voting_spark.operators import similarity
+
+    df = similarity.ann_ivf_topk(load_table(spark, sf_dir, "embeddings"))
+    assert_broadcast_join(df, at_least=1)
+    assert_no_cartesian(df)
+
+
+def test_ngram_jaccard_no_cartesian_and_prunes(spark, sf_dir):
+    df = dedup.dedup_ngram_jaccard(load_table(spark, sf_dir, "documents"))
+    assert_no_cartesian(df)
+    assert_read_schema_only(df, "documents.parquet", {"doc_id", "lang", "text"})
