@@ -1,4 +1,4 @@
-from .io import jdbc_reader, read_csv, read_json, write_partitioned
+from .io import jdbc_reader, read_csv, read_json, write_bucketed, write_partitioned
 from .tables import TABLE_NAMES, load_table, load_tables, register_views
 
 __all__ = [
@@ -9,5 +9,6 @@ __all__ = [
     "read_csv",
     "read_json",
     "register_views",
+    "write_bucketed",
     "write_partitioned",
 ]

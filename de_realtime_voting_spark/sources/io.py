@@ -61,6 +61,29 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_by).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: rows hash-partitioned into n_buckets
+    files by the join key at WRITE time.
+
+    Two tables bucketed on their join key with the same bucket count
+    join with ZERO exchange -- the shuffle is prepaid once at ingest
+    and amortized over every subsequent join, the single biggest win
+    for repeated fact-fact joins at 100 TB.  sort_by additionally
+    pre-sorts within buckets so sort-merge join skips its sort.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(table)
+
+
 def jdbc_reader(
     spark: SparkSession,
     url: str,

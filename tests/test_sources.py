@@ -70,6 +70,33 @@ def test_read_csv_schema(spark, tmp_out):
     assert got == [(1, 10), (2, 20)]
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """The prepaid-shuffle claim: two tables bucketed on the join key
+    with matching bucket counts must sort-merge join with ZERO
+    Exchange in the plan."""
+    from de_realtime_voting_spark.sources import write_bucketed
+
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    write_bucketed(events, "ev_bucketed", ["user_id"], 8, sort_by=["user_id"])
+    write_bucketed(cust, "cust_bucketed", ["c_custkey"], 8, sort_by=["c_custkey"])
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table("ev_bucketed")
+        b = spark.table("cust_bucketed")
+        joined = a.join(b, a["user_id"] == b["c_custkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() == events.count()  # every vote has a voter
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+        spark.sql("DROP TABLE IF EXISTS cust_bucketed")
+
+
 def test_jdbc_reader_is_lazy_and_validates(spark):
     # builds without a driver or database -- only .load() would connect
     reader = jdbc_reader(
