@@ -81,6 +81,10 @@ def ann_ivf_topk(embeddings: DataFrame) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
+    if not cents:  # empty corpus -> empty result, stable schema
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, rank int, cosine double"
+        )
     # centroid norms fold to literals driver-side (same left-to-right
     # sum the engines use, so the doubles are identical); the row norm
     # is materialized ONCE in a projection below -- higher-order

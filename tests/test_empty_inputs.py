@@ -1,0 +1,76 @@
+"""Empty-input robustness: every operator must return an empty (or
+degenerate-but-correct) result on zero rows, never throw.  An empty
+partition is routine at 100 TB -- a date with no events, a bucket
+with no docs -- and a single task exception kills the whole stage.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from de_realtime_voting_spark.operators import (
+    analytics,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+    voting,
+)
+from de_realtime_voting_spark.sources import load_table
+
+
+def _empty(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name).limit(0)
+
+
+CASES = {
+    "votes_per_candidate": lambda s, d: voting.votes_per_candidate(_empty(s, d, "events")),
+    "turnout_by_location": lambda s, d: voting.turnout_by_location(
+        _empty(s, d, "events"), _empty(s, d, "customer"), _empty(s, d, "nation")
+    ),
+    "one_vote_per_voter": lambda s, d: voting.one_vote_per_voter(_empty(s, d, "events")),
+    "votes_sessionized": lambda s, d: voting.votes_sessionized(_empty(s, d, "events")),
+    "vote_interarrival": lambda s, d: voting.vote_interarrival(_empty(s, d, "events")),
+    "voter_value_quartiles": lambda s, d: voting.voter_value_quartiles(
+        _empty(s, d, "events")
+    ),
+    "candidate_hourly_pivot": lambda s, d: voting.candidate_hourly_pivot(
+        _empty(s, d, "events")
+    ),
+    "q1_pricing_summary": lambda s, d: analytics.q1_pricing_summary(
+        _empty(s, d, "lineitem")
+    ),
+    "dedup_exact": lambda s, d: dedup.dedup_exact(_empty(s, d, "documents")),
+    "dedup_minhash_pairs": lambda s, d: dedup.dedup_minhash_pairs(
+        _empty(s, d, "documents")
+    ),
+    "dedup_ngram_jaccard": lambda s, d: dedup.dedup_ngram_jaccard(
+        _empty(s, d, "documents")
+    ),
+    "dedup_clusters": lambda s, d: dedup.dedup_clusters(_empty(s, d, "documents")),
+    "dedup_simhash": lambda s, d: dedup.dedup_simhash(_empty(s, d, "documents")),
+    "ann_bruteforce_topk": lambda s, d: similarity.ann_bruteforce_topk(
+        _empty(s, d, "embeddings")
+    ),
+    "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(_empty(s, d, "embeddings")),
+    "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(_empty(s, d, "embeddings")),
+    "text_token_count": lambda s, d: text.text_token_count(_empty(s, d, "documents")),
+    "text_quality_score": lambda s, d: text.text_quality_score(
+        _empty(s, d, "documents")
+    ),
+    "ngram_top": lambda s, d: text.ngram_top(_empty(s, d, "documents")),
+    "doc_fingerprint": lambda s, d: text.doc_fingerprint(_empty(s, d, "documents")),
+    "multimodal_chunk_stats": lambda s, d: multimodal.multimodal_chunk_stats(
+        _empty(s, d, "documents")
+    ),
+    "multimodal_binary_stats": lambda s, d: multimodal.multimodal_binary_stats(
+        _empty(s, d, "documents")
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_empty_input_yields_empty_result(name, spark, sf_dir):
+    out = CASES[name](spark, sf_dir)
+    assert out.count() == 0
+    assert len(out.schema.fields) > 0  # schema survives

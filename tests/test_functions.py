@@ -74,3 +74,59 @@ def test_cosine_self_similarity(vec):
     if dot == 0:
         return
     assert math.isclose(dot / (math.sqrt(dot) * math.sqrt(dot)), 1.0, rel_tol=1e-9)
+
+
+def test_char_ngrams_matches_python(spark):
+    from de_realtime_voting_spark.functions import char_ngrams
+
+    # one Spark round trip over many generated strings beats one per
+    # hypothesis example; the python reference is the spec
+    texts = ["", "a", "ab", "abc", "abcd", "aaaa", "a b", "xy xy xy", "héllo wörld!"]
+    rows = spark.createDataFrame([(t,) for t in texts], "t string").select(
+        "t", char_ngrams(F.col("t")).alias("g")
+    ).collect()
+    for r in rows:
+        t = r["t"]
+        want = sorted({t[i : i + 3] for i in range(len(t) - 2)}) if len(t) >= 3 else []
+        assert sorted(r["g"]) == want, t
+
+
+def test_minhash_signature_matches_python(spark):
+    import hashlib
+
+    from de_realtime_voting_spark.constants import MINHASH_SIGS
+    from de_realtime_voting_spark.functions import minhash_signature
+
+    shingles = ["a b c", "b c d", "c d e"]
+    got = _one(
+        spark,
+        minhash_signature(F.col("s")),
+        s=shingles,
+    )
+    for i in range(MINHASH_SIGS):
+        want = min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in shingles)
+        assert got[i] == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    x=st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    n=st.integers(min_value=0, max_value=6),
+)
+def test_round_half_up_python_mirror(x, n):
+    # the shared rounding spec both engines implement
+    s = float(10**n)
+    want = math.floor(x * s + 0.5) / s
+    assert want == math.floor(x * s + 0.5) / s  # determinism of the spec itself
+
+
+def test_round_half_up_spark_matches_python(spark):
+    from de_realtime_voting_spark.functions.columns import round_half_up
+
+    xs = [0.5, 1.25, 2.675, -0.5, -1.25, 123.4565, 0.0, 99.995]
+    rows = spark.createDataFrame([(x,) for x in xs], "x double").select(
+        "x", round_half_up(F.col("x"), 2).alias("r")
+    ).collect()
+    for r in rows:
+        want = math.floor(r["x"] * 100.0 + 0.5) / 100.0
+        assert r["r"] == want, r["x"]
