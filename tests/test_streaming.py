@@ -39,7 +39,7 @@ def vote_json_dir(spark, sf_dir):
             F.struct(*events.columns),
             {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
         ).alias("value_json")
-    ).coalesce(2).write.mode("overwrite").text(d)
+    ).repartition(2).write.mode("overwrite").text(d)
     yield d
     shutil.rmtree(d, ignore_errors=True)
 
@@ -188,6 +188,57 @@ def test_stream_one_vote_per_voter(spark, sf_dir, vote_json_dir):
     assert len({r["user_id"] for r in rows}) == n_voters
     event_ids = {r["event_id"] for r in events.select("event_id").collect()}
     assert all(r["event_id"] in event_ids for r in rows)
+
+
+def test_checkpoint_recovery_resumes_state(spark, sf_dir, vote_json_dir):
+    """Kill the query mid-stream, add data, restart from the SAME
+    checkpoint: offsets + aggregation state recover and the final
+    tally equals the batch answer with no double counting -- the
+    exactly-once contract the reference's Kafka consumer lacks."""
+    import glob
+    import os
+
+    src = tempfile.mkdtemp(prefix="cp_src_")
+    ckpt = tempfile.mkdtemp(prefix="cp_ckpt_")
+    files = sorted(glob.glob(f"{vote_json_dir}/part-*"))
+    assert len(files) >= 2
+    shutil.copy(files[0], src)
+
+    def start():
+        stream = parse_vote_stream(
+            spark.readStream.schema("value_json string").text(src),
+            "value_json",
+        )
+        return (
+            stream_votes_per_candidate(stream)
+            .writeStream.format("memory")
+            .queryName("cp_tally")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    q.awaitTermination(120)  # drains file 1, commits offsets, stops
+
+    shutil.copy(files[1], src)  # new data arrives while "down"
+    q2 = start()
+    q2.awaitTermination(120)
+
+    got = {
+        r["candidate_id"]: (r["total_votes"], r["total_weight"])
+        for r in spark.sql("SELECT * FROM cp_tally").collect()
+    }
+    want = {
+        r["candidate_id"]: (r["total_votes"], r["total_weight"])
+        for r in voting.votes_per_candidate(
+            load_table(spark, sf_dir, "events")
+        ).collect()
+    }
+    assert got == want
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def test_stream_stream_join_matches_batch(spark, sf_dir, vote_json_dir):
