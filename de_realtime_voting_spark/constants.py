@@ -37,6 +37,12 @@ BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 # --- multimodal chunking ------------------------------------------
 MEDIA_CHUNK_BYTES = 64     # fixed payload chunk width
 
+# --- PII scrubbing -------------------------------------------------
+# Deliberately simple character-class patterns with identical
+# semantics in Java regex and RE2 (no lookaround, no \b edge cases).
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+PII_PHONE_RE = "[0-9][0-9][0-9][-.][0-9][0-9][0-9][-.][0-9][0-9][0-9][0-9]"
+
 # --- embeddings ----------------------------------------------------
 EMBEDDING_DIM = 64
 COSINE_THRESHOLD = 0.30   # near-dup threshold (synthetic data tops out ~0.4)

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..constants import BPE_TOKEN_RE, STOPWORDS
+from ..constants import BPE_TOKEN_RE, PII_EMAIL_RE, PII_PHONE_RE, STOPWORDS
 from ..functions.columns import round_half_up as rnd
 from ..functions import tokens, word_shingles
 
@@ -105,6 +105,39 @@ def text_quality_score(documents: DataFrame) -> DataFrame:
         rnd(F.avg("quality"), 4).alias("avg_quality"),
         rnd(F.min("quality"), 4).alias("min_quality"),
         rnd(F.max("quality"), 4).alias("max_quality"),
+    )
+
+
+def text_redact_pii(documents: DataFrame) -> DataFrame:
+    """PII scrub accounting: per-source counts of documents containing
+    email/phone patterns, total matches, and characters removed by
+    redaction -- the audit row every training-data release needs.
+
+    regexp_extract_all / regexp_replace run JVM-side; redaction never
+    materializes a second corpus column in this summary (the actual
+    scrubbed text would be ``regexp_replace`` in a writer job).
+    """
+    low = F.lower(F.col("text"))
+    n_email = F.size(F.regexp_extract_all(low, F.lit(PII_EMAIL_RE), F.lit(0)))
+    n_phone = F.size(F.regexp_extract_all(low, F.lit(PII_PHONE_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(low, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    per_doc = documents.select(
+        "source",
+        n_email.alias("n_email"),
+        n_phone.alias("n_phone"),
+        (F.length("text") - F.length(redacted)).alias("chars_delta"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_email") > 0).cast("int")).cast("bigint").alias("docs_with_email"),
+        F.sum((F.col("n_phone") > 0).cast("int")).cast("bigint").alias("docs_with_phone"),
+        F.sum("n_email").cast("bigint").alias("total_emails"),
+        F.sum("n_phone").cast("bigint").alias("total_phones"),
+        F.sum("chars_delta").cast("bigint").alias("total_chars_delta"),
     )
 
 

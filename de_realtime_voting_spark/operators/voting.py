@@ -463,6 +463,71 @@ def voter_value_quartiles(votes: DataFrame) -> DataFrame:
     )
 
 
+def votes_asof_prior_click(votes: DataFrame) -> DataFrame:
+    """As-of join (an operator Spark lacks natively): for each
+    'purchase' vote, the voter's most recent 'click' at-or-before it.
+
+    Expressed as a composition of built-ins -- tag, sort within
+    voter, carry the latest click forward with last(ignorenulls) over
+    a running frame -- ONE shuffle on user_id, no per-row lookup, no
+    range self-join blowup.  Tie-break is total: (ts, is_target,
+    event_id), clicks ordering before targets at equal ts so an
+    equal-timestamp click counts as prior (the asof >= convention).
+    """
+    prior = F.last(
+        F.when(
+            F.col("event_type") == "click",
+            F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("event_id")),
+        ),
+        ignorenulls=True,
+    ).over(
+        Window.partitionBy("user_id").orderBy(
+            "ts", (F.col("event_type") == "purchase").cast("int"), "event_id"
+        )
+    )
+    gap_s = (
+        F.unix_micros("ts") - F.unix_micros(F.col("prior")["ts"])
+    ) / F.lit(1000000.0)
+    return (
+        votes.select("user_id", "event_id", "ts", "event_type", prior.alias("prior"))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("prior")["event_id"].alias("prior_click_event"),
+            F.col("prior")["ts"].alias("prior_click_ts"),
+            gap_s.alias("gap_s"),
+        )
+    )
+
+
+def votes_in_launch_windows(votes: DataFrame) -> DataFrame:
+    """Range join: total vote traffic inside each candidate's launch
+    window (first vote -> +6 hours).  The window table is a tiny
+    aggregate, so the inequality join broadcasts it (nested-loop over
+    5 rows) -- the correct physical shape for dim-sized range joins;
+    fact-fact range joins would bucket the time axis first."""
+    windows = votes.groupBy(F.col("event_type").alias("w_candidate")).agg(
+        F.min("ts").alias("w_start")
+    ).select(
+        "w_candidate",
+        "w_start",
+        (F.col("w_start") + F.expr("INTERVAL 6 HOURS")).alias("w_end"),
+    )
+    return (
+        votes.join(
+            F.broadcast(windows),
+            (F.col("ts") >= F.col("w_start")) & (F.col("ts") <= F.col("w_end")),
+        )
+        .groupBy("w_candidate")
+        .agg(
+            F.count(F.lit(1)).alias("n_events_in_window"),
+            F.countDistinct("user_id").alias("n_voters_in_window"),
+        )
+    )
+
+
 def events_json_props(votes: DataFrame) -> DataFrame:
     """JSON payload extraction + agg: the reference's from_json parse
     of Kafka values (spark-streaming.py:62-65) applied to ``props``."""

@@ -26,6 +26,8 @@ from .constants import (
     MINHASH_SIGS,
     NGRAM_JACCARD_THRESHOLD,
     NGRAM_LEN_BUCKET,
+    PII_EMAIL_RE,
+    PII_PHONE_RE,
     SIMHASH_BITS,
     STOPWORDS,
 )
@@ -697,6 +699,56 @@ a AS (SELECT party, CAST(COUNT(*) AS BIGINT) AS party_votes FROM p GROUP BY 1)
 SELECT party, party_votes,
        ROUND(party_votes / (SUM(party_votes) OVER ()), 6) AS vote_share
 FROM a
+"""
+
+SQL["votes_asof_prior_click"] = f"""
+WITH {_EVENTS_CTE},
+p AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'click'),
+j AS (
+    SELECT p.user_id, p.event_id AS purchase_event, p.ts AS purchase_ts,
+           c.event_id AS prior_click_event, c.ts AS prior_click_ts,
+           row_number() OVER (
+               PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC
+           ) AS rn
+    FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+)
+SELECT user_id, purchase_event, purchase_ts, prior_click_event, prior_click_ts,
+       (epoch_us(purchase_ts) - epoch_us(prior_click_ts)) / 1000000.0 AS gap_s
+FROM j WHERE rn = 1
+"""
+
+SQL["votes_in_launch_windows"] = f"""
+WITH {_EVENTS_CTE},
+w AS (
+    SELECT event_type AS w_candidate, MIN(ts) AS w_start,
+           MIN(ts) + INTERVAL 6 HOUR AS w_end
+    FROM ev GROUP BY 1
+)
+SELECT w.w_candidate, CAST(COUNT(*) AS BIGINT) AS n_events_in_window,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_voters_in_window
+FROM ev e JOIN w ON e.ts >= w.w_start AND e.ts <= w.w_end
+GROUP BY 1
+"""
+
+SQL["text_redact_pii"] = f"""
+WITH d AS (
+    SELECT source,
+           len(regexp_extract_all(lower(text), '{PII_EMAIL_RE}')) AS n_email,
+           len(regexp_extract_all(lower(text), '{PII_PHONE_RE}')) AS n_phone,
+           length(text) - length(
+               regexp_replace(
+                   regexp_replace(lower(text), '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PII_PHONE_RE}', '<PHONE>', 'g')) AS chars_delta
+    FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+       CAST(SUM(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+       CAST(SUM(n_email) AS BIGINT) AS total_emails,
+       CAST(SUM(n_phone) AS BIGINT) AS total_phones,
+       CAST(SUM(chars_delta) AS BIGINT) AS total_chars_delta
+FROM d GROUP BY 1
 """
 
 _PIVOT_COLS = ",\n       ".join(

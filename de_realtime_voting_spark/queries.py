@@ -84,6 +84,12 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "voter_value_quartiles": lambda s, d: voting.voter_value_quartiles(
         _t(s, d, "events")
     ),
+    "votes_asof_prior_click": lambda s, d: voting.votes_asof_prior_click(
+        _t(s, d, "events")
+    ),
+    "votes_in_launch_windows": lambda s, d: voting.votes_in_launch_windows(
+        _t(s, d, "events")
+    ),
     "votes_approx_stats": lambda s, d: voting.votes_approx_stats(_t(s, d, "events")),
     # --- general analytics (SURVEY §2 #14-20) ---
     "q1_pricing_summary": lambda s, d: analytics.q1_pricing_summary(_t(s, d, "lineitem")),
@@ -137,6 +143,7 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "text_bpe_tokens": lambda s, d: text.text_bpe_tokens(_t(s, d, "documents")),
     "text_lang_id": lambda s, d: text.text_lang_id(_t(s, d, "documents")),
     "text_quality_score": lambda s, d: text.text_quality_score(_t(s, d, "documents")),
+    "text_redact_pii": lambda s, d: text.text_redact_pii(_t(s, d, "documents")),
     "doc_fingerprint": lambda s, d: text.doc_fingerprint(_t(s, d, "documents")),
     "ngram_top": lambda s, d: text.ngram_top(_t(s, d, "documents")),
     "multimodal_binary_stats": lambda s, d: multimodal.multimodal_binary_stats(

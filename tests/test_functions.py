@@ -120,6 +120,26 @@ def test_round_half_up_python_mirror(x, n):
     assert want == math.floor(x * s + 0.5) / s  # determinism of the spec itself
 
 
+def test_text_redact_pii_detects_injected_rows(spark):
+    from de_realtime_voting_spark.operators.text import text_redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at jane.doe@example.com or 555-123-4567 thanks", "en", "s1"),
+            (2, "no pii here at all", "en", "s1"),
+            (3, "two mails a@b.io c@d.org and phone 123-456-7890", "en", "s2"),
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    out = {r["source"]: r for r in text_redact_pii(docs).collect()}
+    assert out["s1"]["docs_with_email"] == 1
+    assert out["s1"]["docs_with_phone"] == 1
+    assert out["s1"]["total_emails"] == 1
+    assert out["s2"]["total_emails"] == 2
+    assert out["s2"]["total_phones"] == 1
+    assert out["s1"]["total_chars_delta"] != 0  # redaction changed lengths
+
+
 def test_round_half_up_spark_matches_python(spark):
     from de_realtime_voting_spark.functions.columns import round_half_up
 
