@@ -43,11 +43,11 @@ def text_bpe_tokens(documents: DataFrame) -> DataFrame:
     regexp_extract_all runs JVM-side inside codegen; no Python in the
     row loop.
     """
+    # regexp_count, not size(regexp_extract_all): counting must not
+    # materialize the match array per row
     per_doc = documents.select(
         "lang",
-        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_TOKEN_RE), F.lit(0))).alias(
-            "n_bpe"
-        ),
+        F.regexp_count(F.lower(F.col("text")), F.lit(BPE_TOKEN_RE)).alias("n_bpe"),
         F.size(tokens(F.col("text"))).alias("n_ws"),
     )
     fertility = F.when(F.col("n_ws") > 0, F.col("n_bpe") / F.col("n_ws"))
@@ -118,8 +118,8 @@ def text_redact_pii(documents: DataFrame) -> DataFrame:
     scrubbed text would be ``regexp_replace`` in a writer job).
     """
     low = F.lower(F.col("text"))
-    n_email = F.size(F.regexp_extract_all(low, F.lit(PII_EMAIL_RE), F.lit(0)))
-    n_phone = F.size(F.regexp_extract_all(low, F.lit(PII_PHONE_RE), F.lit(0)))
+    n_email = F.regexp_count(low, F.lit(PII_EMAIL_RE))
+    n_phone = F.regexp_count(low, F.lit(PII_PHONE_RE))
     redacted = F.regexp_replace(
         F.regexp_replace(low, PII_EMAIL_RE, "<EMAIL>"),
         PII_PHONE_RE,
