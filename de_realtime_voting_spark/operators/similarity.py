@@ -63,33 +63,28 @@ def embedding_lsh_buckets(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def ann_ivf_topk(embeddings: DataFrame) -> DataFrame:
-    """IVF-style ANN: assign every vector to its nearest coarse
-    centroid (the inverted-file cell), probe the query's IVF_NPROBE
-    closest cells, exact top-k within probed cells only.
-
-    Scale shape: the 16 centroids are collected once (an index/model
-    artifact, like trained k-means centroids) and embedded as plan
-    literals, so cell assignment is a pure map-side expression -- no
-    corpus shuffle, no window over the corpus.  Queries x probes is a
-    tiny broadcast; the only corpus shuffle is the final per-query
-    top-k, which AQE sizes by the probed subset, not the corpus.
-    """
-    cents = sorted(
+def _collect_centroids(embeddings: DataFrame) -> list[tuple[int, list[float]]]:
+    """The 16 coarse centroids, collected once -- an index/model
+    artifact, like trained k-means centroids."""
+    return sorted(
         (r["vec_id"], [float(x) for x in r["embedding"]])
         for r in embeddings.where(F.col("vec_id").isin(IVF_CENTROID_IDS))
         .select("vec_id", "embedding")
         .collect()
     )
-    if not cents:  # empty corpus -> empty result, stable schema
-        return embeddings.sparkSession.createDataFrame(
-            [], "query_id bigint, neighbor_id bigint, rank int, cosine double"
-        )
-    # centroid norms fold to literals driver-side (same left-to-right
-    # sum the engines use, so the doubles are identical); the row norm
-    # is materialized ONCE in a projection below -- higher-order
-    # lambdas are interpreted, so hoisting both norms out of the
-    # 16-way transform cuts the per-row work ~3x
+
+
+def _assign_cells(embeddings: DataFrame, cents) -> DataFrame:
+    """(vec_id, embedding, cell, probes): nearest-centroid assignment
+    as a pure map-side expression over centroid plan literals -- no
+    corpus shuffle, no window over the corpus.
+
+    Centroid norms fold to literals driver-side (same left-to-right
+    sum the engines use, so the doubles are identical); the row norm
+    is materialized ONCE behind the repartition barrier -- higher-
+    order lambdas are interpreted, so hoisting both norms out of the
+    16-way transform cuts the per-row work ~3x.
+    """
     cent_lit = F.array(
         *[
             F.struct(
@@ -116,7 +111,7 @@ def ann_ivf_topk(embeddings: DataFrame) -> DataFrame:
             ),
         )
     )
-    assigned = (
+    return (
         embeddings.select(
             "vec_id", "embedding", l2_norm(F.col("embedding")).alias("v_norm")
         )
@@ -129,6 +124,23 @@ def ann_ivf_topk(embeddings: DataFrame) -> DataFrame:
             F.slice("ranked", 1, IVF_NPROBE).alias("probes"),
         )
     )
+
+
+def ann_ivf_topk(embeddings: DataFrame) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest coarse
+    centroid (the inverted-file cell), probe the query's IVF_NPROBE
+    closest cells, exact top-k within probed cells only.
+
+    Scale shape: map-side cell assignment (_assign_cells), queries x
+    probes broadcast; the only corpus shuffle is the final per-query
+    top-k, which AQE sizes by the probed subset, not the corpus.
+    """
+    cents = _collect_centroids(embeddings)
+    if not cents:  # empty corpus -> empty result, stable schema
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, rank int, cosine double"
+        )
+    assigned = _assign_cells(embeddings, cents)
     q = (
         assigned.where(F.col("vec_id").isin(ANN_QUERY_IDS))
         .select(
@@ -142,6 +154,42 @@ def ann_ivf_topk(embeddings: DataFrame) -> DataFrame:
         (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("query_id")),
     )
     return _topk(joined)
+
+
+def embedding_kmeans_iter(embeddings: DataFrame) -> DataFrame:
+    """One Lloyd (k-means) iteration over the coarse centroids: assign
+    every vector map-side, recompute per-cell mean vectors as 64
+    column aggregates (partial aggregation, one shuffle on cell), and
+    report per-cell size plus drift = cosine(old centroid, new mean).
+
+    This is the training step behind the IVF index: run it in a
+    driver loop (collect the 16 new means, re-literalize, repeat) and
+    the whole k-means fits the same map-side-assign shape -- per
+    iteration cost is one corpus pass, state is 16 vectors.
+    """
+    cents = _collect_centroids(embeddings)
+    if not cents:
+        return embeddings.sparkSession.createDataFrame(
+            [], "cent_id bigint, n_members bigint, drift double"
+        )
+    dim = len(cents[0][1])
+    assigned = _assign_cells(embeddings, cents)
+    means = assigned.groupBy(F.col("cell").alias("cent_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        *[
+            F.avg(F.element_at("embedding", i + 1).cast("double")).alias(f"m{i}")
+            for i in range(dim)
+        ],
+    )
+    cent_df = embeddings.sparkSession.createDataFrame(
+        [(cid, emb) for cid, emb in cents], "cent_id bigint, c_emb array<double>"
+    )
+    new_emb = F.array(*[F.col(f"m{i}") for i in range(dim)])
+    drift = cosine_similarity(new_emb, F.col("c_emb"))
+    return (
+        means.join(F.broadcast(cent_df), "cent_id")
+        .select("cent_id", "n_members", rnd(drift, 6).alias("drift"))
+    )
 
 
 def ann_lsh_topk(embeddings: DataFrame) -> DataFrame:

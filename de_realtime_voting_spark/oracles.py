@@ -853,8 +853,7 @@ SELECT doc_a, doc_b, lang, jaccard FROM (
 ) WHERE jaccard >= {NGRAM_JACCARD_THRESHOLD}
 """
 
-SQL["ann_ivf_topk"] = f"""
-WITH cent AS (
+_IVF_ASG_CTES = f"""cent AS (
     SELECT vec_id AS cent_id, embedding AS c_emb
     FROM embeddings WHERE vec_id IN {_IVF_IDS}
 ),
@@ -869,7 +868,10 @@ asg AS (
                PARTITION BY vec_id ORDER BY cos DESC, cent_id
            ) AS rn
     FROM scored
-),
+)"""
+
+SQL["ann_ivf_topk"] = f"""
+WITH {_IVF_ASG_CTES},
 cells AS (SELECT vec_id, embedding, cent_id AS cell FROM asg WHERE rn = 1),
 q AS (
     SELECT vec_id AS query_id, embedding AS q_emb, cent_id AS probe_cell
@@ -891,6 +893,23 @@ r AS (
 )
 SELECT query_id, neighbor_id, "rank", ROUND(cosine, 6) AS cosine
 FROM r WHERE "rank" <= {ANN_K}
+"""
+
+_KMEANS_MEANS = ", ".join(
+    f"AVG(CAST(embedding[{i + 1}] AS DOUBLE))" for i in range(EMBEDDING_DIM)
+)
+
+SQL["embedding_kmeans_iter"] = f"""
+WITH {_IVF_ASG_CTES},
+cells AS (SELECT vec_id, embedding, cent_id FROM asg WHERE rn = 1),
+m AS (
+    SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+           list_value({_KMEANS_MEANS}) AS mean_emb
+    FROM cells GROUP BY 1
+)
+SELECT m.cent_id, m.n_members,
+       ROUND({_cos('m.mean_emb', 'c.c_emb')}, 6) AS drift
+FROM m JOIN cent c ON m.cent_id = c.cent_id
 """
 
 SQL["text_bpe_tokens"] = f"""

@@ -136,6 +136,9 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     ),
     "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(_t(s, d, "embeddings")),
     "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(_t(s, d, "embeddings")),
+    "embedding_kmeans_iter": lambda s, d: similarity.embedding_kmeans_iter(
+        _t(s, d, "embeddings")
+    ),
     "embedding_lsh_buckets": lambda s, d: similarity.embedding_lsh_buckets(
         _t(s, d, "embeddings")
     ),
