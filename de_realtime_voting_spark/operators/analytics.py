@@ -214,6 +214,48 @@ def supplier_nation_revenue(
     )
 
 
+def small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders far below a part's average
+    order size.  The correlated scalar subquery (avg quantity per
+    part) becomes a per-part aggregate joined back to the fact --
+    one shuffle each side on partkey, partial aggs map-side."""
+    per_part = lineitem.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    brand = part.where(F.col("p_brand") == "Brand#19").select("p_partkey")
+    return (
+        lineitem.join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("avg_partkey"))
+        .where(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            rnd(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        )
+    )
+
+
+def large_volume_orders(
+    orders: DataFrame, lineitem: DataFrame, threshold: float = 300.0
+) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds the
+    threshold (GROUP BY + HAVING as a semi-join back to orders)."""
+    big = (
+        lineitem.groupBy(F.col("l_orderkey"))
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > threshold)
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            rnd(F.col("o_totalprice"), 2).alias("total_price"),
+            rnd(F.col("total_qty"), 2).alias("total_qty"),
+        )
+    )
+
+
 def nation_acctbal(customer: DataFrame, nation: DataFrame) -> DataFrame:
     """Dim⋈dim rollup: customer balances per nation."""
     return (

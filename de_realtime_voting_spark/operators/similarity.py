@@ -192,6 +192,26 @@ def embedding_kmeans_iter(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def doc_embedding_stats(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Cross-modal join: document metadata x embedding vectors (the
+    multimodal-table pattern of a text column and its vector column
+    living in separate stores, keyed by id).  Per (lang, label):
+    count and mean vector norm -- the drift monitor for an embedding
+    pipeline."""
+    joined = documents.select("doc_id", "lang").join(
+        embeddings.select(
+            "vec_id", "label", l2_norm(F.col("embedding")).alias("norm")
+        ),
+        F.col("doc_id") == F.col("vec_id"),
+    )
+    return joined.groupBy("lang", "label").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        rnd(F.avg("norm"), 4).alias("avg_norm"),
+        rnd(F.min("norm"), 4).alias("min_norm"),
+        rnd(F.max("norm"), 4).alias("max_norm"),
+    )
+
+
 def ann_lsh_topk(embeddings: DataFrame) -> DataFrame:
     """LSH-bucketed ANN: search only the query's hyperplane bucket.
     Recall is approximate by construction; the oracle mirrors the

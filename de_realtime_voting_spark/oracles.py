@@ -895,6 +895,42 @@ SELECT query_id, neighbor_id, "rank", ROUND(cosine, 6) AS cosine
 FROM r WHERE "rank" <= {ANN_K}
 """
 
+SQL["small_quantity_revenue"] = """
+WITH pp AS (
+    SELECT l_partkey AS avg_partkey, AVG(l_quantity) * 0.5 AS half_avg_qty
+    FROM lineitem GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#19'
+JOIN pp ON l.l_partkey = pp.avg_partkey
+WHERE l.l_quantity < pp.half_avg_qty
+"""
+
+SQL["large_volume_orders"] = """
+WITH big AS (
+    SELECT l_orderkey, SUM(l_quantity) AS total_qty
+    FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300.0
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+       ROUND(o.o_totalprice, 2) AS total_price,
+       ROUND(b.total_qty, 2) AS total_qty
+FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
+"""
+
+SQL["doc_embedding_stats"] = f"""
+WITH j AS (
+    SELECT d.lang, e.label, sqrt({_dot('e.embedding', 'e.embedding')}) AS norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+)
+SELECT lang, label, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(norm), 4) AS avg_norm,
+       ROUND(MIN(norm), 4) AS min_norm,
+       ROUND(MAX(norm), 4) AS max_norm
+FROM j GROUP BY 1, 2
+"""
+
 _KMEANS_MEANS = ", ".join(
     f"AVG(CAST(embedding[{i + 1}] AS DOUBLE))" for i in range(EMBEDDING_DIM)
 )

@@ -113,6 +113,12 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "supplier_nation_revenue": lambda s, d: analytics.supplier_nation_revenue(
         _t(s, d, "lineitem"), _t(s, d, "supplier"), _t(s, d, "nation")
     ),
+    "small_quantity_revenue": lambda s, d: analytics.small_quantity_revenue(
+        _t(s, d, "lineitem"), _t(s, d, "part")
+    ),
+    "large_volume_orders": lambda s, d: analytics.large_volume_orders(
+        _t(s, d, "orders"), _t(s, d, "lineitem")
+    ),
     "q7_nation_volume": lambda s, d: analytics.q7_nation_volume(
         _t(s, d, "nation"), _t(s, d, "customer"), _t(s, d, "supplier"),
         _t(s, d, "orders"), _t(s, d, "lineitem"),
@@ -138,6 +144,9 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(_t(s, d, "embeddings")),
     "embedding_kmeans_iter": lambda s, d: similarity.embedding_kmeans_iter(
         _t(s, d, "embeddings")
+    ),
+    "doc_embedding_stats": lambda s, d: similarity.doc_embedding_stats(
+        _t(s, d, "documents"), _t(s, d, "embeddings")
     ),
     "embedding_lsh_buckets": lambda s, d: similarity.embedding_lsh_buckets(
         _t(s, d, "embeddings")
