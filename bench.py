@@ -46,7 +46,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "total wall-clock over all 32 registry queries (noop sink)",
+                "metric": f"total wall-clock over all {len(timings)} registry queries (noop sink)",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
