@@ -16,6 +16,12 @@ PARTIES = ["Management Party", "Savior Party", "Tech Republic Party"]
 CANDIDATES = ["click", "error", "purchase", "signup", "view"]  # sorted
 CANDIDATE_PARTY = {c: PARTIES[i % len(PARTIES)] for i, c in enumerate(CANDIDATES)}
 
+# Early/late cohort windows for lapsed-voter analysis (the testdata
+# generator emits all events inside 2024-01; a midpoint split leaves
+# no lapsed voters at this density, so compare first week vs last).
+ELECTION_EARLY_END = "2024-01-08 00:00:00"
+ELECTION_LATE_START = "2024-01-23 00:00:00"
+
 # --- text / dedup --------------------------------------------------
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 SHINGLE_K = 3          # word-shingle width for MinHash / fingerprints

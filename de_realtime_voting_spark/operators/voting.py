@@ -463,6 +463,37 @@ def voter_value_quartiles(votes: DataFrame) -> DataFrame:
     )
 
 
+def lapsed_voters(
+    votes: DataFrame, voters: DataFrame, nations: DataFrame
+) -> DataFrame:
+    """(voter, candidate) engagement pairs present in the election's
+    first week but gone from its last (EXCEPT set semantics), rolled
+    up per candidate and voter nation -- the re-engagement list.
+    Both cohorts reduce to distinct pairs map-side before the set
+    difference, so the EXCEPT shuffles narrow keys only."""
+    from ..constants import ELECTION_EARLY_END, ELECTION_LATE_START
+
+    pairs = lambda df: df.select("user_id", "event_type").distinct()  # noqa: E731
+    early = pairs(votes.where(F.col("ts") < F.lit(ELECTION_EARLY_END).cast("timestamp")))
+    late = pairs(votes.where(F.col("ts") >= F.lit(ELECTION_LATE_START).cast("timestamp")))
+    lapsed = early.subtract(late)
+    return (
+        lapsed.join(
+            F.broadcast(voters.select("c_custkey", "c_nationkey")),
+            lapsed["user_id"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nations.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("event_type").alias("candidate_id"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_lapsed_voters"))
+    )
+
+
 def votes_asof_prior_click(votes: DataFrame) -> DataFrame:
     """As-of join (an operator Spark lacks natively): for each
     'purchase' vote, the voter's most recent 'click' at-or-before it.

@@ -16,6 +16,8 @@ from .constants import (
     CANDIDATE_PARTY,
     CHAR_NGRAM_K,
     COSINE_THRESHOLD,
+    ELECTION_EARLY_END,
+    ELECTION_LATE_START,
     EMBEDDING_DIM,
     IVF_CENTROID_IDS,
     IVF_NPROBE,
@@ -699,6 +701,23 @@ a AS (SELECT party, CAST(COUNT(*) AS BIGINT) AS party_votes FROM p GROUP BY 1)
 SELECT party, party_votes,
        ROUND(party_votes / (SUM(party_votes) OVER ()), 6) AS vote_share
 FROM a
+"""
+
+SQL["lapsed_voters"] = f"""
+WITH {_EVENTS_CTE},
+lapsed AS (
+    SELECT DISTINCT user_id, event_type
+    FROM ev WHERE ts < TIMESTAMP '{ELECTION_EARLY_END}'
+    EXCEPT
+    SELECT DISTINCT user_id, event_type
+    FROM ev WHERE ts >= TIMESTAMP '{ELECTION_LATE_START}'
+)
+SELECT l.event_type AS candidate_id, n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_lapsed_voters
+FROM lapsed l
+JOIN customer c ON l.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2
 """
 
 SQL["votes_asof_prior_click"] = f"""

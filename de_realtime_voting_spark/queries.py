@@ -87,6 +87,9 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "votes_asof_prior_click": lambda s, d: voting.votes_asof_prior_click(
         _t(s, d, "events")
     ),
+    "lapsed_voters": lambda s, d: voting.lapsed_voters(
+        _t(s, d, "events"), _t(s, d, "customer"), _t(s, d, "nation")
+    ),
     "votes_in_launch_windows": lambda s, d: voting.votes_in_launch_windows(
         _t(s, d, "events")
     ),
