@@ -29,6 +29,7 @@ MINHASH_SIGS = 8       # number of md5-permutation signatures
 MINHASH_BAND_ROWS = 2  # rows per LSH band -> 4 bands
 JACCARD_THRESHOLD = 0.8
 SIMHASH_BITS = 16      # bits taken from the first 4 hex chars of md5
+EDIT_REL_THRESHOLD = 0.5   # levenshtein / max(len) near-dup cutoff
 
 # --- char n-gram Jaccard near-dup ---------------------------------
 CHAR_NGRAM_K = 3           # character trigram width

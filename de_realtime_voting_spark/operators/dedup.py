@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..constants import (
     COSINE_THRESHOLD,
+    EDIT_REL_THRESHOLD,
     JACCARD_THRESHOLD,
     MINHASH_BAND_ROWS,
     MINHASH_SIGS,
@@ -117,6 +118,23 @@ def dedup_minhash_bands(documents: DataFrame) -> DataFrame:
     )
 
 
+def _band_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs sharing any LSH band -- the
+    bounded candidate set every exact verifier runs inside."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def dedup_minhash_pairs(documents: DataFrame) -> DataFrame:
     """Full MinHash-LSH dedup: banded candidate pairs, then exact
     shingle-Jaccard verification within candidates only.
@@ -127,19 +145,7 @@ def dedup_minhash_pairs(documents: DataFrame) -> DataFrame:
     # shingles feed the band join AND both sides of the verify join;
     # persist so the signature computation runs once, not three times
     sh = _doc_shingles(documents).persist()
-    bands = _doc_bands_from(sh)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _band_candidate_pairs(_doc_bands_from(sh))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
@@ -229,6 +235,32 @@ def dedup_simhash(documents: DataFrame) -> DataFrame:
         per_doc.groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
         .where(F.col("n_docs") > 1)
+    )
+
+
+def dedup_edit_distance(documents: DataFrame) -> DataFrame:
+    """Character-exact near-dup verification: Levenshtein distance on
+    the LSH candidate pairs only (never all pairs -- the DP is
+    O(len^2) per pair and only affordable inside the banded set).
+
+    Both engines implement classic unit-cost edit distance, so the
+    integer distances and their length-relative ratio match exactly.
+    """
+    cand = _band_candidate_pairs(_doc_bands(documents))
+    ta = documents.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = documents.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    dist = F.levenshtein("text_a", "text_b")
+    rel = dist / F.greatest(F.length("text_a"), F.length("text_b"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.alias("edit_distance"),
+            rnd(rel, 6).alias("rel_distance"),
+        )
+        .where(F.col("rel_distance") <= EDIT_REL_THRESHOLD)
     )
 
 

@@ -16,6 +16,7 @@ from .constants import (
     CANDIDATE_PARTY,
     CHAR_NGRAM_K,
     COSINE_THRESHOLD,
+    EDIT_REL_THRESHOLD,
     ELECTION_EARLY_END,
     ELECTION_LATE_START,
     EMBEDDING_DIM,
@@ -392,6 +393,24 @@ SELECT doc_a, doc_b, jaccard FROM (
     JOIN sh sa ON sa.doc_id = doc_a
     JOIN sh sb ON sb.doc_id = doc_b
 ) WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+SQL["dedup_edit_distance"] = f"""{_MINHASH_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, edit_distance, rel_distance FROM (
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(da.text, db.text) AS INT) AS edit_distance,
+           ROUND(levenshtein(da.text, db.text)
+                 / greatest(length(da.text), length(db.text)), 6) AS rel_distance
+    FROM cand
+    JOIN documents da ON da.doc_id = doc_a
+    JOIN documents db ON db.doc_id = doc_b
+) WHERE rel_distance <= {EDIT_REL_THRESHOLD}
 """
 
 SQL["dedup_simhash"] = f"""

@@ -137,6 +137,9 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "dedup_simhash": lambda s, d: dedup.dedup_simhash(_t(s, d, "documents")),
     "dedup_ngram_jaccard": lambda s, d: dedup.dedup_ngram_jaccard(_t(s, d, "documents")),
     "dedup_clusters": lambda s, d: dedup.dedup_clusters(_t(s, d, "documents")),
+    "dedup_edit_distance": lambda s, d: dedup.dedup_edit_distance(
+        _t(s, d, "documents")
+    ),
     "dedup_embedding_cosine": lambda s, d: dedup.dedup_embedding_cosine(
         _t(s, d, "embeddings")
     ),

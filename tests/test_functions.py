@@ -120,6 +120,26 @@ def test_round_half_up_python_mirror(x, n):
     assert want == math.floor(x * s + 0.5) / s  # determinism of the spec itself
 
 
+def test_pandas_udf_cosine_matches_catalyst(spark, sf_dir):
+    """The Arrow-vectorized cosine must agree with the Catalyst
+    expression (different fold orders -> approx, not bitwise)."""
+    from de_realtime_voting_spark.functions.pandas_udfs import cosine_pandas
+    from de_realtime_voting_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(64)
+    a = emb.select(F.col("vec_id"), F.col("embedding").alias("a"))
+    b = emb.select(F.col("vec_id"), F.col("embedding").alias("b"))
+    both = a.join(b, "vec_id")
+    rows = both.select(
+        "vec_id",
+        cosine_similarity(F.col("a"), F.col("b")).alias("catalyst"),
+        cosine_pandas(F.col("a"), F.col("b")).alias("arrow"),
+    ).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r["catalyst"] == pytest.approx(r["arrow"], rel=1e-12)
+
+
 def test_text_redact_pii_detects_injected_rows(spark):
     from de_realtime_voting_spark.operators.text import text_redact_pii
 
