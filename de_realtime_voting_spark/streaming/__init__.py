@@ -11,7 +11,7 @@ from .pipelines import (
     watermark_votes,
 )
 from .sinks import foreach_batch_upsert, kafka_sink, kafka_source, to_kafka_frame
-from .state import running_tally
+from .state import running_tally, voter_sessions_with_timeout
 
 __all__ = [
     "VOTE_SCHEMA",
@@ -29,4 +29,5 @@ __all__ = [
     "kafka_source",
     "to_kafka_frame",
     "running_tally",
+    "voter_sessions_with_timeout",
 ]

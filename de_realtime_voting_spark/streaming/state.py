@@ -62,3 +62,74 @@ def running_tally(votes: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SESSION_OUTPUT = StructType(
+    [
+        StructField("voter_id", LongType()),
+        StructField("n_votes", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("closed_by_timeout", StringType()),
+    ]
+)
+
+SESSION_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def _update_session(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        n, start_us, last_us = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "voter_id": [key[0]],
+                "n_votes": [n],
+                "session_start_us": [start_us],
+                "session_end_us": [last_us],
+                "closed_by_timeout": ["yes"],
+            }
+        )
+        return
+    n, start_us, last_us = state.get if state.exists else (0, None, None)
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        us = pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
+        n += len(us)
+        start_us = min(us) if start_us is None else min(start_us, min(us))
+        last_us = max(us) if last_us is None else max(last_us, max(us))
+    state.update((n, start_us, last_us))
+    # close the session if no new votes arrive within the gap;
+    # nothing is emitted while the voter stays active
+    state.setTimeoutDuration(30 * 60 * 1000)
+
+
+def voter_sessions_with_timeout(votes: DataFrame) -> DataFrame:
+    """Custom stateful sessionization with PROCESSING-TIME timeout:
+    a voter's session closes (and its summary row is emitted) only
+    when no vote arrives for 30 minutes of wall clock -- the state-TTL
+    pattern for operators session_window can't express (emit-on-close,
+    state removed on expiry, bounded memory per live voter).
+
+    Timeout semantics are processing-time (GroupStateTimeout), so the
+    pytest drives it structurally: state accumulates across batches
+    and nothing is emitted while voters stay active."""
+    return (
+        votes.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_session,
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=SESSION_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

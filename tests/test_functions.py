@@ -120,6 +120,31 @@ def test_round_half_up_python_mirror(x, n):
     assert want == math.floor(x * s + 0.5) / s  # determinism of the spec itself
 
 
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting must be invisible in the result: same rows as the
+    plain join, just spread over n_salts shuffle keys."""
+    from de_realtime_voting_spark.functions.skew import salted_join
+    from de_realtime_voting_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted = salted_join(
+            events, cust, "user_id", "c_custkey", salt_source="event_id"
+        )
+        plain = events.join(cust, events["user_id"] == cust["c_custkey"])
+        key = lambda r: (r["event_id"], r["c_nationkey"])
+        assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
+        # the join really runs on (key, salt)
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        assert "_salt" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_pandas_udf_cosine_matches_catalyst(spark, sf_dir):
     """The Arrow-vectorized cosine must agree with the Catalyst
     expression (different fold orders -> approx, not bitwise)."""

@@ -262,6 +262,96 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, vote_json_dir):
     assert len(want) > 0  # the self-join actually fires at this SF
 
 
+class _FakeGroupState:
+    """Minimal stand-in for pyspark GroupState to unit-test the
+    stateful transition function without a streaming query."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_session_timeout_state_transitions(spark):
+    import pandas as pd
+
+    from de_realtime_voting_spark.streaming.state import _update_session
+
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 10:00:00", "2024-01-01 10:10:00"])}
+    )
+    # active voter: state accumulates, timeout armed, nothing emitted
+    st = _FakeGroupState()
+    out = list(_update_session((7,), iter([pdf]), st))
+    assert out == []
+    n, start_us, last_us = st.get
+    assert n == 2 and st.timeout_ms == 30 * 60 * 1000
+    assert last_us - start_us == 10 * 60 * 1_000_000
+
+    # second batch folds into the same state
+    st2 = _FakeGroupState(value=st.get)
+    pdf2 = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 10:20:00"])})
+    assert list(_update_session((7,), iter([pdf2]), st2)) == []
+    assert st2.get[0] == 3
+
+    # timeout fires: summary emitted once, state removed
+    st3 = _FakeGroupState(value=st2.get, timed_out=True)
+    rows = list(_update_session((7,), iter([]), st3))
+    assert len(rows) == 1 and st3.removed
+    row = rows[0].iloc[0]
+    assert row["n_votes"] == 3 and row["closed_by_timeout"] == "yes"
+    assert row["session_end_us"] - row["session_start_us"] == 20 * 60 * 1_000_000
+
+
+def test_session_timeout_stream_emits_nothing_while_active(spark, sf_dir, vote_json_dir):
+    from de_realtime_voting_spark.streaming import voter_sessions_with_timeout
+
+    stream = parse_vote_stream(
+        spark.readStream.schema("value_json string").text(vote_json_dir),
+        "value_json",
+    )
+    # a timeout-armed query never self-terminates (it idles waiting
+    # for processing-time expiry), so poll for the first processed
+    # batch and stop explicitly instead of availableNow
+    q = (
+        voter_sessions_with_timeout(stream)
+        .writeStream.format("memory")
+        .queryName("sess_timeout_stream")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and not any(
+            p["numInputRows"] > 0 for p in q.recentProgress
+        ):
+            time.sleep(0.5)
+        assert any(p["numInputRows"] > 0 for p in q.recentProgress)
+        # every voter is still "active" in processing time: no
+        # session closed, nothing emitted
+        assert spark.sql("SELECT * FROM sess_timeout_stream").count() == 0
+    finally:
+        q.stop()
+
+
 def test_to_kafka_frame_shape(spark, sf_dir):
     agg = voting.votes_per_candidate(load_table(spark, sf_dir, "events"))
     framed = to_kafka_frame(agg, key_col="candidate_id")
