@@ -34,3 +34,51 @@ def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
 def l2_norm_pandas(a: pd.Series) -> pd.Series:
     ma = np.stack(a.to_numpy()).astype(np.float64)
     return pd.Series(np.linalg.norm(ma, axis=1))
+
+
+def make_cell_assigner(cents: list, nprobe: int):
+    """Vectorized nearest-centroid assignment, bit-identical to the
+    Catalyst expression it replaces (operators/similarity.py).
+
+    The per-dimension accumulation loop reproduces Catalyst's
+    ``aggregate(zip_with(a,b,*), 0.0, +)`` exactly: cast each float
+    element to float64 FIRST, multiply in float64, add left-to-right.
+    ``einsum``/``dot`` would use pairwise summation and drift in the
+    last ulp, which could flip an argmax tie -- so they are NOT used
+    here.  Stable argsort over centroid columns pre-sorted by cent_id
+    gives the same (neg_cos, cent_id) tie-break as the struct
+    array_sort.
+
+    ``cents`` must be sorted ascending by centroid id (as
+    ``_collect_centroids`` returns them).
+    """
+    import math
+
+    cent_ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    cmat = np.array([emb for _, emb in cents], dtype=np.float64)  # K x D
+    c_norms = np.array(
+        [math.sqrt(sum(x * x for x in emb)) for _, emb in cents], dtype=np.float64
+    )
+
+    @pandas_udf("struct<cell:bigint, probes:array<bigint>>")
+    def assign(emb: pd.Series) -> pd.DataFrame:
+        if len(emb) == 0:
+            return pd.DataFrame({"cell": pd.Series(dtype="int64"), "probes": []})
+        m = np.stack(emb.to_numpy()).astype(np.float64)  # n x D
+        n, d = m.shape
+        dots = np.zeros((n, len(cent_ids)), dtype=np.float64)
+        vsq = np.zeros(n, dtype=np.float64)
+        for i in range(d):  # left-to-right, matching Catalyst aggregate()
+            col = m[:, i]
+            dots += col[:, None] * cmat[None, :, i]
+            vsq += col * col
+        neg_cos = -(dots / (np.sqrt(vsq)[:, None] * c_norms[None, :]))
+        order = np.argsort(neg_cos, axis=1, kind="stable")
+        return pd.DataFrame(
+            {
+                "cell": cent_ids[order[:, 0]],
+                "probes": list(cent_ids[order[:, :nprobe]]),
+            }
+        )
+
+    return assign

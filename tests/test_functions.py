@@ -195,3 +195,26 @@ def test_round_half_up_spark_matches_python(spark):
     for r in rows:
         want = math.floor(r["x"] * 100.0 + 0.5) / 100.0
         assert r["r"] == want, r["x"]
+
+
+def test_cell_assigner_arrow_matches_catalyst(spark, sf_dir):
+    """The Arrow cell assigner must be BIT-identical to the Catalyst
+    expression: same float64 accumulation order, same tie-break."""
+    from de_realtime_voting_spark.operators.similarity import (
+        _assign_cells,
+        _assign_cells_catalyst,
+        _collect_centroids,
+    )
+    from de_realtime_voting_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _collect_centroids(emb)
+    arrow = {
+        r["vec_id"]: (r["cell"], tuple(r["probes"]))
+        for r in _assign_cells(emb, cents).collect()
+    }
+    catalyst = {
+        r["vec_id"]: (r["cell"], tuple(r["probes"]))
+        for r in _assign_cells_catalyst(emb, cents).collect()
+    }
+    assert arrow == catalyst and len(arrow) > 0
