@@ -79,3 +79,20 @@ LSH_PLANES = [
     [lsh_plane_weight(p, i) for i in range(EMBEDDING_DIM)]
     for p in range(LSH_NUM_PLANES)
 ]
+
+
+# --- corpus-construction pipeline ---------------------------------
+# Deterministic hash split: bucket 0..99 from the first 4 hex chars
+# of md5(doc_id) -- stable across engines, reruns, and cluster sizes
+# (the property a train/test split must have; rand() has none of it).
+SPLIT_TEST_PCT = 10     # buckets 0-9  -> test
+SPLIT_VAL_PCT = 10      # buckets 10-19 -> val
+# Sequence packing: concat-and-chop docs into fixed token windows,
+# packed independently per (lang, shard) so no single ordered cumsum
+# spans the corpus (the per-shard layout real pipelines use).
+PACK_WINDOW_TOKENS = 256
+PACK_SHARDS = 8
+# Benchmark decontamination: a corpus doc is contaminated when it
+# shares >= 1 word n-gram with the held-out eval source.
+EVAL_SOURCE = "src0"
+DECONTAM_NGRAM_K = 8

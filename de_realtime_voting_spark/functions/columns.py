@@ -135,6 +135,18 @@ def simhash16(distinct_toks: Column) -> Column:
     return out
 
 
+def md5_pct_bucket(col: Column) -> Column:
+    """Deterministic 0..99 bucket from the first 4 hex chars of
+    md5(cast(col as string)) -- the stable hash behind train/val/test
+    splitting.  Pure integer arithmetic; the oracle mirrors it with
+    instr('0123..f', ...) digit extraction."""
+    h = F.md5(col.cast("string"))
+    v = F.lit(0)
+    for i in range(4):
+        v = v * 16 + _hexval(F.substring(h, i + 1, 1))
+    return v % 100
+
+
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 

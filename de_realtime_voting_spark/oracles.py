@@ -16,10 +16,16 @@ from .constants import (
     CANDIDATE_PARTY,
     CHAR_NGRAM_K,
     COSINE_THRESHOLD,
+    DECONTAM_NGRAM_K,
     EDIT_REL_THRESHOLD,
     ELECTION_EARLY_END,
     ELECTION_LATE_START,
     EMBEDDING_DIM,
+    EVAL_SOURCE,
+    PACK_SHARDS,
+    PACK_WINDOW_TOKENS,
+    SPLIT_TEST_PCT,
+    SPLIT_VAL_PCT,
     IVF_CENTROID_IDS,
     IVF_NPROBE,
     JACCARD_THRESHOLD,
@@ -1012,6 +1018,99 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
        CAST(COUNT(DISTINCT md5(chunk)) AS BIGINT) AS n_distinct_chunks,
        ROUND(AVG(length(chunk)), 4) AS avg_chunk_len
 FROM c GROUP BY 1
+"""
+
+
+# hex digit value of char i (1-based) of an md5 hex string
+def _duck_hexval(h: str, i: int) -> str:
+    return f"(instr('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+
+
+_MD5_PCT = (
+    "(("
+    + " + ".join(
+        f"{_duck_hexval('md5(CAST(doc_id AS VARCHAR))', i + 1)} * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    + ") % 100)"
+)
+
+SQL["corpus_train_split"] = f"""
+WITH d AS (
+    SELECT CASE WHEN {_MD5_PCT} < {SPLIT_TEST_PCT} THEN 'test'
+                WHEN {_MD5_PCT} < {SPLIT_TEST_PCT + SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'train' END AS split,
+           lang, len({_TOKS}) AS n_tokens, length(text) AS n_chars
+    FROM documents
+)
+SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(n_chars), 4) AS avg_chars
+FROM d GROUP BY 1, 2
+"""
+
+SQL["seq_pack_stats"] = f"""
+WITH d AS (
+    SELECT lang, doc_id % {PACK_SHARDS} AS shard, doc_id,
+           len({_TOKS}) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT lang, shard, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM d
+),
+f AS (
+    SELECT lang, shard, n_tokens, cum,
+           CASE WHEN n_tokens > 0
+                AND FLOOR((cum - 1) / {PACK_WINDOW_TOKENS})
+                    > FLOOR((cum - n_tokens) / {PACK_WINDOW_TOKENS})
+                THEN 1 ELSE 0 END AS crosses
+    FROM c
+)
+SELECT lang, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(FLOOR((MAX(cum) - 1) / {PACK_WINDOW_TOKENS}) + 1 AS BIGINT) AS n_windows,
+       CAST(SUM(crosses) AS BIGINT) AS boundary_docs,
+       ROUND(MAX(cum) / ((FLOOR((MAX(cum) - 1) / {PACK_WINDOW_TOKENS}) + 1)
+             * {float(PACK_WINDOW_TOKENS)}), 6) AS avg_fill
+FROM f GROUP BY 1, 2
+"""
+
+_DECONTAM_CAT = " || ' ' || ".join(
+    "toks[i]" if j == 0 else f"toks[i+{j}]" for j in range(DECONTAM_NGRAM_K)
+)
+
+SQL["benchmark_decontam"] = f"""
+WITH toksed AS (
+    SELECT doc_id, source, {_TOKS} AS toks FROM documents
+),
+g AS (
+    SELECT doc_id, source,
+           list_distinct(list_transform(
+               range(1, len(toks) - {DECONTAM_NGRAM_K - 2}), i -> {_DECONTAM_CAT}
+           )) AS grams
+    FROM toksed WHERE len(toks) >= {DECONTAM_NGRAM_K}
+),
+eval_g AS (
+    SELECT DISTINCT unnest(grams) AS gram FROM g WHERE source = '{EVAL_SOURCE}'
+),
+corpus AS (SELECT * FROM g WHERE source <> '{EVAL_SOURCE}'),
+hits AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS overlap
+    FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) cg
+    JOIN eval_g USING (gram) GROUP BY 1
+),
+per_doc AS (
+    SELECT c.source, COALESCE(h.overlap, 0) AS overlap
+    FROM corpus c LEFT JOIN hits h USING (doc_id)
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN overlap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(MAX(overlap) AS BIGINT) AS max_overlap,
+       ROUND(SUM(CASE WHEN overlap > 0 THEN 1 ELSE 0 END) / COUNT(*), 6) AS contam_rate
+FROM per_doc GROUP BY 1
 """
 
 

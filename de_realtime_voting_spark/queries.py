@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import analytics, dedup, similarity, text, voting
+from .operators import analytics, dedup, pipeline, similarity, text, voting
 from .operators import multimodal
 from .sources import load_table
 
@@ -164,6 +164,14 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "text_redact_pii": lambda s, d: text.text_redact_pii(_t(s, d, "documents")),
     "doc_fingerprint": lambda s, d: text.doc_fingerprint(_t(s, d, "documents")),
     "ngram_top": lambda s, d: text.ngram_top(_t(s, d, "documents")),
+    # --- corpus-construction pipeline (SURVEY §2 #39-41) ---
+    "corpus_train_split": lambda s, d: pipeline.corpus_train_split(
+        _t(s, d, "documents")
+    ),
+    "seq_pack_stats": lambda s, d: pipeline.seq_pack_stats(_t(s, d, "documents")),
+    "benchmark_decontam": lambda s, d: pipeline.benchmark_decontam(
+        _t(s, d, "documents")
+    ),
     "multimodal_binary_stats": lambda s, d: multimodal.multimodal_binary_stats(
         _t(s, d, "documents")
     ),
