@@ -12,6 +12,7 @@ from de_realtime_voting_spark.operators import (
     analytics,
     dedup,
     multimodal,
+    pipeline,
     similarity,
     text,
     voting,
@@ -64,6 +65,13 @@ CASES = {
         _empty(s, d, "documents")
     ),
     "multimodal_binary_stats": lambda s, d: multimodal.multimodal_binary_stats(
+        _empty(s, d, "documents")
+    ),
+    "corpus_train_split": lambda s, d: pipeline.corpus_train_split(
+        _empty(s, d, "documents")
+    ),
+    "seq_pack_stats": lambda s, d: pipeline.seq_pack_stats(_empty(s, d, "documents")),
+    "benchmark_decontam": lambda s, d: pipeline.benchmark_decontam(
         _empty(s, d, "documents")
     ),
 }
