@@ -31,6 +31,10 @@ JACCARD_THRESHOLD = 0.8
 SIMHASH_BITS = 16      # bits taken from the first 4 hex chars of md5
 EDIT_REL_THRESHOLD = 0.5   # levenshtein / max(len) near-dup cutoff
 
+# Gopher-style repetition filter: flag docs whose duplicate word-
+# bigram fraction exceeds this (p99 of the synthetic corpus ~0.10).
+REP_DUP_BIGRAM_MAX = 0.08
+
 # --- char n-gram Jaccard near-dup ---------------------------------
 CHAR_NGRAM_K = 3           # character trigram width
 NGRAM_JACCARD_THRESHOLD = 0.65

@@ -10,7 +10,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..constants import BPE_TOKEN_RE, PII_EMAIL_RE, PII_PHONE_RE, STOPWORDS
+from ..constants import (
+    BPE_TOKEN_RE,
+    PII_EMAIL_RE,
+    PII_PHONE_RE,
+    REP_DUP_BIGRAM_MAX,
+    STOPWORDS,
+)
 from ..functions.columns import round_half_up as rnd
 from ..functions import tokens, word_shingles
 
@@ -105,6 +111,32 @@ def text_quality_score(documents: DataFrame) -> DataFrame:
         rnd(F.avg("quality"), 4).alias("avg_quality"),
         rnd(F.min("quality"), 4).alias("min_quality"),
         rnd(F.max("quality"), 4).alias("max_quality"),
+    )
+
+
+def text_repetition_score(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition filter: per source, the duplicate
+    word-bigram fraction (1 - distinct/total bigrams) with the count
+    of docs above REP_DUP_BIGRAM_MAX -- repeated n-grams are the
+    classic signature of boilerplate and low-quality spans.
+
+    Map-side array expressions, one small agg shuffle; docs under two
+    tokens have no bigrams and drop out.
+    """
+    per_doc = documents.select(
+        "source", tokens(F.col("text")).alias("toks")
+    ).where(F.size("toks") >= 2)
+    dup_frac = rnd(
+        1 - F.size(word_shingles(F.col("toks"), 2)) / (F.size("toks") - 1), 6
+    )
+    scored = per_doc.select("source", dup_frac.alias("dup_frac"))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        rnd(F.avg("dup_frac"), 4).alias("avg_dup_frac"),
+        rnd(F.max("dup_frac"), 4).alias("max_dup_frac"),
+        F.sum((F.col("dup_frac") > REP_DUP_BIGRAM_MAX).cast("int"))
+        .cast("bigint")
+        .alias("n_flagged"),
     )
 
 

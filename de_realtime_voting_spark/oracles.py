@@ -37,6 +37,7 @@ from .constants import (
     NGRAM_LEN_BUCKET,
     PII_EMAIL_RE,
     PII_PHONE_RE,
+    REP_DUP_BIGRAM_MAX,
     SIMHASH_BITS,
     STOPWORDS,
 )
@@ -1018,6 +1019,24 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
        CAST(COUNT(DISTINCT md5(chunk)) AS BIGINT) AS n_distinct_chunks,
        ROUND(AVG(length(chunk)), 4) AS avg_chunk_len
 FROM c GROUP BY 1
+"""
+
+
+SQL["text_repetition_score"] = f"""
+WITH d AS (SELECT source, {_TOKS} AS toks FROM documents),
+b AS (
+    SELECT source,
+           ROUND(1 - len(list_distinct(list_transform(
+                     range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])))
+                 / (len(toks) - 1), 6) AS dup_frac
+    FROM d WHERE len(toks) >= 2
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(dup_frac), 4) AS avg_dup_frac,
+       ROUND(MAX(dup_frac), 4) AS max_dup_frac,
+       CAST(SUM(CASE WHEN dup_frac > {REP_DUP_BIGRAM_MAX} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged
+FROM b GROUP BY 1
 """
 
 

@@ -162,6 +162,9 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "text_lang_id": lambda s, d: text.text_lang_id(_t(s, d, "documents")),
     "text_quality_score": lambda s, d: text.text_quality_score(_t(s, d, "documents")),
     "text_redact_pii": lambda s, d: text.text_redact_pii(_t(s, d, "documents")),
+    "text_repetition_score": lambda s, d: text.text_repetition_score(
+        _t(s, d, "documents")
+    ),
     "doc_fingerprint": lambda s, d: text.doc_fingerprint(_t(s, d, "documents")),
     "ngram_top": lambda s, d: text.ngram_top(_t(s, d, "documents")),
     # --- corpus-construction pipeline (SURVEY §2 #39-41) ---

@@ -67,6 +67,9 @@ CASES = {
     "multimodal_binary_stats": lambda s, d: multimodal.multimodal_binary_stats(
         _empty(s, d, "documents")
     ),
+    "text_repetition_score": lambda s, d: text.text_repetition_score(
+        _empty(s, d, "documents")
+    ),
     "corpus_train_split": lambda s, d: pipeline.corpus_train_split(
         _empty(s, d, "documents")
     ),
