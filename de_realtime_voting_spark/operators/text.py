@@ -123,9 +123,13 @@ def text_repetition_score(documents: DataFrame) -> DataFrame:
     Map-side array expressions, one small agg shuffle; docs under two
     tokens have no bigrams and drop out.
     """
-    per_doc = documents.select(
-        "source", tokens(F.col("text")).alias("toks")
-    ).where(F.size("toks") >= 2)
+    # repartition = CollapseProject barrier: keeps tokens(text) from
+    # being re-inlined into the bigram lambda (see dedup._doc_shingles)
+    per_doc = (
+        documents.select("source", tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 2)
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+    )
     dup_frac = rnd(
         1 - F.size(word_shingles(F.col("toks"), 2)) / (F.size("toks") - 1), 6
     )
