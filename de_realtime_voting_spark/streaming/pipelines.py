@@ -151,3 +151,14 @@ def stream_votes_per_candidate_hourly(votes: DataFrame, delay: str = "1 minute")
     """Watermarked tumbling-window tally: append-mode capable because
     the watermark finalizes windows."""
     return voting.votes_per_candidate_hourly(watermark_votes(votes, delay))
+
+
+def stream_doc_quality(documents: DataFrame) -> DataFrame:
+    """Streaming corpus-quality monitor: the SAME transform as batch
+    text.text_quality_score over a live documents stream (single
+    logical plan, two execution modes).  Complete-mode agg keyed by
+    source -- state is bounded by source cardinality, not stream
+    length, so it holds on an unbounded ingest feed."""
+    from ..operators.text import text_quality_score
+
+    return text_quality_score(documents)

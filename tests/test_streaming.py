@@ -373,3 +373,26 @@ def test_foreach_batch_upsert_idempotent(spark, sf_dir):
     # one row per voter (the reference's votes PK semantics)
     assert n1 == events.select("user_id").distinct().count()
     shutil.rmtree(Path(target).parent, ignore_errors=True)
+
+
+def test_stream_doc_quality_matches_batch(spark, sf_dir):
+    """Batch/stream parity for the corpus-quality monitor: the same
+    text_quality_score transform over a parquet file stream must
+    reproduce the batch result exactly."""
+    from de_realtime_voting_spark.operators.text import text_quality_score
+    from de_realtime_voting_spark.streaming import stream_doc_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="docs_stream_")
+    try:
+        docs.repartition(2).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(docs.schema).parquet(d)
+        got = _run_stream_to_memory(
+            spark, stream_doc_quality(stream), "doc_quality_stream", "complete"
+        )
+        want = text_quality_score(docs)
+        a = sorted(map(tuple, got.collect()))
+        b = sorted(map(tuple, want.collect()))
+        assert a == b and len(a) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
