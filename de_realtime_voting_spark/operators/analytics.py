@@ -267,3 +267,241 @@ def nation_acctbal(customer: DataFrame, nation: DataFrame) -> DataFrame:
             rnd(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
         )
     )
+
+
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-side filter + global agg.  Every
+    predicate references a raw scan column, so all four reach the
+    parquet reader as PushedFilters; no join, one partial+final agg."""
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q8_market_share(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    share_nation: str = "NATION_2",
+    mkt_region: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q8 shape: share of one supplier-nation's revenue within a
+    customer region, per order year.  Nation plays two roles (customer
+    geography and supplier origin); both dim chains broadcast, the
+    only shuffle is orders⋈lineitem + the final tiny year agg."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cust_in_region = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.where(F.col("r_name") == mkt_region)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = (
+        supplier.join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"),
+                                      F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            rnd(
+                F.sum(F.when(F.col("supp_nation") == share_nation, rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q12_ship_lag_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q12 shape adapted to the available columns: bucket line
+    items by order->ship lag, count urgent vs other order priorities
+    per bucket.  One fact-fact shuffle join, integer-only outputs."""
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.when(lag > 60, "late")
+            .when(lag >= 0, "on_time")
+            .otherwise("preshipped")
+            .alias("ship_bucket")
+        )
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_priority_count"),
+        )
+    )
+
+
+def q13_customer_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join so zero-order customers are
+    kept, per-customer order count, then the count-of-counts
+    histogram.  Two shuffles (custkey, then tiny c_count agg)."""
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share over one month; part dim
+    broadcasts, conditional agg keeps it a single pass."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-03-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            rnd(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q15_top_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, keep the
+    max-revenue supplier(s).  The unbounded max window runs over the
+    already-aggregated per-supplier rows (|suppliers| rows, trivially
+    small next to the fact), so the single-partition exchange is
+    safe at any corpus scale."""
+    per_supp = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "total_revenue"
+            )
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        per_supp.withColumn("max_rev", F.max("total_revenue").over(w))
+        .where(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            "total_revenue",
+        )
+    )
+
+
+def q16_part_supplier_counts(
+    supplier: DataFrame, part: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    triple, excluding one brand and suppliers with negative balances
+    (the 'complaints' NOT IN as a broadcast anti-join)."""
+    bad_supp = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        lineitem.join(F.broadcast(bad_supp),
+                      F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(
+            F.broadcast(
+                part.where(
+                    (F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 25)
+                ).select("p_partkey", "p_brand", "p_type", "p_size")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+    The part dim broadcasts; Catalyst keeps the disjunction as a
+    post-join filter while still pushing the per-table conjuncts
+    (quantity bound, size bound) into the scans."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    disj = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 35))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return joined.where(disj).agg(
+        rnd(F.sum(rev), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q22_idle_rich_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and no recent orders.  The scalar AVG subquery broadcasts as a
+    one-row cross join; the no-recent-orders test is a left anti-join
+    on the order keys (shuffle on custkey); the date predicate is
+    pushed into the orders scan before the anti-join."""
+    avg_bal = (
+        customer.where(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    ).select("o_custkey")
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            rnd(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -1169,3 +1169,117 @@ def _rewrite_rounds(sql: str) -> str:
 
 
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}
+
+SQL["q6_forecast_revenue"] = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+"""
+
+SQL["q8_market_share"] = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       ROUND(
+           SUM(CASE WHEN supp_nation = 'NATION_2'
+                    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+           / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN (
+    SELECT c_custkey FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+) ON o_custkey = c_custkey
+JOIN (
+    SELECT s_suppkey, n_name AS supp_nation FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+) ON l_suppkey = s_suppkey
+GROUP BY 1
+"""
+
+SQL["q12_ship_lag_priority"] = """
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 60 THEN 'late'
+            WHEN datediff('day', o_orderdate, l_shipdate) >= 0 THEN 'on_time'
+            ELSE 'preshipped' END AS ship_bucket,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+SQL["q13_customer_distribution"] = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY 1
+)
+GROUP BY 1
+"""
+
+SQL["q14_promo_revenue"] = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+SQL["q15_top_supplier"] = """
+WITH per_supp AS (
+    SELECT l_suppkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY 1
+)
+SELECT s_suppkey AS suppkey, s_name AS supp_name, total_revenue
+FROM (
+    SELECT *, MAX(total_revenue) OVER () AS max_rev FROM per_supp
+)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = max_rev
+"""
+
+SQL["q16_part_supplier_counts"] = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size <= 25
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+SQL["q19_disjunctive_revenue"] = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+SQL["q22_idle_rich_customers"] = """
+SELECT c_nationkey AS cntry,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY 1
+"""

@@ -130,6 +130,34 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
         _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem"),
         _t(s, d, "nation"),
     ),
+    "q6_forecast_revenue": lambda s, d: analytics.q6_forecast_revenue(
+        _t(s, d, "lineitem")
+    ),
+    "q8_market_share": lambda s, d: analytics.q8_market_share(
+        _t(s, d, "region"), _t(s, d, "nation"), _t(s, d, "customer"),
+        _t(s, d, "supplier"), _t(s, d, "orders"), _t(s, d, "lineitem"),
+    ),
+    "q12_ship_lag_priority": lambda s, d: analytics.q12_ship_lag_priority(
+        _t(s, d, "orders"), _t(s, d, "lineitem")
+    ),
+    "q13_customer_distribution": lambda s, d: analytics.q13_customer_distribution(
+        _t(s, d, "customer"), _t(s, d, "orders")
+    ),
+    "q14_promo_revenue": lambda s, d: analytics.q14_promo_revenue(
+        _t(s, d, "lineitem"), _t(s, d, "part")
+    ),
+    "q15_top_supplier": lambda s, d: analytics.q15_top_supplier(
+        _t(s, d, "supplier"), _t(s, d, "lineitem")
+    ),
+    "q16_part_supplier_counts": lambda s, d: analytics.q16_part_supplier_counts(
+        _t(s, d, "supplier"), _t(s, d, "part"), _t(s, d, "lineitem")
+    ),
+    "q19_disjunctive_revenue": lambda s, d: analytics.q19_disjunctive_revenue(
+        _t(s, d, "lineitem"), _t(s, d, "part")
+    ),
+    "q22_idle_rich_customers": lambda s, d: analytics.q22_idle_rich_customers(
+        _t(s, d, "customer"), _t(s, d, "orders")
+    ),
     # --- LLM-training-data pipeline (SURVEY §2 #21-32) ---
     "dedup_exact": lambda s, d: dedup.dedup_exact(_t(s, d, "documents")),
     "dedup_minhash_bands": lambda s, d: dedup.dedup_minhash_bands(_t(s, d, "documents")),
