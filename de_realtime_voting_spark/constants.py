@@ -100,3 +100,20 @@ PACK_SHARDS = 8
 # shares >= 1 word n-gram with the held-out eval source.
 EVAL_SOURCE = "src0"
 DECONTAM_NGRAM_K = 8
+# SimHash near-dup pairs: block on the high byte of the 16-bit
+# signature, hamming-verify within the block (low byte only, so the
+# max observable distance is 8).
+SIMHASH_BLOCK_SHIFT = 8
+SIMHASH_HAM_MAX = 3
+# TF-IDF keyword extraction: top terms per language, scored
+# cf * n_docs / df in pure integer->double arithmetic so both engines
+# rank identically.
+TFIDF_TOP_K = 10
+# C4-style quality gates (Raffel et al. heuristics adapted to the
+# synthetic corpus: token-count floor, mean-word-length band,
+# must-contain-a-stopword).
+C4_MIN_TOKENS = 20
+C4_WORD_LEN_MIN = 3.0
+C4_WORD_LEN_MAX = 10.0
+# Embedding norm outliers: |norm - label mean| > Z_MAX * label stddev.
+NORM_OUTLIER_Z = 2.0

@@ -345,3 +345,41 @@ def dedup_embedding_cosine(embeddings: DataFrame) -> DataFrame:
         .select("vec_a", "vec_b", "label", rnd(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= COSINE_THRESHOLD)
     )
+
+
+def dedup_simhash_pairs(documents: DataFrame) -> DataFrame:
+    """Hamming-verified SimHash near-dup pairs: block on the high
+    byte of the 16-bit signature, then keep in-block pairs whose
+    signatures differ in at most SIMHASH_HAM_MAX low-byte bits
+    (bit_count(xor) -- JVM-side, codegen'd).
+
+    Blocking caps the self-join at block size (the standard
+    rotate-and-block SimHash layout; more blocks = more tables at
+    scale), so candidate generation is one shuffle on the block key,
+    never O(n^2) over the corpus.
+    """
+    from ..constants import SIMHASH_BLOCK_SHIFT, SIMHASH_HAM_MAX
+
+    per_doc = (
+        documents.select(
+            "doc_id", F.array_distinct(tokens(F.col("text"))).alias("dt")
+        )
+        .where(F.size("dt") > 0)
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .select("doc_id", simhash16(F.col("dt")).alias("simhash"))
+        .withColumn("block", F.shiftright("simhash", SIMHASH_BLOCK_SHIFT))
+    )
+    a = per_doc.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "block"
+    )
+    b = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        F.col("block").alias("block_b"),
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, (F.col("block") == F.col("block_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= SIMHASH_HAM_MAX)
+    )

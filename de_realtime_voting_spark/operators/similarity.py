@@ -252,3 +252,38 @@ def ann_lsh_topk(embeddings: DataFrame) -> DataFrame:
         (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
     )
     return _topk(joined)
+
+
+def embedding_norm_outliers(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding-norm distribution monitor: mean/stddev of
+    the L2 norm plus the count of vectors whose norm sits more than
+    NORM_OUTLIER_Z sample-stddevs from the label mean -- the cheap
+    screen for corrupt or mis-scaled vectors before indexing.
+
+    Two passes over the (tiny) per-label stats: an agg keyed on
+    label, broadcast back onto the vectors.  Both compare sides are
+    rounded to 6 places so cross-engine float-sum ordering in the
+    mean/stddev can't flip a count at the threshold.
+    """
+    from ..constants import NORM_OUTLIER_Z
+
+    normed = embeddings.select(
+        "label", l2_norm(F.col("embedding")).alias("norm")
+    )
+    stats = normed.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.avg("norm").alias("mean_norm"),
+        F.stddev_samp("norm").alias("std_norm"),
+    )
+    dev = rnd(F.abs(F.col("norm") - F.col("mean_norm")), 6)
+    cut = rnd(F.lit(NORM_OUTLIER_Z) * F.col("std_norm"), 6)
+    return (
+        normed.join(F.broadcast(stats), "label")
+        .groupBy("label")
+        .agg(
+            F.max("n_vecs").alias("n_vecs"),
+            rnd(F.max("mean_norm"), 4).alias("mean_norm"),
+            rnd(F.max("std_norm"), 4).alias("std_norm"),
+            F.sum(F.when(dev > cut, 1).otherwise(0)).alias("n_outliers"),
+        )
+    )

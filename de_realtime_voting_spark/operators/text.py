@@ -210,3 +210,85 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
         .where(F.col("n_docs") > 1)
     )
+
+
+def tfidf_top_terms(documents: DataFrame) -> DataFrame:
+    """Per-language TF-IDF keyword extraction: top TFIDF_TOP_K terms
+    ranked by cf * n_lang_docs / df (collection frequency damped by
+    document frequency).
+
+    The score stays in integer space until one double division, so
+    both engines produce bit-identical ranks -- no cross-engine
+    float-sum ordering hazard.  One explode shuffle on (lang, term),
+    a broadcast of the tiny per-lang doc counts, and a per-lang
+    window over the already-aggregated term rows.  At corpus scale
+    the window input is |distinct terms|, not |tokens|; if even that
+    is too wide, swap the window for a per-partition top-k + merge.
+    """
+    from ..constants import TFIDF_TOP_K
+    from pyspark.sql import Window
+
+    term_stats = (
+        documents.select(
+            "lang", "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("lang", "term")
+        .agg(
+            F.count(F.lit(1)).alias("cf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+    lang_docs = documents.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_lang_docs")
+    )
+    scored = term_stats.join(F.broadcast(lang_docs), "lang").withColumn(
+        "tfidf",
+        F.col("cf").cast("double") * F.col("n_lang_docs") / F.col("df"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .select("lang", "term", "cf", "df", rnd(F.col("tfidf"), 6).alias("tfidf"), "rank")
+    )
+
+
+def text_c4_filters(documents: DataFrame) -> DataFrame:
+    """C4-style quality-gate report per source: how many docs fail
+    the token-count floor, the mean-word-length band, and the
+    must-contain-a-stopword test, and how many pass all three.
+
+    All counts are integers derived from per-doc integer token stats
+    (the only double, mean word length, is the same single division
+    in both engines), so the report is exact.  Map-side expressions
+    plus one small agg shuffle.
+    """
+    from ..constants import C4_MIN_TOKENS, C4_WORD_LEN_MIN, C4_WORD_LEN_MAX
+
+    toks = F.col("toks")
+    n = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, wd: acc + F.length(wd))
+    awl = total_len / n
+    per_doc = (
+        documents.select("source", tokens(F.col("text")).alias("toks"))
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            "source",
+            (n < C4_MIN_TOKENS).alias("too_short"),
+            F.when(n > 0, (awl < C4_WORD_LEN_MIN) | (awl > C4_WORD_LEN_MAX))
+            .otherwise(F.lit(True))
+            .alias("word_len_out"),
+            (_stopword_count(toks) == 0).alias("no_stopword"),
+        )
+    )
+    kept = ~F.col("too_short") & ~F.col("word_len_out") & ~F.col("no_stopword")
+    as_cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        as_cnt(F.col("too_short")).alias("n_too_short"),
+        as_cnt(F.col("word_len_out")).alias("n_word_len_out"),
+        as_cnt(F.col("no_stopword")).alias("n_no_stopword"),
+        as_cnt(kept).alias("n_kept"),
+    )

@@ -11,6 +11,13 @@ from __future__ import annotations
 
 from .constants import (
     ANN_K,
+    C4_MIN_TOKENS,
+    C4_WORD_LEN_MAX,
+    C4_WORD_LEN_MIN,
+    NORM_OUTLIER_Z,
+    SIMHASH_BLOCK_SHIFT,
+    SIMHASH_HAM_MAX,
+    TFIDF_TOP_K,
     ANN_QUERY_IDS,
     BPE_TOKEN_RE,
     CANDIDATE_PARTY,
@@ -1168,7 +1175,8 @@ def _rewrite_rounds(sql: str) -> str:
         i = end + 1
 
 
-SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}
+# (ROUND -> half-up rewrite applied once at the END of this module,
+# after every SQL entry is registered.)
 
 SQL["q6_forecast_revenue"] = """
 SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
@@ -1283,3 +1291,91 @@ WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
                   AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 GROUP BY 1
 """
+
+SQL["tfidf_top_terms"] = f"""
+WITH toksed AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+terms AS (SELECT lang, doc_id, unnest(toks) AS term FROM toksed),
+stats AS (
+    SELECT lang, term,
+           CAST(COUNT(*) AS BIGINT) AS cf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM terms GROUP BY 1, 2
+),
+ld AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang_docs FROM documents GROUP BY 1),
+scored AS (
+    SELECT lang, term, cf, df,
+           CAST(cf AS DOUBLE) * n_lang_docs / df AS tfidf
+    FROM stats JOIN ld USING (lang)
+)
+SELECT lang, term, cf, df, ROUND(tfidf, 6) AS tfidf, CAST(rank AS INTEGER) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY tfidf DESC, term
+    ) AS rank FROM scored
+) WHERE rank <= {TFIDF_TOP_K}
+"""
+
+SQL["text_c4_filters"] = f"""
+WITH toksed AS (SELECT source, {_TOKS} AS toks FROM documents),
+per AS (
+    SELECT source,
+           len(toks) < {C4_MIN_TOKENS} AS too_short,
+           CASE WHEN len(toks) > 0 THEN
+               (list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                / len(toks) < {C4_WORD_LEN_MIN}
+                OR list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                / len(toks) > {C4_WORD_LEN_MAX})
+           ELSE TRUE END AS word_len_out,
+           len(list_filter(toks, x -> list_contains({_STOPLIST}, x))) = 0
+               AS no_stopword
+    FROM toksed
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN too_short THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+       CAST(SUM(CASE WHEN word_len_out THEN 1 ELSE 0 END) AS BIGINT) AS n_word_len_out,
+       CAST(SUM(CASE WHEN no_stopword THEN 1 ELSE 0 END) AS BIGINT) AS n_no_stopword,
+       CAST(SUM(CASE WHEN NOT too_short AND NOT word_len_out AND NOT no_stopword
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM per GROUP BY 1
+"""
+
+SQL["dedup_simhash_pairs"] = f"""
+WITH toksed AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+d AS (
+    SELECT doc_id, list_distinct(toks) AS dt, len(list_distinct(toks)) AS n
+    FROM toksed WHERE len(toks) > 0
+),
+sims AS (SELECT doc_id, {_simhash_expr()} AS simhash FROM d),
+blocked AS (SELECT doc_id, simhash, simhash // {2 ** SIMHASH_BLOCK_SHIFT} AS block FROM sims)
+SELECT doc_a, doc_b, hamming FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(CAST(a.simhash AS BIGINT),
+                              CAST(b.simhash AS BIGINT))) AS INTEGER) AS hamming
+    FROM blocked a JOIN blocked b
+      ON a.block = b.block AND a.doc_id < b.doc_id
+) WHERE hamming <= {SIMHASH_HAM_MAX}
+"""
+
+SQL["embedding_norm_outliers"] = f"""
+WITH normed AS (
+    SELECT label, sqrt({_dot('embedding', 'embedding')}) AS norm FROM embeddings
+),
+stats AS (
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           AVG(norm) AS mean_norm, STDDEV_SAMP(norm) AS std_norm
+    FROM normed GROUP BY 1
+)
+SELECT label,
+       MAX(n_vecs) AS n_vecs,
+       ROUND(MAX(mean_norm), 4) AS mean_norm,
+       ROUND(MAX(std_norm), 4) AS std_norm,
+       CAST(SUM(CASE WHEN ROUND(ABS(norm - mean_norm), 6)
+                          > ROUND({NORM_OUTLIER_Z} * std_norm, 6)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM normed JOIN stats USING (label)
+GROUP BY 1
+"""
+
+
+SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

@@ -160,6 +160,14 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     ),
     # --- LLM-training-data pipeline (SURVEY §2 #21-32) ---
     "dedup_exact": lambda s, d: dedup.dedup_exact(_t(s, d, "documents")),
+    "dedup_simhash_pairs": lambda s, d: dedup.dedup_simhash_pairs(
+        _t(s, d, "documents")
+    ),
+    "tfidf_top_terms": lambda s, d: text.tfidf_top_terms(_t(s, d, "documents")),
+    "text_c4_filters": lambda s, d: text.text_c4_filters(_t(s, d, "documents")),
+    "embedding_norm_outliers": lambda s, d: similarity.embedding_norm_outliers(
+        _t(s, d, "embeddings")
+    ),
     "dedup_minhash_bands": lambda s, d: dedup.dedup_minhash_bands(_t(s, d, "documents")),
     "dedup_minhash_pairs": lambda s, d: dedup.dedup_minhash_pairs(_t(s, d, "documents")),
     "dedup_simhash": lambda s, d: dedup.dedup_simhash(_t(s, d, "documents")),
