@@ -117,3 +117,28 @@ C4_WORD_LEN_MIN = 3.0
 C4_WORD_LEN_MAX = 10.0
 # Embedding norm outliers: |norm - label mean| > Z_MAX * label stddev.
 NORM_OUTLIER_Z = 2.0
+
+# --- TPC-H shapes without a partsupp table ------------------------
+# The part<->supplier relation is derived from lineitem history.
+# Q2-shape: supply cost := MIN unit price the pair ever shipped at
+# (min over an exact IEEE division -- no float-sum ordering hazard);
+# suppliers restricted to one region, parts to one type + size floor.
+Q2_REGION = "EUROPE"
+Q2_PART_TYPE = "PROMO"
+Q2_MIN_SIZE = 40
+Q2_TOP_N = 20
+# Q11-shape: per-part shipped value across one region's suppliers,
+# kept when above FRACTION of the regional grand total (share-based,
+# so the same constant works at every scale factor).
+Q11_REGION = "ASIA"
+Q11_FRACTION = 0.001
+# Q20-shape: (supplier, part) pairs that shipped more than half of
+# their lifetime part volume inside one year (compared exactly as
+# 2*qty_year > qty_total -- quantities are integer-valued).
+Q20_YEAR_START = "1998-01-01 00:00:00"
+Q20_YEAR_END = "1999-01-01 00:00:00"
+Q20_NAME_PREFIX = "b"
+# Q21-shape: a line is "late" when it ships > LATE_DAYS after the
+# order date (the q12 bucket boundary, shared definition).
+Q21_LATE_DAYS = 60
+Q21_TOP_N = 100

@@ -505,3 +505,202 @@ def q22_idle_rich_customers(customer: DataFrame, orders: DataFrame) -> DataFrame
             rnd(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+def q2_min_cost_supplier(
+    region: DataFrame,
+    nation: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q2 shape without a partsupp table: supply cost for a
+    (part, supplier) pair is the MIN unit price the pair ever shipped
+    at (an exact IEEE division under min -- no float-sum ordering
+    hazard), suppliers restricted to one region, parts to one type +
+    size floor; each part keeps only its min-cost regional offer
+    (the correlated-MIN subquery joined back).
+
+    The region->nation->supplier chain and the filtered part dim
+    broadcast; the only big shuffle is the (partkey, suppkey) cost
+    agg over the fact.  The post-filter offer set is tiny, so the
+    min-cost join-back is broadcast too.
+    """
+    from ..constants import Q2_MIN_SIZE, Q2_PART_TYPE, Q2_REGION, Q2_TOP_N
+
+    cost = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    regional = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.where(F.col("r_name") == Q2_REGION)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    sized = part.where(
+        (F.col("p_type") == Q2_PART_TYPE) & (F.col("p_size") >= Q2_MIN_SIZE)
+    ).select("p_partkey", "p_name")
+    offers = cost.join(
+        F.broadcast(regional), F.col("l_suppkey") == F.col("s_suppkey")
+    ).join(F.broadcast(sized), F.col("l_partkey") == F.col("p_partkey"))
+    best = offers.groupBy(F.col("p_partkey").alias("bk")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    return (
+        offers.join(
+            F.broadcast(best),
+            (F.col("p_partkey") == F.col("bk"))
+            & (F.col("supplycost") == F.col("min_cost")),
+        )
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            "p_name",
+            F.col("s_suppkey").alias("suppkey"),
+            "s_name",
+            "n_name",
+            rnd(F.col("s_acctbal"), 2).alias("acctbal"),
+            rnd(F.col("supplycost"), 6).alias("supplycost"),
+        )
+        .orderBy(F.col("acctbal").desc(), F.col("suppkey").asc(), F.col("partkey").asc())
+        .limit(Q2_TOP_N)
+    )
+
+
+def q11_important_stock(
+    region: DataFrame, nation: DataFrame, supplier: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q11 shape: per-part shipped value across one region's
+    suppliers, kept when above FRACTION of the regional grand total
+    (the scalar-SUM HAVING subquery).
+
+    The grand total re-aggregates the per-part sums (one pass over
+    the fact, then a tiny second agg) and broadcasts as a one-row
+    cross join.  Both compare sides are rounded to 4 places so the
+    engines' float-sum orderings can't flip a part at the threshold.
+    """
+    from ..constants import Q11_FRACTION, Q11_REGION
+
+    regional = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.where(F.col("r_name") == Q11_REGION)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        lineitem.join(F.broadcast(regional), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("value"))
+    )
+    total = per_part.agg(F.sum("value").alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(rnd(F.col("value"), 4) > rnd(F.lit(Q11_FRACTION) * F.col("total"), 4))
+        .select(F.col("l_partkey").alias("partkey"), rnd(F.col("value"), 4).alias("value"))
+    )
+
+
+def q20_excess_suppliers(
+    nation: DataFrame, supplier: DataFrame, part: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding "excess" inventory -- pairs
+    that shipped more than half their lifetime volume of a prefix-
+    matched part inside one year.  The correlated half-sum compare is
+    one grouped agg with a conditional sum; quantities are integer-
+    valued so `2*qty_year > qty_total` is exact in both engines.
+
+    The prefix-filtered part dim broadcasts ahead of the agg (column-
+    pruned semi-join), then the qualifying pair set collapses to a
+    per-supplier count joined to the broadcast supplier/nation dims.
+    """
+    from ..constants import Q20_NAME_PREFIX, Q20_YEAR_END, Q20_YEAR_START
+
+    in_year = (F.col("l_shipdate") >= F.lit(Q20_YEAR_START)) & (
+        F.col("l_shipdate") < F.lit(Q20_YEAR_END)
+    )
+    pairs = (
+        lineitem.join(
+            F.broadcast(
+                part.where(F.col("p_name").startswith(Q20_NAME_PREFIX)).select(
+                    "p_partkey"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum("l_quantity").alias("qty_total"),
+            F.sum(F.when(in_year, F.col("l_quantity")).otherwise(0.0)).alias("qty_year"),
+        )
+        .where(F.col("qty_year") * 2 > F.col("qty_total"))
+    )
+    dims = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "n_name")
+    return (
+        pairs.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_excess_parts"))
+        .join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_suppkey").alias("suppkey"), "s_name", "n_name", "n_excess_parts"
+        )
+    )
+
+
+def q21_waiting_suppliers(
+    nation: DataFrame, supplier: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper in a
+    finished multi-supplier order.  The classic EXISTS + NOT-EXISTS
+    double self-join is rewritten as one per-order aggregate --
+    distinct suppliers and distinct late suppliers per order -- so
+    the fact is shuffled once on orderkey (the join on l_orderkey
+    already co-partitions the groupBy) instead of three times.
+
+    "Late" means shipping > Q21_LATE_DAYS after the order date (the
+    q12 bucket boundary; the testdata has no commit/receipt dates).
+    """
+    from ..constants import Q21_LATE_DAYS, Q21_TOP_N
+
+    lines = (
+        lineitem.join(
+            orders.where(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > Q21_LATE_DAYS
+            ).alias("is_late"),
+        )
+    )
+    per_order = lines.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    blamed = (
+        lines.where(F.col("is_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
+            F.col("l_orderkey") == F.col("ok"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    dims = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "n_name")
+    return (
+        blamed.join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("l_suppkey").alias("suppkey"), "s_name", "n_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("suppkey").asc())
+        .limit(Q21_TOP_N)
+    )

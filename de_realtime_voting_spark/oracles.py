@@ -15,6 +15,17 @@ from .constants import (
     C4_WORD_LEN_MAX,
     C4_WORD_LEN_MIN,
     NORM_OUTLIER_Z,
+    Q2_MIN_SIZE,
+    Q2_PART_TYPE,
+    Q2_REGION,
+    Q2_TOP_N,
+    Q11_FRACTION,
+    Q11_REGION,
+    Q20_NAME_PREFIX,
+    Q20_YEAR_END,
+    Q20_YEAR_START,
+    Q21_LATE_DAYS,
+    Q21_TOP_N,
     SIMHASH_BLOCK_SHIFT,
     SIMHASH_HAM_MAX,
     TFIDF_TOP_K,
@@ -1375,6 +1386,105 @@ SELECT label,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM normed JOIN stats USING (label)
 GROUP BY 1
+"""
+
+SQL["q2_min_cost_supplier"] = f"""
+WITH cost AS (
+    SELECT l_partkey, l_suppkey,
+           MIN(l_extendedprice / l_quantity) AS supplycost
+    FROM lineitem GROUP BY 1, 2
+),
+regional AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = '{Q2_REGION}'
+),
+sized AS (
+    SELECT p_partkey, p_name FROM part
+    WHERE p_type = '{Q2_PART_TYPE}' AND p_size >= {Q2_MIN_SIZE}
+),
+offers AS (
+    SELECT * FROM cost
+    JOIN regional ON l_suppkey = s_suppkey
+    JOIN sized ON l_partkey = p_partkey
+),
+best AS (SELECT l_partkey AS bk, MIN(supplycost) AS min_cost FROM offers GROUP BY 1)
+SELECT l_partkey AS partkey, p_name, l_suppkey AS suppkey, s_name, n_name,
+       ROUND(s_acctbal, 2) AS acctbal, ROUND(supplycost, 6) AS supplycost
+FROM offers JOIN best ON l_partkey = bk AND supplycost = min_cost
+ORDER BY acctbal DESC, suppkey ASC, partkey ASC
+LIMIT {Q2_TOP_N}
+"""
+
+SQL["q11_important_stock"] = f"""
+WITH regional AS (
+    SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = '{Q11_REGION}'
+),
+per_part AS (
+    SELECT l_partkey, SUM(l_extendedprice) AS value
+    FROM lineitem JOIN regional ON l_suppkey = s_suppkey
+    GROUP BY 1
+),
+tot AS (SELECT SUM(value) AS total FROM per_part)
+SELECT l_partkey AS partkey, ROUND(value, 4) AS value
+FROM per_part CROSS JOIN tot
+WHERE ROUND(value, 4) > ROUND({Q11_FRACTION} * total, 4)
+"""
+
+SQL["q20_excess_suppliers"] = f"""
+WITH pairs AS (
+    SELECT l_partkey, l_suppkey,
+           SUM(l_quantity) AS qty_total,
+           SUM(CASE WHEN l_shipdate >= TIMESTAMP '{Q20_YEAR_START}'
+                     AND l_shipdate <  TIMESTAMP '{Q20_YEAR_END}'
+                    THEN l_quantity ELSE 0.0 END) AS qty_year
+    FROM lineitem
+    JOIN (SELECT p_partkey FROM part WHERE p_name LIKE '{Q20_NAME_PREFIX}%') p
+      ON l_partkey = p_partkey
+    GROUP BY 1, 2
+    HAVING SUM(CASE WHEN l_shipdate >= TIMESTAMP '{Q20_YEAR_START}'
+                     AND l_shipdate <  TIMESTAMP '{Q20_YEAR_END}'
+                    THEN l_quantity ELSE 0.0 END) * 2 > SUM(l_quantity)
+)
+SELECT l_suppkey AS suppkey, s_name, n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_excess_parts
+FROM pairs
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2, 3
+"""
+
+SQL["q21_waiting_suppliers"] = f"""
+WITH lines AS (
+    SELECT l_orderkey, l_suppkey,
+           datediff('day', o_orderdate, l_shipdate) > {Q21_LATE_DAYS} AS is_late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+),
+per_order AS (
+    SELECT l_orderkey AS ok,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+    FROM lines GROUP BY 1
+),
+blamed AS (
+    SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lines WHERE is_late)
+    JOIN per_order ON l_orderkey = ok
+    WHERE n_supp >= 2 AND n_late_supp = 1
+    GROUP BY 1
+)
+SELECT l_suppkey AS suppkey, s_name, n_name, numwait
+FROM blamed
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY numwait DESC, suppkey ASC
+LIMIT {Q21_TOP_N}
 """
 
 

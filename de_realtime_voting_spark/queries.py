@@ -158,6 +158,22 @@ QUERY_REGISTRY: dict[str, QueryFn] = {
     "q22_idle_rich_customers": lambda s, d: analytics.q22_idle_rich_customers(
         _t(s, d, "customer"), _t(s, d, "orders")
     ),
+    "q2_min_cost_supplier": lambda s, d: analytics.q2_min_cost_supplier(
+        _t(s, d, "region"), _t(s, d, "nation"), _t(s, d, "supplier"),
+        _t(s, d, "part"), _t(s, d, "lineitem")
+    ),
+    "q11_important_stock": lambda s, d: analytics.q11_important_stock(
+        _t(s, d, "region"), _t(s, d, "nation"), _t(s, d, "supplier"),
+        _t(s, d, "lineitem")
+    ),
+    "q20_excess_suppliers": lambda s, d: analytics.q20_excess_suppliers(
+        _t(s, d, "nation"), _t(s, d, "supplier"), _t(s, d, "part"),
+        _t(s, d, "lineitem")
+    ),
+    "q21_waiting_suppliers": lambda s, d: analytics.q21_waiting_suppliers(
+        _t(s, d, "nation"), _t(s, d, "supplier"), _t(s, d, "orders"),
+        _t(s, d, "lineitem")
+    ),
     # --- LLM-training-data pipeline (SURVEY §2 #21-32) ---
     "dedup_exact": lambda s, d: dedup.dedup_exact(_t(s, d, "documents")),
     "dedup_simhash_pairs": lambda s, d: dedup.dedup_simhash_pairs(
