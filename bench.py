@@ -1,7 +1,11 @@
 """Benchmark harness: runs every registry query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric", "value" (total sec), "unit", "queries":
-{name: sec}, "sf"}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output layout is capture-aware: the harness that records this run
+keeps only the LAST ~2 KB of stdout, so the full per-query dump goes
+FIRST (and to BENCH_DETAIL.json beside this script), and the final
+stdout line is a compact (<1.5 KB) JSON summary -- total seconds, sf,
+and the slowest queries -- guaranteed to survive tail capture intact.
 
 Execution is forced with the noop sink (full pipeline runs, nothing
 shipped to the driver) so timings measure the engine, not result
@@ -42,16 +46,38 @@ def main() -> None:
         t0 = time.perf_counter()
         force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # cached blocks (persist() inside multi-use plans) are scoped
+        # to one query; drop them so 86 queries don't accumulate
+        spark.catalog.clearCache()
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": f"total wall-clock over all {len(timings)} registry queries (noop sink)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(full, f, indent=1)
+    # full dump first (humans / generous captures) ...
+    print(json.dumps(full))
+    # ... compact summary LAST: slowest queries only, keeps the line
+    # well under the ~2 KB stdout tail window
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
     print(
         json.dumps(
             {
-                "metric": f"total wall-clock over all {len(timings)} registry queries (noop sink)",
-                "value": round(sum(timings.values()), 3),
+                "metric": full["metric"],
+                "value": full["value"],
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "queries": {k: round(v, 2) for k, v in slowest.items()},
+                "detail": "BENCH_DETAIL.json",
+            },
+            separators=(",", ":"),
         )
     )
 

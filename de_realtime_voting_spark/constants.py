@@ -28,7 +28,20 @@ SHINGLE_K = 3          # word-shingle width for MinHash / fingerprints
 MINHASH_SIGS = 8       # number of md5-permutation signatures
 MINHASH_BAND_ROWS = 2  # rows per LSH band -> 4 bands
 JACCARD_THRESHOLD = 0.8
-SIMHASH_BITS = 16      # bits taken from the first 4 hex chars of md5
+# 64-bit SimHash taken from the first 16 hex chars of md5, split into
+# 4 disjoint 16-bit bands.  Pigeonhole: hamming(sig_a, sig_b) <= 3
+# over 64 bits means at LEAST one band is bit-identical, so blocking
+# on (band_idx, band_value) has EXACT recall at the ham<=3 threshold
+# while candidate generation stays one shuffle on the band key.
+# Scale math at 10^10 docs: ~N/2^16 ~ 150k docs per band bucket is
+# still too fat for in-bucket pairing; the standard widening (Manku,
+# Jain & Sarma, WWW'07 §3) splits into 6 blocks and keys each of the
+# C(6,3)=20 tables on a 3-block (32-bit) combination -> expected
+# bucket ~ N/2^32 ~ 2 docs.  Same shape, more band tables; widen
+# SIMHASH_N_BANDS/keying here when the corpus demands it.
+SIMHASH_BITS = 64
+SIMHASH_BAND_BITS = 16
+SIMHASH_N_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
 EDIT_REL_THRESHOLD = 0.5   # levenshtein / max(len) near-dup cutoff
 
 # Gopher-style repetition filter: flag docs whose duplicate word-
@@ -100,10 +113,9 @@ PACK_SHARDS = 8
 # shares >= 1 word n-gram with the held-out eval source.
 EVAL_SOURCE = "src0"
 DECONTAM_NGRAM_K = 8
-# SimHash near-dup pairs: block on the high byte of the 16-bit
-# signature, hamming-verify within the block (low byte only, so the
-# max observable distance is 8).
-SIMHASH_BLOCK_SHIFT = 8
+# SimHash near-dup pairs: candidates share >= 1 exact 16-bit band
+# (exact recall at this cutoff -- see the pigeonhole note above),
+# verified at hamming <= SIMHASH_HAM_MAX over the full 64 bits.
 SIMHASH_HAM_MAX = 3
 # TF-IDF keyword extraction: top terms per language, scored
 # cf * n_docs / df in pure integer->double arithmetic so both engines

@@ -6,7 +6,9 @@ from .columns import (
     l2_norm,
     lsh_bucket,
     minhash_signature,
-    simhash16,
+    simhash_band,
+    simhash_hex,
+    simhash_token_bands,
     tokens,
     word_shingles,
 )
@@ -19,7 +21,9 @@ __all__ = [
     "l2_norm",
     "lsh_bucket",
     "minhash_signature",
-    "simhash16",
+    "simhash_band",
+    "simhash_hex",
+    "simhash_token_bands",
     "tokens",
     "word_shingles",
 ]

@@ -21,7 +21,8 @@ from ..constants import (
     LSH_PLANES,
     MINHASH_SIGS,
     SHINGLE_K,
-    SIMHASH_BITS,
+    SIMHASH_BAND_BITS,
+    SIMHASH_N_BANDS,
 )
 
 _HEX = "0123456789abcdef"
@@ -107,32 +108,60 @@ def _hexval(c: Column) -> Column:
     return F.instr(F.lit(_HEX), c) - F.lit(1)
 
 
-def simhash16(distinct_toks: Column) -> Column:
-    """16-bit SimHash over distinct tokens.
+def simhash_token_bands(distinct_toks: Column) -> Column:
+    """Per-token 64-bit hash as an array of SIMHASH_N_BANDS 16-bit
+    ints: band b big-endian-parses hex chars [4b+1, 4b+4] of md5(tok).
 
-    Bit j comes from hex digit j//4 of md5(token); a bit of the
-    signature is set when the +1/-1 vote over tokens is positive.
-    Computed with array lambdas only -- map-side, no shuffle.
-
-    Pass an ALREADY-DISTINCT, materialized column (project
-    array_distinct(...) in a prior select): this expression references
-    its input in 16 lambdas, and Catalyst re-evaluates inlined
-    subexpressions inside each one.
+    The whole thing is ONE nested-transform expression: the inner
+    transform materializes md5(tok)'s 16-char prefix once per token
+    (lambda bodies get no common-subexpression elimination, so parsing
+    16 digits straight off md5(w) would recompute the md5 16 times);
+    the outer transform parses the four band ints off that value.
+    Result type: array<array<int>>.
     """
-    def bit_pred(pos: int, weight: int):
-        return lambda w: (
-            F.floor(_hexval(F.substring(F.md5(w), pos, 1)) / F.lit(weight)).cast("int") % 2
+    def parse_band(h: Column, b: int) -> Column:
+        v = F.lit(0)
+        for d in range(4):
+            v = v * 16 + _hexval(F.substring(h, 4 * b + d + 1, 1))
+        return v
+
+    hashed = F.transform(distinct_toks, lambda w: F.substring(F.md5(w), 1, 16))
+    return F.transform(
+        hashed,
+        lambda h: F.array(*[parse_band(h, b) for b in range(SIMHASH_N_BANDS)]),
+    )
+
+
+def simhash_band(token_bands: Column, n: Column, band: int) -> Column:
+    """One 16-bit SimHash band over pre-hashed tokens.
+
+    ``token_bands`` must be a MATERIALIZED simhash_token_bands column
+    (project it, then repartition, then call this): each band
+    references the column in 16 filter lambdas and Catalyst would
+    re-inline an unmaterialized expression into every one.  Bit k of
+    band b is set when the +1/-1 vote across tokens is positive --
+    i.e. when more than half the tokens have that bit set in their
+    own hash.
+    """
+    def bit_pred(band_idx: int, weight: int):
+        return lambda a: (
+            F.floor(F.element_at(a, band_idx + 1) / F.lit(weight)).cast("int") % 2
         ) == F.lit(1)
 
-    distinct = distinct_toks
-    n = F.size(distinct)
     out = F.lit(0)
-    for j in range(SIMHASH_BITS):
-        pos = j // 4 + 1  # 1-based hex char position in md5
-        weight = 2 ** (3 - j % 4)
-        ones = F.size(F.filter(distinct, bit_pred(pos, weight)))
-        out = out + F.when(ones * 2 > n, F.lit(2**j)).otherwise(F.lit(0))
+    for k in range(SIMHASH_BAND_BITS):
+        ones = F.size(F.filter(token_bands, bit_pred(band, 2**k)))
+        out = out + F.when(ones * 2 > n, F.lit(2**k)).otherwise(F.lit(0))
     return out
+
+
+def simhash_hex(*bands: Column) -> Column:
+    """Canonical 16-hex-char rendering of the 64-bit signature:
+    bands concatenated most-significant first.  A string (not a
+    BIGINT) because bit 63 would not fit a signed long."""
+    return F.concat(
+        *[F.lpad(F.lower(F.hex(b)), 4, "0") for b in reversed(bands)]
+    )
 
 
 def md5_pct_bucket(col: Column) -> Column:

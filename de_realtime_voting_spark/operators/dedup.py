@@ -30,8 +30,11 @@ from ..functions import (
     char_ngrams,
     dot_product,
     l2_norm,
+    lsh_bucket,
     minhash_signature,
-    simhash16,
+    simhash_band,
+    simhash_hex,
+    simhash_token_bands,
     tokens,
     word_shingles,
 )
@@ -218,18 +221,40 @@ def dedup_ngram_jaccard(documents: DataFrame) -> DataFrame:
     )
 
 
-def dedup_simhash(documents: DataFrame) -> DataFrame:
-    """SimHash collision buckets (16-bit signature over tokens)."""
-    # distinct tokens materialized by the shuffle (CollapseProject
-    # barrier, see _doc_shingles) before simhash16 references the
-    # column from its 16 bit-filter lambdas
-    per_doc = (
+def _simhash_bands(documents: DataFrame) -> DataFrame:
+    """(doc_id, b0..b3): the 64-bit SimHash as 4 x 16-bit band ints.
+
+    Per-token hashing (tokenize, distinct, md5, band-parse) is one
+    nested expression evaluated once per row; the repartition both
+    spreads CPU-bound rows and acts as the CollapseProject barrier so
+    the 64 bit-filter lambdas downstream reference a MATERIALIZED
+    token_bands column instead of re-inlining the hash chain."""
+    from ..constants import SIMHASH_N_BANDS
+
+    hashed = (
         documents.select(
-            "doc_id", F.array_distinct(tokens(F.col("text"))).alias("dt")
+            "doc_id",
+            simhash_token_bands(F.array_distinct(tokens(F.col("text")))).alias("tb"),
         )
-        .where(F.size("dt") > 0)
+        .where(F.size("tb") > 0)
         .repartition(documents.sparkSession.sparkContext.defaultParallelism)
-        .select("doc_id", simhash16(F.col("dt")).alias("simhash"))
+    )
+    n = F.size("tb")
+    return hashed.select(
+        "doc_id",
+        *[simhash_band(F.col("tb"), n, b).alias(f"b{b}") for b in range(SIMHASH_N_BANDS)],
+    )
+
+
+def dedup_simhash(documents: DataFrame) -> DataFrame:
+    """SimHash collision buckets: docs sharing the full 64-bit
+    signature (rendered as 16 hex chars -- bit 63 outgrows a signed
+    long).  One shuffle on the signature, map-side partial agg."""
+    from ..constants import SIMHASH_N_BANDS
+
+    per_doc = _simhash_bands(documents).select(
+        "doc_id",
+        simhash_hex(*[F.col(f"b{b}") for b in range(SIMHASH_N_BANDS)]).alias("simhash"),
     )
     return (
         per_doc.groupBy("simhash")
@@ -318,68 +343,111 @@ def dedup_clusters(documents: DataFrame, max_iter: int = 20) -> DataFrame:
 
 
 def dedup_embedding_cosine(embeddings: DataFrame) -> DataFrame:
-    """Embedding near-dup pairs, blocked by label (the blocking key a
-    real pipeline gets from coarse clustering/LSH): pairwise cosine
-    only *within* blocks."""
-    # precompute each vector's norm once (map-side) instead of three
-    # dot products per pair; the oracle's sqrt(dot(x,x)) is the exact
-    # same double regardless of when it's computed
+    """Embedding near-dup pairs blocked on (label, lsh_bucket):
+    pairwise cosine only *within* blocks.
+
+    The hyperplane bucket is the piece that survives scale: label
+    cardinality is small and fixed, so label-only blocks grow
+    linearly with the corpus (O(n^2/|labels|) pairs); the LSH bucket
+    count is a tunable 2^planes, and more planes keep the expected
+    block size O(1) in corpus growth.  Like any LSH blocking this
+    trades recall at the margin -- a qualifying pair split across
+    buckets is missed -- which is the standard contract for
+    embedding near-dup at 10^10 rows (raise planes / add probe
+    rotations to buy recall back).
+    """
+    # precompute each vector's norm and bucket once (map-side, behind
+    # the spread barrier) instead of per candidate pair; the oracle's
+    # sqrt(dot(x,x)) is the exact same double regardless of when it's
+    # computed, and the bucket expr shares LSH_PLANES literals
     normed = _spread(embeddings.select("vec_id", "label", "embedding")).select(
-        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("norm")
+        "vec_id",
+        "label",
+        "embedding",
+        l2_norm(F.col("embedding")).alias("norm"),
+        lsh_bucket(F.col("embedding")).alias("bucket"),
     )
     a = normed.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label"),
+        F.col("bucket"),
         F.col("embedding").alias("emb_a"),
         F.col("norm").alias("norm_a"),
     )
     b = normed.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
+        F.col("bucket").alias("bucket_b"),
         F.col("embedding").alias("emb_b"),
         F.col("norm").alias("norm_b"),
     )
     cos = dot_product(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
     return (
-        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
         .select("vec_a", "vec_b", "label", rnd(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= COSINE_THRESHOLD)
     )
 
 
 def dedup_simhash_pairs(documents: DataFrame) -> DataFrame:
-    """Hamming-verified SimHash near-dup pairs: block on the high
-    byte of the 16-bit signature, then keep in-block pairs whose
-    signatures differ in at most SIMHASH_HAM_MAX low-byte bits
-    (bit_count(xor) -- JVM-side, codegen'd).
+    """Hamming-verified SimHash near-dup pairs over the 64-bit
+    signature with multi-table band blocking: candidates share at
+    least one EXACT 16-bit band, then the full-width hamming distance
+    (sum of per-band bit_count(xor) -- JVM-side, codegen'd) verifies
+    at <= SIMHASH_HAM_MAX.
 
-    Blocking caps the self-join at block size (the standard
-    rotate-and-block SimHash layout; more blocks = more tables at
-    scale), so candidate generation is one shuffle on the block key,
-    never O(n^2) over the corpus.
+    Recall is EXACT at this cutoff: 3 differing bits can dirty at
+    most 3 of the 4 disjoint bands (pigeonhole), so every qualifying
+    pair collides in some band table.  Candidate generation is one
+    shuffle on (band_idx, band_value) -- never O(n^2); see
+    constants.py for the 6-block/20-table widening that keeps buckets
+    ~O(1) at 10^10 docs.
     """
-    from ..constants import SIMHASH_BLOCK_SHIFT, SIMHASH_HAM_MAX
+    from ..constants import SIMHASH_HAM_MAX, SIMHASH_N_BANDS
 
-    per_doc = (
-        documents.select(
-            "doc_id", F.array_distinct(tokens(F.col("text"))).alias("dt")
-        )
-        .where(F.size("dt") > 0)
-        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
-        .select("doc_id", simhash16(F.col("dt")).alias("simhash"))
-        .withColumn("block", F.shiftright("simhash", SIMHASH_BLOCK_SHIFT))
+    sigs = _simhash_bands(documents).persist()
+    exploded = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(SIMHASH_N_BANDS)])).alias(
+            "band_idx", "band_val"
+        ),
     )
-    a = per_doc.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "block"
-    )
-    b = per_doc.select(
+    a = exploded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_val")
+    b = exploded.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("simhash").alias("sim_b"),
-        F.col("block").alias("block_b"),
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("band_val").alias("band_val_b"),
     )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    cand = (
+        a.join(
+            b,
+            (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("band_val") == F.col("band_val_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{b}").alias(f"a{b}") for b in range(SIMHASH_N_BANDS)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{b}").alias(f"bb{b}") for b in range(SIMHASH_N_BANDS)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{b}").bitwiseXOR(F.col(f"bb{b}")))
+        for b in range(SIMHASH_N_BANDS)
+    )
     return (
-        a.join(b, (F.col("block") == F.col("block_b")) & (F.col("doc_a") < F.col("doc_b")))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
         .where(F.col("hamming") <= SIMHASH_HAM_MAX)
     )

@@ -357,12 +357,17 @@ def votes_approx_stats(votes: DataFrame) -> DataFrame:
     (candidate, voter) pair; the HLL sketch is a few KB per candidate
     and merges map-side.  No SQL oracle -- sketch internals are
     engine-specific (driver records the weaker rows-only check);
-    tests assert <5% error against the exact answers instead."""
+    tests assert <5% error against the exact answers instead.
+
+    The two percentiles come out of ONE t-digest sketch (the array
+    form of percentile_approx) and are split into scalar columns so
+    the result frame is flat -- canonicalizers that sort rows can't
+    hash array cells."""
+    pcts = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)), 10000)
     return votes.groupBy(F.col("event_type").alias("candidate_id")).agg(
         F.approx_count_distinct("user_id").alias("approx_voters"),
-        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)), 10000).alias(
-            "value_p50_p95"
-        ),
+        F.element_at(pcts, 1).alias("value_p50"),
+        F.element_at(pcts, 2).alias("value_p95"),
         F.count(F.lit(1)).alias("total_votes"),
     )
 
@@ -435,24 +440,50 @@ def votes_cube(
 
 
 def voter_value_quartiles(votes: DataFrame) -> DataFrame:
-    """Voters bucketed into activity quartiles by total vote weight
-    (ntile over a deterministic total order), then per-quartile
-    stats -- the segmentation cut analytics teams run on any fact.
+    """Voters bucketed into activity quartiles by total vote weight,
+    then per-quartile stats -- the segmentation cut analytics teams
+    run on any fact.
 
-    NOTE the un-partitioned window is a deliberate exactness choice:
-    it funnels the per-voter aggregate (already reduced by the first
-    groupBy) through one task.  At 100 TB swap the exact ntile for
-    approx_percentile cut-points joined back broadcast -- same output
-    columns, fully parallel -- and keep this exact variant for
-    dimension-sized inputs."""
+    EXACT ntile semantics with NO single-partition window over the
+    fact-derived aggregate: per-voter totals are range-bucketed by
+    floor(total_weight); each voter's global rank = its row_number
+    within its bucket (a window PARTITIONED on the bucket) plus the
+    broadcast cumulative count of all smaller buckets.  Only the
+    bucket-count table -- one row per distinct integer weight, data-
+    range-bounded, not corpus-bounded -- goes through an ordered
+    window.  The quartile is then pure arithmetic on (rank, N): the
+    first N%4 quartiles take ceil(N/4) voters, the rest floor(N/4),
+    exactly what ntile(4) assigns, so the DuckDB ntile oracle matches
+    row-for-row."""
     per_voter = votes.groupBy("user_id").agg(
         rnd(F.sum("value"), 2).alias("total_weight")
     )
-    q = F.ntile(4).over(
-        Window.orderBy(F.col("total_weight").asc(), F.col("user_id").asc())
+    bucketed = per_voter.withColumn("bkt", F.floor("total_weight").cast("long"))
+    counts = bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bkt",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("offset"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n_total"),
+    )
+    w_in = Window.partitionBy("bkt").orderBy(
+        F.col("total_weight").asc(), F.col("user_id").asc()
+    )
+    ranked = bucketed.join(F.broadcast(offsets), "bkt").select(
+        "total_weight",
+        (F.row_number().over(w_in) + F.col("offset")).alias("rank"),
+        "n_total",
+    )
+    base = F.floor(F.col("n_total") / 4)
+    rem = F.col("n_total") % 4
+    cut = rem * (base + 1)
+    q = (
+        F.when(F.col("rank") <= cut, F.floor((F.col("rank") - 1) / (base + 1)))
+        .otherwise(rem + F.floor((F.col("rank") - 1 - cut) / F.greatest(base, F.lit(1))))
+        + 1
     )
     return (
-        per_voter.select("user_id", "total_weight", q.alias("quartile"))
+        ranked.select("total_weight", q.cast("int").alias("quartile"))
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_voters"),

@@ -26,7 +26,6 @@ from .constants import (
     Q20_YEAR_START,
     Q21_LATE_DAYS,
     Q21_TOP_N,
-    SIMHASH_BLOCK_SHIFT,
     SIMHASH_HAM_MAX,
     TFIDF_TOP_K,
     ANN_QUERY_IDS,
@@ -56,7 +55,8 @@ from .constants import (
     PII_EMAIL_RE,
     PII_PHONE_RE,
     REP_DUP_BIGRAM_MAX,
-    SIMHASH_BITS,
+    SIMHASH_BAND_BITS,
+    SIMHASH_N_BANDS,
     STOPWORDS,
 )
 
@@ -101,20 +101,49 @@ bands AS (
 )"""
 
 
-def _simhash_expr() -> str:
+def _simhash_parse_band(b: int) -> str:
+    """Big-endian parse of hex chars [4b+1, 4b+4] -- the twin of
+    columns.simhash_token_bands' parse_band."""
+    v = "0"
+    for d in range(4):
+        pos = 4 * b + d + 1
+        hv = f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+        v = f"({v} * 16 + {hv})"
+    return v
+
+
+def _simhash_band_expr(b: int) -> str:
+    """Twin of columns.simhash_band: bit k of band b set when more
+    than half the tokens have bit k set in their own band value."""
     terms = []
-    for j in range(SIMHASH_BITS):
-        pos = j // 4 + 1
-        weight = 2 ** (3 - j % 4)
-        pred = (
-            f"(CAST(FLOOR((strpos('0123456789abcdef', substr(md5(w), {pos}, 1)) - 1)"
-            f" / {weight}) AS INT) % 2) = 1"
-        )
+    for k in range(SIMHASH_BAND_BITS):
+        pred = f"(CAST(FLOOR(a[{b + 1}] / {2 ** k}) AS INT) % 2) = 1"
         terms.append(
-            f"CASE WHEN 2 * len(list_filter(dt, w -> {pred})) > n "
-            f"THEN {2 ** j} ELSE 0 END"
+            f"CASE WHEN 2 * len(list_filter(tbs, a -> {pred})) > n "
+            f"THEN {2 ** k} ELSE 0 END"
         )
     return "0 + " + "\n        + ".join(terms)
+
+
+# shared CTE chain: distinct tokens -> per-token md5 64-bit prefix ->
+# per-token band ints -> per-doc band signature columns
+_SIMHASH_CTES = f"""WITH toksed AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+d AS (
+    SELECT doc_id, list_distinct(toks) AS dt FROM toksed WHERE len(toks) > 0
+),
+tb AS (
+    SELECT doc_id, len(dt) AS n,
+           list_transform(
+               list_transform(dt, w -> substr(md5(w), 1, 16)),
+               h -> [{", ".join(_simhash_parse_band(b) for b in range(SIMHASH_N_BANDS))}]
+           ) AS tbs
+    FROM d
+),
+bands AS (
+    SELECT doc_id,
+           {", ".join(f"{_simhash_band_expr(b)} AS b{b}" for b in range(SIMHASH_N_BANDS))}
+    FROM tb
+)"""
 
 
 def _dot(a: str, b: str) -> str:
@@ -439,22 +468,27 @@ SELECT doc_a, doc_b, edit_distance, rel_distance FROM (
 """
 
 SQL["dedup_simhash"] = f"""
-WITH toksed AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-d AS (
-    SELECT doc_id, list_distinct(toks) AS dt, len(list_distinct(toks)) AS n
-    FROM toksed WHERE len(toks) > 0
-),
-sims AS (SELECT doc_id, {_simhash_expr()} AS simhash FROM d)
+{_SIMHASH_CTES.format(toks=_TOKS)},
+sims AS (
+    SELECT doc_id,
+           {" || ".join(f"lpad(lower(hex(b{b})), 4, '0')" for b in reversed(range(SIMHASH_N_BANDS)))}
+               AS simhash
+    FROM bands
+)
 SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_doc_id
 FROM sims GROUP BY 1 HAVING COUNT(*) > 1
 """
 
 SQL["dedup_embedding_cosine"] = f"""
+WITH bucketed AS (
+    SELECT vec_id, label, embedding, {_bucket_expr('embedding')} AS bucket
+    FROM embeddings
+)
 SELECT vec_a, vec_b, label, cosine FROM (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
            ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS cosine
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM bucketed a JOIN bucketed b
+      ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 ) WHERE cosine >= {COSINE_THRESHOLD}
 """
 
@@ -1352,19 +1386,23 @@ FROM per GROUP BY 1
 """
 
 SQL["dedup_simhash_pairs"] = f"""
-WITH toksed AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-d AS (
-    SELECT doc_id, list_distinct(toks) AS dt, len(list_distinct(toks)) AS n
-    FROM toksed WHERE len(toks) > 0
+{_SIMHASH_CTES.format(toks=_TOKS)},
+expl AS (
+    {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, b{b} AS band_val FROM bands" for b in range(SIMHASH_N_BANDS))}
 ),
-sims AS (SELECT doc_id, {_simhash_expr()} AS simhash FROM d),
-blocked AS (SELECT doc_id, simhash, simhash // {2 ** SIMHASH_BLOCK_SHIFT} AS block FROM sims)
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM expl a JOIN expl b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+)
 SELECT doc_a, doc_b, hamming FROM (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(CAST(a.simhash AS BIGINT),
-                              CAST(b.simhash AS BIGINT))) AS INTEGER) AS hamming
-    FROM blocked a JOIN blocked b
-      ON a.block = b.block AND a.doc_id < b.doc_id
+    SELECT doc_a, doc_b,
+           CAST({" + ".join(f"bit_count(xor(CAST(sa.b{b} AS BIGINT), CAST(sb.b{b} AS BIGINT)))" for b in range(SIMHASH_N_BANDS))}
+                AS INTEGER) AS hamming
+    FROM cand
+    JOIN bands sa ON sa.doc_id = doc_a
+    JOIN bands sb ON sb.doc_id = doc_b
 ) WHERE hamming <= {SIMHASH_HAM_MAX}
 """
 

@@ -11,7 +11,9 @@ from pyspark.sql import functions as F
 
 from de_realtime_voting_spark.functions import (
     cosine_similarity,
-    simhash16,
+    simhash_band,
+    simhash_hex,
+    simhash_token_bands,
     tokens,
     word_shingles,
 )
@@ -44,12 +46,60 @@ def test_word_shingles_distinct(spark):
     assert sorted(out) == sorted({"a b c", "b c a", "c a b"})
 
 
-def test_simhash_range_and_determinism(spark):
-    col = simhash16(F.array_distinct(tokens(F.col("t"))))
-    v1 = _one(spark, col, t="spark joins data")
-    v2 = _one(spark, col, t="spark joins data")
-    assert v1 == v2
-    assert 0 <= v1 < 2**16
+def _py_simhash_bands(text: str) -> list[int]:
+    """Pure-python spec of the 64-bit banded SimHash."""
+    import hashlib
+
+    from de_realtime_voting_spark.constants import SIMHASH_BAND_BITS, SIMHASH_N_BANDS
+
+    seen: list[str] = []
+    for w in text.split(" "):
+        if w and w not in seen:
+            seen.append(w)
+    tb = [
+        [
+            int(hashlib.md5(w.encode()).hexdigest()[4 * b : 4 * b + 4], 16)
+            for b in range(SIMHASH_N_BANDS)
+        ]
+        for w in seen
+    ]
+    n = len(tb)
+    bands = []
+    for b in range(SIMHASH_N_BANDS):
+        v = 0
+        for k in range(SIMHASH_BAND_BITS):
+            ones = sum(1 for a in tb if (a[b] >> k) & 1)
+            if 2 * ones > n:
+                v |= 1 << k
+        bands.append(v)
+    return bands
+
+
+def test_simhash_bands_match_python(spark):
+    from de_realtime_voting_spark.constants import SIMHASH_N_BANDS
+
+    texts = ["spark joins data", "a b c d e f", "xyz", "dup dup dup word"]
+    tb = F.col("tb")
+    n = F.size(tb)
+    rows = (
+        spark.createDataFrame([(t,) for t in texts], "t string")
+        .select("t", simhash_token_bands(F.array_distinct(tokens(F.col("t")))).alias("tb"))
+        .select(
+            "t",
+            F.array(
+                *[simhash_band(tb, n, b) for b in range(SIMHASH_N_BANDS)]
+            ).alias("bands"),
+            simhash_hex(
+                *[simhash_band(tb, n, b) for b in range(SIMHASH_N_BANDS)]
+            ).alias("hx"),
+        )
+        .collect()
+    )
+    for r in rows:
+        want = _py_simhash_bands(r["t"])
+        assert list(r["bands"]) == want, r["t"]
+        want_hex = "".join(f"{b:04x}" for b in reversed(want))
+        assert r["hx"] == want_hex and len(r["hx"]) == 16
 
 
 def test_cosine_known_value(spark):

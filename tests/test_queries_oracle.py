@@ -57,5 +57,4 @@ def test_votes_approx_stats_tolerance(spark, sf_dir):
     for cand, row in approx.items():
         got, want = row["approx_voters"], exact[cand]["unique_voters"]
         assert abs(got - want) / want < 0.05, (cand, got, want)
-        p50, p95 = row["value_p50_p95"]
-        assert 0.0 <= p50 <= p95
+        assert 0.0 <= row["value_p50"] <= row["value_p95"]
