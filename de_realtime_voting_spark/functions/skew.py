@@ -39,7 +39,19 @@ def salted_join(
 
     Result is row-identical to the unsalted join (the salt columns
     are dropped); `tests/test_functions.py` asserts it.
+
+    Only inner/left-style joins are legal: the replicated side's
+    unmatched rows exist once PER SALT, so right/full outer would
+    emit each unmatched `other` row n_salts times.
     """
+    if how.replace("_", "").lower() not in {
+        "inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti", "cross",
+    }:
+        raise ValueError(
+            f"salted_join: how={how!r} is not salt-safe -- the build side is "
+            f"replicated {n_salts}x, so right/full outer joins would emit "
+            f"unmatched build rows once per salt. Use inner/left variants."
+        )
     salted_fact = skewed.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts))
     )

@@ -302,6 +302,8 @@ def dedup_clusters(documents: DataFrame, max_iter: int = 20) -> DataFrame:
     clusters are shallow); at extreme scale swap in the
     large-star/small-star contraction, same interface.
     """
+    import warnings
+
     pairs = dedup_minhash_pairs(documents).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -335,6 +337,17 @@ def dedup_clusters(documents: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels.select("doc_id", "label")
         if changed == 0:
             break
+    else:
+        # a component with diameter > max_iter would silently carry
+        # wrong labels; surface it instead of letting a truncated
+        # clustering masquerade as converged
+        warnings.warn(
+            f"dedup_clusters: min-label propagation did not converge in "
+            f"{max_iter} iterations ({changed} labels still changing); "
+            f"raise max_iter or switch to large-star/small-star contraction",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     edges.unpersist()
     return labels.groupBy(F.col("label").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -140,6 +140,8 @@ def sample_frames(
         ]
     )
 
+    import numpy as np
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decode_fn is None:
@@ -147,16 +149,35 @@ def sample_frames(
                     "media codecs not available in this environment; "
                     "inject decode_fn (see tests for the deterministic fake)"
                 )
-            out = {"doc_id": [], "media_type": [], "frame_idx": [], "frame_bytes": []}
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
-                for idx, off in enumerate(range(0, len(payload), every_n_bytes)):
-                    frame = decode_fn(payload[off : off + every_n_bytes])
-                    out["doc_id"].append(row["doc_id"])
-                    out["media_type"].append(row["media_type"])
-                    out["frame_idx"].append(idx)
-                    out["frame_bytes"].append(len(frame))
-            yield pd.DataFrame(out)
+            # vectorized stride layout: per-row frame counts -> one
+            # np.repeat/np.concatenate expansion, no per-row python
+            # loop.  Only the codec call itself stays per-frame (it
+            # is the irreducibly per-frame work).
+            payloads = [bytes(b) for b in pdf["payload"]]
+            n_frames = np.array(
+                [(len(p) + every_n_bytes - 1) // every_n_bytes for p in payloads],
+                dtype="int64",
+            )
+            frame_idx = np.concatenate(
+                [np.arange(n, dtype="int32") for n in n_frames]
+            ) if len(n_frames) else np.array([], dtype="int32")
+            frame_bytes = np.fromiter(
+                (
+                    len(decode_fn(p[off : off + every_n_bytes]))
+                    for p, n in zip(payloads, n_frames)
+                    for off in range(0, n * every_n_bytes, every_n_bytes)
+                ),
+                dtype="int32",
+                count=int(n_frames.sum()),
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), n_frames),
+                    "media_type": np.repeat(pdf["media_type"].to_numpy(), n_frames),
+                    "frame_idx": frame_idx,
+                    "frame_bytes": frame_bytes,
+                }
+            )
 
     return media.mapInPandas(run, schema=schema)
 

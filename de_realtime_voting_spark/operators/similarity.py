@@ -235,10 +235,24 @@ def doc_embedding_stats(documents: DataFrame, embeddings: DataFrame) -> DataFram
 
 
 def ann_lsh_topk(embeddings: DataFrame) -> DataFrame:
-    """LSH-bucketed ANN: search only the query's hyperplane bucket.
-    Recall is approximate by construction; the oracle mirrors the
-    same algorithm (same deterministic planes)."""
+    """Multi-probe LSH ANN: search the query's hyperplane bucket PLUS
+    every hamming-distance-1 bucket (one plane's sign flipped).
+
+    Single-bucket probing has a recall cliff -- a near neighbor that
+    disagrees on any one of the LSH_NUM_PLANES sign bits is
+    invisible.  Multi-probe buys that recall back without touching
+    index layout or adding hash tables: the query side (tiny,
+    broadcast) explodes to 1 + n_planes probe buckets, the corpus
+    side still partitions by its single bucket.  Cost scales with
+    the probe count on the broadcast side only.  The oracle mirrors
+    the same probe set via the same deterministic planes."""
+    from ..constants import LSH_NUM_PLANES
+
     bucketed = embeddings.withColumn("bucket", lsh_bucket(F.col("embedding")))
+    probes = F.array(
+        F.col("q_bucket"),
+        *[F.col("q_bucket").bitwiseXOR(F.lit(2**p)) for p in range(LSH_NUM_PLANES)],
+    )
     q = (
         bucketed.where(F.col("vec_id").isin(ANN_QUERY_IDS))
         .select(
@@ -246,10 +260,11 @@ def ann_lsh_topk(embeddings: DataFrame) -> DataFrame:
             F.col("embedding").alias("q_emb"),
             F.col("bucket").alias("q_bucket"),
         )
+        .select("query_id", "q_emb", F.explode(probes).alias("probe_bucket"))
     )
     joined = bucketed.join(
         F.broadcast(q),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+        (F.col("bucket") == F.col("probe_bucket")) & (F.col("vec_id") != F.col("query_id")),
     )
     return _topk(joined)
 

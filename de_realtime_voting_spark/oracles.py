@@ -519,14 +519,18 @@ WITH b AS (
     SELECT vec_id, embedding, {_bucket_expr('embedding')} AS bucket
     FROM embeddings
 ),
-q AS (
+q0 AS (
     SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
     FROM b WHERE vec_id IN {_ANN_IDS}
+),
+q AS (
+    SELECT query_id, q_emb, probe_bucket
+    FROM q0, unnest([{", ".join(["q_bucket"] + [f"xor(q_bucket, {2 ** p})" for p in range(len(LSH_PLANES))])}]) AS t(probe_bucket)
 ),
 j AS (
     SELECT q.query_id, b.vec_id AS neighbor_id,
            {_cos('q.q_emb', 'b.embedding')} AS cosine
-    FROM b JOIN q ON b.bucket = q.q_bucket AND b.vec_id <> q.query_id
+    FROM b JOIN q ON b.bucket = q.probe_bucket AND b.vec_id <> q.query_id
 ),
 r AS (
     SELECT query_id, neighbor_id,

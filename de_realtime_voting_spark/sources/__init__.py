@@ -1,9 +1,10 @@
-from .io import jdbc_reader, read_csv, read_json, write_bucketed, write_partitioned
+from .io import jdbc_reader, jdbc_writer, read_csv, read_json, write_bucketed, write_partitioned
 from .tables import TABLE_NAMES, load_table, load_tables, register_views
 
 __all__ = [
     "TABLE_NAMES",
     "jdbc_reader",
+    "jdbc_writer",
     "load_table",
     "load_tables",
     "read_csv",

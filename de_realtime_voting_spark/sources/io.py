@@ -117,3 +117,47 @@ def jdbc_reader(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader
+
+
+def jdbc_writer(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int = 10_000,
+    num_partitions: int | None = None,
+    isolation_level: str = "READ_COMMITTED",
+    **options: str,
+):
+    """JDBC writer builder -- the batch analog of the reference's
+    Postgres persistence (reference main.py:123-133 writes votes and
+    dimension rows into created tables, main.py:20-68).
+
+    Each write partition opens one connection and streams rows in
+    ``batchsize``-sized executeBatch calls; ``num_partitions``
+    coalesces first so a 10k-task DataFrame doesn't open 10k database
+    connections (the classic way a big job knocks over a small
+    Postgres).  Exactly-once does NOT come from this writer -- JDBC
+    appends are at-least-once on task retry; route idempotent upserts
+    through a keyed foreachBatch (streaming/sinks.foreach_batch_upsert
+    shows the merge shape) or a staging table + MERGE.
+
+    Returns the configured DataFrameWriter -- ``.save()`` executes
+    (needs the JDBC driver jar, absent here, so construction stays
+    lazy and unit-testable like jdbc_reader).
+    """
+    if mode not in {"append", "overwrite", "ignore", "error", "errorifexists"}:
+        raise ValueError(f"jdbc_writer: invalid mode {mode!r}")
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    writer = (
+        df.write.format("jdbc")
+        .mode(mode)
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .option("isolationLevel", isolation_level)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    return writer

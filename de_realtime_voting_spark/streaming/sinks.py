@@ -73,15 +73,29 @@ def foreach_batch_upsert(
     the first row per key (earliest order_col): re-processing a batch
     after failure cannot double-count votes.  Everything runs as
     DataFrame ops inside the batch function -- no driver-side rows.
+
+    Crash safety: each merge lands in a fresh versioned directory
+    ``{target}.__v{batch_id}__`` and ``target_dir`` is an atomically
+    renamed SYMLINK to the current version (POSIX rename(2) replaces
+    a symlink in one step).  A crash at ANY point leaves either the
+    old or the new complete snapshot reachable -- never a partially
+    overwritten one; leftover version dirs from interrupted batches
+    are skipped (only the symlinked one is ever read) and reaped on
+    the next successful swap.  On object stores swap the symlink for
+    a pointer-file compare-and-set; same two-phase shape.
     """
+    import shutil
+
     from pyspark.sql import Window
     from pyspark.sql import functions as F2
+
+    base = target_dir.rstrip("/")
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         new = batch_df
-        if os.path.exists(target_dir):
-            old = spark.read.parquet(target_dir)
+        if os.path.exists(base):  # follows the symlink
+            old = spark.read.parquet(base)
             new = old.unionByName(new)
         w = Window.partitionBy(*key_cols).orderBy(F2.col(order_col).asc())
         merged = (
@@ -89,9 +103,31 @@ def foreach_batch_upsert(
             .where(F2.col("__rn") == 1)
             .drop("__rn")
         )
-        tmp = target_dir.rstrip("/") + ".__tmp__"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(target_dir)
+        vdir = f"{base}.__v{batch_id}__"
+        merged.write.mode("overwrite").parquet(vdir)
+        prev = os.readlink(base) if os.path.islink(base) else None
+        if os.path.isdir(base) and not os.path.islink(base):
+            # legacy plain-directory snapshot: retire it, then swap in
+            # the (already complete) merged version
+            os.rename(base, f"{base}.__legacy__")
+            prev = f"{base}.__legacy__"
+        tmp_ln = f"{base}.__ln{batch_id}__"
+        if os.path.lexists(tmp_ln):
+            os.remove(tmp_ln)
+        os.symlink(vdir, tmp_ln)
+        os.rename(tmp_ln, base)  # atomic: old or new, never partial
+        if prev and os.path.exists(prev) and os.path.realpath(prev) != os.path.realpath(vdir):
+            shutil.rmtree(prev, ignore_errors=True)
+        # reap version dirs orphaned by interrupted earlier batches
+        parent, name = os.path.split(base)
+        current = os.path.realpath(base)
+        for entry in os.listdir(parent or "."):
+            p = os.path.join(parent, entry)
+            if (
+                entry.startswith(name + ".__v")
+                and entry.endswith("__")
+                and os.path.realpath(p) != current
+            ):
+                shutil.rmtree(p, ignore_errors=True)
 
     return write

@@ -58,3 +58,25 @@ def test_votes_approx_stats_tolerance(spark, sf_dir):
         got, want = row["approx_voters"], exact[cand]["unique_voters"]
         assert abs(got - want) / want < 0.05, (cand, got, want)
         assert 0.0 <= row["value_p50"] <= row["value_p95"]
+
+
+def test_ann_lsh_multiprobe_recall(spark, sf_dir):
+    """Multi-probe LSH must recover a nontrivial share of the exact
+    top-k.  The synthetic embeddings are near-uniform (neighbors sit
+    at cosine ~0.3, barely localized), so measured recall is ~0.28 at
+    this SF -- the floor below guards the probe wiring (a broken
+    probe set collapses recall toward ANN_K/corpus ~ 0.01) without
+    flaking on data noise."""
+    def topsets(name):
+        out: dict[int, set[int]] = {}
+        for r in QUERY_REGISTRY[name](spark, sf_dir).collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    brute = topsets("ann_bruteforce_topk")
+    lsh = topsets("ann_lsh_topk")
+    assert len(brute) > 0
+    recall = sum(len(brute[q] & lsh.get(q, set())) for q in brute) / sum(
+        len(brute[q]) for q in brute
+    )
+    assert recall >= 0.15, recall

@@ -97,6 +97,36 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS cust_bucketed")
 
 
+def test_jdbc_writer_is_lazy_and_validates(spark, sf_dir):
+    from de_realtime_voting_spark.sources import jdbc_writer
+
+    df = load_table(spark, sf_dir, "nation")
+    # builds without a driver or database -- only .save() would connect
+    writer = jdbc_writer(
+        df,
+        "jdbc:postgresql://localhost:5432/voting",
+        "nation",
+        mode="append",
+        batch_size=5000,
+        num_partitions=4,
+        truncate="true",
+    )
+    assert writer is not None
+    with pytest.raises(ValueError, match="invalid mode"):
+        jdbc_writer(df, "jdbc:x", "t", mode="merge")
+
+
+def test_salted_join_rejects_outer_how(spark, sf_dir):
+    from de_realtime_voting_spark.functions.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    with pytest.raises(ValueError, match="not salt-safe"):
+        salted_join(events, cust, "user_id", "c_custkey", "event_id", how="full_outer")
+    with pytest.raises(ValueError, match="not salt-safe"):
+        salted_join(events, cust, "user_id", "c_custkey", "event_id", how="right")
+
+
 def test_jdbc_reader_is_lazy_and_validates(spark):
     # builds without a driver or database -- only .load() would connect
     reader = jdbc_reader(

@@ -375,6 +375,43 @@ def test_foreach_batch_upsert_idempotent(spark, sf_dir):
     shutil.rmtree(Path(target).parent, ignore_errors=True)
 
 
+def test_foreach_batch_upsert_atomic_layout(spark, sf_dir):
+    """Crash-safety contract of the upsert sink: the target is an
+    atomically-swapped symlink to a complete versioned snapshot; a
+    pre-existing plain-directory snapshot is migrated; orphaned
+    version dirs from interrupted batches are reaped."""
+    import os
+
+    events = load_table(spark, sf_dir, "events").limit(50)
+    root = tempfile.mkdtemp(prefix="upsert_atomic_")
+    target = root + "/votes"
+    try:
+        # legacy layout: a plain parquet dir written by someone else
+        events.write.mode("overwrite").parquet(target)
+        assert not os.path.islink(target)
+        n_legacy = spark.read.parquet(target).count()
+
+        write = foreach_batch_upsert(target, key_cols=["user_id"], order_col="ts")
+        # orphan from a hypothetical interrupted batch
+        orphan = target + ".__v99__"
+        os.makedirs(orphan, exist_ok=True)
+        write(events, 0)
+
+        assert os.path.islink(target)  # migrated to symlink layout
+        assert not os.path.exists(orphan)  # reaped
+        assert not os.path.exists(target + ".__legacy__")
+        n = spark.read.parquet(target).count()
+        assert 0 < n <= n_legacy
+        assert n == events.select("user_id").distinct().count()
+        # replay: same snapshot, new version dir, old one reaped
+        v0 = os.readlink(target)
+        write(events, 1)
+        assert os.readlink(target) != v0 and not os.path.exists(v0)
+        assert spark.read.parquet(target).count() == n
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_stream_doc_quality_matches_batch(spark, sf_dir):
     """Batch/stream parity for the corpus-quality monitor: the same
     text_quality_score transform over a parquet file stream must

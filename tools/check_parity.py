@@ -94,6 +94,9 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"ok   {name} ({dt:.1f}s, {len(s)} rows)")
+        # persisted blocks are scoped to one query; don't let 86
+        # queries' caches accumulate in a single session
+        spark.catalog.clearCache()
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
     if failures:
         print("failed:", " ".join(failures))
