@@ -32,9 +32,7 @@ from ..functions import (
     l2_norm,
     lsh_bucket,
     minhash_signature,
-    simhash_band,
     simhash_hex,
-    simhash_token_bands,
     tokens,
     word_shingles,
 )
@@ -224,25 +222,59 @@ def dedup_ngram_jaccard(documents: DataFrame) -> DataFrame:
 def _simhash_bands(documents: DataFrame) -> DataFrame:
     """(doc_id, b0..b3): the 64-bit SimHash as 4 x 16-bit band ints.
 
-    Per-token hashing (tokenize, distinct, md5, band-parse) is one
-    nested expression evaluated once per row; the repartition both
-    spreads CPU-bound rows and acts as the CollapseProject barrier so
-    the 64 bit-filter lambdas downstream reference a MATERIALIZED
-    token_bands column instead of re-inlining the hash chain."""
-    from ..constants import SIMHASH_N_BANDS
+    Formulated as explode -> codegen'd per-token band parse -> 64
+    SUM(bit) hash aggregates, NOT as array lambdas: higher-order
+    functions are interpreted expression-tree walks, and 64 filter
+    passes per row measured 2.5x slower than this all-codegen shape
+    at sf0.1.  The shuffle moves one 65-int row per doc (map-side
+    partial agg collapses each doc's tokens locally), so the network
+    cost is ~rows, not ~tokens.  Spec twin: columns.simhash_band /
+    simhash_token_bands (pinned to this by a pytest and to DuckDB by
+    the parity gate).
 
-    hashed = (
+    The repartition is the usual CollapseProject barrier: explode's
+    generator re-evaluates its child PER OUTPUT ROW, so the distinct-
+    token array must be materialized before exploding (O(tokens) vs
+    O(tokens^2) per doc)."""
+    from ..constants import SIMHASH_BAND_BITS, SIMHASH_N_BANDS
+
+    per_tok = (
         documents.select(
-            "doc_id",
-            simhash_token_bands(F.array_distinct(tokens(F.col("text")))).alias("tb"),
+            "doc_id", F.array_distinct(tokens(F.col("text"))).alias("dt")
         )
-        .where(F.size("tb") > 0)
         .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode("dt").alias("w"))
+        .select("doc_id", F.substring(F.md5("w"), 1, 16).alias("h"))
+        .select(
+            "doc_id",
+            *[
+                F.conv(F.substring("h", 4 * b + 1, 4), 16, 10)
+                .cast("int")
+                .alias(f"tb{b}")
+                for b in range(SIMHASH_N_BANDS)
+            ],
+        )
     )
-    n = F.size("tb")
-    return hashed.select(
-        "doc_id",
-        *[simhash_band(F.col("tb"), n, b).alias(f"b{b}") for b in range(SIMHASH_N_BANDS)],
+    counted = per_tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright(F.col(f"tb{b}"), k).bitwiseAND(F.lit(1))).alias(
+                f"c{b}_{k}"
+            )
+            for b in range(SIMHASH_N_BANDS)
+            for k in range(SIMHASH_BAND_BITS)
+        ],
+    )
+    def band(b: int):
+        out = F.lit(0)
+        for k in range(SIMHASH_BAND_BITS):
+            out = out + F.when(
+                F.col(f"c{b}_{k}") * 2 > F.col("n"), F.lit(2**k)
+            ).otherwise(F.lit(0))
+        return out
+
+    return counted.select(
+        "doc_id", *[band(b).cast("int").alias(f"b{b}") for b in range(SIMHASH_N_BANDS)]
     )
 
 

@@ -102,6 +102,38 @@ def test_simhash_bands_match_python(spark):
         assert r["hx"] == want_hex and len(r["hx"]) == 16
 
 
+def test_simhash_operator_matches_lambda_spec(spark, sf_dir):
+    """The codegen explode+agg formulation in operators.dedup must
+    produce the same band signature as the array-lambda spec here."""
+    from de_realtime_voting_spark.constants import SIMHASH_N_BANDS
+    from de_realtime_voting_spark.operators.dedup import _simhash_bands
+    from de_realtime_voting_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    fast = {
+        r["doc_id"]: tuple(r[f"b{b}"] for b in range(SIMHASH_N_BANDS))
+        for r in _simhash_bands(docs).collect()
+    }
+    tb = F.col("tb")
+    n = F.size(tb)
+    spec_df = (
+        docs.select(
+            "doc_id",
+            simhash_token_bands(F.array_distinct(tokens(F.col("text")))).alias("tb"),
+        )
+        .where(F.size(tb) > 0)
+        .select(
+            "doc_id",
+            *[simhash_band(tb, n, b).alias(f"b{b}") for b in range(SIMHASH_N_BANDS)],
+        )
+    )
+    spec = {
+        r["doc_id"]: tuple(r[f"b{b}"] for b in range(SIMHASH_N_BANDS))
+        for r in spec_df.collect()
+    }
+    assert fast == spec and len(fast) > 0
+
+
 def test_cosine_known_value(spark):
     got = _one(
         spark,
