@@ -117,6 +117,29 @@ DECONTAM_NGRAM_K = 8
 # (exact recall at this cutoff -- see the pigeonhole note above),
 # verified at hamming <= SIMHASH_HAM_MAX over the full 64 bits.
 SIMHASH_HAM_MAX = 3
+# Stratified sampling: per-language keep rates (percent), applied via
+# the deterministic md5 bucket of 'sample:'||doc_id so the sample is
+# independent of the train/val/test split hash and stable across
+# engines/reruns/cluster sizes.
+SAMPLE_RATE_PCT = {"en": 100, "de": 60, "es": 60, "fr": 60, "zh": 30}
+SAMPLE_RATE_DEFAULT_PCT = 50
+# Vocabulary coverage: what fraction of all token occurrences the top
+# VOCAB_TOP_K most frequent terms cover, per language (the tokenizer-
+# budget question).
+VOCAB_TOP_K = 200
+# Repeated-span audit: word n-grams shared by more than one document
+# (the exact-substring-dedup signal, Lee et al. 2022 style) -- top
+# spans by document frequency.
+SPAN_NGRAM_K = 8
+SPAN_TOP_N = 20
+# BPE-style pair statistics: top adjacent subword-token pairs (the
+# counting step a BPE tokenizer trainer iterates).
+BPE_PAIR_TOP_N = 20
+# Incremental dedup: corpus docs split into an "existing" (already
+# deduped) set and an "incoming" batch by doc_id hash bucket;
+# candidates are incoming x existing band collisions only.
+INCREMENTAL_EXISTING_PCT = 80
+
 # TF-IDF keyword extraction: top terms per language, scored
 # cf * n_docs / df in pure integer->double arithmetic so both engines
 # rank identically.

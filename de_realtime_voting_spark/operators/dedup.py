@@ -387,6 +387,58 @@ def dedup_clusters(documents: DataFrame, max_iter: int = 20) -> DataFrame:
     )
 
 
+def dedup_incremental(documents: DataFrame) -> DataFrame:
+    """Incremental MinHash-LSH dedup: an incoming batch checked
+    against the already-deduped corpus WITHOUT re-pairing the corpus
+    with itself -- the shape a daily-ingest pipeline runs, where
+    existing x existing pairs were settled in previous runs.
+
+    The corpus is split deterministically (md5 bucket of doc_id) into
+    'existing' (INCREMENTAL_EXISTING_PCT %) and 'incoming'; candidate
+    pairs are incoming-band x existing-band collisions only, then the
+    usual exact-Jaccard verify.  At 10^10 docs the band join's probe
+    side is just the day's batch, so the incremental cost scales with
+    the batch, not the corpus.
+    """
+    from ..constants import INCREMENTAL_EXISTING_PCT
+    from ..functions.columns import md5_pct_bucket
+
+    sh = _doc_shingles(documents).persist()
+    bands = _doc_bands_from(sh).withColumn(
+        "is_existing", md5_pct_bucket(F.col("doc_id")) < INCREMENTAL_EXISTING_PCT
+    )
+    old = bands.where(F.col("is_existing")).select(
+        F.col("doc_id").alias("existing_doc"), "band_idx", "band_hash"
+    )
+    new = bands.where(~F.col("is_existing")).select(
+        F.col("doc_id").alias("new_doc"),
+        F.col("band_idx").alias("band_idx_n"),
+        F.col("band_hash").alias("band_hash_n"),
+    )
+    cand = (
+        new.join(
+            old,
+            (F.col("band_idx") == F.col("band_idx_n"))
+            & (F.col("band_hash") == F.col("band_hash_n")),
+        )
+        .select("new_doc", "existing_doc")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("new_doc"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(
+        F.col("doc_id").alias("existing_doc"), F.col("shingles").alias("sh_b")
+    )
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(sa, "new_doc")
+        .join(sb, "existing_doc")
+        .select("new_doc", "existing_doc", jaccard.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
 def dedup_embedding_cosine(embeddings: DataFrame) -> DataFrame:
     """Embedding near-dup pairs blocked on (label, lsh_bucket):
     pairwise cosine only *within* blocks.

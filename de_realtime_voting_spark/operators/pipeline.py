@@ -106,6 +106,111 @@ def seq_pack_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def corpus_quality_keep(documents: DataFrame) -> DataFrame:
+    """End-to-end curation accounting: C4 quality gates + exact-dedup
+    keep-list + deterministic split, reported per (split, lang) --
+    the one query that says what actually ships to training after
+    the whole filter chain runs.
+
+    A doc is KEPT when it (a) passes all three C4 gates and (b) is
+    the canonical copy of its exact-duplicate class (min doc_id per
+    md5(text)).  Scale shape: gates are map-side expressions; the
+    dedup keep-list is one shuffle on the 32-char text hash with a
+    map-side partial MIN; the final report is a small agg.  No pair
+    joins anywhere.
+    """
+    from ..constants import C4_MIN_TOKENS, C4_WORD_LEN_MAX, C4_WORD_LEN_MIN, STOPWORDS
+
+    toks = F.col("toks")
+    n = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, wd: acc + F.length(wd))
+    awl = total_len / n
+    passes_c4 = (
+        (n >= C4_MIN_TOKENS)
+        & F.when(n > 0, (awl >= C4_WORD_LEN_MIN) & (awl <= C4_WORD_LEN_MAX)).otherwise(
+            F.lit(False)
+        )
+        & (F.size(F.filter(toks, lambda w: w.isin(STOPWORDS))) > 0)
+    )
+    pct = md5_pct_bucket(F.col("doc_id"))
+    split = (
+        F.when(pct < SPLIT_TEST_PCT, F.lit("test"))
+        .when(pct < SPLIT_TEST_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    per_doc = (
+        documents.select(
+            "doc_id",
+            "lang",
+            F.md5("text").alias("text_hash"),
+            tokens(F.col("text")).alias("toks"),
+        )
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            "lang",
+            "text_hash",
+            split.alias("split"),
+            passes_c4.alias("passes_c4"),
+            n.alias("n_tokens"),
+        )
+    )
+    canonical = per_doc.groupBy("text_hash").agg(F.min("doc_id").alias("keep_doc_id"))
+    tagged = per_doc.join(canonical, "text_hash").select(
+        "split",
+        "lang",
+        "n_tokens",
+        (F.col("passes_c4") & (F.col("doc_id") == F.col("keep_doc_id"))).alias("kept"),
+    )
+    return tagged.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        rnd(F.sum(F.col("kept").cast("int")) / F.count(F.lit(1)), 6).alias("keep_rate"),
+    )
+
+
+def corpus_stratified_sample(documents: DataFrame) -> DataFrame:
+    """Deterministic per-language downsampling report: each language
+    keeps SAMPLE_RATE_PCT[lang] percent of docs, selected by the md5
+    bucket of 'sample:'||doc_id -- stable across engines, reruns and
+    cluster sizes, and independent of the train/split hash (different
+    salt).  The sizing report every data-mix ablation starts from.
+
+    Scale shape: the keep decision is a map-side expression (the rate
+    table folds into a CASE literal -- language cardinality is tiny);
+    one small agg shuffle for the report.
+    """
+    from ..constants import SAMPLE_RATE_DEFAULT_PCT, SAMPLE_RATE_PCT
+
+    rate = F.lit(None).cast("int")
+    expr = None
+    for lang, pct in sorted(SAMPLE_RATE_PCT.items()):
+        cond = F.col("lang") == F.lit(lang)
+        expr = F.when(cond, F.lit(pct)) if expr is None else expr.when(cond, F.lit(pct))
+    rate = expr.otherwise(F.lit(SAMPLE_RATE_DEFAULT_PCT))
+    bucket = md5_pct_bucket(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+    per_doc = documents.select(
+        "lang",
+        rate.alias("rate_pct"),
+        (bucket < rate).alias("sampled"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("rate_pct").alias("rate_pct"),
+        F.sum(F.col("sampled").cast("int")).cast("bigint").alias("n_sampled"),
+        F.sum(F.when(F.col("sampled"), F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("sampled_tokens"),
+        rnd(F.sum(F.col("sampled").cast("int")) / F.count(F.lit(1)), 6).alias(
+            "actual_rate"
+        ),
+    )
+
+
 def benchmark_decontam(documents: DataFrame) -> DataFrame:
     """Benchmark decontamination audit: per source, how many corpus
     docs share at least one DECONTAM_NGRAM_K-word n-gram with the

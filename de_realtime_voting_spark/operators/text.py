@@ -255,6 +255,121 @@ def tfidf_top_terms(documents: DataFrame) -> DataFrame:
     )
 
 
+def bpe_pair_counts(documents: DataFrame, n_top: int | None = None) -> DataFrame:
+    """Adjacent subword-pair frequencies -- the counting step a BPE
+    tokenizer trainer iterates (most frequent pair gets merged, then
+    recount).  One round of that loop over the whole corpus.
+
+    Shape: regexp pre-tokenizer (JVM codegen) materialized behind the
+    barrier, positions exploded as a cheap integer sequence, each
+    pair built ONCE per output row from two element_at's (exploding a
+    prebuilt pairs array would re-evaluate the builder per generated
+    row -- the Generate pitfall), then one count shuffle and a top-N.
+    """
+    from ..constants import BPE_PAIR_TOP_N
+
+    top = BPE_PAIR_TOP_N if n_top is None else n_top
+    toked = (
+        documents.select(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_TOKEN_RE), 0).alias("bt")
+        )
+        .where(F.size("bt") >= 2)
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+    )
+    pairs = toked.select(
+        F.explode(F.sequence(F.lit(1), F.size("bt") - 1)).alias("pos"), "bt"
+    ).select(
+        F.concat_ws(
+            " ", F.element_at("bt", F.col("pos")), F.element_at("bt", F.col("pos") + 1)
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(top)
+    )
+
+
+def vocab_coverage(documents: DataFrame) -> DataFrame:
+    """Per-language vocabulary coverage: what share of all token
+    occurrences the top VOCAB_TOP_K most frequent terms account for
+    -- the question a tokenizer/vocab budget decision starts from.
+
+    Term counting is one explode + (lang, term) shuffle with map-side
+    partial agg; the rank window runs over the per-(lang, term)
+    aggregate (|vocab| rows, not |tokens|), partitioned by lang.
+    """
+    from pyspark.sql import Window
+
+    from ..constants import VOCAB_TOP_K
+
+    term_counts = (
+        documents.select("lang", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("term").asc())
+    ranked = term_counts.withColumn("rank", F.row_number().over(w))
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("rank") <= VOCAB_TOP_K, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("top_k_tokens"),
+        rnd(
+            F.sum(F.when(F.col("rank") <= VOCAB_TOP_K, F.col("cnt")).otherwise(0))
+            / F.sum("cnt"),
+            6,
+        ).alias("coverage"),
+    )
+
+
+def repeated_ngram_spans(documents: DataFrame) -> DataFrame:
+    """Cross-document repeated spans: word SPAN_NGRAM_K-grams that
+    appear in more than one distinct document, top SPAN_TOP_N by
+    document frequency -- the signal exact-substring dedup (Lee et
+    al. 2022) removes, computed here as the audit that says how much
+    of it the corpus carries.
+
+    Same positional-explode shape as benchmark_decontam: grams build
+    once per output row; the only wide shuffle keys on the gram
+    (md5'd to a fixed 32-char key so the exchange never carries long
+    raw spans).
+    """
+    from ..constants import SPAN_NGRAM_K, SPAN_TOP_N
+
+    toks_d = (
+        documents.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= SPAN_NGRAM_K)
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+    )
+    grams = toks_d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks") - (SPAN_NGRAM_K - 1))
+        ).alias("pos"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), SPAN_NGRAM_K)).alias(
+            "gram"
+        ),
+    )
+    per_gram = grams.groupBy(F.md5("gram").alias("gram_hash")).agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+    return (
+        per_gram.where(F.col("n_docs") > 1)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occurrences").desc(), F.col("gram_hash").asc()
+        )
+        .limit(SPAN_TOP_N)
+    )
+
+
 def text_c4_filters(documents: DataFrame) -> DataFrame:
     """C4-style quality-gate report per source: how many docs fail
     the token-count floor, the mean-word-length band, and the

@@ -55,9 +55,16 @@ from .constants import (
     PII_EMAIL_RE,
     PII_PHONE_RE,
     REP_DUP_BIGRAM_MAX,
+    SAMPLE_RATE_DEFAULT_PCT,
+    SAMPLE_RATE_PCT,
     SIMHASH_BAND_BITS,
     SIMHASH_N_BANDS,
+    SPAN_NGRAM_K,
+    SPAN_TOP_N,
     STOPWORDS,
+    VOCAB_TOP_K,
+    BPE_PAIR_TOP_N,
+    INCREMENTAL_EXISTING_PCT,
 )
 
 # ---------------------------------------------------------------- shared
@@ -1529,5 +1536,159 @@ ORDER BY numwait DESC, suppkey ASC
 LIMIT {Q21_TOP_N}
 """
 
+
+# ------------------------------------------------- round-2 additions
+
+def _duck_md5_pct(arg_sql: str) -> str:
+    """Twin of columns.md5_pct_bucket over an arbitrary string expr."""
+    return (
+        "(("
+        + " + ".join(
+            f"{_duck_hexval(f'md5({arg_sql})', i + 1)} * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        + ") % 100)"
+    )
+
+
+SQL["corpus_quality_keep"] = f"""
+WITH d AS (
+    SELECT doc_id, lang, md5(text) AS text_hash, {_TOKS} AS toks,
+           CASE WHEN {_duck_md5_pct('CAST(doc_id AS VARCHAR)')} < {SPLIT_TEST_PCT} THEN 'test'
+                WHEN {_duck_md5_pct('CAST(doc_id AS VARCHAR)')} < {SPLIT_TEST_PCT + SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+),
+flags AS (
+    SELECT doc_id, lang, text_hash, split, len(toks) AS n_tokens,
+           len(toks) >= {C4_MIN_TOKENS}
+           AND CASE WHEN len(toks) > 0 THEN
+                   (list_aggregate(list_transform(toks, w -> length(w)), 'sum') / len(toks))
+                       BETWEEN {C4_WORD_LEN_MIN} AND {C4_WORD_LEN_MAX}
+               ELSE FALSE END
+           AND len(list_filter(toks, w -> list_contains({_STOPLIST}, w))) > 0
+               AS passes_c4
+    FROM d
+),
+canon AS (SELECT text_hash, MIN(doc_id) AS keep_doc_id FROM flags GROUP BY 1),
+tagged AS (
+    SELECT split, lang, n_tokens,
+           passes_c4 AND f.doc_id = c.keep_doc_id AS kept
+    FROM flags f JOIN canon c USING (text_hash)
+)
+SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+       ROUND(SUM(CASE WHEN kept THEN 1 ELSE 0 END) / COUNT(*), 6) AS keep_rate
+FROM tagged GROUP BY 1, 2
+"""
+
+_SAMPLE_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{lang}' THEN {pct}" for lang, pct in sorted(SAMPLE_RATE_PCT.items()))
+    + f" ELSE {SAMPLE_RATE_DEFAULT_PCT} END"
+)
+
+SQL["corpus_stratified_sample"] = f"""
+WITH d AS (
+    SELECT lang, {_SAMPLE_CASE} AS rate_pct,
+           {_duck_md5_pct("'sample:' || CAST(doc_id AS VARCHAR)")} < ({_SAMPLE_CASE})
+               AS sampled,
+           len({_TOKS}) AS n_tokens
+    FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MAX(rate_pct) AS rate_pct,
+       CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN sampled THEN n_tokens ELSE 0 END) AS BIGINT) AS sampled_tokens,
+       ROUND(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) / COUNT(*), 6) AS actual_rate
+FROM d GROUP BY 1
+"""
+
+SQL["bpe_pair_counts"] = f"""
+WITH bt AS (
+    SELECT regexp_extract_all(lower(text), '{BPE_TOKEN_RE}') AS t FROM documents
+),
+pairs AS (
+    SELECT t[pos] || ' ' || t[pos + 1] AS pair
+    FROM bt, unnest(range(1, len(t))) AS u(pos)
+    WHERE len(t) >= 2
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY 1
+ORDER BY n_occurrences DESC, pair ASC
+LIMIT {BPE_PAIR_TOP_N}
+"""
+
+SQL["vocab_coverage"] = f"""
+WITH tc AS (
+    SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT lang, unnest({_TOKS}) AS term FROM documents)
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT lang, cnt,
+           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term ASC) AS rnk
+    FROM tc
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN rnk <= {VOCAB_TOP_K} THEN cnt ELSE 0 END) AS BIGINT)
+           AS top_k_tokens,
+       ROUND(SUM(CASE WHEN rnk <= {VOCAB_TOP_K} THEN cnt ELSE 0 END) / SUM(cnt), 6)
+           AS coverage
+FROM ranked GROUP BY 1
+"""
+
+_SPAN_CAT = " || ' ' || ".join(
+    "toks[i]" if j == 0 else f"toks[i+{j}]" for j in range(SPAN_NGRAM_K)
+)
+
+SQL["repeated_ngram_spans"] = f"""
+WITH toksed AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+    SELECT doc_id, md5(gram) AS gram_hash FROM (
+        SELECT doc_id, unnest(list_transform(
+            range(1, len(toks) - {SPAN_NGRAM_K - 2}), i -> {_SPAN_CAT}
+        )) AS gram
+        FROM toksed WHERE len(toks) >= {SPAN_NGRAM_K}
+    )
+),
+per_gram AS (
+    SELECT gram_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MIN(doc_id) AS min_doc_id
+    FROM g GROUP BY 1
+)
+SELECT gram_hash, n_docs, n_occurrences, min_doc_id
+FROM per_gram WHERE n_docs > 1
+ORDER BY n_docs DESC, n_occurrences DESC, gram_hash ASC
+LIMIT {SPAN_TOP_N}
+"""
+
+SQL["dedup_incremental"] = f"""{_MINHASH_CTES},
+split_bands AS (
+    SELECT doc_id, band_idx, band_hash,
+           {_duck_md5_pct('CAST(doc_id AS VARCHAR)')} < {INCREMENTAL_EXISTING_PCT}
+               AS is_existing
+    FROM bands
+),
+cand AS (
+    SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS existing_doc
+    FROM split_bands n JOIN split_bands o
+      ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+    WHERE NOT n.is_existing AND o.is_existing
+)
+SELECT new_doc, existing_doc, jaccard FROM (
+    SELECT new_doc, existing_doc,
+           len(list_intersect(a.shingles, b.shingles))
+           / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+               AS jaccard
+    FROM cand
+    JOIN sh a ON a.doc_id = new_doc
+    JOIN sh b ON b.doc_id = existing_doc
+) WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
 
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

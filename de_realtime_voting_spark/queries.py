@@ -233,6 +233,19 @@ _DEFS: dict[str, QueryFn] = {
     "multimodal_chunk_stats": lambda s, d: multimodal.multimodal_chunk_stats(
         _t(s, d, "documents")
     ),
+    # --- round-2 pipeline additions (SURVEY §2 #42-47) ---
+    "corpus_quality_keep": lambda s, d: pipeline.corpus_quality_keep(
+        _t(s, d, "documents")
+    ),
+    "corpus_stratified_sample": lambda s, d: pipeline.corpus_stratified_sample(
+        _t(s, d, "documents")
+    ),
+    "dedup_incremental": lambda s, d: dedup.dedup_incremental(_t(s, d, "documents")),
+    "bpe_pair_counts": lambda s, d: text.bpe_pair_counts(_t(s, d, "documents")),
+    "vocab_coverage": lambda s, d: text.vocab_coverage(_t(s, d, "documents")),
+    "repeated_ngram_spans": lambda s, d: text.repeated_ngram_spans(
+        _t(s, d, "documents")
+    ),
 }
 
 # Registry ORDER matters operationally: external checkers iterate in
@@ -256,7 +269,9 @@ _PRIORITY: list[str] = [
     # derived-partsupp TPC-H shapes (5)
     "q2_min_cost_supplier", "q11_important_stock", "q20_excess_suppliers",
     "q21_waiting_suppliers", "q22_idle_rich_customers",
-    # modified this round (2)
+    # new this round (6) + modified this round (2)
+    "corpus_quality_keep", "corpus_stratified_sample", "dedup_incremental",
+    "bpe_pair_counts", "vocab_coverage", "repeated_ngram_spans",
     "votes_approx_stats", "voter_value_quartiles",
     # complex voting shapes (12) -- fills the verification window
     "votes_asof_prior_click", "votes_in_launch_windows", "lapsed_voters",

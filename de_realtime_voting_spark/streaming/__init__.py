@@ -2,6 +2,7 @@ from .pipelines import (
     VOTE_SCHEMA,
     parse_vote_stream,
     repeat_vote_pairs,
+    stream_dedup_exact,
     stream_doc_quality,
     stream_repeat_vote_pairs,
     stream_one_vote_per_voter,
@@ -18,6 +19,7 @@ __all__ = [
     "VOTE_SCHEMA",
     "parse_vote_stream",
     "repeat_vote_pairs",
+    "stream_dedup_exact",
     "stream_one_vote_per_voter",
     "stream_repeat_vote_pairs",
     "stream_turnout_by_location",

@@ -153,6 +153,21 @@ def stream_votes_per_candidate_hourly(votes: DataFrame, delay: str = "1 minute")
     return voting.votes_per_candidate_hourly(watermark_votes(votes, delay))
 
 
+def stream_dedup_exact(documents: DataFrame) -> DataFrame:
+    """In-stream exact dedup: first copy of each md5(text) class
+    passes, later copies drop -- the streaming twin of batch
+    dedup_exact's keep-list, applied at ingest time so duplicates
+    never land in the lake.
+
+    State is one small row per distinct content hash, hash-
+    partitioned across executors; for an unbounded feed add an
+    event-time column and switch to dropDuplicatesWithinWatermark so
+    stale hash state expires instead of growing forever."""
+    return documents.withColumn("text_hash", F.md5("text")).dropDuplicates(
+        ["text_hash"]
+    )
+
+
 def stream_doc_quality(documents: DataFrame) -> DataFrame:
     """Streaming corpus-quality monitor: the SAME transform as batch
     text.text_quality_score over a live documents stream (single

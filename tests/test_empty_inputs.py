@@ -77,6 +77,20 @@ CASES = {
     "benchmark_decontam": lambda s, d: pipeline.benchmark_decontam(
         _empty(s, d, "documents")
     ),
+    "corpus_quality_keep": lambda s, d: pipeline.corpus_quality_keep(
+        _empty(s, d, "documents")
+    ),
+    "corpus_stratified_sample": lambda s, d: pipeline.corpus_stratified_sample(
+        _empty(s, d, "documents")
+    ),
+    "dedup_incremental": lambda s, d: dedup.dedup_incremental(
+        _empty(s, d, "documents")
+    ),
+    "bpe_pair_counts": lambda s, d: text.bpe_pair_counts(_empty(s, d, "documents")),
+    "vocab_coverage": lambda s, d: text.vocab_coverage(_empty(s, d, "documents")),
+    "repeated_ngram_spans": lambda s, d: text.repeated_ngram_spans(
+        _empty(s, d, "documents")
+    ),
 }
 
 

@@ -412,6 +412,32 @@ def test_foreach_batch_upsert_atomic_layout(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_stream_dedup_exact_matches_batch(spark, sf_dir):
+    """In-stream exact dedup parity: the streamed keep-set must be
+    one doc per distinct md5(text) class, matching batch dedup_exact
+    cluster count (which doc survives depends on micro-batch arrival
+    order, so compare the class sets, not the doc ids)."""
+    from de_realtime_voting_spark.operators.dedup import dedup_exact
+    from de_realtime_voting_spark.streaming import stream_dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="docs_dedup_stream_")
+    try:
+        docs.repartition(2).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(docs.schema).parquet(d)
+        got = _run_stream_to_memory(
+            spark, stream_dedup_exact(stream), "dedup_stream", "append"
+        )
+        kept_hashes = sorted(r["text_hash"] for r in got.collect())
+        want_hashes = sorted(
+            r["text_hash"] for r in dedup_exact(docs).collect()
+        )
+        assert len(kept_hashes) == len(set(kept_hashes))  # no dup passed
+        assert kept_hashes == want_hashes  # every class represented once
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_stream_doc_quality_matches_batch(spark, sf_dir):
     """Batch/stream parity for the corpus-quality monitor: the same
     text_quality_score transform over a parquet file stream must
