@@ -115,10 +115,13 @@ def corpus_quality_keep(documents: DataFrame) -> DataFrame:
     A doc is KEPT when it (a) passes all three C4 gates and (b) is
     the canonical copy of its exact-duplicate class (min doc_id per
     md5(text)).  Scale shape: gates are map-side expressions; the
-    dedup keep-list is one shuffle on the 32-char text hash with a
-    map-side partial MIN; the final report is a small agg.  No pair
-    joins anywhere.
+    canonical-copy test is a min() WINDOW over text_hash -- ONE
+    shuffle on the 32-char hash, no groupBy+join back (a join would
+    shuffle the corpus twice and build a corpus-sized hash side at
+    100 TB); the final report is a small agg.  No pair joins
+    anywhere.
     """
+    from pyspark.sql import Window
     from ..constants import C4_MIN_TOKENS, C4_WORD_LEN_MAX, C4_WORD_LEN_MIN, STOPWORDS
 
     toks = F.col("toks")
@@ -138,29 +141,29 @@ def corpus_quality_keep(documents: DataFrame) -> DataFrame:
         .when(pct < SPLIT_TEST_PCT + SPLIT_VAL_PCT, F.lit("val"))
         .otherwise(F.lit("train"))
     )
-    per_doc = (
-        documents.select(
-            "doc_id",
-            "lang",
-            F.md5("text").alias("text_hash"),
-            tokens(F.col("text")).alias("toks"),
-        )
-        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
-        .select(
-            "doc_id",
-            "lang",
-            "text_hash",
-            split.alias("split"),
-            passes_c4.alias("passes_c4"),
-            n.alias("n_tokens"),
-        )
+    # No repartition barrier here -- measured at sf0.1: the window's
+    # own shuffle on text_hash already spreads the wide stages, and
+    # an extra exchange carrying token arrays costs more than the
+    # map-side flag computation saves (0.75s vs 1.26s; PLANS.md).
+    per_doc = documents.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("text_hash"),
+        tokens(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        "text_hash",
+        split.alias("split"),
+        passes_c4.alias("passes_c4"),
+        n.alias("n_tokens"),
     )
-    canonical = per_doc.groupBy("text_hash").agg(F.min("doc_id").alias("keep_doc_id"))
-    tagged = per_doc.join(canonical, "text_hash").select(
+    keep_id = F.min("doc_id").over(Window.partitionBy("text_hash"))
+    tagged = per_doc.select(
         "split",
         "lang",
         "n_tokens",
-        (F.col("passes_c4") & (F.col("doc_id") == F.col("keep_doc_id"))).alias("kept"),
+        (F.col("passes_c4") & (F.col("doc_id") == keep_id)).alias("kept"),
     )
     return tagged.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
