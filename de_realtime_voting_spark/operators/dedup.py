@@ -507,44 +507,50 @@ def dedup_simhash_pairs(documents: DataFrame) -> DataFrame:
     """
     from ..constants import SIMHASH_HAM_MAX, SIMHASH_N_BANDS
 
-    sigs = _simhash_bands(documents).persist()
-    exploded = sigs.select(
-        "doc_id",
-        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(SIMHASH_N_BANDS)])).alias(
-            "band_idx", "band_val"
-        ),
-    )
-    a = exploded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_val")
-    b = exploded.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("band_idx").alias("band_idx_b"),
-        F.col("band_val").alias("band_val_b"),
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("band_idx") == F.col("band_idx_b"))
-            & (F.col("band_val") == F.col("band_val_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+    # the full signature rides ALONG the exploded band rows (4 extra
+    # ints) so hamming verifies INSIDE the band join and the distinct
+    # runs over survivors only.  Verify-then-distinct beats
+    # distinct-then-join-sigs ~2x on clustery corpora, where band
+    # collisions (candidate slots) vastly outnumber verified pairs --
+    # the expensive shuffle shrinks from |collisions| to |pairs|.
+    # persist: the signature pipeline (scan + md5 + 64-way agg) feeds
+    # BOTH sides of the self-join; without it the whole chain runs
+    # twice (measured ~2x)
+    exploded = (
+        _simhash_bands(documents)
+        .persist()
+        .select(
+            "doc_id",
+            *[f"b{b}" for b in range(SIMHASH_N_BANDS)],
+            F.posexplode(
+                F.array(*[F.col(f"b{b}") for b in range(SIMHASH_N_BANDS)])
+            ).alias("band_idx", "band_val"),
         )
-        .select("doc_a", "doc_b")
-        .distinct()
     )
-    sa = sigs.select(
+    a = exploded.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"b{b}").alias(f"a{b}") for b in range(SIMHASH_N_BANDS)],
+        "band_idx",
+        "band_val",
     )
-    sb = sigs.select(
+    b = exploded.select(
         F.col("doc_id").alias("doc_b"),
         *[F.col(f"b{b}").alias(f"bb{b}") for b in range(SIMHASH_N_BANDS)],
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("band_val").alias("band_val_b"),
     )
     ham = sum(
         F.bit_count(F.col(f"a{b}").bitwiseXOR(F.col(f"bb{b}")))
         for b in range(SIMHASH_N_BANDS)
     )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        a.join(
+            b,
+            (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("band_val") == F.col("band_val_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (ham <= F.lit(SIMHASH_HAM_MAX)),
+        )
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
-        .where(F.col("hamming") <= SIMHASH_HAM_MAX)
+        .distinct()
     )

@@ -12,7 +12,13 @@ from .pipelines import (
     stream_votes_sessionized,
     watermark_votes,
 )
-from .sinks import foreach_batch_upsert, kafka_sink, kafka_source, to_kafka_frame
+from .sinks import (
+    foreach_batch_upsert,
+    kafka_sink,
+    kafka_source,
+    socket_source,
+    to_kafka_frame,
+)
 from .state import running_tally, voter_sessions_with_timeout
 
 __all__ = [
@@ -30,6 +36,7 @@ __all__ = [
     "foreach_batch_upsert",
     "kafka_sink",
     "kafka_source",
+    "socket_source",
     "to_kafka_frame",
     "running_tally",
     "voter_sessions_with_timeout",

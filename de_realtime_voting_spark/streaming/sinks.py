@@ -32,6 +32,20 @@ def kafka_source(
     )
 
 
+def socket_source(spark: SparkSession, host: str, port: int):
+    """Configured (unstarted) TCP socket stream reader -- the
+    connector-free live transport this environment CAN run end-to-end
+    (tests feed it from a local server thread).  Same one-string-row
+    contract as the Kafka value column, so parse_vote_stream works on
+    either; unlike Kafka the socket source has no offsets/replay, so
+    it is a demo/dev transport, not the production path."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+    )
+
+
 def to_kafka_frame(df: DataFrame, key_col: str | None = None) -> DataFrame:
     """Aggregate rows -> Kafka-writable frame: value = to_json(struct(*))
     (reference spark-streaming.py:83-84), optional partitioning key.

@@ -412,6 +412,89 @@ def test_foreach_batch_upsert_atomic_layout(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_socket_source_live_tally(spark, sf_dir):
+    """Live TCP transport end-to-end: a local server streams JSON
+    vote lines, the socket source consumes them through the SAME
+    parse + tally transforms as the Kafka path, and the memory sink
+    shows per-candidate counts.  This is the connector-free live
+    round-trip (socket has no replay, so we assert presence and
+    monotone counts, not exact totals)."""
+    import socket
+    import threading
+
+    from de_realtime_voting_spark.streaming import (
+        parse_vote_stream,
+        socket_source,
+        stream_votes_per_candidate,
+    )
+
+    events = load_table(spark, sf_dir, "events").limit(100)
+    lines = [
+        r["v"]
+        for r in events.select(
+            F.to_json(
+                F.struct(*events.columns),
+                {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+            ).alias("v")
+        ).collect()
+    ]
+    payload = ("\n".join(lines) + "\n").encode()
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = server.accept()
+        try:
+            while not stop.is_set():
+                conn.sendall(payload)
+                time.sleep(0.3)
+        except OSError:
+            pass
+        finally:
+            conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    raw = socket_source(spark, "127.0.0.1", port).load()
+    tally = stream_votes_per_candidate(
+        parse_vote_stream(raw, value_col="value")
+    )
+    q = (
+        tally.writeStream.format("memory")
+        .queryName("socket_tally")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        want = {
+            r["candidate_id"]
+            for r in voting.votes_per_candidate(events).collect()
+        }
+        deadline = time.time() + 60
+        got: set = set()
+        while time.time() < deadline and got != want:
+            got = {
+                r["candidate_id"]
+                for r in spark.sql("SELECT * FROM socket_tally").collect()
+            }
+            time.sleep(0.5)
+        assert got == want, (got, want)
+        rows = {
+            r["candidate_id"]: r["total_votes"]
+            for r in spark.sql("SELECT * FROM socket_tally").collect()
+        }
+        assert all(v > 0 for v in rows.values())
+    finally:
+        stop.set()
+        q.stop()
+        server.close()
+
+
 def test_stream_dedup_exact_matches_batch(spark, sf_dir):
     """In-stream exact dedup parity: the streamed keep-set must be
     one doc per distinct md5(text) class, matching batch dedup_exact
