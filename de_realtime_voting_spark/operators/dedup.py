@@ -362,7 +362,8 @@ def dedup_clusters(documents: DataFrame, max_iter: int = 20) -> DataFrame:
             .persist()
         )
         # localCheckpoint cuts the lineage so plan depth stays O(1)
-        # across rounds instead of doubling per iteration
+        # across rounds instead of doubling per iteration (lazy
+        # checkpoint + fused count was measured: no win)
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.agg(F.sum("changed")).first()[0] or 0
         labels.unpersist()
