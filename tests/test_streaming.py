@@ -241,6 +241,58 @@ def test_checkpoint_recovery_resumes_state(spark, sf_dir, vote_json_dir):
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_stream_dedup_checkpoint_no_reemit(spark, sf_dir):
+    """Dedup-state recovery: kill the dedup stream, deliver a file
+    containing BOTH already-seen and new docs, restart from the same
+    checkpoint -- seen hashes must not re-emit (state recovered), new
+    hashes must emit exactly once."""
+    import os
+
+    from de_realtime_voting_spark.streaming import stream_dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents").limit(60).persist()
+    first = docs.where(F.col("doc_id") < 30)
+    rest = docs  # includes the first 30 again (duplicates) plus new
+    root = tempfile.mkdtemp(prefix="dedup_cp_")
+    src, ckpt, out = f"{root}/src", f"{root}/ckpt", f"{root}/out"
+
+    def start():
+        # parquet sink: append-mode checkpoint recovery is supported
+        # (the memory sink cannot recover in append mode)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        return (
+            stream_dedup_exact(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    try:
+        first.coalesce(1).write.mode("overwrite").parquet(src)
+        q = start()
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(out).count()
+
+        # "new" delivery replays old docs alongside new ones
+        rest.coalesce(1).write.mode("append").parquet(src)
+        q2 = start()
+        q2.awaitTermination(120)
+
+        got = [r["text_hash"] for r in spark.read.parquet(out).collect()]
+        assert len(got) == len(set(got)), "a seen hash re-emitted after restart"
+        want = {
+            r["text_hash"]
+            for r in docs.select(F.md5("text").alias("text_hash")).distinct().collect()
+        }
+        assert set(got) == want and n1 < len(got)
+    finally:
+        docs.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir, vote_json_dir):
     from de_realtime_voting_spark.streaming import (
         repeat_vote_pairs,
