@@ -388,6 +388,97 @@ def dedup_clusters(documents: DataFrame, max_iter: int = 20) -> DataFrame:
     )
 
 
+def dedup_clusters_bigstar(documents: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components over the verified near-dup graph via
+    alternating LARGE-STAR / SMALL-STAR contraction (Kiveris et al.,
+    'Connected Components in MapReduce and Beyond', SoCC'14) -- the
+    O(log n)-round algorithm dedup_clusters' docstring names as the
+    extreme-diameter swap, same output contract.
+
+    Each round is two shuffle-bounded steps over the edge list:
+    large-star connects every strictly-larger neighbor of u to
+    min(N(u) + {u}); small-star connects u and its smaller neighbors
+    to that min.  Edges only ever move toward component minima, the
+    edge list never grows beyond its input size order, and rounds are
+    logarithmic in component size rather than linear in diameter --
+    the property that matters when a pathological near-dup chain
+    (boilerplate families) stretches a component.
+
+    Convergence is detected by an (edge-count, xxhash64 checksum)
+    fingerprint -- one tiny agg per round, no edge-set diff shuffle.
+    """
+    import warnings
+
+    pairs = dedup_minhash_pairs(documents).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    edges = (
+        pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    fingerprint = None
+    for _ in range(max_iter):
+        # ---- large-star: (v, m(u)) for v in N(u), v > u ------------
+        m = edges.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least("u", "mv").alias("m")
+        )
+        large = (
+            edges.where(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .union(m.select(F.col("u"), F.col("m").alias("v")).where(F.col("u") != F.col("m")))
+            .distinct()
+        )
+        sym = large.union(large.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # ---- small-star: (v, m(u)) for v in N(u), v <= u, + (u, m) --
+        m2 = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least("u", "mv").alias("m")
+        )
+        small = (
+            sym.where(F.col("v") < F.col("u"))
+            .join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m2.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        new_edges = (
+            small.union(small.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        row = new_edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("chk"),
+        ).first()
+        edges.unpersist()
+        edges = new_edges
+        new_fingerprint = (row["n"], row["chk"])
+        if new_fingerprint == fingerprint:
+            break
+        fingerprint = new_fingerprint
+    else:
+        warnings.warn(
+            f"dedup_clusters_bigstar: contraction did not stabilize in "
+            f"{max_iter} rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # stars: every node appears on the u side of the symmetric edge
+    # list; a member's min neighbor is the root, the root's is its
+    # smallest member (> root), so least(u, min(v)) labels both
+    labels = edges.groupBy("u").agg(F.min("v").alias("mv")).select(
+        "u", F.least("u", "mv").alias("label")
+    )
+    return labels.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("u").alias("max_doc_id"),
+    )
+
+
 def dedup_incremental(documents: DataFrame) -> DataFrame:
     """Incremental MinHash-LSH dedup: an incoming batch checked
     against the already-deduped corpus WITHOUT re-pairing the corpus

@@ -1667,6 +1667,10 @@ ORDER BY n_docs DESC, n_occurrences DESC, gram_hash ASC
 LIMIT {SPAN_TOP_N}
 """
 
+# same clusters by construction (both compute connected components of
+# the same verified near-dup graph) -- the recursive-CTE twin is shared
+SQL["dedup_clusters_bigstar"] = SQL["dedup_clusters"]
+
 SQL["dedup_incremental"] = f"""{_MINHASH_CTES},
 split_bands AS (
     SELECT doc_id, band_idx, band_hash,

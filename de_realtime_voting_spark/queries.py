@@ -246,6 +246,9 @@ _DEFS: dict[str, QueryFn] = {
     "repeated_ngram_spans": lambda s, d: text.repeated_ngram_spans(
         _t(s, d, "documents")
     ),
+    "dedup_clusters_bigstar": lambda s, d: dedup.dedup_clusters_bigstar(
+        _t(s, d, "documents")
+    ),
 }
 
 # Registry ORDER matters operationally: external checkers iterate in
@@ -269,9 +272,10 @@ _PRIORITY: list[str] = [
     # derived-partsupp TPC-H shapes (5)
     "q2_min_cost_supplier", "q11_important_stock", "q20_excess_suppliers",
     "q21_waiting_suppliers", "q22_idle_rich_customers",
-    # new this round (6) + modified this round (2)
+    # new this round (7) + modified this round (2)
     "corpus_quality_keep", "corpus_stratified_sample", "dedup_incremental",
     "bpe_pair_counts", "vocab_coverage", "repeated_ngram_spans",
+    "dedup_clusters_bigstar",
     "votes_approx_stats", "voter_value_quartiles",
     # complex voting shapes (12) -- fills the verification window
     "votes_asof_prior_click", "votes_in_launch_windows", "lapsed_voters",

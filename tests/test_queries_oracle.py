@@ -60,6 +60,58 @@ def test_votes_approx_stats_tolerance(spark, sf_dir):
         assert 0.0 <= row["value_p50"] <= row["value_p95"]
 
 
+def test_bigstar_matches_label_propagation(spark, sf_dir):
+    """Both connected-component algorithms must produce identical
+    clusters over the same near-dup graph."""
+    from de_realtime_voting_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_bigstar,
+    )
+    from de_realtime_voting_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, dedup_clusters(docs).collect()))
+    b = sorted(map(tuple, dedup_clusters_bigstar(docs).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_voter_value_quartiles_matches_ntile(spark, sf_dir):
+    """The distributed rank+arithmetic formulation must reproduce
+    Spark's own ntile(4) exactly (same quartile for every voter),
+    including the uneven-remainder group sizes."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from de_realtime_voting_spark.functions.columns import round_half_up as rnd
+    from de_realtime_voting_spark.sources import load_table
+
+    votes = load_table(spark, sf_dir, "events")
+    per_voter = votes.groupBy("user_id").agg(
+        rnd(F.sum("value"), 2).alias("total_weight")
+    )
+    q = F.ntile(4).over(
+        Window.orderBy(F.col("total_weight").asc(), F.col("user_id").asc())
+    )
+    want = {
+        (r["quartile"], r["n_voters"], r["min_weight"], r["max_weight"])
+        for r in per_voter.select("user_id", "total_weight", q.alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_voters"),
+            rnd(F.min("total_weight"), 2).alias("min_weight"),
+            rnd(F.max("total_weight"), 2).alias("max_weight"),
+        )
+        .collect()
+    }
+    got = {
+        (r["quartile"], r["n_voters"], r["min_weight"], r["max_weight"])
+        for r in QUERY_REGISTRY["voter_value_quartiles"](spark, sf_dir)
+        .select("quartile", "n_voters", "min_weight", "max_weight")
+        .collect()
+    }
+    assert got == want
+
+
 def test_ann_lsh_multiprobe_recall(spark, sf_dir):
     """Multi-probe LSH must recover a nontrivial share of the exact
     top-k.  The synthetic embeddings are near-uniform (neighbors sit
