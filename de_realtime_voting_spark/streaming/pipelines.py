@@ -168,6 +168,39 @@ def stream_dedup_exact(documents: DataFrame) -> DataFrame:
     )
 
 
+def stream_dedup_against_corpus(
+    documents: DataFrame, existing_hashes: DataFrame
+) -> DataFrame:
+    """Ingest-time dedup against an EXISTING corpus: the live doc
+    stream drops (a) anything whose md5(text) is already in the
+    static keep-list (stream-static LEFT ANTI join -- the static side
+    broadcasts per micro-batch) and (b) in-stream repeats
+    (dropDuplicates state).  What comes out is exactly the set of
+    genuinely new content classes -- the streaming twin of batch
+    dedup_incremental's exact layer.
+
+    ``existing_hashes`` must have a ``text_hash`` column (e.g.
+    ``dedup_exact(corpus).select(F.col("text_hash"))``).
+    """
+    hashed = documents.withColumn("text_hash", F.md5("text"))
+    new_only = hashed.join(
+        existing_hashes.select("text_hash"), "text_hash", "left_anti"
+    )
+    return new_only.dropDuplicates(["text_hash"])
+
+
+def stream_embedding_buckets(embeddings: DataFrame) -> DataFrame:
+    """Streaming LSH bucket histogram -- the SAME transform as batch
+    embedding_lsh_buckets over a live embedding feed (single logical
+    plan, two execution modes).  The operational skew monitor for an
+    online index: a bucket whose count runs away means degraded
+    recall AND a hot partition.  Complete-mode agg keyed by bucket:
+    state is bounded by 2^LSH_NUM_PLANES, not stream length."""
+    from ..operators.similarity import embedding_lsh_buckets
+
+    return embedding_lsh_buckets(embeddings)
+
+
 def stream_doc_quality(documents: DataFrame) -> DataFrame:
     """Streaming corpus-quality monitor: the SAME transform as batch
     text.text_quality_score over a live documents stream (single

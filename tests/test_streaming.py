@@ -573,6 +573,60 @@ def test_stream_dedup_exact_matches_batch(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_stream_dedup_against_corpus(spark, sf_dir):
+    """Ingest-time dedup vs a static corpus: streamed docs already in
+    the keep-list (by content hash) must not emit; new classes emit
+    exactly once even when the stream repeats them."""
+    from de_realtime_voting_spark.operators.dedup import dedup_exact
+    from de_realtime_voting_spark.streaming import stream_dedup_against_corpus
+
+    docs = load_table(spark, sf_dir, "documents").limit(60).persist()
+    existing_docs = docs.where(F.col("doc_id") < 30)
+    existing = dedup_exact(existing_docs).select("text_hash").persist()
+    existing.count()
+    d = tempfile.mkdtemp(prefix="docs_vs_corpus_")
+    try:
+        docs.repartition(2).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(docs.schema).parquet(d)
+        got = _run_stream_to_memory(
+            spark,
+            stream_dedup_against_corpus(stream, existing),
+            "dedup_vs_corpus",
+            "append",
+        )
+        got_hashes = sorted(r["text_hash"] for r in got.collect())
+        all_hashes = {
+            r["text_hash"] for r in dedup_exact(docs).collect()
+        }
+        old_hashes = {r["text_hash"] for r in existing.collect()}
+        want = sorted(all_hashes - old_hashes)
+        assert got_hashes == want and len(want) > 0
+    finally:
+        docs.unpersist()
+        existing.unpersist()
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_embedding_buckets_matches_batch(spark, sf_dir):
+    """Batch/stream parity for the LSH bucket skew monitor."""
+    from de_realtime_voting_spark.operators.similarity import embedding_lsh_buckets
+    from de_realtime_voting_spark.streaming import stream_embedding_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = tempfile.mkdtemp(prefix="emb_stream_")
+    try:
+        emb.repartition(2).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(emb.schema).parquet(d)
+        got = _run_stream_to_memory(
+            spark, stream_embedding_buckets(stream), "emb_buckets_stream", "complete"
+        )
+        a = sorted(map(tuple, got.collect()))
+        b = sorted(map(tuple, embedding_lsh_buckets(emb).collect()))
+        assert a == b and len(a) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_stream_doc_quality_matches_batch(spark, sf_dir):
     """Batch/stream parity for the corpus-quality monitor: the same
     text_quality_score transform over a parquet file stream must
