@@ -1,0 +1,103 @@
+"""Empirical scaling probe: run the heavy operator families at every
+available scale factor and report the growth exponent of wall-clock
+vs input scale (alpha in t ~ sf^alpha, least-squares over log-log).
+
+alpha ~ 1 means linear scaling (the 100 TB requirement for scan-bound
+ops); alpha >> 1 flags a shape whose cost curve will not survive a
+scale-up (quadratic pairing, unbounded windows).  Constant-dominated
+ops at toy SFs show alpha ~ 0 (fixed overhead hides the data term),
+so read LOW alphas as "overhead-bound here", not "free at scale".
+
+Usage:
+    python tools/scale_probe.py [query ...]   # default: heavy families
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from de_realtime_voting_spark.queries import QUERY_REGISTRY
+from de_realtime_voting_spark.session import get_spark
+
+SFS = [0.001, 0.01, 0.1]
+
+# the ops whose scale shape matters most: dedup pairing, clustering,
+# ANN, span/gram machinery, and the widest voting aggregations
+DEFAULT = [
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_clusters_bigstar",
+    "dedup_embedding_cosine",
+    "dedup_incremental",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_kmeans_iter",
+    "repeated_ngram_spans",
+    "benchmark_decontam",
+    "corpus_quality_keep",
+    "tfidf_top_terms",
+    "votes_enriched",
+    "voter_value_quartiles",
+    "q5_regional_revenue",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def fit_alpha(points: list[tuple[float, float]]) -> float:
+    """Least-squares slope of log(t) vs log(sf)."""
+    xs = [math.log10(sf) for sf, _ in points]
+    ys = [math.log10(t) for _, t in points]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    denom = sum((x - mx) ** 2 for x in xs)
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # codegen warmup at the smallest SF so timings exclude compiles
+    for name in names:
+        force(QUERY_REGISTRY[name](spark, f"/root/testdata/sf{SFS[0]}"))
+        spark.catalog.clearCache()
+
+    rows = []
+    for name in names:
+        points = []
+        for sf in SFS:
+            best = math.inf
+            for _ in range(2):  # best-of-2 damps scheduler noise
+                t0 = time.perf_counter()
+                force(QUERY_REGISTRY[name](spark, f"/root/testdata/sf{sf}"))
+                best = min(best, time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            points.append((sf, best))
+        alpha = fit_alpha(points)
+        rows.append(
+            {
+                "query": name,
+                "alpha": round(alpha, 2),
+                **{f"t_sf{sf}": round(t, 2) for sf, t in points},
+            }
+        )
+        print(json.dumps(rows[-1]))
+    print(json.dumps({"n": len(rows), "max_alpha": max(r["alpha"] for r in rows)}))
+
+
+if __name__ == "__main__":
+    main()
