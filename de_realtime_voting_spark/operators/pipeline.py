@@ -275,3 +275,33 @@ def benchmark_decontam(documents: DataFrame) -> DataFrame:
         F.max("overlap").cast("bigint").alias("max_overlap"),
         rnd(contaminated / F.count(F.lit(1)), 6).alias("contam_rate"),
     )
+
+
+def corpus_source_mix(documents: DataFrame) -> DataFrame:
+    """Domain-mix rebalancing report: per source, the corpus token
+    share and the downsampling weight that would equalize the mix
+    (uniform target across sources, capped at 1.0 -- under-represented
+    domains are never upsampled here, matching how mix ablations
+    downsample the head domains).  The sizing table a data-mix sweep
+    starts from.  (No reference analog -- training-data mandate.)
+
+    Scale shape: one corpus agg shuffle down to |sources| rows; the
+    share/weight window runs over that tiny post-agg frame (a handful
+    of rows -- the unpartitioned window never sees the corpus).
+    """
+    w = Window.partitionBy()
+    per_source = documents.select(
+        "source", F.size(tokens(F.col("text"))).alias("n_tokens")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    share = F.col("total_tokens") / F.sum("total_tokens").over(w)
+    target = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    return per_source.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        rnd(share, 6).alias("token_share"),
+        rnd(F.least(F.lit(1.0), target / share), 6).alias("sample_weight"),
+    )

@@ -407,3 +407,43 @@ def text_c4_filters(documents: DataFrame) -> DataFrame:
         as_cnt(F.col("no_stopword")).alias("n_no_stopword"),
         as_cnt(kept).alias("n_kept"),
     )
+
+
+def unigram_logprob_score(documents: DataFrame) -> DataFrame:
+    """Perplexity-proxy quality screen: score every document by the
+    mean log-probability of its tokens under a corpus-wide unigram
+    model, reported per (lang, source).  The classic cheap stand-in
+    for a KenLM/perplexity filter (CCNet-style): boilerplate and
+    natural prose score high, gibberish and rare-token soup score
+    low.  (No reference analog -- training-data mandate.)
+
+    Scale shape: two corpus shuffles and one broadcast.  Building the
+    model is a groupBy(term) count -- map-side partial agg collapses
+    the Zipf head before the shuffle, so 'the' does not create a hot
+    partition.  Scoring joins the exploded tokens to the model with
+    the MODEL side broadcast: token frequency is Zipf-skewed, so a
+    shuffle hash join keyed on term would funnel the head terms into
+    a few tasks -- the broadcast keeps scoring map-side and
+    skew-immune.  At 100 TB, cap the broadcast model at the top-K
+    vocabulary (cnt cutoff) with an OOV floor probability; the full
+    vocab broadcast here matches the oracle exactly.  Final per-doc
+    and per-(lang, source) aggs shuffle on uniform keys.
+    """
+    tok = documents.select(
+        "doc_id", "lang", "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("n_total"))
+    model = vocab.crossJoin(F.broadcast(total)).select(
+        "term", F.log(F.col("cnt") / F.col("n_total")).alias("logp")
+    )
+    per_doc = (
+        tok.join(F.broadcast(model), "term")
+        .groupBy("doc_id", "lang", "source")
+        .agg(F.avg("logp").alias("lp"))
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        rnd(F.avg("lp"), 4).alias("avg_logprob"),
+        rnd(F.min("lp"), 4).alias("min_logprob"),
+    )

@@ -1695,4 +1695,40 @@ SELECT new_doc, existing_doc, jaccard FROM (
 ) WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
+SQL["unigram_logprob_score"] = f"""
+WITH tok AS (
+    SELECT doc_id, lang, source, unnest({_TOKS}) AS term FROM documents
+),
+vocab AS (
+    SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total FROM vocab),
+per_doc AS (
+    SELECT t.doc_id, t.lang, t.source,
+           AVG(ln(CAST(v.cnt AS DOUBLE) / tot.n_total)) AS lp
+    FROM tok t JOIN vocab v ON t.term = v.term CROSS JOIN tot
+    GROUP BY 1, 2, 3
+)
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(lp), 4) AS avg_logprob,
+       ROUND(MIN(lp), 4) AS min_logprob
+FROM per_doc GROUP BY 1, 2
+"""
+
+SQL["corpus_source_mix"] = f"""
+WITH s AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY 1
+)
+SELECT source, n_docs, total_tokens,
+       ROUND(CAST(total_tokens AS DOUBLE) / CAST(SUM(total_tokens) OVER () AS DOUBLE), 6)
+           AS token_share,
+       ROUND(LEAST(1.0,
+             (1.0 / COUNT(*) OVER ())
+             / (CAST(total_tokens AS DOUBLE) / CAST(SUM(total_tokens) OVER () AS DOUBLE))), 6)
+           AS sample_weight
+FROM s
+"""
+
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

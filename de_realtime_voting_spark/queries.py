@@ -249,6 +249,12 @@ _DEFS: dict[str, QueryFn] = {
     "dedup_clusters_bigstar": lambda s, d: dedup.dedup_clusters_bigstar(
         _t(s, d, "documents")
     ),
+    "unigram_logprob_score": lambda s, d: text.unigram_logprob_score(
+        _t(s, d, "documents")
+    ),
+    "corpus_source_mix": lambda s, d: pipeline.corpus_source_mix(
+        _t(s, d, "documents")
+    ),
 }
 
 # Registry ORDER matters operationally: external checkers iterate in
@@ -275,7 +281,7 @@ _PRIORITY: list[str] = [
     # new this round (7) + modified this round (2)
     "corpus_quality_keep", "corpus_stratified_sample", "dedup_incremental",
     "bpe_pair_counts", "vocab_coverage", "repeated_ngram_spans",
-    "dedup_clusters_bigstar",
+    "dedup_clusters_bigstar", "unigram_logprob_score", "corpus_source_mix",
     "votes_approx_stats", "voter_value_quartiles",
     # complex voting shapes (12) -- fills the verification window
     "votes_asof_prior_click", "votes_in_launch_windows", "lapsed_voters",

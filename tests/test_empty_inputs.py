@@ -91,6 +91,12 @@ CASES = {
     "repeated_ngram_spans": lambda s, d: text.repeated_ngram_spans(
         _empty(s, d, "documents")
     ),
+    "unigram_logprob_score": lambda s, d: text.unigram_logprob_score(
+        _empty(s, d, "documents")
+    ),
+    "corpus_source_mix": lambda s, d: pipeline.corpus_source_mix(
+        _empty(s, d, "documents")
+    ),
 }
 
 
