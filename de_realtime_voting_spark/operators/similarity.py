@@ -302,3 +302,60 @@ def embedding_norm_outliers(embeddings: DataFrame) -> DataFrame:
             F.sum(F.when(dev > cut, 1).otherwise(0)).alias("n_outliers"),
         )
     )
+
+
+def embedding_quantization_stats(embeddings: DataFrame) -> DataFrame:
+    """Int8 affine-quantization audit per label: the per-tensor scale/
+    zero-point an int8 export would use, plus the reconstruction error
+    it would cost -- the go/no-go table for quantizing an embedding
+    store to a quarter of its size.  (No reference analog --
+    training-data mandate.)
+
+    Two corpus passes, both map-side until tiny aggs: pass 1 reduces
+    each vector to its own min/max (F.aggregate inside codegen) and
+    aggs to per-label range; pass 2 broadcasts the |labels|-row range
+    table back and folds per-element squared reconstruction error
+    without ever exploding the arrays into rows.  Quantization uses
+    floor(z + 0.5), bit-identical in any IEEE engine (Spark round()
+    and DuckDB round() disagree on ties).
+    """
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    per_vec = embeddings.select(
+        "label",
+        F.col("vec_id"),
+        F.col("embedding"),
+        F.array_min(vec).alias("vmin"),
+        F.array_max(vec).alias("vmax"),
+        F.size("embedding").alias("dim"),
+    )
+    ranges = per_vec.groupBy("label").agg(
+        F.min("vmin").alias("lo"), F.max("vmax").alias("hi")
+    )
+    scale = (F.col("hi") - F.col("lo")) / F.lit(255.0)
+    with_range = per_vec.join(F.broadcast(ranges), "label").select(
+        "label",
+        "embedding",
+        "dim",
+        F.col("lo"),
+        scale.alias("scale"),
+    )
+    # x' = lo + floor((x - lo)/scale + 0.5) * scale; fold sum((x-x')^2)
+    err_sum = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.pow(
+            x - (F.col("lo") + F.floor((x - F.col("lo")) / F.col("scale") + 0.5) * F.col("scale")),
+            2,
+        ),
+    )
+    per_vec_err = with_range.select(
+        "label", "lo", "scale", "dim", (err_sum / F.col("dim")).alias("mse")
+    )
+    return per_vec_err.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        rnd(F.min("lo"), 6).alias("range_lo"),
+        rnd(F.max(F.col("lo") + F.col("scale") * 255.0), 6).alias("range_hi"),
+        rnd(F.max("scale"), 8).alias("scale"),
+        rnd(F.avg("mse"), 10).alias("avg_mse"),
+    )

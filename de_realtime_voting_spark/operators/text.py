@@ -447,3 +447,44 @@ def unigram_logprob_score(documents: DataFrame) -> DataFrame:
         rnd(F.avg("lp"), 4).alias("avg_logprob"),
         rnd(F.min("lp"), 4).alias("min_logprob"),
     )
+
+
+def doc_length_percentile_filter(documents: DataFrame) -> DataFrame:
+    """Per-language inlier length band: the exact [p05, p95] n_chars
+    cutoffs and how much of the corpus survives them -- the outlier-
+    trim report run before length-sensitive curation (tiny fragments
+    and mega-docs are both quality hazards).  (No reference analog --
+    training-data mandate.)
+
+    Scale shape: cutoffs come from an exact percentile agg per lang
+    (language cardinality is tiny, so the agg output is a dim table);
+    the |langs|-row cutoff table broadcasts back and the keep test is
+    a map-side comparison.  At 100 TB swap the exact percentile for
+    approx_percentile(1e-4 accuracy) -- same plan, sketch-sized agg
+    state instead of per-group sorted values.
+    """
+    cuts = (
+        documents.groupBy("lang")
+        .agg(
+            F.percentile(F.col("n_chars"), F.array(F.lit(0.05), F.lit(0.95))).alias(
+                "p"
+            )
+        )
+        .select(
+            "lang",
+            F.element_at("p", 1).alias("lo_cut"),
+            F.element_at("p", 2).alias("hi_cut"),
+        )
+    )
+    kept = (F.col("n_chars") >= F.col("lo_cut")) & (F.col("n_chars") <= F.col("hi_cut"))
+    return (
+        documents.join(F.broadcast(cuts), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            rnd(F.max("lo_cut"), 4).alias("lo_cut"),
+            rnd(F.max("hi_cut"), 4).alias("hi_cut"),
+            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+            rnd(F.sum(kept.cast("int")) / F.count(F.lit(1)), 6).alias("kept_share"),
+        )
+    )

@@ -1731,4 +1731,51 @@ SELECT source, n_docs, total_tokens,
 FROM s
 """
 
+SQL["embedding_quantization_stats"] = """
+WITH pv AS (
+    SELECT label, embedding,
+           list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vmin,
+           list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vmax,
+           len(embedding) AS dim
+    FROM embeddings
+),
+r AS (SELECT label, MIN(vmin) AS lo, MAX(vmax) AS hi FROM pv GROUP BY 1),
+wr AS (
+    SELECT pv.label, embedding, dim, r.lo, (r.hi - r.lo) / 255.0 AS scale
+    FROM pv JOIN r USING (label)
+),
+pe AS (
+    SELECT label, lo, scale,
+           list_sum(list_transform(embedding, x ->
+               pow(CAST(x AS DOUBLE)
+                   - (lo + floor((CAST(x AS DOUBLE) - lo) / scale + 0.5) * scale),
+                   2))) / dim AS mse
+    FROM wr
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(MIN(lo), 6) AS range_lo,
+       ROUND(MAX(lo + scale * 255.0), 6) AS range_hi,
+       ROUND(MAX(scale), 8) AS scale,
+       ROUND(AVG(mse), 10) AS avg_mse
+FROM pe GROUP BY 1
+"""
+
+SQL["doc_length_percentile_filter"] = """
+WITH cuts AS (
+    SELECT lang,
+           quantile_cont(n_chars, 0.05) AS lo_cut,
+           quantile_cont(n_chars, 0.95) AS hi_cut
+    FROM documents GROUP BY 1
+)
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(MAX(c.lo_cut), 4) AS lo_cut,
+       ROUND(MAX(c.hi_cut), 4) AS hi_cut,
+       CAST(SUM(CASE WHEN d.n_chars >= c.lo_cut AND d.n_chars <= c.hi_cut
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(SUM(CASE WHEN d.n_chars >= c.lo_cut AND d.n_chars <= c.hi_cut
+                      THEN 1 ELSE 0 END) / COUNT(*), 6) AS kept_share
+FROM documents d JOIN cuts c USING (lang)
+GROUP BY 1
+"""
+
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

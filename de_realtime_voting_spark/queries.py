@@ -255,6 +255,12 @@ _DEFS: dict[str, QueryFn] = {
     "corpus_source_mix": lambda s, d: pipeline.corpus_source_mix(
         _t(s, d, "documents")
     ),
+    "embedding_quantization_stats": lambda s, d: similarity.embedding_quantization_stats(
+        _t(s, d, "embeddings")
+    ),
+    "doc_length_percentile_filter": lambda s, d: text.doc_length_percentile_filter(
+        _t(s, d, "documents")
+    ),
 }
 
 # Registry ORDER matters operationally: external checkers iterate in
@@ -282,6 +288,7 @@ _PRIORITY: list[str] = [
     "corpus_quality_keep", "corpus_stratified_sample", "dedup_incremental",
     "bpe_pair_counts", "vocab_coverage", "repeated_ngram_spans",
     "dedup_clusters_bigstar", "unigram_logprob_score", "corpus_source_mix",
+    "embedding_quantization_stats", "doc_length_percentile_filter",
     "votes_approx_stats", "voter_value_quartiles",
     # complex voting shapes (12) -- fills the verification window
     "votes_asof_prior_click", "votes_in_launch_windows", "lapsed_voters",

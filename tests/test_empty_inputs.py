@@ -97,6 +97,12 @@ CASES = {
     "corpus_source_mix": lambda s, d: pipeline.corpus_source_mix(
         _empty(s, d, "documents")
     ),
+    "embedding_quantization_stats": lambda s, d: similarity.embedding_quantization_stats(
+        _empty(s, d, "embeddings")
+    ),
+    "doc_length_percentile_filter": lambda s, d: text.doc_length_percentile_filter(
+        _empty(s, d, "documents")
+    ),
 }
 
 
