@@ -49,6 +49,9 @@ DEFAULT = [
     "votes_enriched",
     "voter_value_quartiles",
     "q5_regional_revenue",
+    "unigram_logprob_score",
+    "embedding_quantization_stats",
+    "doc_length_percentile_filter",
 ]
 
 
