@@ -488,3 +488,41 @@ def doc_length_percentile_filter(documents: DataFrame) -> DataFrame:
             rnd(F.sum(kept.cast("int")) / F.count(F.lit(1)), 6).alias("kept_share"),
         )
     )
+
+
+def doc_length_percentile_filter_approx(
+    documents: DataFrame, accuracy: int = 10000
+) -> DataFrame:
+    """The 100 TB form of doc_length_percentile_filter: cutoffs from
+    approx_percentile (KLL-style sketch, mergeable map-side, state
+    O(accuracy) per lang instead of the exact form's per-group sorted
+    values).  Same contract and columns; cutoffs differ from exact by
+    at most the sketch's rank-error bound (tolerance-tested against
+    the exact twin, <=1% relative -- the NO_ORACLE sketch-op pattern,
+    like votes_approx_stats).
+    """
+    cuts = (
+        documents.groupBy("lang")
+        .agg(
+            F.approx_percentile(
+                F.col("n_chars"), F.array(F.lit(0.05), F.lit(0.95)), F.lit(accuracy)
+            ).alias("p")
+        )
+        .select(
+            "lang",
+            F.element_at("p", 1).cast("double").alias("lo_cut"),
+            F.element_at("p", 2).cast("double").alias("hi_cut"),
+        )
+    )
+    kept = (F.col("n_chars") >= F.col("lo_cut")) & (F.col("n_chars") <= F.col("hi_cut"))
+    return (
+        documents.join(F.broadcast(cuts), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            rnd(F.max("lo_cut"), 4).alias("lo_cut"),
+            rnd(F.max("hi_cut"), 4).alias("hi_cut"),
+            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+            rnd(F.sum(kept.cast("int")) / F.count(F.lit(1)), 6).alias("kept_share"),
+        )
+    )

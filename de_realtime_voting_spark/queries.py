@@ -261,6 +261,11 @@ _DEFS: dict[str, QueryFn] = {
     "doc_length_percentile_filter": lambda s, d: text.doc_length_percentile_filter(
         _t(s, d, "documents")
     ),
+    # sketch op (NO_ORACLE, tolerance-tested): registered LAST so it
+    # never displaces an oracle-gated entry from the checker window
+    "doc_length_percentile_filter_approx": lambda s, d: (
+        text.doc_length_percentile_filter_approx(_t(s, d, "documents"))
+    ),
 }
 
 # Registry ORDER matters operationally: external checkers iterate in
@@ -308,4 +313,4 @@ assert len(QUERY_REGISTRY) == len(_DEFS)
 # votes_approx_stats: HLL++ / approximate-percentile sketch internals
 # are engine-specific -- no cross-engine bit parity exists by design.
 # Its pytest asserts <5% error against the exact answers instead.
-NO_ORACLE: set[str] = {"votes_approx_stats"}
+NO_ORACLE: set[str] = {"votes_approx_stats", "doc_length_percentile_filter_approx"}

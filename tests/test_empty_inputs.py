@@ -103,6 +103,9 @@ CASES = {
     "doc_length_percentile_filter": lambda s, d: text.doc_length_percentile_filter(
         _empty(s, d, "documents")
     ),
+    "doc_length_percentile_filter_approx": lambda s, d: (
+        text.doc_length_percentile_filter_approx(_empty(s, d, "documents"))
+    ),
 }
 
 

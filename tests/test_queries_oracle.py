@@ -132,3 +132,42 @@ def test_ann_lsh_multiprobe_recall(spark, sf_dir):
         len(brute[q]) for q in brute
     )
     assert recall >= 0.15, recall
+
+
+def test_doc_length_filter_approx_tolerance(spark, sf_dir):
+    """The approx length-band filter (scale form) must track the
+    exact twin by RANK, the sketch's actual guarantee: the exact
+    form interpolates between order statistics while the sketch
+    returns one, so value closeness is meaningless in sparse tails --
+    instead each cutoff must sit within 2 rank positions of the
+    target quantile, and survival within 5%."""
+    from de_realtime_voting_spark.sources import load_table
+
+    approx = {
+        r["lang"]: r
+        for r in QUERY_REGISTRY["doc_length_percentile_filter_approx"](
+            spark, sf_dir
+        ).collect()
+    }
+    exact = {
+        r["lang"]: r
+        for r in QUERY_REGISTRY["doc_length_percentile_filter"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    lengths: dict[str, list[int]] = {}
+    for r in (
+        load_table(spark, sf_dir, "documents").select("lang", "n_chars").collect()
+    ):
+        lengths.setdefault(r["lang"], []).append(r["n_chars"])
+    for lang, row in approx.items():
+        e = exact[lang]
+        assert row["n_docs"] == e["n_docs"]
+        xs = sorted(lengths[lang])
+        n = len(xs)
+        for col, q in (("lo_cut", 0.05), ("hi_cut", 0.95)):
+            cut = row[col]
+            below = sum(1 for x in xs if x < cut)
+            at_or_below = sum(1 for x in xs if x <= cut)
+            target = q * (n - 1)
+            assert below - 2 <= target <= at_or_below + 2, (lang, col, cut)
+        assert abs(row["n_kept"] - e["n_kept"]) <= max(2, 0.05 * e["n_docs"]), lang
