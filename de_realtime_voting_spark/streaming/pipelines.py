@@ -210,3 +210,45 @@ def stream_doc_quality(documents: DataFrame) -> DataFrame:
     from ..operators.text import text_quality_score
 
     return text_quality_score(documents)
+
+
+def stream_doc_logprob_gate(
+    documents: DataFrame, model: dict[str, float], min_logprob: float
+) -> DataFrame:
+    """Ingest-time perplexity gate: score each incoming doc's mean
+    token log-prob against a STATIC unigram model (built offline by
+    the batch pipeline -- the vocab stage of
+    text.unigram_logprob_score, capped to top-K with an OOV floor)
+    and pass only docs scoring >= min_logprob, so gibberish and
+    rare-token soup never land in the lake.
+
+    Scoring is COMPLETELY STATELESS and shuffle-free: the batch op's
+    explode + per-doc groupBy would be an unbounded-state streaming
+    aggregation (doc_id keys never expire), so the stream form scores
+    each doc inside one Arrow-batched ``mapInPandas`` over the model
+    dict, which ships to executors once via task broadcast.  Append
+    mode, no watermark requirement, state = 0.  OOV terms take the
+    model's min logp (the sensible floor for a capped vocab).
+    """
+    import math
+
+    oov = min(model.values()) if model else -math.inf
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf):
+                pdf = pdf.copy()
+                pdf["avg_logprob"] = [
+                    (
+                        sum(model.get(t, oov) for t in toks) / len(toks)
+                        if (toks := [t for t in text.split(" ") if t])
+                        else float("-inf")
+                    )
+                    for text in pdf["text"]
+                ]
+                yield pdf[pdf["avg_logprob"] >= min_logprob]
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in documents.schema.fields
+    )
+    return documents.mapInPandas(score, schema=out_schema + ", avg_logprob double")

@@ -648,3 +648,48 @@ def test_stream_doc_quality_matches_batch(spark, sf_dir):
         assert a == b and len(a) > 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_doc_logprob_gate_stateless_filter(spark, sf_dir):
+    """The ingest-time perplexity gate: append-mode (stateless) file
+    stream, python-reference scores, and the pass/drop split must
+    match exactly."""
+    import math
+
+    from de_realtime_voting_spark.streaming import stream_doc_logprob_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select("doc_id", "text").collect()
+    # model from the corpus itself: unigram logprobs, python reference
+    counts: dict[str, int] = {}
+    for r in rows:
+        for t in r["text"].split(" "):
+            if t:
+                counts[t] = counts.get(t, 0) + 1
+    total = sum(counts.values())
+    model = {t: math.log(c / total) for t, c in counts.items()}
+    ref = {}
+    for r in rows:
+        toks = [t for t in r["text"].split(" ") if t]
+        ref[r["doc_id"]] = (
+            sum(model[t] for t in toks) / len(toks) if toks else -math.inf
+        )
+    cut = sorted(ref.values())[len(ref) // 2]  # median: real split both ways
+
+    d = tempfile.mkdtemp(prefix="docs_gate_")
+    try:
+        docs.repartition(2).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(docs.schema).parquet(d)
+        got = _run_stream_to_memory(
+            spark,
+            stream_doc_logprob_gate(stream, model, cut),
+            "doc_logprob_gate",
+            "append",
+        )
+        kept = {r["doc_id"]: r["avg_logprob"] for r in got.collect()}
+        want = {k for k, v in ref.items() if v >= cut}
+        assert set(kept) == want and 0 < len(want) < len(ref)
+        for k, v in kept.items():
+            assert abs(v - ref[k]) < 1e-9, k
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
