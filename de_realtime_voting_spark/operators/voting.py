@@ -603,3 +603,41 @@ def events_json_props(votes: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("bigint").alias("n_high"),
         )
     )
+
+
+def vote_key_skew(votes: DataFrame, n_top: int = 20) -> DataFrame:
+    """Shuffle-key skew audit over the vote stream: the N hottest
+    voter keys with their share of all events and their ratio to the
+    mean key load -- the diagnostic that decides whether a downstream
+    join/agg on this key needs salting or AQE skew handling before it
+    melts a partition at 100 TB.
+
+    Scale shape: one groupBy(user_id) shuffle with map-side partial
+    agg (the skewed key itself collapses map-side -- counting is the
+    one operation a hot key cannot hurt); the mean key load rides
+    along via a tiny single-row broadcast; top-N via one ordered
+    window over the already-aggregated per-key frame (at extreme key
+    cardinality swap for per-partition top-N + merge, same contract).
+    """
+    from pyspark.sql import Window
+
+    per_key = votes.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = per_key.agg(
+        F.sum("cnt").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("n_keys"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n_top)
+        .select(
+            "rank",
+            "user_id",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            rnd(F.col("cnt") / F.col("total"), 6).alias("share"),
+            rnd(F.col("cnt") * F.col("n_keys") / F.col("total"), 4).alias(
+                "x_mean_load"
+            ),
+        )
+    )

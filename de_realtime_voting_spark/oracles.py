@@ -1731,6 +1731,27 @@ SELECT source, n_docs, total_tokens,
 FROM s
 """
 
+SQL["vote_key_skew"] = """
+WITH pk AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1
+),
+t AS (
+    SELECT CAST(SUM(cnt) AS DOUBLE) AS total,
+           CAST(COUNT(*) AS DOUBLE) AS n_keys
+    FROM pk
+),
+r AS (
+    SELECT user_id, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS INTEGER)
+               AS "rank"
+    FROM pk
+)
+SELECT "rank", user_id, cnt,
+       ROUND(cnt / t.total, 6) AS share,
+       ROUND(cnt * t.n_keys / t.total, 4) AS x_mean_load
+FROM r, t WHERE "rank" <= 20
+"""
+
 SQL["embedding_quantization_stats"] = """
 WITH pv AS (
     SELECT label, embedding,

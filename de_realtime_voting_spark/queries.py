@@ -261,6 +261,7 @@ _DEFS: dict[str, QueryFn] = {
     "doc_length_percentile_filter": lambda s, d: text.doc_length_percentile_filter(
         _t(s, d, "documents")
     ),
+    "vote_key_skew": lambda s, d: voting.vote_key_skew(_t(s, d, "events")),
     # sketch op (NO_ORACLE, tolerance-tested): registered LAST so it
     # never displaces an oracle-gated entry from the checker window
     "doc_length_percentile_filter_approx": lambda s, d: (
@@ -294,6 +295,7 @@ _PRIORITY: list[str] = [
     "bpe_pair_counts", "vocab_coverage", "repeated_ngram_spans",
     "dedup_clusters_bigstar", "unigram_logprob_score", "corpus_source_mix",
     "embedding_quantization_stats", "doc_length_percentile_filter",
+    "vote_key_skew",
     "votes_approx_stats", "voter_value_quartiles",
     # complex voting shapes (12) -- fills the verification window
     "votes_asof_prior_click", "votes_in_launch_windows", "lapsed_voters",

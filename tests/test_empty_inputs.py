@@ -106,6 +106,7 @@ CASES = {
     "doc_length_percentile_filter_approx": lambda s, d: (
         text.doc_length_percentile_filter_approx(_empty(s, d, "documents"))
     ),
+    "vote_key_skew": lambda s, d: voting.vote_key_skew(_empty(s, d, "events")),
 }
 
 
