@@ -298,10 +298,16 @@ def corpus_source_mix(documents: DataFrame) -> DataFrame:
     )
     share = F.col("total_tokens") / F.sum("total_tokens").over(w)
     target = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    # a source with zero tokens has nothing to downsample: weight 1.0
+    # by definition -- guarded explicitly because target/0 diverges
+    # between engines (Spark non-ANSI Divide -> NULL, DuckDB -> inf)
+    weight = F.when(F.col("total_tokens") == 0, F.lit(1.0)).otherwise(
+        F.least(F.lit(1.0), target / share)
+    )
     return per_source.select(
         "source",
         "n_docs",
         "total_tokens",
         rnd(share, 6).alias("token_share"),
-        rnd(F.least(F.lit(1.0), target / share), 6).alias("sample_weight"),
+        rnd(weight, 6).alias("sample_weight"),
     )

@@ -322,7 +322,6 @@ def embedding_quantization_stats(embeddings: DataFrame) -> DataFrame:
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     per_vec = embeddings.select(
         "label",
-        F.col("vec_id"),
         F.col("embedding"),
         F.array_min(vec).alias("vmin"),
         F.array_max(vec).alias("vmax"),
@@ -349,8 +348,18 @@ def embedding_quantization_stats(embeddings: DataFrame) -> DataFrame:
             2,
         ),
     )
+    # flat range (hi == lo) means every value quantizes exactly:
+    # error is 0 by definition -- guarded explicitly because x/0
+    # diverges between engines (Spark non-ANSI Divide -> NULL,
+    # DuckDB IEEE -> NaN)
     per_vec_err = with_range.select(
-        "label", "lo", "scale", "dim", (err_sum / F.col("dim")).alias("mse")
+        "label",
+        "lo",
+        "scale",
+        "dim",
+        F.when(F.col("scale") == 0.0, F.lit(0.0))
+        .otherwise(err_sum / F.col("dim"))
+        .alias("mse"),
     )
     return per_vec_err.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),

@@ -476,6 +476,13 @@ def doc_length_percentile_filter(documents: DataFrame) -> DataFrame:
             F.element_at("p", 2).alias("hi_cut"),
         )
     )
+    return _length_band_report(documents, cuts)
+
+
+def _length_band_report(documents: DataFrame, cuts: DataFrame) -> DataFrame:
+    """Shared tail of the exact/approx length filters: broadcast the
+    |langs|-row cutoff table back and report survival per lang --
+    one place so the two forms can never drift apart in contract."""
     kept = (F.col("n_chars") >= F.col("lo_cut")) & (F.col("n_chars") <= F.col("hi_cut"))
     return (
         documents.join(F.broadcast(cuts), "lang")
@@ -514,15 +521,4 @@ def doc_length_percentile_filter_approx(
             F.element_at("p", 2).cast("double").alias("hi_cut"),
         )
     )
-    kept = (F.col("n_chars") >= F.col("lo_cut")) & (F.col("n_chars") <= F.col("hi_cut"))
-    return (
-        documents.join(F.broadcast(cuts), "lang")
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            rnd(F.max("lo_cut"), 4).alias("lo_cut"),
-            rnd(F.max("hi_cut"), 4).alias("hi_cut"),
-            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
-            rnd(F.sum(kept.cast("int")) / F.count(F.lit(1)), 6).alias("kept_share"),
-        )
-    )
+    return _length_band_report(documents, cuts)

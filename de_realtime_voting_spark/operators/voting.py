@@ -614,23 +614,23 @@ def vote_key_skew(votes: DataFrame, n_top: int = 20) -> DataFrame:
 
     Scale shape: one groupBy(user_id) shuffle with map-side partial
     agg (the skewed key itself collapses map-side -- counting is the
-    one operation a hot key cannot hurt); the mean key load rides
-    along via a tiny single-row broadcast; top-N via one ordered
-    window over the already-aggregated per-key frame (at extreme key
-    cardinality swap for per-partition top-N + merge, same contract).
+    one operation a hot key cannot hurt); top-N via orderBy().limit()
+    which compiles to TakeOrderedAndProject -- per-partition partial
+    top-N merged on one n_top-row frame, NEVER a global window over
+    the per-key frame (billions of rows through one task at corpus
+    scale); the mean key load rides along via a tiny single-row
+    broadcast and rank is a window over the n_top survivors only.
     """
-    from pyspark.sql import Window
-
     per_key = votes.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
     totals = per_key.agg(
         F.sum("cnt").cast("double").alias("total"),
         F.count(F.lit(1)).cast("double").alias("n_keys"),
     )
+    top = per_key.orderBy(F.col("cnt").desc(), F.col("user_id").asc()).limit(n_top)
     w = Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
     return (
-        per_key.crossJoin(F.broadcast(totals))
+        top.crossJoin(F.broadcast(totals))
         .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= n_top)
         .select(
             "rank",
             "user_id",

@@ -1724,9 +1724,12 @@ WITH s AS (
 SELECT source, n_docs, total_tokens,
        ROUND(CAST(total_tokens AS DOUBLE) / CAST(SUM(total_tokens) OVER () AS DOUBLE), 6)
            AS token_share,
-       ROUND(LEAST(1.0,
-             (1.0 / COUNT(*) OVER ())
-             / (CAST(total_tokens AS DOUBLE) / CAST(SUM(total_tokens) OVER () AS DOUBLE))), 6)
+       ROUND(CASE WHEN total_tokens = 0 THEN 1.0
+             ELSE LEAST(1.0,
+                  (1.0 / COUNT(*) OVER ())
+                  / (CAST(total_tokens AS DOUBLE)
+                     / CAST(SUM(total_tokens) OVER () AS DOUBLE)))
+             END, 6)
            AS sample_weight
 FROM s
 """
@@ -1767,10 +1770,13 @@ wr AS (
 ),
 pe AS (
     SELECT label, lo, scale,
-           list_sum(list_transform(embedding, x ->
-               pow(CAST(x AS DOUBLE)
-                   - (lo + floor((CAST(x AS DOUBLE) - lo) / scale + 0.5) * scale),
-                   2))) / dim AS mse
+           CASE WHEN scale = 0 THEN 0.0
+                ELSE list_sum(list_transform(embedding, x ->
+                    pow(CAST(x AS DOUBLE)
+                        - (lo + floor((CAST(x AS DOUBLE) - lo) / scale + 0.5)
+                           * scale),
+                        2))) / dim
+           END AS mse
     FROM wr
 )
 SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,

@@ -290,7 +290,7 @@ _PRIORITY: list[str] = [
     # derived-partsupp TPC-H shapes (5)
     "q2_min_cost_supplier", "q11_important_stock", "q20_excess_suppliers",
     "q21_waiting_suppliers", "q22_idle_rich_customers",
-    # new this round (7) + modified this round (2)
+    # new this round (12) + modified this round (2)
     "corpus_quality_keep", "corpus_stratified_sample", "dedup_incremental",
     "bpe_pair_counts", "vocab_coverage", "repeated_ngram_spans",
     "dedup_clusters_bigstar", "unigram_logprob_score", "corpus_source_mix",

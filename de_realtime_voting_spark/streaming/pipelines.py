@@ -238,10 +238,20 @@ def stream_doc_logprob_gate(
         for pdf in batches:
             if len(pdf):
                 pdf = pdf.copy()
+                # null text (None/NaN from Arrow) scores -inf -> dropped,
+                # matching the batch twin where F.split(null) yields no rows
                 pdf["avg_logprob"] = [
                     (
                         sum(model.get(t, oov) for t in toks) / len(toks)
-                        if (toks := [t for t in text.split(" ") if t])
+                        if (
+                            toks := [
+                                t
+                                for t in (
+                                    text.split(" ") if isinstance(text, str) else ()
+                                )
+                                if t
+                            ]
+                        )
                         else float("-inf")
                     )
                     for text in pdf["text"]

@@ -171,3 +171,35 @@ def test_doc_length_filter_approx_tolerance(spark, sf_dir):
             target = q * (n - 1)
             assert below - 2 <= target <= at_or_below + 2, (lang, col, cut)
         assert abs(row["n_kept"] - e["n_kept"]) <= max(2, 0.05 * e["n_docs"]), lang
+
+
+def test_quantization_flat_range_label_zero_error(spark):
+    """A label whose values are all identical (scale = 0) must report
+    exactly zero reconstruction error, not NULL/NaN -- the x/0 guard
+    that diverges between engines without the explicit branch."""
+    from de_realtime_voting_spark.operators.similarity import (
+        embedding_quantization_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0], 7), (2, [0.0, 0.0, 0.0], 7), (3, [0.5, 1.0, 2.0], 8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r["label"]: r for r in embedding_quantization_stats(df).collect()}
+    assert rows[7]["scale"] == 0.0 and rows[7]["avg_mse"] == 0.0
+    assert rows[8]["avg_mse"] is not None and rows[8]["scale"] > 0
+
+
+def test_source_mix_zero_token_source_weight_one(spark):
+    """A source whose docs are all empty has nothing to downsample:
+    sample_weight must be 1.0, not NULL (Spark) / inf-clamped (DuckDB)."""
+    from de_realtime_voting_spark.operators.pipeline import corpus_source_mix
+
+    df = spark.createDataFrame(
+        [(1, "", "en", "empty_src", 0), (2, "a b c", "en", "real_src", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["source"]: r for r in corpus_source_mix(df).collect()}
+    assert rows["empty_src"]["total_tokens"] == 0
+    assert rows["empty_src"]["sample_weight"] == 1.0
+    assert rows["real_src"]["token_share"] == 1.0

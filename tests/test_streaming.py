@@ -693,3 +693,17 @@ def test_stream_doc_logprob_gate_stateless_filter(spark, sf_dir):
             assert abs(v - ref[k]) < 1e-9, k
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_doc_logprob_gate_null_text_dropped(spark):
+    """A null text row must score -inf and drop cleanly instead of
+    raising inside the mapInPandas batch (a single task exception
+    kills the whole streaming query)."""
+    from de_realtime_voting_spark.streaming import stream_doc_logprob_gate
+
+    df = spark.createDataFrame(
+        [(1, None, "en", "s", 0), (2, "a a b", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = stream_doc_logprob_gate(df, {"a": -0.5, "b": -2.0}, -10.0).collect()
+    assert [r["doc_id"] for r in got] == [2]
