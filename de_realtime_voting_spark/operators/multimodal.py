@@ -2,10 +2,11 @@
 
 The Spark-side contract is real and tested -- binary columns with
 typed metadata, Arrow-batched ``mapInPandas`` decode/feature-extract
-with a stable output schema and bounded batch sizes.  The actual
-codec step is STUBBED (image/audio libraries are not in this
-container): ``decode_fn=None`` raises NotImplementedError, and tests
-inject a deterministic fake decoder.
+with a stable output schema and bounded batch sizes.  Uncompressed
+RIFF/WAVE PCM decode is REAL (``decode_wav_pcm``: pure-numpy RIFF
+parse, no codec library); compressed codecs (mp3/jpeg/h264) are
+STUBBED (libraries absent in this container): ``decode_fn=None``
+raises NotImplementedError, and tests inject a deterministic fake.
 """
 
 from __future__ import annotations
@@ -195,3 +196,49 @@ def multimodal_binary_stats(documents: DataFrame) -> DataFrame:
             F.countDistinct(F.sha2(F.col("text"), 256)).alias("n_distinct_payloads"),
         )
     )
+
+
+def decode_wav_pcm(payload: bytes) -> list[float]:
+    """REAL audio decode for uncompressed RIFF/WAVE PCM (the one
+    container pure numpy can parse -- no codec library involved):
+    walks the RIFF chunks, reads fmt/data, and returns
+    [n_channels, sample_rate, n_samples, rms, peak].
+
+    Plug this into decode_media as ``decode_fn`` for a fully real
+    audio feature path; compressed codecs (mp3/aac/jpeg/h264) remain
+    environment-stubbed.  Raises ValueError on non-PCM payloads so a
+    mixed-media table fails loudly instead of mis-decoding.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_ch, rate = struct.unpack("<HHI", fmt[:8])
+    bits = struct.unpack("<H", fmt[14:16])[0]
+    if audio_format != 1 or bits not in (8, 16, 32) or n_ch == 0:
+        raise ValueError("compressed/non-PCM WAV: decode stubbed in this env")
+    width = bits // 8
+    frame = width * n_ch
+    dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+    usable = (len(data) // frame) * frame
+    x = np.frombuffer(data[:usable], dtype=dtype).astype(np.float64)
+    if bits == 8:  # 8-bit WAV is unsigned, centered at 128
+        x -= 128.0
+    rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+    peak = float(np.max(np.abs(x))) if x.size else 0.0
+    return [float(n_ch), float(rate), float(x.size // n_ch), rms, peak]
