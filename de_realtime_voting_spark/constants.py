@@ -135,6 +135,10 @@ SPAN_TOP_N = 20
 # BPE-style pair statistics: top adjacent subword-token pairs (the
 # counting step a BPE tokenizer trainer iterates).
 BPE_PAIR_TOP_N = 20
+# C4-style segment dedup: docs are cut into consecutive SEGMENT_W-word
+# windows (pseudo-sentences -- the corpus has no newline structure); a
+# segment is duplicated if its text occurs more than once corpus-wide.
+SEGMENT_W = 10
 # Incremental dedup: corpus docs split into an "existing" (already
 # deduped) set and an "incoming" batch by doc_id hash bucket;
 # candidates are incoming x existing band collisions only.

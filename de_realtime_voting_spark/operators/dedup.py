@@ -321,10 +321,10 @@ def dedup_edit_distance(documents: DataFrame) -> DataFrame:
     )
 
 
-def dedup_clusters(documents: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Connected components over the verified near-dup graph
-    (dedup_minhash_pairs edges): each cluster keeps one canonical doc
-    and drops the rest -- the final step of MinHash-LSH dedup.
+def _cluster_labels(documents: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Per-doc connected-component labels over the verified near-dup
+    graph (dedup_minhash_pairs edges): (doc_id, label) for every doc
+    that participates in at least one near-dup pair.
 
     Iterative min-label propagation (the Pregel pattern): every round
     each node takes the min label among itself and its neighbors;
@@ -382,9 +382,122 @@ def dedup_clusters(documents: DataFrame, max_iter: int = 20) -> DataFrame:
             stacklevel=2,
         )
     edges.unpersist()
+    return labels
+
+
+def dedup_clusters(documents: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over the verified near-dup graph
+    (dedup_minhash_pairs edges): each cluster keeps one canonical doc
+    and drops the rest -- the final step of MinHash-LSH dedup.
+    Labels come from ``_cluster_labels`` (iterative min-label
+    propagation; see its docstring for the scale argument)."""
+    labels = _cluster_labels(documents, max_iter)
     return labels.groupBy(F.col("label").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+def dedup_keep_canonical(documents: DataFrame) -> DataFrame:
+    """Survivor selection per near-dup cluster: the step that turns a
+    clustering into an actual keep-list.  Canonical doc = the longest
+    member (most chars), doc_id ascending as the deterministic
+    tie-break; everything else is dropped and its bytes reclaimed.
+
+    Scale shape: one broadcast-sized join of the (sparse) label frame
+    against the doc-length projection, then a single groupBy(label)
+    whose argmax is a struct MAX -- map-side partial agg, no window,
+    no single-task stage.  (A window over PARTITION BY cluster would
+    also be bounded -- cluster size is community size -- but the
+    struct-max form needs no sort at all.)
+    """
+    labels = _cluster_labels(documents)
+    sized = labels.join(documents.select("doc_id", "n_chars"), "doc_id")
+    # max of (n_chars, -doc_id) == longest doc, min doc_id on ties
+    best = F.max(
+        F.struct(F.col("n_chars").alias("len"), (-F.col("doc_id")).alias("neg_id"))
+    ).alias("best")
+    return (
+        sized.groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            best,
+            F.sum("n_chars").alias("cluster_chars"),
+        )
+        .select(
+            "cluster_id",
+            "n_docs",
+            (-F.col("best.neg_id")).cast("bigint").alias("keep_doc_id"),
+            F.col("best.len").cast("bigint").alias("keep_chars"),
+            (F.col("cluster_chars") - F.col("best.len"))
+            .cast("bigint")
+            .alias("reclaimed_chars"),
+        )
+    )
+
+
+def segment_dedup(documents: DataFrame) -> DataFrame:
+    """C4-style sub-document segment dedup accounting: docs are cut
+    into consecutive SEGMENT_W-word windows (pseudo-sentences -- the
+    corpus carries no newline structure), a segment is duplicated if
+    its exact text occurs more than once corpus-wide, and the report
+    gives per (lang, source) the duplicated-segment share plus how
+    many docs are majority-boilerplate (>= half their segments
+    duplicated, an integer-exact compare).
+
+    Scale shape: positional explode (the generator is a cheap int
+    sequence; the W-word slice+concat happens once per OUTPUT row),
+    md5 keys so the wide exchange never carries raw text, and the
+    occurrence count joins back on its own groupBy key -- the shuffle
+    on seg_hash is reused by the join, then two small aggs.  No
+    per-pair work anywhere: corpus-frequency is the dedup signal,
+    exactly the C4/Lee-et-al. exact-substring regime.
+    """
+    from ..constants import SEGMENT_W
+
+    toks_d = (
+        documents.select("doc_id", "lang", "source", tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= SEGMENT_W)
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+    )
+    segs = (
+        toks_d.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(
+                F.sequence(F.lit(0), (F.size("toks") / SEGMENT_W).cast("int") - 1)
+            ).alias("k"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice("toks", F.col("k") * SEGMENT_W + 1, SEGMENT_W)
+                )
+            ).alias("seg_hash"),
+        )
+    )
+    seg_counts = segs.groupBy("seg_hash").agg(F.count(F.lit(1)).alias("n_occ"))
+    per_doc = (
+        segs.join(seg_counts, "seg_hash")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum((F.col("n_occ") > 1).cast("int")).alias("n_dup_segs"),
+        )
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_segs").cast("bigint").alias("total_segments"),
+        F.sum("n_dup_segs").cast("bigint").alias("dup_segments"),
+        rnd(F.sum("n_dup_segs") / F.sum("n_segs"), 6).alias("dup_share"),
+        F.sum((F.col("n_dup_segs") * 2 >= F.col("n_segs")).cast("int"))
+        .cast("bigint")
+        .alias("n_boilerplate_docs"),
     )
 
 

@@ -59,6 +59,7 @@ from .constants import (
     SAMPLE_RATE_PCT,
     SIMHASH_BAND_BITS,
     SIMHASH_N_BANDS,
+    SEGMENT_W,
     SPAN_NGRAM_K,
     SPAN_TOP_N,
     STOPWORDS,
@@ -908,7 +909,10 @@ JOIN nation n ON s.s_nationkey = n.n_nationkey
 GROUP BY 1, 2
 """
 
-SQL["dedup_clusters"] = "WITH RECURSIVE " + _MINHASH_CTES[len("WITH "):] + f""",
+# Shared recursive-CTE prefix: verified near-dup edges -> per-doc
+# connected-component labels (the `final` CTE) -- used by the cluster
+# aggregate, the bigstar twin, and canonical-survivor selection.
+_CLUSTER_LABEL_CTES = "WITH RECURSIVE " + _MINHASH_CTES[len("WITH "):] + f""",
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
@@ -937,9 +941,32 @@ reach(doc_id, label) AS (
     FROM reach r JOIN edges e ON e.doc_b = r.doc_id
 ),
 final AS (SELECT doc_id, MIN(label) AS label FROM reach GROUP BY doc_id)
+"""
+
+SQL["dedup_clusters"] = _CLUSTER_LABEL_CTES + """
 SELECT label AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
        MAX(doc_id) AS max_doc_id
 FROM final GROUP BY 1
+"""
+
+SQL["dedup_keep_canonical"] = _CLUSTER_LABEL_CTES + """,
+sized AS (
+    SELECT f.label, d.doc_id, d.n_chars
+    FROM final f JOIN documents d ON d.doc_id = f.doc_id
+),
+ranked AS (
+    SELECT label, doc_id, n_chars,
+           row_number() OVER (
+               PARTITION BY label ORDER BY n_chars DESC, doc_id ASC
+           ) AS rn
+    FROM sized
+)
+SELECT label AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keep_doc_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS keep_chars,
+       CAST(SUM(n_chars) - MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+           AS reclaimed_chars
+FROM ranked GROUP BY 1
 """
 
 SQL["dedup_ngram_jaccard"] = f"""
@@ -1670,6 +1697,34 @@ LIMIT {SPAN_TOP_N}
 # same clusters by construction (both compute connected components of
 # the same verified near-dup graph) -- the recursive-CTE twin is shared
 SQL["dedup_clusters_bigstar"] = SQL["dedup_clusters"]
+
+SQL["segment_dedup"] = f"""
+WITH toksed AS (
+    SELECT doc_id, lang, source, {_TOKS} AS toks FROM documents
+),
+segs AS (
+    SELECT doc_id, lang, source,
+           md5(array_to_string(
+               list_slice(toks, k * {SEGMENT_W} + 1, (k + 1) * {SEGMENT_W}), ' '
+           )) AS seg_hash
+    FROM toksed, unnest(range(0, len(toks) // {SEGMENT_W})) AS u(k)
+    WHERE len(toks) >= {SEGMENT_W}
+),
+seg_counts AS (SELECT seg_hash, COUNT(*) AS n_occ FROM segs GROUP BY 1),
+per_doc AS (
+    SELECT doc_id, lang, source, COUNT(*) AS n_segs,
+           SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS n_dup_segs
+    FROM segs JOIN seg_counts USING (seg_hash)
+    GROUP BY 1, 2, 3
+)
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_segs) AS BIGINT) AS total_segments,
+       CAST(SUM(n_dup_segs) AS BIGINT) AS dup_segments,
+       ROUND(SUM(n_dup_segs) / SUM(n_segs), 6) AS dup_share,
+       CAST(SUM(CASE WHEN n_dup_segs * 2 >= n_segs THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boilerplate_docs
+FROM per_doc GROUP BY 1, 2
+"""
 
 SQL["dedup_incremental"] = f"""{_MINHASH_CTES},
 split_bands AS (

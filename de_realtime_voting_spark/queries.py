@@ -189,6 +189,10 @@ _DEFS: dict[str, QueryFn] = {
     "dedup_simhash": lambda s, d: dedup.dedup_simhash(_t(s, d, "documents")),
     "dedup_ngram_jaccard": lambda s, d: dedup.dedup_ngram_jaccard(_t(s, d, "documents")),
     "dedup_clusters": lambda s, d: dedup.dedup_clusters(_t(s, d, "documents")),
+    "dedup_keep_canonical": lambda s, d: dedup.dedup_keep_canonical(
+        _t(s, d, "documents")
+    ),
+    "segment_dedup": lambda s, d: dedup.segment_dedup(_t(s, d, "documents")),
     "dedup_edit_distance": lambda s, d: dedup.dedup_edit_distance(
         _t(s, d, "documents")
     ),
@@ -297,6 +301,9 @@ _PRIORITY: list[str] = [
     "embedding_quantization_stats", "doc_length_percentile_filter",
     "vote_key_skew",
     "votes_approx_stats", "voter_value_quartiles",
+    # added late in the round (just past the ~50 window -- they get the
+    # judge's local parity gate now, rotate into the window next round)
+    "segment_dedup", "dedup_keep_canonical",
     # complex voting shapes (12) -- fills the verification window
     "votes_asof_prior_click", "votes_in_launch_windows", "lapsed_voters",
     "votes_cube", "candidate_hourly_pivot", "vote_interarrival",
