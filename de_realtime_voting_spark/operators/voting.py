@@ -25,6 +25,18 @@ from ..functions.columns import round_half_up as rnd
 from ..functions import candidate_party
 
 
+def _micros(c) -> "F.Column":
+    """``unix_micros`` tolerant of TIMESTAMP_NTZ inputs.
+
+    Parquet ``timestamp[us]`` without isAdjustedToUTC reads as
+    TIMESTAMP_NTZ in Spark 4, and ``unix_micros`` only accepts
+    TIMESTAMP.  The session timezone is pinned to UTC
+    (session.py:22) so the NTZ->LTZ cast is instant-preserving; on
+    an already-LTZ column the cast is a no-op."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.unix_micros(col.cast("timestamp_ltz"))
+
+
 def _votes_with_location(votes: DataFrame, voters: DataFrame, nations: DataFrame) -> DataFrame:
     """Vote fact enriched with voter nation; dims broadcast."""
     return votes.join(
@@ -336,7 +348,7 @@ def vote_interarrival(votes: DataFrame) -> DataFrame:
     identically."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_s = (
-        F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        _micros("ts") - _micros(F.lag("ts").over(w))
     ) / F.lit(1000000.0)
     per_vote = votes.select(
         F.col("event_type").alias("candidate_id"), gap_s.alias("gap_s")
@@ -548,7 +560,7 @@ def votes_asof_prior_click(votes: DataFrame) -> DataFrame:
         )
     )
     gap_s = (
-        F.unix_micros("ts") - F.unix_micros(F.col("prior")["ts"])
+        _micros("ts") - _micros(F.col("prior")["ts"])
     ) / F.lit(1000000.0)
     return (
         votes.select("user_id", "event_id", "ts", "event_type", prior.alias("prior"))

@@ -29,9 +29,42 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        return _load_events(spark, os.path.join(sf_dir, "events.parquet"))
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Parquet timestamps written without isAdjustedToUTC read as
+    # TIMESTAMP_NTZ under Spark 4's default inference, but chrono
+    # builtins (unix_micros, window, ...) expect TIMESTAMP.  Turn NTZ
+    # inference off AT THE SCAN so the column is LTZ from the footer
+    # up -- a cast on top of the scan would block predicate pushdown
+    # on timestamp filters.  Session tz is UTC (session.py:22) so the
+    # instant is identical and the DuckDB oracle's naive-as-UTC
+    # timestamps stay value-matched.  Scoped set/restore because the
+    # driver may hand us ITS session.
+    key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        if name == "events":
+            df = _load_events(spark, os.path.join(sf_dir, "events.parquet"))
+        else:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return _normalize_ntz(df)
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Fallback: cast any TIMESTAMP_NTZ column that slipped past the
+    scan-level conf to TIMESTAMP (ltz).  No-op (returns df unchanged,
+    plan untouched) when the conf did its job."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if not ntz:
+        return df
+    return df.withColumns({c: F.col(c).cast("timestamp_ltz") for c in ntz})
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
