@@ -157,6 +157,44 @@ C4_WORD_LEN_MAX = 10.0
 # Embedding norm outliers: |norm - label mean| > Z_MAX * label stddev.
 NORM_OUTLIER_Z = 2.0
 
+# --- sliding-window chunking --------------------------------------
+# Context-window chunking: CHUNK_W-token windows every CHUNK_STRIDE
+# tokens (overlap = W - STRIDE).  A chunk is emitted only when it
+# contributes at least one token the previous window didn't cover:
+# start == 1 OR start <= n_tokens - CHUNK_W + CHUNK_STRIDE.
+CHUNK_W = 32
+CHUNK_STRIDE = 24
+
+# --- Zipf rank-frequency fit --------------------------------------
+# Slope of ln(freq) ~ ln(rank) over the top ZIPF_TOP_K terms per
+# language (a healthy natural-language corpus sits near -1; flat
+# slopes flag templated/synthetic text).
+ZIPF_TOP_K = 100
+
+# --- n-gram containment near-dup ----------------------------------
+# Asymmetric containment |A∩B| / min(|A|,|B|) over word k-grams --
+# catches quote/subset duplication that Jaccard's union denominator
+# dilutes.  Candidate pairs come from an inverted index on the gram;
+# grams appearing in more than CONTAINMENT_MAX_DF docs are dropped
+# from the index (boilerplate grams generate quadratic candidate
+# blowup and carry no dedup signal -- the standard df cap).
+CONTAINMENT_NGRAM_K = 5
+CONTAINMENT_THRESHOLD = 0.30
+CONTAINMENT_MAX_DF = 50
+
+# --- product-quantization ANN -------------------------------------
+# PQ code layout: EMBEDDING_DIM split into PQ_M contiguous subspaces
+# of PQ_SUB_DIM dims; each subspace has PQ_N_CODES codewords taken
+# from a fixed, deterministic sample of corpus vectors (exists at
+# every SF: max id 470 < 500), code = rank of the sampled vec_id in
+# ascending order.  A real pipeline k-means's each subspace codebook;
+# the index structure -- encode once, rank by ADC lookup distance --
+# is identical.
+PQ_M = 8
+PQ_SUB_DIM = EMBEDDING_DIM // PQ_M
+PQ_CODEBOOK_IDS = [5 + 31 * i for i in range(16)]
+PQ_N_CODES = len(PQ_CODEBOOK_IDS)
+
 # --- TPC-H shapes without a partsupp table ------------------------
 # The part<->supplier relation is derived from lineitem history.
 # Q2-shape: supply cost := MIN unit price the pair ever shipped at

@@ -762,3 +762,122 @@ def dedup_simhash_pairs(documents: DataFrame) -> DataFrame:
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
         .distinct()
     )
+
+
+def source_url_dedup(documents: DataFrame) -> DataFrame:
+    """Cross-source syndication matrix: for every pair of sources,
+    how many distinct content FINGERPRINTS they share -- the audit
+    that finds mirrored/scraped-twice feeds before per-doc dedup even
+    runs (dropping a whole syndicated source is cheaper than pairwise
+    dedup of its documents).  (No reference analog -- training-data
+    mandate; `source` plays the URL-domain role.)
+
+    Keyed on the min-shingle-hash fingerprint (doc_fingerprint's
+    winnowing-lite key), not md5(text): syndicated feeds re-serialize
+    with whitespace/boilerplate drift, so exact hashes under-count
+    exactly the overlap this audit exists to find.
+
+    Scale shape: the corpus reduces map-side to distinct
+    (fingerprint, source) -- one shuffle on the fingerprint.  The
+    pair self-join runs per fingerprint, and its expansion is bounded
+    by the number of sources sharing that fingerprint (<= |sources|,
+    a dim cardinality), never by corpus size.  Output is at most
+    |sources|^2 rows -- a dim-sized matrix.
+    """
+    fp = F.array_min(F.transform(word_shingles(F.col("toks")), F.md5))
+    hs = (
+        documents.select("source", tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 3)
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .select(fp.alias("fingerprint"), "source")
+        .distinct()
+    )
+    a = hs.select("fingerprint", F.col("source").alias("source_a"))
+    b = hs.select(
+        F.col("fingerprint").alias("fp_b"), F.col("source").alias("source_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("fingerprint") == F.col("fp_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_fps"),
+            F.min("fingerprint").alias("min_shared_fp"),
+        )
+    )
+
+
+def ngram_containment(documents: DataFrame) -> DataFrame:
+    """Asymmetric n-gram containment near-dup pairs:
+    |A∩B| / min(|A|,|B|) over distinct word CONTAINMENT_NGRAM_K-grams.
+    Containment catches quote/subset duplication -- a short doc fully
+    embedded in a long one scores 1.0 here but near 0 on Jaccard,
+    whose union denominator the long doc inflates.  (No reference
+    analog -- training-data mandate; the measure is Broder's
+    containment, the one CC-scale dedup pipelines pair with resemblance.)
+
+    Scale shape: candidates come from an inverted index on the gram
+    (explode -> self-join on md5(gram)), shared-gram counts by
+    co-occurrence counting -- the dedup_ngram_jaccard shape, one
+    shuffle whose expansion is bounded per gram.  Grams with document
+    frequency > CONTAINMENT_MAX_DF are dropped from the INDEX ONLY
+    (boilerplate grams are quadratic candidate generators with no
+    signal; numerator loses at most those grams, denominators stay
+    exact) -- that cap is what bounds the join at 100 TB.
+    """
+    from ..constants import (
+        CONTAINMENT_MAX_DF,
+        CONTAINMENT_NGRAM_K,
+        CONTAINMENT_THRESHOLD,
+    )
+
+    g = (
+        documents.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= CONTAINMENT_NGRAM_K)
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            word_shingles(F.col("toks"), k=CONTAINMENT_NGRAM_K).alias("grams"),
+        )
+        .persist()
+    )
+    # inverted index on the hashed gram; exchanges carry a fixed-width
+    # 32-char key, never raw 5-gram text
+    e = g.select("doc_id", F.explode("grams").alias("gram")).select(
+        "doc_id", F.md5("gram").alias("gram_hash")
+    )
+    df_kept = (
+        e.groupBy("gram_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") > 1) & (F.col("df") <= CONTAINMENT_MAX_DF))
+        .select("gram_hash")
+    )
+    ek = e.join(df_kept, "gram_hash")
+    a = ek.select(F.col("doc_id").alias("doc_a"), "gram_hash")
+    b = ek.select(
+        F.col("doc_id").alias("doc_b"), F.col("gram_hash").alias("gram_hash_b")
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("gram_hash") == F.col("gram_hash_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = g.select("doc_id", F.size("grams").alias("n_grams"))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("n_b"))
+    containment = F.col("n_inter") / F.least("n_a", "n_b")
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_inter", rnd(containment, 6).alias("containment")
+        )
+        .where(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )

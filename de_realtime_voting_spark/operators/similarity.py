@@ -368,3 +368,149 @@ def embedding_quantization_stats(embeddings: DataFrame) -> DataFrame:
         rnd(F.max("scale"), 8).alias("scale"),
         rnd(F.avg("mse"), 10).alias("avg_mse"),
     )
+
+
+def embedding_pca_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension moment statistics of the embedding corpus --
+    the mean/variance table a whitening or PCA step consumes (PCA
+    proper adds the off-diagonal covariances: same single-pass plan
+    with K^2 running sums instead of 2K).  (No reference analog --
+    training-data mandate.)
+
+    Scale shape: ONE corpus pass producing 2*EMBEDDING_DIM running
+    sums as column aggregates -- map-side partial aggregation, a
+    one-row shuffle, zero row expansion.  The explode formulation
+    (corpus x 64 rows through a shuffle) is the wrong shape at
+    100 TB; the unpivot here runs on the 1-row aggregate.
+    """
+    from ..constants import EMBEDDING_DIM
+
+    el = lambda i: F.element_at("embedding", i + 1).cast("double")  # noqa: E731
+    row = embeddings.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        *[F.avg(el(i)).alias(f"m{i}") for i in range(EMBEDDING_DIM)],
+        *[F.avg(el(i) * el(i)).alias(f"s{i}") for i in range(EMBEDDING_DIM)],
+    )
+    stack = F.expr(
+        "stack({n}, {cols}) AS (dim, mean_d, e2_d)".format(
+            n=EMBEDDING_DIM,
+            cols=", ".join(f"{i}, m{i}, s{i}" for i in range(EMBEDDING_DIM)),
+        )
+    )
+    return row.select("n_vecs", stack).select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        rnd(F.col("mean_d"), 6).alias("mean_d"),
+        rnd(F.col("e2_d") - F.col("mean_d") * F.col("mean_d"), 6).alias("var_d"),
+    )
+
+
+def _collect_pq_codebook(embeddings: DataFrame) -> list[list[list[float]]]:
+    """CB[m][c][j]: codeword j-th component of code c in subspace m.
+    Codewords are the fixed deterministic corpus sample
+    (PQ_CODEBOOK_IDS, code = ascending vec_id rank) -- an index/model
+    artifact collected once, like the IVF centroids."""
+    from ..constants import PQ_CODEBOOK_IDS, PQ_M, PQ_SUB_DIM
+
+    rows = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in embeddings.where(F.col("vec_id").isin(PQ_CODEBOOK_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return [
+        [emb[m * PQ_SUB_DIM : (m + 1) * PQ_SUB_DIM] for _, emb in rows]
+        for m in range(PQ_M)
+    ]
+
+
+def _sqdist(a, b) -> "F.Column":
+    """Left-to-right squared L2 over two double arrays ((x-y)*(x-y),
+    not pow -- pow(x,2) may route through exp/log and diverge from
+    the oracle's multiply)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ann_pq_topk(embeddings: DataFrame) -> DataFrame:
+    """Product-quantization ANN: encode every vector as PQ_M codebook
+    codes (nearest codeword per contiguous subspace), then rank
+    neighbors for the fixed query set by ADC (asymmetric distance:
+    exact query subvector vs the neighbor's CODEWORD, summed over
+    subspaces).  The memory shape that makes billion-vector search
+    work: the corpus compresses to PQ_M bytes per vector, and a scan
+    touches codes, never raw vectors.
+
+    Scale shape: encoding is map-side only (codebook is a literal --
+    at real scale a broadcast), no corpus shuffle; scoring joins the
+    broadcast query set against the encoded corpus and the only wide
+    shuffle is the per-query top-k, which carries (query, neighbor,
+    dist) triples.  The sq-distance folds are left-to-right double
+    sums, bit-identical to the DuckDB twin (the _dot/_assign_cells
+    precedent); ties break on code/neighbor id, so both engines pick
+    identical codes and ranks.
+    """
+    from ..constants import ANN_QUERY_IDS, PQ_M, PQ_N_CODES, PQ_SUB_DIM
+
+    cb = _collect_pq_codebook(embeddings)
+    if not cb or not cb[0]:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, rank int, adc_dist double"
+        )
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    spread = embeddings.select("vec_id", vec.alias("v")).repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism
+    )
+
+    def sub(col, m):  # subspace slice (1-based)
+        return F.slice(col, m * PQ_SUB_DIM + 1, PQ_SUB_DIM)
+
+    # encode: per subspace, argmin_{code} ||x_m - cw||^2, ties -> low code
+    def code_m(m):
+        cands = F.array(
+            *[
+                F.struct(
+                    _sqdist(sub(F.col("v"), m), F.lit(cb[m][c])).alias("dist"),
+                    F.lit(c).alias("code"),
+                )
+                for c in range(PQ_N_CODES)
+            ]
+        )
+        return F.element_at(F.array_sort(cands), 1)["code"]
+
+    encoded = spread.select(
+        "vec_id", "v", *[code_m(m).alias(f"c{m}") for m in range(PQ_M)]
+    )
+    q = encoded.where(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q_emb")
+    )
+    pairs = encoded.select(
+        F.col("vec_id").alias("neighbor_id"), *[f"c{m}" for m in range(PQ_M)]
+    ).join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    # ADC: codeword looked up from the literal codebook by the
+    # neighbor's code; explicit left-assoc sum over subspaces so the
+    # oracle's d0 + d1 + ... + d7 matches term order exactly
+    cb_lit = [
+        F.array(*[F.lit(cb[m][c]) for c in range(PQ_N_CODES)]) for m in range(PQ_M)
+    ]
+    adc = None
+    for m in range(PQ_M):
+        cw = F.element_at(cb_lit[m], F.col(f"c{m}") + 1)
+        d_m = _sqdist(sub(F.col("q_emb"), m), cw)
+        adc = d_m if adc is None else adc + d_m
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    from ..constants import ANN_K
+
+    return (
+        pairs.select("query_id", "neighbor_id", adc.alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+        .select(
+            "query_id", "neighbor_id", "rank", rnd("adc_dist", 6).alias("adc_dist")
+        )
+    )

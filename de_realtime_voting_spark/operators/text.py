@@ -449,6 +449,95 @@ def unigram_logprob_score(documents: DataFrame) -> DataFrame:
     )
 
 
+def doc_chunk_windows(documents: DataFrame) -> DataFrame:
+    """Sliding-window context chunking: cut every document into
+    CHUNK_W-token windows every CHUNK_STRIDE tokens (overlapping by
+    W - STRIDE), the packing-prep step a long-context training
+    pipeline runs before sequence assembly.  (No reference analog --
+    training-data mandate.)
+
+    One row per emitted chunk: (doc_id, chunk_idx, start_pos,
+    n_chunk_tokens, chunk_hash).  A trailing window fully covered by
+    its predecessor is suppressed (keep start == 1 or start <=
+    n - W + STRIDE -- every kept chunk contributes tokens).
+
+    Scale shape: tokens materialize once behind the repartition
+    barrier (the CollapseProject reasoning of _doc_shingles); the
+    explode is bounded by ceil(n_tokens / STRIDE) per doc -- output
+    is a constant factor of corpus size, never quadratic.  No
+    shuffle at all after the barrier: chunking is embarrassingly
+    parallel, which is exactly why it belongs in the engine rather
+    than a driver loop.
+    """
+    from ..constants import CHUNK_STRIDE, CHUNK_W
+
+    n = F.size("toks")
+    toked = (
+        documents.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .where(n >= 1)
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+    )
+    starts = F.sequence(F.lit(1), n, F.lit(CHUNK_STRIDE))
+    chunked = toked.select(
+        "doc_id",
+        "toks",
+        F.posexplode(starts).alias("idx0", "start_pos"),
+    ).where(
+        (F.col("start_pos") == 1)
+        | (F.col("start_pos") <= F.size("toks") - (CHUNK_W - CHUNK_STRIDE))
+    )
+    chunk = F.slice(F.col("toks"), F.col("start_pos"), CHUNK_W)
+    return chunked.select(
+        "doc_id",
+        (F.col("idx0") + 1).alias("chunk_idx"),
+        "start_pos",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+def token_zipf_stats(documents: DataFrame) -> DataFrame:
+    """Zipf rank-frequency fit per language: regression slope and fit
+    of ln(freq) ~ ln(rank) over the top ZIPF_TOP_K terms.  Natural
+    language sits near slope -1; templated or synthetic text shows up
+    as a flat or kinked curve -- a one-number corpus-health signal.
+    (No reference analog -- training-data mandate.)
+
+    Scale shape: term counting is one explode + (lang, term) shuffle
+    with map-side partial agg (the Zipf head collapses locally, so
+    'the' never makes a hot partition); the rank window runs over the
+    per-(lang, term) aggregate and the regression inputs are
+    ZIPF_TOP_K rows per language -- dim-sized no matter the corpus.
+    """
+    from pyspark.sql import Window
+
+    from ..constants import ZIPF_TOP_K
+
+    term_counts = (
+        documents.select("lang", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("term").asc())
+    ranked = (
+        term_counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ZIPF_TOP_K)
+        .select(
+            "lang",
+            "cnt",
+            F.log(F.col("rank").cast("double")).alias("ln_rank"),
+            F.log(F.col("cnt").cast("double")).alias("ln_freq"),
+        )
+    )
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranks"),
+        F.sum("cnt").cast("bigint").alias("top_k_tokens"),
+        rnd(F.regr_slope("ln_freq", "ln_rank"), 4).alias("zipf_slope"),
+        rnd(F.regr_intercept("ln_freq", "ln_rank"), 4).alias("zipf_intercept"),
+        rnd(F.regr_r2("ln_freq", "ln_rank"), 4).alias("fit_r2"),
+    )
+
+
 def doc_length_percentile_filter(documents: DataFrame) -> DataFrame:
     """Per-language inlier length band: the exact [p05, p95] n_chars
     cutoffs and how much of the corpus survives them -- the outlier-

@@ -66,6 +66,15 @@ from .constants import (
     VOCAB_TOP_K,
     BPE_PAIR_TOP_N,
     INCREMENTAL_EXISTING_PCT,
+    CHUNK_STRIDE,
+    CHUNK_W,
+    ZIPF_TOP_K,
+    CONTAINMENT_MAX_DF,
+    CONTAINMENT_NGRAM_K,
+    CONTAINMENT_THRESHOLD,
+    PQ_CODEBOOK_IDS,
+    PQ_M,
+    PQ_SUB_DIM,
 )
 
 # ---------------------------------------------------------------- shared
@@ -1858,6 +1867,168 @@ SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
                       THEN 1 ELSE 0 END) / COUNT(*), 6) AS kept_share
 FROM documents d JOIN cuts c USING (lang)
 GROUP BY 1
+"""
+
+# ------------------------------------------------------- round 3 ops
+
+SQL["doc_chunk_windows"] = f"""
+WITH toksed AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+t AS (SELECT doc_id, toks, len(toks) AS n FROM toksed WHERE len(toks) >= 1),
+st AS (
+    SELECT doc_id, toks, n,
+           unnest(range(1, n + 1, {CHUNK_STRIDE})) AS start_pos,
+           generate_subscripts(range(1, n + 1, {CHUNK_STRIDE}), 1) AS chunk_idx
+    FROM t
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(start_pos AS INT) AS start_pos,
+       CAST(len(toks[start_pos : start_pos + {CHUNK_W} - 1]) AS INT) AS n_chunk_tokens,
+       md5(array_to_string(toks[start_pos : start_pos + {CHUNK_W} - 1], ' ')) AS chunk_hash
+FROM st
+WHERE start_pos = 1 OR start_pos <= n - {CHUNK_W - CHUNK_STRIDE}
+"""
+
+SQL["token_zipf_stats"] = f"""
+WITH tok AS (SELECT lang, unnest({_TOKS}) AS term FROM documents),
+tc AS (SELECT lang, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+rk AS (
+    SELECT lang, cnt,
+           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rnk
+    FROM tc
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_ranks,
+       CAST(sum(cnt) AS BIGINT) AS top_k_tokens,
+       ROUND(regr_slope(ln(CAST(cnt AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4) AS zipf_slope,
+       ROUND(regr_intercept(ln(CAST(cnt AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4) AS zipf_intercept,
+       ROUND(regr_r2(ln(CAST(cnt AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4) AS fit_r2
+FROM rk WHERE rnk <= {ZIPF_TOP_K}
+GROUP BY 1
+"""
+
+SQL["embedding_pca_stats"] = """
+WITH x AS (
+    SELECT unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+)
+SELECT CAST(i - 1 AS INT) AS dim,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       ROUND(avg(CAST(v AS DOUBLE)), 6) AS mean_d,
+       ROUND(avg(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))
+             - avg(CAST(v AS DOUBLE)) * avg(CAST(v AS DOUBLE)), 6) AS var_d
+FROM x GROUP BY i
+"""
+
+SQL["source_url_dedup"] = f"""
+WITH toksed AS (SELECT source, {_TOKS} AS toks FROM documents),
+hs AS (
+    SELECT DISTINCT
+           list_aggregate(list_transform({_SHINGLES}, s -> md5(s)), 'min') AS fingerprint,
+           source
+    FROM toksed WHERE len(toks) >= 3
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_fps,
+       min(a.fingerprint) AS min_shared_fp
+FROM hs a JOIN hs b ON a.fingerprint = b.fingerprint AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+_CONT_GRAM = " || ' ' || ".join(
+    f"toks[i+{j}]" if j else "toks[i]" for j in range(CONTAINMENT_NGRAM_K)
+)
+SQL["ngram_containment"] = f"""
+WITH toksed AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(toks) - {CONTAINMENT_NGRAM_K - 2}),
+               i -> {_CONT_GRAM})) AS grams
+    FROM toksed WHERE len(toks) >= {CONTAINMENT_NGRAM_K}
+),
+e AS (SELECT doc_id, md5(unnest(grams)) AS gram_hash FROM g),
+kept AS (
+    SELECT gram_hash FROM e GROUP BY 1
+    HAVING count(*) > 1 AND count(*) <= {CONTAINMENT_MAX_DF}
+),
+ek AS (SELECT e.doc_id, e.gram_hash FROM e JOIN kept USING (gram_hash)),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+    FROM ek a JOIN ek b ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(grams) AS n FROM g),
+scored AS (
+    SELECT doc_a, doc_b, n_inter,
+           ROUND(n_inter / least(na.n, nb.n), 6) AS containment
+    FROM inter
+    JOIN sz na ON inter.doc_a = na.doc_id
+    JOIN sz nb ON inter.doc_b = nb.doc_id
+)
+SELECT * FROM scored WHERE containment >= {CONTAINMENT_THRESHOLD}
+"""
+
+_PQ_IDS = "(" + ", ".join(str(i) for i in PQ_CODEBOOK_IDS) + ")"
+
+
+def _pq_sq(a_elem: str, b_elem: str) -> str:
+    """(a-b)*(a-b) with both sides cast to double -- the multiply
+    form, matching the Spark fold exactly (pow may route exp/log)."""
+    return f"(CAST({a_elem} AS DOUBLE) - CAST({b_elem} AS DOUBLE)) * (CAST({a_elem} AS DOUBLE) - CAST({b_elem} AS DOUBLE))"
+
+
+def _pq_adc_term(m: int) -> str:
+    return (
+        f"list_aggregate(list_transform(range(1, {PQ_SUB_DIM + 1}), "
+        f"j -> {_pq_sq(f'q.q_emb[{m * PQ_SUB_DIM} + j]', f'cbl.cbs[e.c{m} + 1][{m * PQ_SUB_DIM} + j]')}), 'sum')"
+    )
+
+
+SQL["ann_pq_topk"] = f"""
+WITH cb AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, embedding
+    FROM embeddings WHERE vec_id IN {_PQ_IDS}
+),
+cbl AS (SELECT list(embedding ORDER BY code) AS cbs FROM cb),
+enc0 AS (
+    SELECT e.vec_id, m.m, c.code,
+           list_aggregate(list_transform(range(1, {PQ_SUB_DIM + 1}),
+               j -> {_pq_sq('e.embedding[m.m * ' + str(PQ_SUB_DIM) + ' + j]', 'c.embedding[m.m * ' + str(PQ_SUB_DIM) + ' + j]')}), 'sum') AS dist
+    FROM embeddings e
+    CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) m
+    CROSS JOIN cb c
+),
+enc AS (
+    SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+        FROM enc0
+    ) WHERE rn = 1
+),
+encw AS (
+    SELECT vec_id,
+           {", ".join(f"max(CASE WHEN m = {m} THEN code END) AS c{m}" for m in range(PQ_M))}
+    FROM enc GROUP BY vec_id
+),
+q AS (
+    SELECT vec_id AS query_id, embedding AS q_emb
+    FROM embeddings WHERE vec_id IN {_ANN_IDS}
+),
+j AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           {" + ".join(_pq_adc_term(m) for m in range(PQ_M))} AS adc_dist
+    FROM encw e JOIN q ON e.vec_id <> q.query_id CROSS JOIN cbl
+),
+r AS (
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+           ) AS INTEGER) AS "rank",
+           adc_dist
+    FROM j
+)
+SELECT query_id, neighbor_id, "rank", ROUND(adc_dist, 6) AS adc_dist
+FROM r WHERE "rank" <= {ANN_K}
 """
 
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

@@ -203,3 +203,58 @@ def test_source_mix_zero_token_source_weight_one(spark):
     assert rows["empty_src"]["total_tokens"] == 0
     assert rows["empty_src"]["sample_weight"] == 1.0
     assert rows["real_src"]["token_share"] == 1.0
+
+
+def test_ann_pq_recall(spark, sf_dir):
+    """PQ-ADC must recover a nontrivial share of the exact top-k.
+    The synthetic embeddings are near-uniform AND the 16-codeword
+    codebook quantizes hard, so measured recall is ~0.14 at this SF;
+    the floor guards the encode/ADC wiring (broken code lookup
+    collapses recall toward ANN_K/corpus ~ 0.01)."""
+    def topsets(name):
+        out: dict[int, set[int]] = {}
+        for r in QUERY_REGISTRY[name](spark, sf_dir).collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    brute = topsets("ann_bruteforce_topk")
+    pq = topsets("ann_pq_topk")
+    assert len(brute) > 0
+    recall = sum(len(brute[q] & pq.get(q, set())) for q in brute) / sum(
+        len(brute[q]) for q in brute
+    )
+    assert recall >= 0.08, recall
+
+
+def test_doc_chunk_windows_coverage(spark, sf_dir):
+    """Chunking invariants: every tokenized doc is chunked, indices
+    are contiguous from 1, start positions follow the stride, chunk
+    sizes are min(W, n - start + 1), and the kept chunks cover every
+    token (the keep-rule only drops windows that add nothing)."""
+    from de_realtime_voting_spark.constants import CHUNK_STRIDE, CHUNK_W
+    from de_realtime_voting_spark.functions import tokens
+    from de_realtime_voting_spark.sources import load_table
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(tokens(F.col("text"))).alias("n")
+        ).collect()
+        if r["n"] >= 1
+    }
+    chunks: dict[int, list] = {}
+    for r in QUERY_REGISTRY["doc_chunk_windows"](spark, sf_dir).collect():
+        chunks.setdefault(r["doc_id"], []).append(r)
+    assert set(chunks) == set(n_toks)
+    for doc_id, rows in chunks.items():
+        n = n_toks[doc_id]
+        rows.sort(key=lambda r: r["chunk_idx"])
+        assert [r["chunk_idx"] for r in rows] == list(range(1, len(rows) + 1))
+        for r in rows:
+            assert r["start_pos"] == 1 + (r["chunk_idx"] - 1) * CHUNK_STRIDE
+            assert r["n_chunk_tokens"] == min(CHUNK_W, n - r["start_pos"] + 1)
+        last = rows[-1]
+        assert last["start_pos"] + last["n_chunk_tokens"] - 1 == n  # full coverage
