@@ -82,3 +82,37 @@ def make_cell_assigner(cents: list, nprobe: int):
         )
 
     return assign
+
+
+def make_pq_encoder(cb: list):
+    """Vectorized product-quantization encoder, bit-identical to the
+    Catalyst reference (operators/similarity._pq_codes_catalyst).
+
+    ``cb[m][c]`` is the codeword (list of doubles) for code c of
+    subspace m.  Distances accumulate per-dimension left-to-right in
+    float64 -- reproducing Catalyst's ``aggregate(zip_with(...))``
+    fold exactly (no einsum/pairwise summation, same reasoning as
+    make_cell_assigner) -- and np.argmin's first-minimum rule gives
+    the same low-code tie-break as the (dist, code) struct sort.
+    """
+    pq_m = len(cb)
+    n_codes = len(cb[0])
+    sub_dim = len(cb[0][0])
+    cmats = [np.array(cb[m], dtype=np.float64) for m in range(pq_m)]  # C x SD
+
+    @pandas_udf("array<int>")
+    def encode(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series(dtype=object)
+        m = np.stack(emb.to_numpy()).astype(np.float64)  # n x D
+        n = m.shape[0]
+        codes = np.zeros((n, pq_m), dtype=np.int32)
+        for sub in range(pq_m):
+            dists = np.zeros((n, n_codes), dtype=np.float64)
+            for j in range(sub_dim):  # left-to-right, matching the fold
+                d = m[:, sub * sub_dim + j][:, None] - cmats[sub][None, :, j]
+                dists += d * d
+            codes[:, sub] = np.argmin(dists, axis=1)
+        return pd.Series(list(codes))
+
+    return encode

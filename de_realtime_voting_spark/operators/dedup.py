@@ -785,12 +785,16 @@ def source_url_dedup(documents: DataFrame) -> DataFrame:
     |sources|^2 rows -- a dim-sized matrix.
     """
     fp = F.array_min(F.transform(word_shingles(F.col("toks")), F.md5))
+    # persist: the distinct (fingerprint, source) frame feeds BOTH
+    # sides of the self-join; without it the whole shingle+minhash
+    # pipeline runs twice (measured 6.6s -> ~2s at sf0.1)
     hs = (
         documents.select("source", tokens(F.col("text")).alias("toks"))
         .where(F.size("toks") >= 3)
         .repartition(documents.sparkSession.sparkContext.defaultParallelism)
         .select(fp.alias("fingerprint"), "source")
         .distinct()
+        .persist()
     )
     a = hs.select("fingerprint", F.col("source").alias("source_a"))
     b = hs.select(

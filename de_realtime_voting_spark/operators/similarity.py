@@ -435,6 +435,55 @@ def _sqdist(a, b) -> "F.Column":
     )
 
 
+def _pq_codes_catalyst(embeddings: DataFrame, cb) -> DataFrame:
+    """Pure-Catalyst PQ encoding reference: (vec_id, codes) where
+    codes[m] = argmin_{code} ||x_m - codeword||^2 (left-to-right
+    double fold, ties to the low code via the (dist, code) struct
+    sort).  Semantically identical to the Arrow encoder
+    (functions.pandas_udfs.make_pq_encoder, pinned by test); kept as
+    the no-Python-path reference, like _assign_cells_catalyst."""
+    from ..constants import PQ_M, PQ_N_CODES, PQ_SUB_DIM
+
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    spread = embeddings.select("vec_id", vec.alias("v")).repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism
+    )
+
+    def code_m(m):
+        cands = F.array(
+            *[
+                F.struct(
+                    _sqdist(
+                        F.slice(F.col("v"), m * PQ_SUB_DIM + 1, PQ_SUB_DIM),
+                        F.lit(cb[m][c]),
+                    ).alias("dist"),
+                    F.lit(c).alias("code"),
+                )
+                for c in range(PQ_N_CODES)
+            ]
+        )
+        return F.element_at(F.array_sort(cands), 1)["code"]
+
+    return spread.select(
+        "vec_id", F.array(*[code_m(m) for m in range(PQ_M)]).alias("codes")
+    )
+
+
+def _pq_codes(embeddings: DataFrame, cb) -> DataFrame:
+    """(vec_id, codes): Arrow-batched PQ encoding -- one numpy pass
+    per batch instead of PQ_M * PQ_N_CODES interpreted folds per row
+    (measured ~3x on the encode stage at sf0.1).  Bit-identical to
+    _pq_codes_catalyst (same float64 accumulation order, same
+    first-minimum tie-break), pinned by tests/test_functions.py."""
+    from ..functions.pandas_udfs import make_pq_encoder
+
+    encode = make_pq_encoder(cb)
+    return (
+        embeddings.repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+        .select("vec_id", encode(F.col("embedding")).alias("codes"))
+    )
+
+
 def ann_pq_topk(embeddings: DataFrame) -> DataFrame:
     """Product-quantization ANN: encode every vector as PQ_M codebook
     codes (nearest codeword per contiguous subspace), then rank
@@ -444,68 +493,67 @@ def ann_pq_topk(embeddings: DataFrame) -> DataFrame:
     work: the corpus compresses to PQ_M bytes per vector, and a scan
     touches codes, never raw vectors.
 
-    Scale shape: encoding is map-side only (codebook is a literal --
-    at real scale a broadcast), no corpus shuffle; scoring joins the
-    broadcast query set against the encoded corpus and the only wide
-    shuffle is the per-query top-k, which carries (query, neighbor,
-    dist) triples.  The sq-distance folds are left-to-right double
-    sums, bit-identical to the DuckDB twin (the _dot/_assign_cells
-    precedent); ties break on code/neighbor id, so both engines pick
-    identical codes and ranks.
+    The ADC scan is the textbook LUT form: each query precomputes its
+    PQ_M x PQ_N_CODES distance table DRIVER-side (query set is
+    bounded, like the IVF centroid collect) in the same left-to-right
+    double fold the oracle uses, so scoring is pure table lookups --
+    8 element_at's and 7 adds per (query, neighbor), zero per-row
+    distance folds.
+
+    Scale shape: encoding is map-side only (Arrow-batched, codebook
+    broadcast in the closure), no corpus shuffle; the LUT table
+    (|queries| rows) broadcasts, and the only wide shuffle is the
+    per-query top-k carrying (query, neighbor, dist) triples.  Ties
+    break on code/neighbor id, so both engines pick identical codes
+    and ranks.
     """
-    from ..constants import ANN_QUERY_IDS, PQ_M, PQ_N_CODES, PQ_SUB_DIM
+    from ..constants import ANN_K, ANN_QUERY_IDS, PQ_M, PQ_SUB_DIM
 
     cb = _collect_pq_codebook(embeddings)
     if not cb or not cb[0]:
         return embeddings.sparkSession.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, rank int, adc_dist double"
         )
-    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    spread = embeddings.select("vec_id", vec.alias("v")).repartition(
-        embeddings.sparkSession.sparkContext.defaultParallelism
+    encoded = _pq_codes(embeddings, cb)
+    # per-query ADC lookup tables, built driver-side with the exact
+    # fold order of the oracle's list_aggregate (Python floats ARE
+    # IEEE doubles; left-to-right accumulation matches)
+    q_rows = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in embeddings.where(F.col("vec_id").isin(ANN_QUERY_IDS))
+        .select("vec_id", "embedding")
+        .collect()
     )
 
-    def sub(col, m):  # subspace slice (1-based)
-        return F.slice(col, m * PQ_SUB_DIM + 1, PQ_SUB_DIM)
+    def lut_row(q_emb):
+        lut = []
+        for m in range(PQ_M):
+            row = []
+            for cw in cb[m]:
+                acc = 0.0
+                for j in range(PQ_SUB_DIM):
+                    d = q_emb[m * PQ_SUB_DIM + j] - cw[j]
+                    acc = acc + d * d
+                row.append(acc)
+            lut.append(row)
+        return lut
 
-    # encode: per subspace, argmin_{code} ||x_m - cw||^2, ties -> low code
-    def code_m(m):
-        cands = F.array(
-            *[
-                F.struct(
-                    _sqdist(sub(F.col("v"), m), F.lit(cb[m][c])).alias("dist"),
-                    F.lit(c).alias("code"),
-                )
-                for c in range(PQ_N_CODES)
-            ]
-        )
-        return F.element_at(F.array_sort(cands), 1)["code"]
-
-    encoded = spread.select(
-        "vec_id", "v", *[code_m(m).alias(f"c{m}") for m in range(PQ_M)]
-    )
-    q = encoded.where(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q_emb")
+    lut_df = embeddings.sparkSession.createDataFrame(
+        [(qid, lut_row(emb)) for qid, emb in q_rows],
+        "query_id bigint, lut array<array<double>>",
     )
     pairs = encoded.select(
-        F.col("vec_id").alias("neighbor_id"), *[f"c{m}" for m in range(PQ_M)]
-    ).join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-    # ADC: codeword looked up from the literal codebook by the
-    # neighbor's code; explicit left-assoc sum over subspaces so the
-    # oracle's d0 + d1 + ... + d7 matches term order exactly
-    cb_lit = [
-        F.array(*[F.lit(cb[m][c]) for c in range(PQ_N_CODES)]) for m in range(PQ_M)
-    ]
+        F.col("vec_id").alias("neighbor_id"), "codes"
+    ).join(F.broadcast(lut_df), F.col("neighbor_id") != F.col("query_id"))
     adc = None
     for m in range(PQ_M):
-        cw = F.element_at(cb_lit[m], F.col(f"c{m}") + 1)
-        d_m = _sqdist(sub(F.col("q_emb"), m), cw)
+        d_m = F.element_at(
+            F.element_at("lut", m + 1), F.element_at("codes", m + 1) + 1
+        )
         adc = d_m if adc is None else adc + d_m
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
-    from ..constants import ANN_K
-
     return (
         pairs.select("query_id", "neighbor_id", adc.alias("adc_dist"))
         .withColumn("rank", F.row_number().over(w))

@@ -300,3 +300,23 @@ def test_cell_assigner_arrow_matches_catalyst(spark, sf_dir):
         for r in _assign_cells_catalyst(emb, cents).collect()
     }
     assert arrow == catalyst and len(arrow) > 0
+
+
+def test_pq_encoder_arrow_matches_catalyst(spark, sf_dir):
+    """The Arrow PQ encoder must be BIT-identical to the Catalyst
+    reference: same float64 accumulation order, same low-code
+    tie-break."""
+    from de_realtime_voting_spark.operators.similarity import (
+        _collect_pq_codebook,
+        _pq_codes,
+        _pq_codes_catalyst,
+    )
+    from de_realtime_voting_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = _collect_pq_codebook(emb)
+    arrow = {r["vec_id"]: tuple(r["codes"]) for r in _pq_codes(emb, cb).collect()}
+    catalyst = {
+        r["vec_id"]: tuple(r["codes"]) for r in _pq_codes_catalyst(emb, cb).collect()
+    }
+    assert arrow == catalyst and len(arrow) > 0
