@@ -262,3 +262,36 @@ def stream_doc_logprob_gate(
         f"{f.name} {f.dataType.simpleString()}" for f in documents.schema.fields
     )
     return documents.mapInPandas(score, schema=out_schema + ", avg_logprob double")
+
+
+def stream_doc_chunks(documents: DataFrame) -> DataFrame:
+    """Ingest-time sliding-window chunking: the SAME transform as
+    batch text.doc_chunk_windows over a live documents feed (single
+    logical plan, two execution modes) -- docs chunk into context
+    windows as they arrive, ready for downstream packing.
+
+    COMPLETELY STATELESS: select + bounded posexplode, no
+    aggregation, no watermark requirement, append mode, state = 0 --
+    chunking is embarrassingly parallel, which is exactly why it can
+    run at ingest instead of as a batch pass over the lake."""
+    from ..operators.text import doc_chunk_windows
+
+    return doc_chunk_windows(documents)
+
+
+def stream_pq_encode(embeddings: DataFrame, cb: list) -> DataFrame:
+    """Online PQ index maintenance: encode each arriving vector into
+    its PQ_M codebook codes (the Arrow-batched encoder of batch
+    ann_pq_topk) so the compressed index stays current with the feed.
+    ``cb`` is the trained codebook (operators.similarity.
+    _collect_pq_codebook over the offline corpus -- the model
+    artifact).
+
+    Stateless and shuffle-free past the rebalance: one mapInPandas-
+    class projection per micro-batch, append mode, state = 0.  The
+    codebook ships to executors once in the UDF closure -- at real
+    scale that is a few KB, the same broadcast shape as the batch
+    op."""
+    from ..operators.similarity import _pq_codes
+
+    return _pq_codes(embeddings, cb)

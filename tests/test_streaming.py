@@ -707,3 +707,50 @@ def test_stream_doc_logprob_gate_null_text_dropped(spark):
     )
     got = stream_doc_logprob_gate(df, {"a": -0.5, "b": -2.0}, -10.0).collect()
     assert [r["doc_id"] for r in got] == [2]
+
+
+def test_stream_doc_chunks_matches_batch(spark, sf_dir):
+    """Batch/stream parity for ingest-time chunking: the stateless
+    append-mode file stream must produce exactly the batch chunk
+    set."""
+    from de_realtime_voting_spark.operators.text import doc_chunk_windows
+    from de_realtime_voting_spark.streaming import stream_doc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="docs_chunk_stream_")
+    try:
+        docs.repartition(2).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(docs.schema).parquet(d)
+        got = _run_stream_to_memory(
+            spark, stream_doc_chunks(stream), "doc_chunks_stream", "append"
+        )
+        a = sorted(map(tuple, got.collect()))
+        b = sorted(map(tuple, doc_chunk_windows(docs).collect()))
+        assert a == b and len(a) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_pq_encode_matches_batch(spark, sf_dir):
+    """Batch/stream parity for online PQ encoding: codes from the
+    stateless stream must be bit-identical to the batch encoder."""
+    from de_realtime_voting_spark.operators.similarity import (
+        _collect_pq_codebook,
+        _pq_codes,
+    )
+    from de_realtime_voting_spark.streaming import stream_pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = _collect_pq_codebook(emb)
+    d = tempfile.mkdtemp(prefix="emb_pq_stream_")
+    try:
+        emb.repartition(2).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(emb.schema).parquet(d)
+        got = _run_stream_to_memory(
+            spark, stream_pq_encode(stream, cb), "pq_encode_stream", "append"
+        )
+        a = {r["vec_id"]: tuple(r["codes"]) for r in got.collect()}
+        b = {r["vec_id"]: tuple(r["codes"]) for r in _pq_codes(emb, cb).collect()}
+        assert a == b and len(a) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
