@@ -885,3 +885,92 @@ def ngram_containment(documents: DataFrame) -> DataFrame:
         )
         .where(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
+
+
+def minhash_jaccard_estimate(documents: DataFrame) -> DataFrame:
+    """Sketch-calibration audit: for every LSH candidate pair, the
+    MinHash-ESTIMATED Jaccard (signature agreement rate -- the
+    unbiased estimator the sketch exists to provide) next to the
+    exact shingle Jaccard and the absolute error.  This is the table
+    that justifies (or indicts) the sketch parameters before anyone
+    trusts banded dedup at corpus scale.  (No reference analog --
+    training-data mandate.)
+
+    Scale shape: identical to dedup_minhash_pairs -- bucketed
+    candidate generation, per-pair verification bounded by the
+    candidate set.  Estimates are exact rationals (matches / SIGS),
+    so both engines agree bit-for-bit.
+    """
+    sh = _doc_shingles(documents).persist()
+    sigd = sh.select(
+        "doc_id", "shingles", minhash_signature(F.col("shingles")).alias("sig")
+    )
+    cand = _band_candidate_pairs(_doc_bands_from(sh))
+    sa = sigd.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    sb = sigd.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b
+        )
+    ) / F.lit(MINHASH_SIGS)
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            rnd(est, 6).alias("est_jaccard"),
+            rnd(jac, 6).alias("exact_jaccard"),
+            rnd(F.abs(est - jac), 6).alias("abs_err"),
+        )
+    )
+
+
+def near_dup_rate_by_source(documents: DataFrame) -> DataFrame:
+    """Per-source near-duplicate incidence: what share of each
+    source's documents participate in at least one VERIFIED near-dup
+    pair -- the report that ranks sources by redundancy before a
+    curation pass decides which feeds to downsample.  (No reference
+    analog -- training-data mandate.)
+
+    Scale shape: the pair set is already bucket-bounded
+    (dedup_minhash_pairs); flagged doc ids reduce to a distinct set
+    (far smaller than the corpus) and the membership test is a
+    LEFT SEMI join -- Spark needs no wide row, and at 100 TB the
+    flagged-id side is broadcast-or-shuffle by AQE's choice.  Final
+    agg is per source, a dim key.
+    """
+    pairs = dedup_minhash_pairs(documents)
+    dup_docs = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+    )
+    docs = documents.select("doc_id", "source")
+    flagged = (
+        docs.join(dup_docs, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_near_dup_docs"))
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        totals.join(flagged, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_near_dup_docs", F.lit(0)).alias("n_near_dup_docs"),
+            rnd(
+                F.coalesce("n_near_dup_docs", F.lit(0)) / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+    )

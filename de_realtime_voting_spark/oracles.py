@@ -1871,6 +1871,63 @@ GROUP BY 1
 
 # ------------------------------------------------------- round 3 ops
 
+_SIG_EQ_SUM = " + ".join(
+    f"CASE WHEN sa.sig{i} = sb.sig{i} THEN 1 ELSE 0 END" for i in range(MINHASH_SIGS)
+)
+SQL["minhash_jaccard_estimate"] = f"""{_MINHASH_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(({_SIG_EQ_SUM}) / {MINHASH_SIGS}, 6) AS est_jaccard,
+       ROUND(len(list_intersect(ha.shingles, hb.shingles))
+             / len(list_distinct(list_concat(ha.shingles, hb.shingles))), 6) AS exact_jaccard,
+       ROUND(abs(({_SIG_EQ_SUM}) / {MINHASH_SIGS}
+             - len(list_intersect(ha.shingles, hb.shingles))
+               / len(list_distinct(list_concat(ha.shingles, hb.shingles)))), 6) AS abs_err
+FROM cand
+JOIN sigs sa ON sa.doc_id = doc_a
+JOIN sigs sb ON sb.doc_id = doc_b
+JOIN sh ha ON ha.doc_id = doc_a
+JOIN sh hb ON hb.doc_id = doc_b
+"""
+
+SQL["near_dup_rate_by_source"] = f"""{_MINHASH_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+ver AS (
+    SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               len(list_intersect(sa.shingles, sb.shingles))
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b
+    ) WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+dup AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM ver
+        UNION ALL SELECT doc_b AS doc_id FROM ver
+    )
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_near_dup_docs,
+       ROUND(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 6) AS dup_rate
+FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+GROUP BY 1
+"""
+
 SQL["doc_chunk_windows"] = f"""
 WITH toksed AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 t AS (SELECT doc_id, toks, len(toks) AS n FROM toksed WHERE len(toks) >= 1),

@@ -280,6 +280,12 @@ _DEFS: dict[str, QueryFn] = {
         _t(s, d, "embeddings")
     ),
     "ann_pq_topk": lambda s, d: similarity.ann_pq_topk(_t(s, d, "embeddings")),
+    "minhash_jaccard_estimate": lambda s, d: dedup.minhash_jaccard_estimate(
+        _t(s, d, "documents")
+    ),
+    "near_dup_rate_by_source": lambda s, d: dedup.near_dup_rate_by_source(
+        _t(s, d, "documents")
+    ),
 }
 
 # Registry ORDER matters operationally: external checkers iterate in
@@ -297,6 +303,7 @@ _PRIORITY: list[str] = [
     # new this round -- insert additions here so they stay in-window
     "embedding_pca_stats", "ann_pq_topk", "doc_chunk_windows",
     "token_zipf_stats", "source_url_dedup", "ngram_containment",
+    "minhash_jaccard_estimate", "near_dup_rate_by_source",
     # modified this round (the _micros / NTZ fix touched these two)
     "votes_asof_prior_click", "vote_interarrival",
     # never driver-checked (added late in r2, past the window)
