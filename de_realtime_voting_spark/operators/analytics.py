@@ -704,3 +704,47 @@ def q21_waiting_suppliers(
         .orderBy(F.col("numwait").desc(), F.col("suppkey").asc())
         .limit(Q21_TOP_N)
     )
+
+
+def brand_price_trend(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Monthly average unit price per brand with a trailing 3-month
+    moving average -- the sliding-frame window shape (ROWS BETWEEN)
+    the TPC-H set doesn't otherwise exercise.
+
+    Scale shape: the fact aggregates to (brand, month) first -- one
+    shuffle with map-side partial agg; the moving-average window runs
+    over the |brands| x |months| aggregate (dim-sized), partitioned
+    by brand, never over fact rows.  The monthly average is rounded
+    BEFORE the frame average so the 3-value frame sums identical
+    inputs in both engines.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.columns import round_half_up as rnd
+
+    monthly = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            rnd(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+    )
+    w = (
+        Window.partitionBy("brand")
+        .orderBy("ship_month")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return monthly.select(
+        "brand",
+        "ship_month",
+        "n_lines",
+        "avg_price",
+        rnd(F.avg("avg_price").over(w), 4).alias("avg_price_3mo"),
+    )

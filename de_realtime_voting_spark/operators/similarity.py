@@ -562,3 +562,37 @@ def ann_pq_topk(embeddings: DataFrame) -> DataFrame:
             "query_id", "neighbor_id", "rank", rnd("adc_dist", 6).alias("adc_dist")
         )
     )
+
+
+def embedding_label_cohesion(embeddings: DataFrame) -> DataFrame:
+    """Per-label clustering-cohesion audit: each label's centroid
+    (the per-dimension mean) and the mean/min cosine of members to
+    their own centroid -- the cheap screen for mislabeled or
+    incoherent embedding groups before they feed supervised
+    curation.  (No reference analog -- training-data mandate.)
+
+    Scale shape: centroids are EMBEDDING_DIM column aggregates per
+    label (map-side partial agg, |labels|-row result) joined back
+    broadcast; the cosine pass is map-side.  No row explosion, two
+    corpus passes total.
+    """
+    from ..constants import EMBEDDING_DIM
+
+    el = lambda i: F.element_at("embedding", i + 1).cast("double")  # noqa: E731
+    cents = embeddings.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        *[F.avg(el(i)).alias(f"m{i}") for i in range(EMBEDDING_DIM)],
+    )
+    cent_arr = F.array(*[F.col(f"m{i}") for i in range(EMBEDDING_DIM)])
+    cent_df = cents.select("label", "n_vecs", cent_arr.alias("centroid"))
+    cos = cosine_similarity(F.col("embedding"), F.col("centroid"))
+    return (
+        embeddings.join(F.broadcast(cent_df), "label")
+        .select("label", "n_vecs", cos.alias("cos"))
+        .groupBy("label")
+        .agg(
+            F.max("n_vecs").alias("n_vecs"),
+            rnd(F.avg("cos"), 4).alias("avg_cohesion"),
+            rnd(F.min("cos"), 4).alias("min_cohesion"),
+        )
+    )

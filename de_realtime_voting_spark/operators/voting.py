@@ -653,3 +653,33 @@ def vote_key_skew(votes: DataFrame, n_top: int = 20) -> DataFrame:
             ),
         )
     )
+
+
+def voter_retention_cohort(votes: DataFrame) -> DataFrame:
+    """Monthly cohort retention matrix: voters grouped by their
+    first-vote month (the cohort), counted in every month they were
+    active, with the integer month offset -- the engagement-decay
+    view every election/product dashboard opens with.
+
+    Scale shape: first-vote month is a per-voter min (one shuffle on
+    user_id, map-side partial agg); activity reduces to distinct
+    (user, month) pairs map-side before joining the cohort dim back
+    (broadcast-or-shuffle by AQE -- the cohort frame is one row per
+    voter).  The final matrix is |cohorts| x |months| -- dim-sized.
+    Month offset is pure integer arithmetic, identical cross-engine.
+    """
+    cohort = votes.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("cohort_month")
+    )
+    active = votes.select(
+        "user_id", F.date_trunc("month", F.col("ts")).alias("activity_month")
+    ).distinct()
+    offset = (
+        (F.year("activity_month") - F.year("cohort_month")) * 12
+        + (F.month("activity_month") - F.month("cohort_month"))
+    )
+    return (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_month", offset.alias("month_offset"))
+        .agg(F.count(F.lit(1)).alias("n_voters"))
+    )

@@ -2088,4 +2088,58 @@ SELECT query_id, neighbor_id, "rank", ROUND(adc_dist, 6) AS adc_dist
 FROM r WHERE "rank" <= {ANN_K}
 """
 
+SQL["voter_retention_cohort"] = f"""
+WITH {_EVENTS_CTE},
+cohort AS (
+    SELECT user_id, date_trunc('month', min(ts)) AS cohort_month
+    FROM ev GROUP BY 1
+),
+active AS (
+    SELECT DISTINCT user_id, date_trunc('month', ts) AS activity_month FROM ev
+)
+SELECT c.cohort_month,
+       CAST((year(a.activity_month) - year(c.cohort_month)) * 12
+            + (month(a.activity_month) - month(c.cohort_month)) AS INT)
+           AS month_offset,
+       CAST(count(*) AS BIGINT) AS n_voters
+FROM active a JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""
+
+SQL["brand_price_trend"] = """
+WITH monthly AS (
+    SELECT p.p_brand AS brand,
+           date_trunc('month', l.l_shipdate) AS ship_month,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           ROUND(avg(l.l_extendedprice), 4) AS avg_price
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+)
+SELECT brand, ship_month, n_lines, avg_price,
+       ROUND(avg(avg_price) OVER (
+           PARTITION BY brand ORDER BY ship_month
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       ), 4) AS avg_price_3mo
+FROM monthly
+"""
+
+SQL["embedding_label_cohesion"] = f"""
+WITH x AS (
+    SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+),
+cm AS (SELECT label, i, avg(CAST(v AS DOUBLE)) AS m FROM x GROUP BY 1, 2),
+c AS (SELECT label, list(m ORDER BY i) AS centroid FROM cm GROUP BY 1),
+n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY 1),
+j AS (
+    SELECT e.label, {_cos('e.embedding', 'c.centroid')} AS cos
+    FROM embeddings e JOIN c USING (label)
+)
+SELECT j.label, max(n.n_vecs) AS n_vecs,
+       ROUND(avg(cos), 4) AS avg_cohesion,
+       ROUND(min(cos), 4) AS min_cohesion
+FROM j JOIN n ON j.label = n.label
+GROUP BY 1
+"""
+
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

@@ -286,6 +286,15 @@ _DEFS: dict[str, QueryFn] = {
     "near_dup_rate_by_source": lambda s, d: dedup.near_dup_rate_by_source(
         _t(s, d, "documents")
     ),
+    "voter_retention_cohort": lambda s, d: voting.voter_retention_cohort(
+        _t(s, d, "events")
+    ),
+    "brand_price_trend": lambda s, d: analytics.brand_price_trend(
+        _t(s, d, "lineitem"), _t(s, d, "part")
+    ),
+    "embedding_label_cohesion": lambda s, d: similarity.embedding_label_cohesion(
+        _t(s, d, "embeddings")
+    ),
 }
 
 # Registry ORDER matters operationally: external checkers iterate in
@@ -304,6 +313,7 @@ _PRIORITY: list[str] = [
     "embedding_pca_stats", "ann_pq_topk", "doc_chunk_windows",
     "token_zipf_stats", "source_url_dedup", "ngram_containment",
     "minhash_jaccard_estimate", "near_dup_rate_by_source",
+    "voter_retention_cohort", "brand_price_trend", "embedding_label_cohesion",
     # modified this round (the _micros / NTZ fix touched these two)
     "votes_asof_prior_click", "vote_interarrival",
     # never driver-checked (added late in r2, past the window)
