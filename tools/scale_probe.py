@@ -52,6 +52,13 @@ DEFAULT = [
     "unigram_logprob_score",
     "embedding_quantization_stats",
     "doc_length_percentile_filter",
+    "ann_pq_topk",
+    "ngram_containment",
+    "source_url_dedup",
+    "doc_chunk_windows",
+    "minhash_jaccard_estimate",
+    "voter_retention_cohort",
+    "embedding_label_cohesion",
 ]
 
 
