@@ -3,10 +3,12 @@
 The Spark-side contract is real and tested -- binary columns with
 typed metadata, Arrow-batched ``mapInPandas`` decode/feature-extract
 with a stable output schema and bounded batch sizes.  Uncompressed
-RIFF/WAVE PCM decode is REAL (``decode_wav_pcm``: pure-numpy RIFF
-parse, no codec library); compressed codecs (mp3/jpeg/h264) are
-STUBBED (libraries absent in this container): ``decode_fn=None``
-raises NotImplementedError, and tests inject a deterministic fake.
+container decode is REAL for both audio and image: ``decode_wav_pcm``
+(pure-numpy RIFF/WAVE PCM parse) and ``decode_bmp_rgb`` (pure-numpy
+24/32-bit BMP parse), no codec library involved.  Compressed codecs
+(mp3/jpeg/png/h264) are STUBBED (libraries absent in this
+container): ``decode_fn=None`` raises NotImplementedError, and tests
+inject a deterministic fake.
 """
 
 from __future__ import annotations
@@ -242,3 +244,56 @@ def decode_wav_pcm(payload: bytes) -> list[float]:
     rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
     peak = float(np.max(np.abs(x))) if x.size else 0.0
     return [float(n_ch), float(rate), float(x.size // n_ch), rms, peak]
+
+
+def decode_bmp_rgb(payload: bytes) -> list[float]:
+    """REAL image decode for uncompressed 24/32-bit BMP (the one
+    image container pure numpy can parse -- no codec library
+    involved): reads the BITMAPFILEHEADER/BITMAPINFOHEADER, un-pads
+    the 4-byte-aligned bottom-up BGR rows, and returns
+    [width, height, mean_r, mean_g, mean_b, stddev_gray].
+
+    Plug this into decode_media as ``decode_fn`` for a fully real
+    image feature path; compressed formats (jpeg/png/webp) remain
+    environment-stubbed.  Raises ValueError on compressed or
+    palette BMPs so a mixed-media table fails loudly instead of
+    mis-decoding.
+    """
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError("pre-BITMAPINFOHEADER BMP: decode stubbed in this env")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
+        raise ValueError("compressed/palette BMP: decode stubbed in this env")
+    flipped = height > 0  # positive height = bottom-up row order
+    h = abs(height)
+    ch = bpp // 8
+    stride = ((width * ch + 3) // 4) * 4  # rows pad to 4-byte boundaries
+    need = data_off + stride * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(
+        payload[data_off : data_off + stride * h], dtype=np.uint8
+    ).reshape(h, stride)[:, : width * ch].reshape(h, width, ch)
+    if flipped:
+        rows = rows[::-1]
+    b = rows[:, :, 0].astype(np.float64)
+    g = rows[:, :, 1].astype(np.float64)
+    r = rows[:, :, 2].astype(np.float64)
+    gray = 0.299 * r + 0.587 * g + 0.114 * b
+    return [
+        float(width),
+        float(h),
+        float(np.mean(r)),
+        float(np.mean(g)),
+        float(np.mean(b)),
+        float(np.std(gray)),
+    ]

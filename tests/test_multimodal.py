@@ -142,3 +142,86 @@ def test_decode_wav_pcm_rejects_non_pcm():
 
     with pytest.raises(ValueError):
         decode_wav_pcm(b"\xff\xd8\xff\xe0 not a wav")
+
+
+def _make_bmp(pixels):
+    """Minimal 24-bit bottom-up BMP from an H x W x 3 RGB array."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytes(
+            int(v) for x in range(w) for v in (arr[y, x, 2], arr[y, x, 1], arr[y, x, 0])
+        )
+        rows += row + b"\x00" * (stride - len(row))
+    pix_off = 14 + 40
+    size = pix_off + len(rows)
+    file_hdr = b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00" + pix_off.to_bytes(4, "little")
+    info_hdr = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(rows).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return file_hdr + info_hdr + rows
+
+
+def test_decode_bmp_rgb_known_image():
+    """A synthesized 3x2 BMP (odd width -> padded rows) must decode to
+    exact dimensions and channel means."""
+    from de_realtime_voting_spark.operators.multimodal import decode_bmp_rgb
+
+    # 2 rows x 3 cols: red, green, blue / white, black, gray
+    img = [
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+        [[255, 255, 255], [0, 0, 0], [128, 128, 128]],
+    ]
+    w, h, mr, mg, mb, sd = decode_bmp_rgb(_make_bmp(img))
+    assert (w, h) == (3.0, 2.0)
+    assert mr == (255 + 0 + 0 + 255 + 0 + 128) / 6
+    assert mg == (0 + 255 + 0 + 255 + 0 + 128) / 6
+    assert mb == (0 + 0 + 255 + 255 + 0 + 128) / 6
+    assert sd > 0
+
+
+def test_decode_bmp_through_decode_media(spark):
+    """BMP payloads run through the full Spark decode_media pipeline."""
+    import numpy as np
+
+    from de_realtime_voting_spark.operators.multimodal import (
+        decode_bmp_rgb,
+        decode_media,
+    )
+
+    img1 = np.full((4, 5, 3), 200, dtype=np.uint8)
+    img2 = np.zeros((2, 2, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, "image/bmp", bytearray(_make_bmp(img1)), 0),
+            (2, "image/bmp", bytearray(_make_bmp(img2)), 0),
+        ],
+        "doc_id long, media_type string, payload binary, byte_len int",
+    )
+    got = {r["doc_id"]: r for r in decode_media(media, decode_bmp_rgb).collect()}
+    assert got[1]["feature_dim"] == 6 and got[2]["feature_dim"] == 6
+    assert float(got[1]["feature_norm"]) > 0
+
+
+def test_decode_bmp_rejects_compressed():
+    """Compressed/palette/non-BMP payloads must fail loudly."""
+    from de_realtime_voting_spark.operators.multimodal import decode_bmp_rgb
+
+    with pytest.raises(ValueError):
+        decode_bmp_rgb(b"\x89PNG not a bmp")
+    # RLE-compressed BMP header (compression=1)
+    bad = bytearray(_make_bmp([[[0, 0, 0]]]))
+    bad[30] = 1
+    with pytest.raises(ValueError):
+        decode_bmp_rgb(bytes(bad))
