@@ -683,3 +683,101 @@ def voter_retention_cohort(votes: DataFrame) -> DataFrame:
         .groupBy("cohort_month", offset.alias("month_offset"))
         .agg(F.count(F.lit(1)).alias("n_voters"))
     )
+
+
+def funnel_conversion(votes: DataFrame, voters: DataFrame) -> DataFrame:
+    """Ordered conversion funnel per voter segment: voters who viewed,
+    then clicked AT-OR-AFTER their first view, then purchased at-or-
+    after that first qualifying click -- the event-ORDER-aware funnel
+    (a click before the first view does not count), which a naive
+    per-stage count gets wrong.
+
+    Scale shape: three conditional-min aggregations, each shuffling
+    on user_id -- the same high-cardinality key every time, so AQE/
+    exchange reuse keeps the data co-partitioned; no self-join, no
+    window over the fact.  The segment dim broadcasts; output is
+    |segments| rows.  All stage tests are timestamp comparisons and
+    integer counts -- exact cross-engine.
+    """
+    first_view = votes.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view")
+    )
+    with_view = votes.join(first_view, "user_id")
+    first_click = with_view.groupBy("user_id").agg(
+        F.max("first_view").alias("first_view"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") >= F.col("first_view")),
+                F.col("ts"),
+            )
+        ).alias("first_click"),
+    )
+    staged = (
+        votes.join(first_click, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("first_view").alias("first_view"),
+            F.max("first_click").alias("first_click"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("first_click")),
+                    F.col("ts"),
+                )
+            ).alias("first_purchase"),
+        )
+    )
+    seg = staged.join(
+        F.broadcast(voters.select("c_custkey", "c_mktsegment")),
+        staged["user_id"] == F.col("c_custkey"),
+    )
+    n_total = F.count(F.lit(1))
+    n_view = F.sum(F.col("first_view").isNotNull().cast("int"))
+    n_click = F.sum(F.col("first_click").isNotNull().cast("int"))
+    n_buy = F.sum(F.col("first_purchase").isNotNull().cast("int"))
+    return seg.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        n_total.alias("n_voters"),
+        n_view.cast("bigint").alias("n_viewed"),
+        n_click.cast("bigint").alias("n_clicked_after_view"),
+        n_buy.cast("bigint").alias("n_purchased_after_click"),
+        rnd(n_buy / n_total, 6).alias("full_funnel_rate"),
+    )
+
+
+def votes_anomaly_zscore(votes: DataFrame) -> DataFrame:
+    """Hourly volume anomaly detection per candidate: hours whose
+    vote count sits >= 2 population-stddevs from the candidate's
+    hourly mean -- the burst/outage screen a live election dashboard
+    alarms on.
+
+    Determinism is engineered: hourly counts are integers, so
+    mean = sum/n and var_pop = avg(c^2) - mean^2 are single divisions
+    over exact integer sums -- bit-identical cross-engine (stddev_samp
+    builtins use different accumulation algorithms between engines and
+    are NOT used).  Scale shape: one (candidate, hour) count shuffle
+    with map-side partial agg; the stats frame is |candidates| rows,
+    broadcast back onto the |candidates| x |hours| aggregate.
+    """
+    hourly = votes.groupBy(
+        F.col("event_type").alias("candidate_id"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_votes"))
+    stats = hourly.groupBy("candidate_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n_votes").alias("s1"),
+        F.sum(F.col("n_votes") * F.col("n_votes")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_hours")
+    var_pop = F.col("s2").cast("double") / F.col("n_hours") - mean * mean
+    z = (F.col("n_votes") - mean) / F.sqrt(var_pop)
+    return (
+        hourly.join(F.broadcast(stats), "candidate_id")
+        .where(F.abs(z) >= 2.0)
+        .select(
+            "candidate_id",
+            "hour",
+            "n_votes",
+            rnd(mean, 4).alias("hourly_mean"),
+            rnd(z, 4).alias("z_score"),
+        )
+    )

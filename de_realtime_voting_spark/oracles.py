@@ -2106,6 +2106,69 @@ FROM active a JOIN cohort c USING (user_id)
 GROUP BY 1, 2
 """
 
+SQL["funnel_conversion"] = f"""
+WITH {_EVENTS_CTE},
+fv AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+    FROM ev GROUP BY 1
+),
+fc AS (
+    SELECT e.user_id, max(fv.first_view) AS first_view,
+           min(CASE WHEN e.event_type = 'click' AND e.ts >= fv.first_view
+                    THEN e.ts END) AS first_click
+    FROM ev e JOIN fv ON e.user_id = fv.user_id
+    GROUP BY 1
+),
+st AS (
+    SELECT e.user_id, max(fc.first_view) AS first_view,
+           max(fc.first_click) AS first_click,
+           min(CASE WHEN e.event_type = 'purchase' AND e.ts >= fc.first_click
+                    THEN e.ts END) AS first_purchase
+    FROM ev e JOIN fc ON e.user_id = fc.user_id
+    GROUP BY 1
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_voters,
+       CAST(sum(CASE WHEN st.first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_viewed,
+       CAST(sum(CASE WHEN st.first_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clicked_after_view,
+       CAST(sum(CASE WHEN st.first_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purchased_after_click,
+       ROUND(sum(CASE WHEN st.first_purchase IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 6) AS full_funnel_rate
+FROM st JOIN customer c ON st.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+SQL["votes_anomaly_zscore"] = f"""
+WITH {_EVENTS_CTE},
+hourly AS (
+    SELECT event_type AS candidate_id, date_trunc('hour', ts) AS hour,
+           CAST(count(*) AS BIGINT) AS n_votes
+    FROM ev GROUP BY 1, 2
+),
+stats AS (
+    SELECT candidate_id, count(*) AS n_hours,
+           sum(n_votes) AS s1, sum(n_votes * n_votes) AS s2
+    FROM hourly GROUP BY 1
+)
+SELECT candidate_id, hour, n_votes,
+       ROUND(mean, 4) AS hourly_mean,
+       ROUND(z, 4) AS z_score
+FROM (
+    SELECT h.candidate_id, h.hour, h.n_votes,
+           CAST(s.s1 AS DOUBLE) / s.n_hours AS mean,
+           (h.n_votes - CAST(s.s1 AS DOUBLE) / s.n_hours)
+           / sqrt(CAST(s.s2 AS DOUBLE) / s.n_hours
+                  - (CAST(s.s1 AS DOUBLE) / s.n_hours)
+                    * (CAST(s.s1 AS DOUBLE) / s.n_hours)) AS z
+    FROM hourly h JOIN stats s ON h.candidate_id = s.candidate_id
+)
+WHERE abs(z) >= 2.0
+"""
+
 SQL["brand_price_trend"] = """
 WITH monthly AS (
     SELECT p.p_brand AS brand,

@@ -295,6 +295,12 @@ _DEFS: dict[str, QueryFn] = {
     "embedding_label_cohesion": lambda s, d: similarity.embedding_label_cohesion(
         _t(s, d, "embeddings")
     ),
+    "funnel_conversion": lambda s, d: voting.funnel_conversion(
+        _t(s, d, "events"), _t(s, d, "customer")
+    ),
+    "votes_anomaly_zscore": lambda s, d: voting.votes_anomaly_zscore(
+        _t(s, d, "events")
+    ),
 }
 
 # Registry ORDER matters operationally: external checkers iterate in
@@ -314,6 +320,7 @@ _PRIORITY: list[str] = [
     "token_zipf_stats", "source_url_dedup", "ngram_containment",
     "minhash_jaccard_estimate", "near_dup_rate_by_source",
     "voter_retention_cohort", "brand_price_trend", "embedding_label_cohesion",
+    "funnel_conversion", "votes_anomaly_zscore",
     # modified this round (the _micros / NTZ fix touched these two)
     "votes_asof_prior_click", "vote_interarrival",
     # never driver-checked (added late in r2, past the window)
