@@ -397,11 +397,18 @@ def embedding_pca_stats(embeddings: DataFrame) -> DataFrame:
             cols=", ".join(f"{i}, m{i}, s{i}" for i in range(EMBEDDING_DIM)),
         )
     )
-    return row.select("n_vecs", stack).select(
-        F.col("dim").cast("int").alias("dim"),
-        F.col("n_vecs").cast("bigint").alias("n_vecs"),
-        rnd(F.col("mean_d"), 6).alias("mean_d"),
-        rnd(F.col("e2_d") - F.col("mean_d") * F.col("mean_d"), 6).alias("var_d"),
+    return (
+        row.select("n_vecs", stack)
+        # empty corpus -> zero rows, matching the oracle's GROUP BY
+        # over an empty unnest (the global agg would otherwise emit
+        # EMBEDDING_DIM all-NULL rows)
+        .where(F.col("n_vecs") > 0)
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            rnd(F.col("mean_d"), 6).alias("mean_d"),
+            rnd(F.col("e2_d") - F.col("mean_d") * F.col("mean_d"), 6).alias("var_d"),
+        )
     )
 
 

@@ -107,6 +107,38 @@ CASES = {
         text.doc_length_percentile_filter_approx(_empty(s, d, "documents"))
     ),
     "vote_key_skew": lambda s, d: voting.vote_key_skew(_empty(s, d, "events")),
+    # round 3 additions
+    "doc_chunk_windows": lambda s, d: text.doc_chunk_windows(_empty(s, d, "documents")),
+    "token_zipf_stats": lambda s, d: text.token_zipf_stats(_empty(s, d, "documents")),
+    "source_url_dedup": lambda s, d: dedup.source_url_dedup(_empty(s, d, "documents")),
+    "ngram_containment": lambda s, d: dedup.ngram_containment(
+        _empty(s, d, "documents")
+    ),
+    "minhash_jaccard_estimate": lambda s, d: dedup.minhash_jaccard_estimate(
+        _empty(s, d, "documents")
+    ),
+    "near_dup_rate_by_source": lambda s, d: dedup.near_dup_rate_by_source(
+        _empty(s, d, "documents")
+    ),
+    "embedding_pca_stats": lambda s, d: similarity.embedding_pca_stats(
+        _empty(s, d, "embeddings")
+    ),
+    "ann_pq_topk": lambda s, d: similarity.ann_pq_topk(_empty(s, d, "embeddings")),
+    "embedding_label_cohesion": lambda s, d: similarity.embedding_label_cohesion(
+        _empty(s, d, "embeddings")
+    ),
+    "voter_retention_cohort": lambda s, d: voting.voter_retention_cohort(
+        _empty(s, d, "events")
+    ),
+    "funnel_conversion": lambda s, d: voting.funnel_conversion(
+        _empty(s, d, "events"), _empty(s, d, "customer")
+    ),
+    "votes_anomaly_zscore": lambda s, d: voting.votes_anomaly_zscore(
+        _empty(s, d, "events")
+    ),
+    "brand_price_trend": lambda s, d: analytics.brand_price_trend(
+        _empty(s, d, "lineitem"), _empty(s, d, "part")
+    ),
 }
 
 
