@@ -337,9 +337,14 @@ def _cluster_labels(documents: DataFrame, max_iter: int = 20) -> DataFrame:
     import warnings
 
     pairs = dedup_minhash_pairs(documents).select("doc_a", "doc_b")
+    # localCheckpoint (not persist): round 1 references edges in two
+    # branches and labels in two more; a lazy cache would carry the
+    # full MinHash-pairs lineage into every branch of the first
+    # round's plan (same measured effect as dedup_clusters_bigstar:
+    # first round ~8x steady-state from Catalyst re-analysis alone)
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -525,11 +530,18 @@ def dedup_clusters_bigstar(documents: DataFrame, max_iter: int = 30) -> DataFram
     pairs = dedup_minhash_pairs(documents).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
+    # localCheckpoint (not persist) BEFORE the loop: the star steps
+    # reference `edges` five times per round, and with a lazy cache
+    # round 1's plan carries the whole MinHash-pairs lineage into
+    # every branch -- Catalyst re-analyzes that duplicated subtree and
+    # round 1 costs ~8x a steady-state round (measured 9.5s -> 1.2s
+    # at sf0.1).  The checkpoint truncates lineage up front, so every
+    # round optimizes a plan over a flat cached relation.
     edges = (
         pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     fingerprint = None
     for _ in range(max_iter):
