@@ -762,11 +762,34 @@ def votes_anomaly_zscore(votes: DataFrame) -> DataFrame:
         F.col("event_type").alias("candidate_id"),
         F.date_trunc("hour", F.col("ts")).alias("hour"),
     ).agg(F.count(F.lit(1)).alias("n_votes"))
-    stats = hourly.groupBy("candidate_id").agg(
-        F.count(F.lit(1)).alias("n_hours"),
-        F.sum("n_votes").alias("s1"),
-        F.sum(F.col("n_votes") * F.col("n_votes")).alias("s2"),
+    return flag_hourly_anomalies(hourly, candidate_hourly_stats(votes))
+
+
+def candidate_hourly_stats(votes: DataFrame) -> DataFrame:
+    """Per-candidate hourly-volume moment sums (n_hours, s1, s2) --
+    the |candidates|-row model artifact behind votes_anomaly_zscore,
+    exposed separately so a STREAMING anomaly gate can build it
+    offline and broadcast it against live tallies
+    (streaming.stream_votes_anomaly)."""
+    return (
+        votes.groupBy(
+            F.col("event_type").alias("candidate_id"),
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+        .groupBy("candidate_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("n_votes").alias("s1"),
+            F.sum(F.col("n_votes") * F.col("n_votes")).alias("s2"),
+        )
     )
+
+
+def flag_hourly_anomalies(hourly: DataFrame, stats: DataFrame) -> DataFrame:
+    """Shared tail of the batch/stream anomaly detectors: broadcast
+    the per-candidate moment sums onto (candidate, hour, n_votes)
+    rows and keep |z| >= 2 outliers."""
     mean = F.col("s1").cast("double") / F.col("n_hours")
     var_pop = F.col("s2").cast("double") / F.col("n_hours") - mean * mean
     z = (F.col("n_votes") - mean) / F.sqrt(var_pop)

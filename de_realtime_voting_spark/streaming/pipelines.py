@@ -295,3 +295,32 @@ def stream_pq_encode(embeddings: DataFrame, cb: list) -> DataFrame:
     from ..operators.similarity import _pq_codes
 
     return _pq_codes(embeddings, cb)
+
+
+def stream_votes_anomaly(
+    votes: DataFrame, stats: DataFrame, delay: str = "1 minute"
+) -> DataFrame:
+    """Live hourly-volume anomaly gate: watermarked tumbling-hour
+    tallies over the vote stream, flagged against OFFLINE per-
+    candidate moment statistics (operators.voting.
+    candidate_hourly_stats over the historical corpus -- the model
+    artifact).  The operational twin of batch votes_anomaly_zscore:
+    the batch op answers "which past hours were anomalous", this one
+    raises the alarm while the hour is happening.
+
+    Scale shape: the windowed agg's state is bounded by the watermark
+    (candidates x in-flight hours); the stats side is |candidates|
+    rows, broadcast onto every micro-batch; the z-test itself is
+    stateless arithmetic."""
+    from ..operators.voting import flag_hourly_anomalies
+
+    hourly = (
+        votes.withWatermark("ts", delay)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("event_type").alias("candidate_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+        .select(F.col("w").start.alias("hour"), "candidate_id", "n_votes")
+    )
+    return flag_hourly_anomalies(hourly, stats)

@@ -754,3 +754,29 @@ def test_stream_pq_encode_matches_batch(spark, sf_dir):
         assert a == b and len(a) > 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_votes_anomaly_matches_batch(spark, sf_dir):
+    """Batch/stream parity for the anomaly gate: live hourly tallies
+    flagged against offline stats must reproduce the batch detector
+    exactly when the stream replays the same corpus."""
+    from de_realtime_voting_spark.operators.voting import candidate_hourly_stats
+    from de_realtime_voting_spark.queries import QUERY_REGISTRY
+    from de_realtime_voting_spark.streaming import stream_votes_anomaly
+
+    votes = load_table(spark, sf_dir, "events")
+    stats = candidate_hourly_stats(votes)
+    d = tempfile.mkdtemp(prefix="votes_anomaly_stream_")
+    try:
+        votes.repartition(2).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(votes.schema).parquet(d)
+        got = _run_stream_to_memory(
+            spark, stream_votes_anomaly(stream, stats), "votes_anomaly_stream", "append"
+        )
+        a = sorted(map(tuple, got.collect()))
+        b = sorted(
+            map(tuple, QUERY_REGISTRY["votes_anomaly_zscore"](spark, sf_dir).collect())
+        )
+        assert a == b and len(a) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
