@@ -748,3 +748,41 @@ def brand_price_trend(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         "avg_price",
         rnd(F.avg("avg_price").over(w), 4).alias("avg_price_3mo"),
     )
+
+
+def supplier_lead_time(
+    lineitem: DataFrame, orders: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Order-to-ship lead time per supplier nation: day gaps between
+    order date and each line's ship date -- the fulfillment-latency
+    rollup (date-arithmetic shape over the fact-fact join).
+
+    Scale shape: the one wide shuffle is lineitem join orders on
+    orderkey (both facts, co-keyed -- the bucketed-table candidate);
+    supplier and nation broadcast.  Day gaps are exact integers, so
+    the average is one division over exact sums -- cross-engine
+    deterministic.
+    """
+    lead = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            rnd(F.avg(lead), 4).alias("avg_lead_days"),
+            F.min(lead).cast("int").alias("min_lead_days"),
+            F.max(lead).cast("int").alias("max_lead_days"),
+        )
+    )

@@ -804,3 +804,30 @@ def flag_hourly_anomalies(hourly: DataFrame, stats: DataFrame) -> DataFrame:
             rnd(z, 4).alias("z_score"),
         )
     )
+
+
+def vote_value_histogram(votes: DataFrame) -> DataFrame:
+    """Fixed-width histogram of vote weights per candidate: 10-wide
+    buckets clamped to [0, 90+] -- the distribution fingerprint a
+    monitoring dashboard renders, computed with plain floor
+    arithmetic (identical IEEE op in both engines; no engine
+    histogram builtin, whose bucketing rules differ).
+
+    Scale shape: bucket assignment is map-side; one
+    (candidate, bucket) count shuffle with map-side partial agg;
+    output is |candidates| x 10 rows."""
+    bucket = F.greatest(
+        F.lit(0), F.least(F.lit(9), F.floor(F.col("value") / F.lit(10.0)))
+    ).cast("int")
+    return (
+        votes.groupBy(
+            F.col("event_type").alias("candidate_id"), bucket.alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+        .select(
+            "candidate_id",
+            "bucket",
+            (F.col("bucket") * 10).alias("bucket_lo"),
+            "n_votes",
+        )
+    )

@@ -2205,4 +2205,30 @@ FROM j JOIN n ON j.label = n.label
 GROUP BY 1
 """
 
+SQL["supplier_lead_time"] = """
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       ROUND(avg(datediff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE))), 4) AS avg_lead_days,
+       CAST(min(datediff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE))) AS INT) AS min_lead_days,
+       CAST(max(datediff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE))) AS INT) AS max_lead_days
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+SQL["vote_value_histogram"] = f"""
+WITH {_EVENTS_CTE}
+SELECT event_type AS candidate_id,
+       CAST(greatest(0, least(9, floor(value / 10.0))) AS INT) AS bucket,
+       CAST(greatest(0, least(9, floor(value / 10.0))) AS INT) * 10 AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_votes
+FROM ev
+GROUP BY 1, 2, 3
+"""
+
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

@@ -301,6 +301,12 @@ _DEFS: dict[str, QueryFn] = {
     "votes_anomaly_zscore": lambda s, d: voting.votes_anomaly_zscore(
         _t(s, d, "events")
     ),
+    "supplier_lead_time": lambda s, d: analytics.supplier_lead_time(
+        _t(s, d, "lineitem"), _t(s, d, "orders"), _t(s, d, "supplier"), _t(s, d, "nation")
+    ),
+    "vote_value_histogram": lambda s, d: voting.vote_value_histogram(
+        _t(s, d, "events")
+    ),
 }
 
 # Registry ORDER matters operationally: external checkers iterate in
@@ -321,6 +327,7 @@ _PRIORITY: list[str] = [
     "minhash_jaccard_estimate", "near_dup_rate_by_source",
     "voter_retention_cohort", "brand_price_trend", "embedding_label_cohesion",
     "funnel_conversion", "votes_anomaly_zscore",
+    "supplier_lead_time", "vote_value_histogram",
     # modified this round (the _micros / NTZ fix touched these two)
     "votes_asof_prior_click", "vote_interarrival",
     # never driver-checked (added late in r2, past the window)
