@@ -786,3 +786,88 @@ def supplier_lead_time(
             F.max(lead).cast("int").alias("max_lead_days"),
         )
     )
+
+
+def market_basket_pairs(lineitem: DataFrame, n_top: int = 20) -> DataFrame:
+    """Market-basket affinity: the top part pairs co-occurring in the
+    same order, with support and lift -- the association-rule shape
+    (bought-together) over the order fact.
+
+    Scale shape: baskets reduce to distinct (order, part) map-side;
+    the pair self-join keys on orderkey and its expansion is bounded
+    by ORDER WIDTH (lines per order -- single digits), never corpus
+    size, so candidate generation is linear in orders.  Support and
+    lift stay in integer arithmetic until one double division --
+    bit-identical cross-engine.  Top-N compiles to
+    TakeOrderedAndProject (per-partition partial top-N, no full sort).
+    """
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # scalar order count as a broadcast 1-row frame (the Q22/unigram
+    # idiom) -- no driver-side action, plan stays lazy
+    n_orders_df = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    part_counts = items.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("n_part")
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b")
+    )
+    pair_counts = (
+        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = part_counts.select(F.col("part").alias("part_a"), F.col("n_part").alias("n_a"))
+    nb = part_counts.select(F.col("part").alias("part_b"), F.col("n_part").alias("n_b"))
+    support = F.col("n_both") / F.col("n_orders")
+    lift = (F.col("n_both") * F.col("n_orders")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        pair_counts.join(na, "part_a")
+        .join(nb, "part_b")
+        .crossJoin(F.broadcast(n_orders_df))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            rnd(support, 6).alias("support"),
+            rnd(lift, 6).alias("lift"),
+        )
+        .orderBy(F.col("n_both").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(n_top)
+    )
+
+
+def supplier_concentration(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Supply-chain concentration per part type: the Herfindahl index
+    (sum of squared supplier shares of shipped quantity) plus supplier
+    count -- the single-number fragility screen per category.
+
+    Determinism: l_quantity is integer-valued, so per-supplier and
+    per-type sums are EXACT doubles regardless of accumulation order;
+    shares are one division each, and only the final sum of ~|suppliers|
+    squared shares carries last-ulp order noise -- absorbed by
+    rounding.  Scale shape: one (type, supplier) agg with map-side
+    partial agg, then a |types|-row broadcast join back.
+    """
+    typed = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    per_supp = typed.groupBy(
+        F.col("p_type").alias("part_type"), F.col("l_suppkey").alias("supp")
+    ).agg(F.sum("l_quantity").alias("qty_s"))
+    totals = per_supp.groupBy("part_type").agg(
+        F.sum("qty_s").alias("qty_total"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    share = F.col("qty_s") / F.col("qty_total")
+    return (
+        per_supp.join(F.broadcast(totals), "part_type")
+        .groupBy("part_type")
+        .agg(
+            F.max("n_suppliers").alias("n_suppliers"),
+            rnd(F.sum(share * share), 6).alias("hhi"),
+        )
+    )

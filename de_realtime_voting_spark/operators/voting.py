@@ -831,3 +831,29 @@ def vote_value_histogram(votes: DataFrame) -> DataFrame:
             "n_votes",
         )
     )
+
+
+def voter_party_loyalty(votes: DataFrame, voters: DataFrame) -> DataFrame:
+    """Party-loyalty split per voter segment: how many voters engaged
+    with exactly one party vs several, with the cross-party rate --
+    the swing-voter share every campaign report leads with.
+
+    Scale shape: one distinct-party count per voter (shuffle on
+    user_id, map-side partial agg), segment dim broadcast, final agg
+    on the |segments| key.  Counts and the rate are exact integers /
+    one division -- cross-engine deterministic.
+    """
+    per_voter = votes.groupBy("user_id").agg(
+        F.countDistinct(candidate_party(F.col("event_type"))).alias("n_parties")
+    )
+    seg = per_voter.join(
+        F.broadcast(voters.select("c_custkey", "c_mktsegment")),
+        per_voter["user_id"] == F.col("c_custkey"),
+    )
+    multi = (F.col("n_parties") > 1).cast("int")
+    return seg.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_voters"),
+        F.sum(1 - multi).cast("bigint").alias("n_single_party"),
+        F.sum(multi).cast("bigint").alias("n_multi_party"),
+        rnd(F.sum(multi) / F.count(F.lit(1)), 6).alias("multi_party_rate"),
+    )

@@ -2231,4 +2231,63 @@ FROM ev
 GROUP BY 1, 2, 3
 """
 
+SQL["market_basket_pairs"] = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+pc AS (SELECT l_partkey AS part, CAST(count(*) AS BIGINT) AS n_part
+       FROM items GROUP BY 1),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n_both
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_both,
+       ROUND(n_both / no.n_orders, 6) AS support,
+       ROUND((n_both * no.n_orders) / (na.n_part * nb.n_part), 6) AS lift
+FROM pairs
+JOIN pc na ON pairs.part_a = na.part
+JOIN pc nb ON pairs.part_b = nb.part
+CROSS JOIN no
+ORDER BY n_both DESC, part_a, part_b
+LIMIT 20
+"""
+
+SQL["supplier_concentration"] = """
+WITH per_supp AS (
+    SELECT p.p_type AS part_type, l.l_suppkey AS supp,
+           sum(l.l_quantity) AS qty_s
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+),
+totals AS (
+    SELECT part_type, sum(qty_s) AS qty_total,
+           CAST(count(*) AS BIGINT) AS n_suppliers
+    FROM per_supp GROUP BY 1
+)
+SELECT s.part_type, max(t.n_suppliers) AS n_suppliers,
+       ROUND(sum((s.qty_s / t.qty_total) * (s.qty_s / t.qty_total)), 6) AS hhi
+FROM per_supp s JOIN totals t ON s.part_type = t.part_type
+GROUP BY 1
+"""
+
+SQL["voter_party_loyalty"] = f"""
+WITH {_EVENTS_CTE},
+pv AS (
+    SELECT user_id, count(DISTINCT {_PARTY_CASE}) AS n_parties
+    FROM ev GROUP BY 1
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_voters,
+       CAST(sum(CASE WHEN pv.n_parties > 1 THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_single_party,
+       CAST(sum(CASE WHEN pv.n_parties > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_multi_party,
+       ROUND(sum(CASE WHEN pv.n_parties > 1 THEN 1 ELSE 0 END) / count(*), 6)
+           AS multi_party_rate
+FROM pv JOIN customer c ON pv.user_id = c.c_custkey
+GROUP BY 1
+"""
+
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

@@ -307,6 +307,15 @@ _DEFS: dict[str, QueryFn] = {
     "vote_value_histogram": lambda s, d: voting.vote_value_histogram(
         _t(s, d, "events")
     ),
+    "market_basket_pairs": lambda s, d: analytics.market_basket_pairs(
+        _t(s, d, "lineitem")
+    ),
+    "supplier_concentration": lambda s, d: analytics.supplier_concentration(
+        _t(s, d, "lineitem"), _t(s, d, "part")
+    ),
+    "voter_party_loyalty": lambda s, d: voting.voter_party_loyalty(
+        _t(s, d, "events"), _t(s, d, "customer")
+    ),
 }
 
 # Registry ORDER matters operationally: external checkers iterate in
@@ -328,6 +337,7 @@ _PRIORITY: list[str] = [
     "voter_retention_cohort", "brand_price_trend", "embedding_label_cohesion",
     "funnel_conversion", "votes_anomaly_zscore",
     "supplier_lead_time", "vote_value_histogram",
+    "market_basket_pairs", "supplier_concentration", "voter_party_loyalty",
     # modified this round (the _micros / NTZ fix touched these two)
     "votes_asof_prior_click", "vote_interarrival",
     # never driver-checked (added late in r2, past the window)

@@ -139,6 +139,24 @@ CASES = {
     "brand_price_trend": lambda s, d: analytics.brand_price_trend(
         _empty(s, d, "lineitem"), _empty(s, d, "part")
     ),
+    "supplier_lead_time": lambda s, d: analytics.supplier_lead_time(
+        _empty(s, d, "lineitem"),
+        _empty(s, d, "orders"),
+        _empty(s, d, "supplier"),
+        _empty(s, d, "nation"),
+    ),
+    "vote_value_histogram": lambda s, d: voting.vote_value_histogram(
+        _empty(s, d, "events")
+    ),
+    "market_basket_pairs": lambda s, d: analytics.market_basket_pairs(
+        _empty(s, d, "lineitem")
+    ),
+    "supplier_concentration": lambda s, d: analytics.supplier_concentration(
+        _empty(s, d, "lineitem"), _empty(s, d, "part")
+    ),
+    "voter_party_loyalty": lambda s, d: voting.voter_party_loyalty(
+        _empty(s, d, "events"), _empty(s, d, "customer")
+    ),
 }
 
 
