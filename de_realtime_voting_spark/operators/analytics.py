@@ -871,3 +871,49 @@ def supplier_concentration(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             rnd(F.sum(share * share), 6).alias("hhi"),
         )
     )
+
+
+def referential_integrity_audit(
+    events: DataFrame,
+    customer: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """Foreign-key orphan audit across the star schema: for each fact
+    -> dim edge, total fact rows and how many reference a missing dim
+    key -- the data-quality gate a warehouse load runs before
+    publishing.  (Engine completeness: profiling/validation surface.)
+
+    Scale shape: each check is a LEFT ANTI join with the DIM side as
+    the (broadcastable) build side, counted map-side -- no wide rows
+    move.  Results union into one tiny report frame.
+    """
+    def check(name, fact, fk, dim, pk):
+        total = fact.select(F.count(F.lit(1)).alias("n_rows"))
+        orphans = (
+            fact.join(dim.select(pk).distinct(), fact[fk] == F.col(pk), "left_anti")
+            .select(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        return (
+            total.crossJoin(orphans)
+            .select(
+                F.lit(name).alias("fk_edge"),
+                F.col("n_rows"),
+                F.col("n_orphans"),
+                rnd(F.col("n_orphans") / F.col("n_rows"), 6).alias("orphan_rate"),
+            )
+        )
+
+    checks = [
+        check("events.user_id->customer", events, "user_id", customer, "c_custkey"),
+        check("lineitem.l_orderkey->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+        check("lineitem.l_partkey->part", lineitem, "l_partkey", part, "p_partkey"),
+        check("lineitem.l_suppkey->supplier", lineitem, "l_suppkey", supplier, "s_suppkey"),
+        check("orders.o_custkey->customer", orders, "o_custkey", customer, "c_custkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

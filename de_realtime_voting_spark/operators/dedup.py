@@ -986,3 +986,28 @@ def near_dup_rate_by_source(documents: DataFrame) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+def near_dup_graph_degree(documents: DataFrame) -> DataFrame:
+    """Degree distribution of the verified near-dup graph: how many
+    docs have 1, 2, 3... near-duplicates -- the shape diagnostic that
+    distinguishes isolated pair-dups (degree 1 everywhere) from
+    boilerplate families (heavy-tail degrees), which need different
+    dedup strategies.  (No reference analog -- training-data
+    mandate.)
+
+    Scale shape: pairs are bucket-bounded (dedup_minhash_pairs);
+    degrees are one count per flagged doc (map-side partial agg), and
+    the histogram aggregates the |flagged docs| frame by degree --
+    output is bounded by the max degree.
+    """
+    pairs = dedup_minhash_pairs(documents)
+    degrees = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return degrees.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

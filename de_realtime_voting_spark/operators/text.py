@@ -611,3 +611,43 @@ def doc_length_percentile_filter_approx(
         )
     )
     return _length_band_report(documents, cuts)
+
+
+def doc_field_completeness(documents: DataFrame) -> DataFrame:
+    """Column-level completeness profile of the documents table:
+    null count, empty/blank count, and distinct cardinality per field
+    -- the first table any data-quality dashboard shows.  (Engine
+    completeness: profiling surface.)
+
+    Scale shape: ONE pass, every metric a conditional column
+    aggregate with map-side partial agg; the unpivot runs on the
+    single aggregated row.  Exact distinct counts are fine at dim
+    cardinality; swap approx_count_distinct at 100 TB (same plan,
+    sketch state).
+    """
+    cols = ["text", "lang", "source"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("int")).alias(f"n_null_{c}"),
+            F.sum(
+                (F.col(c).isNotNull() & (F.trim(F.col(c)) == "")).cast("int")
+            ).alias(f"n_blank_{c}"),
+            F.count_distinct(F.col(c)).alias(f"n_distinct_{c}"),
+        ]
+    row = documents.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    stack = F.expr(
+        "stack({n}, {args}) AS (field, n_null, n_blank, n_distinct)".format(
+            n=len(cols),
+            args=", ".join(
+                f"'{c}', n_null_{c}, n_blank_{c}, n_distinct_{c}" for c in cols
+            ),
+        )
+    )
+    return row.select("n_rows", stack).select(
+        "field",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.col("n_blank").cast("bigint").alias("n_blank"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+    )

@@ -2290,4 +2290,68 @@ FROM pv JOIN customer c ON pv.user_id = c.c_custkey
 GROUP BY 1
 """
 
+SQL["near_dup_graph_degree"] = f"""{_MINHASH_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+ver AS (
+    SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               len(list_intersect(sa.shingles, sb.shingles))
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b
+    ) WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+deg AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT doc_a AS doc_id FROM ver
+        UNION ALL SELECT doc_b AS doc_id FROM ver
+    ) GROUP BY 1
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_doc_id
+FROM deg GROUP BY 1
+"""
+
+
+def _ri_edge(name: str, fact: str, fk: str, dim: str, pk: str) -> str:
+    return f"""
+SELECT '{name}' AS fk_edge,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN d.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+       ROUND(sum(CASE WHEN d.{pk} IS NULL THEN 1 ELSE 0 END) / count(*), 6)
+           AS orphan_rate
+FROM {fact} f LEFT JOIN (SELECT DISTINCT {pk} FROM {dim}) d ON f.{fk} = d.{pk}"""
+
+
+SQL["referential_integrity_audit"] = "\nUNION ALL\n".join(
+    [
+        _ri_edge("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+        _ri_edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        _ri_edge("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        _ri_edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        _ri_edge("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ]
+)
+
+
+def _completeness_field(c: str) -> str:
+    return f"""
+SELECT '{c}' AS field,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(sum(CASE WHEN {c} IS NOT NULL AND trim({c}) = '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_blank,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM documents"""
+
+
+SQL["doc_field_completeness"] = "\nUNION ALL\n".join(
+    _completeness_field(c) for c in ["text", "lang", "source"]
+)
+
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

@@ -316,6 +316,20 @@ _DEFS: dict[str, QueryFn] = {
     "voter_party_loyalty": lambda s, d: voting.voter_party_loyalty(
         _t(s, d, "events"), _t(s, d, "customer")
     ),
+    "near_dup_graph_degree": lambda s, d: dedup.near_dup_graph_degree(
+        _t(s, d, "documents")
+    ),
+    "referential_integrity_audit": lambda s, d: analytics.referential_integrity_audit(
+        _t(s, d, "events"),
+        _t(s, d, "customer"),
+        _t(s, d, "lineitem"),
+        _t(s, d, "orders"),
+        _t(s, d, "part"),
+        _t(s, d, "supplier"),
+    ),
+    "doc_field_completeness": lambda s, d: text.doc_field_completeness(
+        _t(s, d, "documents")
+    ),
 }
 
 # Registry ORDER matters operationally: external checkers iterate in
@@ -338,6 +352,8 @@ _PRIORITY: list[str] = [
     "funnel_conversion", "votes_anomaly_zscore",
     "supplier_lead_time", "vote_value_histogram",
     "market_basket_pairs", "supplier_concentration", "voter_party_loyalty",
+    "near_dup_graph_degree", "referential_integrity_audit",
+    "doc_field_completeness",
     # modified this round (the _micros / NTZ fix touched these two)
     "votes_asof_prior_click", "vote_interarrival",
     # never driver-checked (added late in r2, past the window)
