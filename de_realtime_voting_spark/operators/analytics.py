@@ -917,3 +917,39 @@ def referential_integrity_audit(
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def repeat_buyers_by_nation(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Customers active in BOTH 1997 and 1998 (INTERSECT set
+    semantics -- the retention complement of Q22's idle-customer
+    anti-join), rolled up per nation.
+
+    Scale shape: each year's cohort reduces to distinct custkeys
+    map-side before the intersect (which shuffles narrow keys only);
+    dims broadcast; output is |nations| rows.
+    """
+    def year_cohort(y):
+        return (
+            orders.where(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    both = year_cohort(1997).intersect(year_cohort(1998))
+    return (
+        both.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_repeat_buyers"))
+    )

@@ -2354,4 +2354,19 @@ SQL["doc_field_completeness"] = "\nUNION ALL\n".join(
     _completeness_field(c) for c in ["text", "lang", "source"]
 )
 
+SQL["repeat_buyers_by_nation"] = """
+WITH both_years AS (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
+    INTERSECT
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= '1998-01-01' AND o_orderdate < '1999-01-01'
+)
+SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_repeat_buyers
+FROM both_years b
+JOIN customer c ON b.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

@@ -330,6 +330,9 @@ _DEFS: dict[str, QueryFn] = {
     "doc_field_completeness": lambda s, d: text.doc_field_completeness(
         _t(s, d, "documents")
     ),
+    "repeat_buyers_by_nation": lambda s, d: analytics.repeat_buyers_by_nation(
+        _t(s, d, "orders"), _t(s, d, "customer"), _t(s, d, "nation")
+    ),
 }
 
 # Registry ORDER matters operationally: external checkers iterate in
@@ -353,7 +356,7 @@ _PRIORITY: list[str] = [
     "supplier_lead_time", "vote_value_histogram",
     "market_basket_pairs", "supplier_concentration", "voter_party_loyalty",
     "near_dup_graph_degree", "referential_integrity_audit",
-    "doc_field_completeness",
+    "doc_field_completeness", "repeat_buyers_by_nation",
     # modified this round (the _micros / NTZ fix touched these two)
     "votes_asof_prior_click", "vote_interarrival",
     # never driver-checked (added late in r2, past the window)
