@@ -953,3 +953,50 @@ def repeat_buyers_by_nation(
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.count(F.lit(1)).alias("n_repeat_buyers"))
     )
+
+
+def customer_spend_deciles(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Within-nation customer spend deciles: percent_rank over each
+    customer's lifetime order total, bucketed into deciles with
+    per-bucket spend stats -- the relative-standing segmentation
+    (percent_rank's exact (rank-1)/(n-1) integer ratio makes the
+    decile cut deterministic cross-engine, unlike value-based
+    quantile cuts).
+
+    Scale shape: the per-customer total is one shuffle with map-side
+    partial agg; the rank window runs over the per-customer AGGREGATE
+    partitioned by nation (|customers| rows, spread across nations),
+    never over the order fact; the decile rollup is a dim-sized agg.
+    """
+    from pyspark.sql import Window
+
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("total_spend"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("total_spend").asc(), F.col("o_custkey").asc()
+    )
+    pr = F.percent_rank().over(w)
+    decile = F.least(F.lit(9), F.floor(pr * 10)).cast("int")
+    return (
+        spend.select(
+            F.col("n_name").alias("nation"), "total_spend", decile.alias("decile")
+        )
+        .groupBy("nation", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            rnd(F.min("total_spend"), 2).alias("min_spend"),
+            rnd(F.max("total_spend"), 2).alias("max_spend"),
+        )
+    )

@@ -857,3 +857,31 @@ def voter_party_loyalty(votes: DataFrame, voters: DataFrame) -> DataFrame:
         F.sum(multi).cast("bigint").alias("n_multi_party"),
         rnd(F.sum(multi) / F.count(F.lit(1)), 6).alias("multi_party_rate"),
     )
+
+
+def turnout_grouping_sets(
+    votes: DataFrame, voters: DataFrame, nations: DataFrame, regions: DataFrame
+) -> DataFrame:
+    """Turnout by GROUPING SETS ((region), (segment), ()): three
+    independent marginals plus the grand total in ONE aggregation
+    pass -- the grouping-sets shape (rollup and cube are its special
+    cases; this is the general form a dashboard's side-by-side
+    breakdowns compile to).
+
+    Scale shape: the enriched fact expands once per grouping set
+    inside Spark's Expand operator (x3 here), then one shuffle with
+    map-side partial agg -- cheaper than three separate scans+aggs.
+    Dims broadcast.
+    """
+    enriched = (
+        _votes_with_location(votes, voters, nations)
+        .join(F.broadcast(regions), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return (
+        enriched.groupingSets([["region"], ["segment"], []], "region", "segment")
+        .agg(F.count(F.lit(1)).alias("total_turnout_votes"))
+    )

@@ -2369,4 +2369,41 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY 1
 """
 
+SQL["turnout_grouping_sets"] = f"""
+WITH {_EVENTS_CTE},
+enriched AS (
+    SELECT r.r_name AS region, c.c_mktsegment AS segment
+    {_VOTE_GEO_JOIN}
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT region, segment, CAST(count(*) AS BIGINT) AS total_turnout_votes
+FROM enriched
+GROUP BY GROUPING SETS ((region), (segment), ())
+"""
+
+SQL["customer_spend_deciles"] = """
+WITH spend AS (
+    SELECT o.o_custkey, sum(o.o_totalprice) AS total_spend,
+           n.n_name AS nation
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 3
+),
+ranked AS (
+    SELECT nation, total_spend,
+           CAST(least(9, floor(
+               percent_rank() OVER (
+                   PARTITION BY nation ORDER BY total_spend, o_custkey
+               ) * 10)) AS INT) AS decile
+    FROM spend
+)
+SELECT nation, decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       ROUND(min(total_spend), 2) AS min_spend,
+       ROUND(max(total_spend), 2) AS max_spend
+FROM ranked
+GROUP BY 1, 2
+"""
+
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

@@ -333,6 +333,12 @@ _DEFS: dict[str, QueryFn] = {
     "repeat_buyers_by_nation": lambda s, d: analytics.repeat_buyers_by_nation(
         _t(s, d, "orders"), _t(s, d, "customer"), _t(s, d, "nation")
     ),
+    "turnout_grouping_sets": lambda s, d: voting.turnout_grouping_sets(
+        _t(s, d, "events"), _t(s, d, "customer"), _t(s, d, "nation"), _t(s, d, "region")
+    ),
+    "customer_spend_deciles": lambda s, d: analytics.customer_spend_deciles(
+        _t(s, d, "orders"), _t(s, d, "customer"), _t(s, d, "nation")
+    ),
 }
 
 # Registry ORDER matters operationally: external checkers iterate in
@@ -357,6 +363,7 @@ _PRIORITY: list[str] = [
     "market_basket_pairs", "supplier_concentration", "voter_party_loyalty",
     "near_dup_graph_degree", "referential_integrity_audit",
     "doc_field_completeness", "repeat_buyers_by_nation",
+    "turnout_grouping_sets", "customer_spend_deciles",
     # modified this round (the _micros / NTZ fix touched these two)
     "votes_asof_prior_click", "vote_interarrival",
     # never driver-checked (added late in r2, past the window)
