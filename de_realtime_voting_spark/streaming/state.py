@@ -133,3 +133,89 @@ def voter_sessions_with_timeout(votes: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+FUNNEL_OUTPUT = StructType(
+    [
+        StructField("voter_id", LongType()),
+        StructField("stage", StringType()),
+        StructField("stage_ts_us", LongType()),
+    ]
+)
+
+# stage encoding: 0 = nothing, 1 = viewed, 2 = clicked-after-view,
+# 3 = purchased-after-click; *_us timestamps of the qualifying events
+FUNNEL_STATE = StructType(
+    [
+        StructField("stage", LongType()),
+        StructField("view_us", LongType()),
+        StructField("click_us", LongType()),
+    ]
+)
+
+_STAGE_NAMES = {1: "viewed", 2: "clicked_after_view", 3: "purchased_after_click"}
+
+
+def _update_funnel(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    stage, view_us, click_us = state.get if state.exists else (0, None, None)
+    advanced = []
+    events = []
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        us = pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
+        events.extend(zip(us, pdf["event_type"].tolist()))
+    # event-time order within the batch; state carries order across
+    # batches (a click arriving before any view never advances).
+    # Equal-timestamp ties process in funnel order (view, click,
+    # purchase) so the at-or-after (>=) semantics match the batch op:
+    # a click at exactly the first-view timestamp counts.
+    prio = {"view": 0, "click": 1, "purchase": 2}
+    for ts_us, etype in sorted(
+        events, key=lambda e: (e[0], prio.get(e[1], 3))
+    ):
+        if stage == 0 and etype == "view":
+            stage, view_us = 1, ts_us
+            advanced.append((1, ts_us))
+        elif stage == 1 and etype == "click" and ts_us >= view_us:
+            stage, click_us = 2, ts_us
+            advanced.append((2, ts_us))
+        elif stage == 2 and etype == "purchase" and ts_us >= click_us:
+            stage = 3
+            advanced.append((3, ts_us))
+    state.update((stage, view_us, click_us))
+    if advanced:
+        yield pd.DataFrame(
+            {
+                "voter_id": [key[0]] * len(advanced),
+                "stage": [_STAGE_NAMES[s] for s, _ in advanced],
+                "stage_ts_us": [t for _, t in advanced],
+            }
+        )
+
+
+def funnel_tracker(votes: DataFrame) -> DataFrame:
+    """Stateful streaming funnel: per-voter view -> click -> purchase
+    stage machine over the live vote stream, emitting a row the
+    moment a voter ADVANCES a stage -- the real-time twin of batch
+    voting.funnel_conversion (which reports the settled totals).
+
+    State per voter is three numbers (stage + two timestamps) --
+    O(live voters) total, hash-partitioned; the stage machine only
+    moves forward, so a voter's state is touched at most three times
+    over their lifetime.  Order correctness: events sort by event
+    time within each batch and the carried state enforces order
+    ACROSS batches -- a click seen before any view never advances the
+    funnel, exactly like the batch op's at-or-after conditions."""
+    return (
+        votes.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_funnel,
+            outputStructType=FUNNEL_OUTPUT,
+            stateStructType=FUNNEL_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -780,3 +780,92 @@ def test_stream_votes_anomaly_matches_batch(spark, sf_dir):
         assert a == b and len(a) > 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_funnel_tracker_state_transitions():
+    """The funnel state machine advances only in order, ignores
+    out-of-order clicks, and carries stage state across batches."""
+    import pandas as pd
+
+    from de_realtime_voting_spark.streaming.state import _update_funnel
+
+    def batch(rows):
+        return pd.DataFrame(
+            {
+                "ts": pd.to_datetime([r[0] for r in rows]),
+                "event_type": [r[1] for r in rows],
+            }
+        )
+
+    # click before any view: no advancement at all
+    st = _FakeGroupState()
+    out = list(_update_funnel((1,), iter([batch([("2024-01-01 10:00", "click")])]), st))
+    assert out == [] and st.get[0] == 0
+
+    # view then (same batch, later) click then purchase: all 3 fire
+    st2 = _FakeGroupState()
+    rows = [
+        ("2024-01-01 10:00", "view"),
+        ("2024-01-01 10:05", "click"),
+        ("2024-01-01 10:10", "purchase"),
+    ]
+    out2 = list(_update_funnel((2,), iter([batch(rows)]), st2))
+    assert [r for pdf in out2 for r in pdf["stage"]] == [
+        "viewed", "clicked_after_view", "purchased_after_click"
+    ]
+    assert st2.get[0] == 3
+
+    # equal-timestamp tie: view+click at the same instant both count
+    st3 = _FakeGroupState()
+    rows3 = [("2024-01-01 10:00", "click"), ("2024-01-01 10:00", "view")]
+    out3 = list(_update_funnel((3,), iter([batch(rows3)]), st3))
+    assert [r for pdf in out3 for r in pdf["stage"]] == [
+        "viewed", "clicked_after_view"
+    ]
+
+    # state carries across batches: click in a LATER batch advances
+    st4 = _FakeGroupState()
+    list(_update_funnel((4,), iter([batch([("2024-01-01 10:00", "view")])]), st4))
+    st5 = _FakeGroupState(value=st4.get)
+    out5 = list(_update_funnel((4,), iter([batch([("2024-01-01 11:00", "click")])]), st5))
+    assert [r for pdf in out5 for r in pdf["stage"]] == ["clicked_after_view"]
+
+
+def test_funnel_tracker_stream_matches_batch(spark, sf_dir):
+    """End-to-end: the max stage each voter reaches in the stream must
+    equal the batch funnel_conversion stage flags on the same data."""
+    from de_realtime_voting_spark.operators.voting import funnel_conversion
+    from de_realtime_voting_spark.streaming import funnel_tracker
+
+    votes = load_table(spark, sf_dir, "events")
+    voters = load_table(spark, sf_dir, "customer")
+    d = tempfile.mkdtemp(prefix="funnel_stream_")
+    try:
+        votes.repartition(2).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(votes.schema).parquet(d)
+        got = _run_stream_to_memory(
+            spark, funnel_tracker(stream), "funnel_stream", "update"
+        )
+        rank = {"viewed": 1, "clicked_after_view": 2, "purchased_after_click": 3}
+        reached: dict[int, int] = {}
+        for r in got.collect():
+            reached[r["voter_id"]] = max(
+                reached.get(r["voter_id"], 0), rank[r["stage"]]
+            )
+        want = funnel_conversion(votes, voters)
+        agg = {
+            "n_viewed": sum(1 for s in reached.values() if s >= 1),
+            "n_clicked": sum(1 for s in reached.values() if s >= 2),
+            "n_purchased": sum(1 for s in reached.values() if s >= 3),
+        }
+        batch_tot = want.agg(
+            F.sum("n_viewed").alias("v"),
+            F.sum("n_clicked_after_view").alias("c"),
+            F.sum("n_purchased_after_click").alias("p"),
+        ).first()
+        assert agg["n_viewed"] == batch_tot["v"]
+        assert agg["n_clicked"] == batch_tot["c"]
+        assert agg["n_purchased"] == batch_tot["p"]
+        assert agg["n_viewed"] > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
