@@ -896,13 +896,18 @@ def referential_integrity_audit(
             fact.join(dim.select(pk).distinct(), fact[fk] == F.col(pk), "left_anti")
             .select(F.count(F.lit(1)).alias("n_orphans"))
         )
+        # empty fact -> 0/0 would raise under ANSI; an empty table is
+        # trivially consistent, rate 0
+        rate = F.when(
+            F.col("n_rows") > 0, rnd(F.col("n_orphans") / F.col("n_rows"), 6)
+        ).otherwise(F.lit(0.0))
         return (
             total.crossJoin(orphans)
             .select(
                 F.lit(name).alias("fk_edge"),
                 F.col("n_rows"),
                 F.col("n_orphans"),
-                rnd(F.col("n_orphans") / F.col("n_rows"), 6).alias("orphan_rate"),
+                rate.alias("orphan_rate"),
             )
         )
 

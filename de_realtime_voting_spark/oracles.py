@@ -2323,8 +2323,9 @@ def _ri_edge(name: str, fact: str, fk: str, dim: str, pk: str) -> str:
 SELECT '{name}' AS fk_edge,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CASE WHEN d.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
-       ROUND(sum(CASE WHEN d.{pk} IS NULL THEN 1 ELSE 0 END) / count(*), 6)
-           AS orphan_rate
+       CASE WHEN count(*) > 0
+            THEN ROUND(sum(CASE WHEN d.{pk} IS NULL THEN 1 ELSE 0 END) / count(*), 6)
+            ELSE 0.0 END AS orphan_rate
 FROM {fact} f LEFT JOIN (SELECT DISTINCT {pk} FROM {dim}) d ON f.{fk} = d.{pk}"""
 
 

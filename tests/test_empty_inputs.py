@@ -157,7 +157,51 @@ CASES = {
     "voter_party_loyalty": lambda s, d: voting.voter_party_loyalty(
         _empty(s, d, "events"), _empty(s, d, "customer")
     ),
+    "near_dup_graph_degree": lambda s, d: dedup.near_dup_graph_degree(
+        _empty(s, d, "documents")
+    ),
+    "repeat_buyers_by_nation": lambda s, d: analytics.repeat_buyers_by_nation(
+        _empty(s, d, "orders"), _empty(s, d, "customer"), _empty(s, d, "nation")
+    ),
+    "turnout_grouping_sets": lambda s, d: voting.turnout_grouping_sets(
+        _empty(s, d, "events"),
+        _empty(s, d, "customer"),
+        _empty(s, d, "nation"),
+        _empty(s, d, "region"),
+    ),
+    "customer_spend_deciles": lambda s, d: analytics.customer_spend_deciles(
+        _empty(s, d, "orders"), _empty(s, d, "customer"), _empty(s, d, "nation")
+    ),
 }
+
+# Report-shaped ops whose contract on empty input is a DEGENERATE
+# (all-zero) report, not zero rows: one row per FK edge / per profiled
+# column, with n_rows = 0.  Asserted separately below.
+DEGENERATE_CASES = {
+    "referential_integrity_audit": (
+        lambda s, d: analytics.referential_integrity_audit(
+            _empty(s, d, "events"),
+            _empty(s, d, "customer"),
+            _empty(s, d, "lineitem"),
+            _empty(s, d, "orders"),
+            _empty(s, d, "part"),
+            _empty(s, d, "supplier"),
+        ),
+        5,
+    ),
+    "doc_field_completeness": (
+        lambda s, d: text.doc_field_completeness(_empty(s, d, "documents")),
+        3,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(DEGENERATE_CASES))
+def test_empty_input_yields_zero_report(name, spark, sf_dir):
+    fn, n_expected = DEGENERATE_CASES[name]
+    rows = fn(spark, sf_dir).collect()
+    assert len(rows) == n_expected
+    assert all(r["n_rows"] == 0 for r in rows)
 
 
 @pytest.mark.parametrize("name", sorted(CASES))
