@@ -1005,3 +1005,32 @@ def customer_spend_deciles(
             rnd(F.max("total_spend"), 2).alias("max_spend"),
         )
     )
+
+
+def order_fill_rate(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Order fill audit per priority: share of orders whose EVERY
+    line shipped within 30 days of the order date -- the universal
+    quantifier (bool_and / ALL) aggregation shape, which EXISTS
+    semi-joins can't express without double negation.
+
+    Scale shape: the fact-fact join shuffles once on orderkey (the
+    bucketed-join candidate); per-order bool_and collapses map-side
+    like any partial agg; the priority rollup is dim-sized.  The day
+    comparison is exact integer arithmetic.
+    """
+    on_time = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= 30
+    per_order = (
+        lineitem.select("l_orderkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.bool_and(on_time).alias("fully_on_time"))
+    )
+    filled = F.sum(F.col("fully_on_time").cast("int"))
+    return per_order.groupBy(F.col("o_orderpriority").alias("order_priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        filled.cast("bigint").alias("n_fully_on_time"),
+        rnd(filled / F.count(F.lit(1)), 6).alias("fill_rate"),
+    )

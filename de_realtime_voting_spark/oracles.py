@@ -2407,4 +2407,22 @@ FROM ranked
 GROUP BY 1, 2
 """
 
+SQL["order_fill_rate"] = """
+WITH per_order AS (
+    SELECT o.o_orderkey, o.o_orderpriority,
+           bool_and(datediff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE)) <= 30) AS fully_on_time
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+)
+SELECT o_orderpriority AS order_priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN fully_on_time THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_fully_on_time,
+       ROUND(sum(CASE WHEN fully_on_time THEN 1 ELSE 0 END) / count(*), 6)
+           AS fill_rate
+FROM per_order
+GROUP BY 1
+"""
+
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

@@ -339,6 +339,9 @@ _DEFS: dict[str, QueryFn] = {
     "customer_spend_deciles": lambda s, d: analytics.customer_spend_deciles(
         _t(s, d, "orders"), _t(s, d, "customer"), _t(s, d, "nation")
     ),
+    "order_fill_rate": lambda s, d: analytics.order_fill_rate(
+        _t(s, d, "orders"), _t(s, d, "lineitem")
+    ),
 }
 
 # Registry ORDER matters operationally: external checkers iterate in
@@ -363,7 +366,7 @@ _PRIORITY: list[str] = [
     "market_basket_pairs", "supplier_concentration", "voter_party_loyalty",
     "near_dup_graph_degree", "referential_integrity_audit",
     "doc_field_completeness", "repeat_buyers_by_nation",
-    "turnout_grouping_sets", "customer_spend_deciles",
+    "turnout_grouping_sets", "customer_spend_deciles", "order_fill_rate",
     # modified this round (the _micros / NTZ fix touched these two)
     "votes_asof_prior_click", "vote_interarrival",
     # never driver-checked (added late in r2, past the window)
