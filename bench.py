@@ -29,11 +29,74 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+class SchemaGuardError(RuntimeError):
+    """Named fail-fast for regenerated testdata whose physical types
+    drifted (the BENCH_r02 failure mode: events.ts flipped to
+    TIMESTAMP_NTZ and the whole timed run died mid-flight with a py4j
+    traceback instead of a diagnosis)."""
+
+
+# columns whose physical type the queries depend on; a regen that
+# changes one of these must kill the bench BEFORE timing, by name
+_GUARDED_COLS: dict[str, dict[str, str]] = {
+    "events": {"ts": "timestamp"},
+    "orders": {"o_orderdate": "timestamp"},
+    "lineitem": {"l_shipdate": "timestamp"},
+    "documents": {"doc_id": "bigint", "text": "string"},
+    "embeddings": {"vec_id": "bigint", "embedding": "array<float>"},
+}
+
+
+def schema_guard(spark, sf_dir: str) -> None:
+    """Probe one row of each input table THROUGH the same loader the
+    queries use (sources.load_table -- which absorbs the benign
+    NTZ-vs-LTZ parquet footer difference) and assert the guarded
+    dtypes.  Raises SchemaGuardError (after printing a single
+    machine-readable JSON line) so a testdata regeneration the loader
+    can't absorb surfaces as a named schema diagnosis, never as a
+    mid-run executor traceback that burns the round's bench signal."""
+    from de_realtime_voting_spark.sources import load_table
+
+    problems: list[str] = []
+    for table in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"):
+        try:
+            df = load_table(spark, sf_dir, table)
+            df.limit(1).collect()  # exercise the real decode path
+        except Exception as e:
+            problems.append(f"{table}: unreadable ({type(e).__name__}: {str(e)[:120]})")
+            continue
+        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        for col, want in _GUARDED_COLS.get(table, {}).items():
+            got = types.get(col)
+            if got != want:
+                problems.append(f"{table}.{col}: expected {want}, got {got}")
+            elif want == "timestamp":
+                # value sanity: the loader's nanos-as-long fallback
+                # would silently misread an int64-MICROS regen as
+                # nanos (off by 1000x -> epoch lands in 1970); a type
+                # check alone cannot see that, a year-range probe can
+                row = df.select(col).limit(1).collect()
+                val = row[0][0] if row else None
+                if val is not None and not (1990 <= val.year <= 2100):
+                    problems.append(
+                        f"{table}.{col}: probed value {val} outside sane "
+                        f"year range (unit misinterpretation after regen?)"
+                    )
+    if problems:
+        print(json.dumps({"metric": "SCHEMA_GUARD_FAILED", "value": None,
+                          "unit": "sec", "sf": sf_dir, "problems": problems}))
+        raise SchemaGuardError(
+            "testdata schema drift detected before timing: " + "; ".join(problems)
+        )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    schema_guard(spark, sf_dir)
 
     # JVM/codegen warmup: run EVERY query once at the smallest SF so
     # the timed pass measures steady-state execution, not janino

@@ -968,18 +968,27 @@ def customer_spend_deciles(
     per-bucket spend stats -- the relative-standing segmentation
     (percent_rank's exact (rank-1)/(n-1) integer ratio makes the
     decile cut deterministic cross-engine, unlike value-based
-    quantile cuts).
+    quantile cuts).  The ordering key is the per-customer total
+    ROUNDED to cents: o_totalprice is a parquet double, so the raw
+    float sum depends on accumulation order (partition-partial agg
+    here vs sequential in an oracle); rounding to 2dp before the
+    window makes the rank key engine-exact.
 
     Scale shape: the per-customer total is one shuffle with map-side
     partial agg; the rank window runs over the per-customer AGGREGATE
     partitioned by nation (|customers| rows, spread across nations),
     never over the order fact; the decile rollup is a dim-sized agg.
+    At extreme |customers| (10^9+) the largest per-nation window task
+    is |customers|/|nations| rows; if that ever dominates a profile,
+    swap in the distributed bucket-offset rank machinery from
+    voter_value_quartiles (voting.py) -- same decile semantics, no
+    single-partition window.
     """
     from pyspark.sql import Window
 
     spend = (
         orders.groupBy("o_custkey")
-        .agg(F.sum("o_totalprice").alias("total_spend"))
+        .agg(rnd(F.sum("o_totalprice"), 2).alias("total_spend"))
         .join(
             F.broadcast(customer.select("c_custkey", "c_nationkey")),
             F.col("o_custkey") == F.col("c_custkey"),

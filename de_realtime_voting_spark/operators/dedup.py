@@ -48,6 +48,28 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def _lineage_cut(df: DataFrame) -> DataFrame:
+    """Eagerly materialize ``df`` and truncate its lineage -- the
+    per-round reset the iterative loops below need so plan depth
+    stays O(1) instead of doubling per iteration.
+
+    Storage choice is fault-tolerance policy: ``localCheckpoint``
+    writes to EXECUTOR-LOCAL block storage, so on a real cluster any
+    executor loss (preemption, spot reclaim) mid-loop loses blocks no
+    lineage can rebuild and fails the job.  When the application has
+    configured a RELIABLE checkpoint directory
+    (``spark.sparkContext.setCheckpointDir(hdfs_or_s3_path)``) this
+    helper uses a true ``checkpoint`` instead -- blocks live in the
+    shared filesystem and survive executor churn, at the cost of one
+    distributed write per round.  Local mode (no dir configured) keeps
+    the fast localCheckpoint default: a single JVM has no executor to
+    lose.  See SCALE.md (fault tolerance)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def dedup_exact(documents: DataFrame) -> DataFrame:
     """Exact duplicate clusters by content hash: one shuffle on
     md5(text), map-side partial agg."""
@@ -337,14 +359,18 @@ def _cluster_labels(documents: DataFrame, max_iter: int = 20) -> DataFrame:
     import warnings
 
     pairs = dedup_minhash_pairs(documents).select("doc_a", "doc_b")
-    # localCheckpoint (not persist): round 1 references edges in two
+    # lineage cut (not persist): round 1 references edges in two
     # branches and labels in two more; a lazy cache would carry the
     # full MinHash-pairs lineage into every branch of the first
     # round's plan (same measured effect as dedup_clusters_bigstar:
-    # first round ~8x steady-state from Catalyst re-analysis alone)
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
+    # first round ~8x steady-state from Catalyst re-analysis alone).
+    # _lineage_cut upgrades to a reliable checkpoint when a
+    # checkpoint dir is configured (executor-loss safety on clusters).
+    edges = _lineage_cut(
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+    )
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -357,19 +383,17 @@ def _cluster_labels(documents: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("doc_a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["doc_a"])
-            .select(
-                "doc_id",
-                F.least("label", "nbr_label").alias("label"),
-                (F.col("nbr_label") < F.col("label")).cast("int").alias("changed"),
-            )
-            .persist()
+        new_labels = labels.join(
+            neighbor_min, labels["doc_id"] == neighbor_min["doc_a"]
+        ).select(
+            "doc_id",
+            F.least("label", "nbr_label").alias("label"),
+            (F.col("nbr_label") < F.col("label")).cast("int").alias("changed"),
         )
-        # localCheckpoint cuts the lineage so plan depth stays O(1)
-        # across rounds instead of doubling per iteration (lazy
-        # checkpoint + fused count was measured: no win)
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # the lineage cut keeps plan depth O(1) across rounds instead
+        # of doubling per iteration (lazy checkpoint + fused count was
+        # measured: no win)
+        new_labels = _lineage_cut(new_labels)
         changed = new_labels.agg(F.sum("changed")).first()[0] or 0
         labels.unpersist()
         labels = new_labels.select("doc_id", "label")
@@ -386,7 +410,8 @@ def _cluster_labels(documents: DataFrame, max_iter: int = 20) -> DataFrame:
             RuntimeWarning,
             stacklevel=2,
         )
-    edges.unpersist()
+    # no edges.unpersist(): checkpoint blocks are freed on RDD GC,
+    # not by DataFrame.unpersist() (which is a silent no-op here)
     return labels
 
 
@@ -441,6 +466,47 @@ def dedup_keep_canonical(documents: DataFrame) -> DataFrame:
     )
 
 
+def doc_segments(documents: DataFrame) -> DataFrame:
+    """Shared segmentation for batch segment_dedup and its streaming
+    ingest twin (streaming.stream_segment_dedup): consecutive
+    SEGMENT_W-word windows per doc, keyed by md5 of the segment text
+    so no exchange downstream ever carries raw text.  Positional
+    explode over a cheap int sequence; the W-word slice+concat runs
+    once per OUTPUT row.  Works identically on a batch frame and a
+    streaming frame (select + bounded explode: stateless)."""
+    from ..constants import SEGMENT_W
+
+    toks_d = (
+        documents.select(
+            "doc_id", "lang", "source", tokens(F.col("text")).alias("toks")
+        )
+        .where(F.size("toks") >= SEGMENT_W)
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+    )
+    return (
+        toks_d.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(
+                F.sequence(F.lit(0), (F.size("toks") / SEGMENT_W).cast("int") - 1)
+            ).alias("k"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("k").alias("seg_idx"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice("toks", F.col("k") * SEGMENT_W + 1, SEGMENT_W)
+                )
+            ).alias("seg_hash"),
+        )
+    )
+
+
 def segment_dedup(documents: DataFrame) -> DataFrame:
     """C4-style sub-document segment dedup accounting: docs are cut
     into consecutive SEGMENT_W-word windows (pseudo-sentences -- the
@@ -458,34 +524,7 @@ def segment_dedup(documents: DataFrame) -> DataFrame:
     per-pair work anywhere: corpus-frequency is the dedup signal,
     exactly the C4/Lee-et-al. exact-substring regime.
     """
-    from ..constants import SEGMENT_W
-
-    toks_d = (
-        documents.select("doc_id", "lang", "source", tokens(F.col("text")).alias("toks"))
-        .where(F.size("toks") >= SEGMENT_W)
-        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
-    )
-    segs = (
-        toks_d.select(
-            "doc_id",
-            "lang",
-            "source",
-            F.explode(
-                F.sequence(F.lit(0), (F.size("toks") / SEGMENT_W).cast("int") - 1)
-            ).alias("k"),
-            "toks",
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            F.md5(
-                F.concat_ws(
-                    " ", F.slice("toks", F.col("k") * SEGMENT_W + 1, SEGMENT_W)
-                )
-            ).alias("seg_hash"),
-        )
-    )
+    segs = doc_segments(documents)
     seg_counts = segs.groupBy("seg_hash").agg(F.count(F.lit(1)).alias("n_occ"))
     per_doc = (
         segs.join(seg_counts, "seg_hash")
@@ -530,18 +569,18 @@ def dedup_clusters_bigstar(documents: DataFrame, max_iter: int = 30) -> DataFram
     pairs = dedup_minhash_pairs(documents).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
-    # localCheckpoint (not persist) BEFORE the loop: the star steps
+    # lineage cut (not persist) BEFORE the loop: the star steps
     # reference `edges` five times per round, and with a lazy cache
     # round 1's plan carries the whole MinHash-pairs lineage into
     # every branch -- Catalyst re-analyzes that duplicated subtree and
     # round 1 costs ~8x a steady-state round (measured 9.5s -> 1.2s
     # at sf0.1).  The checkpoint truncates lineage up front, so every
-    # round optimizes a plan over a flat cached relation.
-    edges = (
+    # round optimizes a plan over a flat cached relation; _lineage_cut
+    # upgrades to a reliable checkpoint when a dir is configured.
+    edges = _lineage_cut(
         pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     fingerprint = None
     for _ in range(max_iter):
@@ -573,16 +612,16 @@ def dedup_clusters_bigstar(documents: DataFrame, max_iter: int = 30) -> DataFram
             .union(m2.select(F.col("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
         )
-        new_edges = (
+        new_edges = _lineage_cut(
             small.union(small.select(F.col("v").alias("u"), F.col("u").alias("v")))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         row = new_edges.agg(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("chk"),
         ).first()
-        edges.unpersist()
+        # checkpoint blocks free on RDD GC; DataFrame.unpersist() on a
+        # checkpointed frame is a silent no-op, so none is attempted
         edges = new_edges
         new_fingerprint = (row["n"], row["chk"])
         if new_fingerprint == fingerprint:
@@ -799,7 +838,10 @@ def source_url_dedup(documents: DataFrame) -> DataFrame:
     fp = F.array_min(F.transform(word_shingles(F.col("toks")), F.md5))
     # persist: the distinct (fingerprint, source) frame feeds BOTH
     # sides of the self-join; without it the whole shingle+minhash
-    # pipeline runs twice (measured 6.6s -> ~2s at sf0.1)
+    # pipeline runs twice (measured 6.6s -> ~2s at sf0.1).
+    # Deliberately NOT unpersisted here: the returned plan is lazy, so
+    # the cache must outlive this function; blocks are LRU-evictable
+    # and the batch harnesses clearCache() between queries.
     hs = (
         documents.select("source", tokens(F.col("text")).alias("toks"))
         .where(F.size("toks") >= 3)
@@ -850,6 +892,9 @@ def ngram_containment(documents: DataFrame) -> DataFrame:
         CONTAINMENT_THRESHOLD,
     )
 
+    # persist feeds the index explode AND the per-doc gram sizes;
+    # deliberately not unpersisted (lazy plan outlives the function;
+    # LRU-evictable, harnesses clearCache() between queries)
     g = (
         documents.select("doc_id", tokens(F.col("text")).alias("toks"))
         .where(F.size("toks") >= CONTAINMENT_NGRAM_K)
@@ -913,6 +958,9 @@ def minhash_jaccard_estimate(documents: DataFrame) -> DataFrame:
     candidate set.  Estimates are exact rationals (matches / SIGS),
     so both engines agree bit-for-bit.
     """
+    # persist feeds banding AND both verify sides; deliberately not
+    # unpersisted (lazy plan outlives the function; LRU-evictable,
+    # harnesses clearCache() between queries)
     sh = _doc_shingles(documents).persist()
     sigd = sh.select(
         "doc_id", "shingles", minhash_signature(F.col("shingles")).alias("sig")

@@ -655,6 +655,48 @@ def vote_key_skew(votes: DataFrame, n_top: int = 20) -> DataFrame:
     )
 
 
+def hot_key_join_salted(votes: DataFrame, customer: DataFrame) -> DataFrame:
+    """Skew REMEDIATION twin of vote_key_skew's diagnosis: a fact-dim
+    join whose key is deliberately collapsed so one key carries the
+    click firehose (every 'click' maps to custkey 1 -- the
+    celebrity-candidate / empty-string-doc shape), executed through
+    functions.skew.salted_join so no single reducer ever materializes
+    the hot key alone.
+
+    The salt spreads each key over SALT_N shuffle sub-keys
+    (deterministic xxhash64 of the event id -- re-executable, no
+    rand()) and replicates the dim side SALT_N times; the oracle runs
+    the PLAIN unsalted SQL, so the driver's hash gate proves salting
+    is result-invisible -- a physical strategy, not a semantic one.
+    This is the §6 claim ("hot keys -> salting/AQE") as a verified
+    query instead of configuration; tests/test_hardening.py holds the
+    AQE-skew-split twin of the same claim.
+
+    Scale shape: one (key, salt) shuffle for the fact side; the dim
+    replication is SALT_N x |customer| rows -- acceptable exactly
+    because the build side is dim-sized; the rollup after the join is
+    a dim-cardinality agg with map-side partials.
+    """
+    from ..functions.skew import salted_join
+
+    fact = votes.select(
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "click", F.lit(1))
+        .otherwise(F.col("user_id"))
+        .alias("skew_key"),
+    )
+    dim = customer.select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        fact, dim, "skew_key", "c_custkey", salt_source="event_id"
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(F.col("skew_key")).alias("n_keys"),
+        rnd(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 def voter_retention_cohort(votes: DataFrame) -> DataFrame:
     """Monthly cohort retention matrix: voters grouped by their
     first-vote month (the cohort), counted in every month they were
@@ -789,13 +831,17 @@ def candidate_hourly_stats(votes: DataFrame) -> DataFrame:
 def flag_hourly_anomalies(hourly: DataFrame, stats: DataFrame) -> DataFrame:
     """Shared tail of the batch/stream anomaly detectors: broadcast
     the per-candidate moment sums onto (candidate, hour, n_votes)
-    rows and keep |z| >= 2 outliers."""
+    rows and keep |z| >= 2 outliers.  A candidate with perfectly
+    uniform hourly counts has var_pop = 0 and z = 0/0 = NaN; Spark's
+    NaN ordering treats NaN >= 2.0 as true, so the predicate guards
+    var_pop > 0 explicitly (mirrored in the oracle SQL) -- a
+    zero-variance candidate has no outliers by definition."""
     mean = F.col("s1").cast("double") / F.col("n_hours")
     var_pop = F.col("s2").cast("double") / F.col("n_hours") - mean * mean
     z = (F.col("n_votes") - mean) / F.sqrt(var_pop)
     return (
         hourly.join(F.broadcast(stats), "candidate_id")
-        .where(F.abs(z) >= 2.0)
+        .where((var_pop > 0) & (F.abs(z) >= 2.0))
         .select(
             "candidate_id",
             "hour",

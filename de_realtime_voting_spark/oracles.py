@@ -1819,6 +1819,23 @@ SELECT "rank", user_id, cnt,
 FROM r, t WHERE "rank" <= 20
 """
 
+# deliberately the PLAIN unsalted join: the Spark side salts the
+# shuffle (functions/skew.py), and matching this SQL's hash proves the
+# salt is result-invisible
+SQL["hot_key_join_salted"] = """
+WITH fact AS (
+    SELECT event_id, value,
+           CASE WHEN event_type = 'click' THEN 1 ELSE user_id END AS skew_key
+    FROM events
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT f.skew_key) AS BIGINT) AS n_keys,
+       ROUND(sum(f.value), 2) AS total_value
+FROM fact f JOIN customer c ON f.skew_key = c.c_custkey
+GROUP BY 1
+"""
+
 SQL["embedding_quantization_stats"] = """
 WITH pv AS (
     SELECT label, embedding,
@@ -2160,13 +2177,16 @@ SELECT candidate_id, hour, n_votes,
 FROM (
     SELECT h.candidate_id, h.hour, h.n_votes,
            CAST(s.s1 AS DOUBLE) / s.n_hours AS mean,
+           CAST(s.s2 AS DOUBLE) / s.n_hours
+               - (CAST(s.s1 AS DOUBLE) / s.n_hours)
+                 * (CAST(s.s1 AS DOUBLE) / s.n_hours) AS var_pop,
            (h.n_votes - CAST(s.s1 AS DOUBLE) / s.n_hours)
            / sqrt(CAST(s.s2 AS DOUBLE) / s.n_hours
                   - (CAST(s.s1 AS DOUBLE) / s.n_hours)
                     * (CAST(s.s1 AS DOUBLE) / s.n_hours)) AS z
     FROM hourly h JOIN stats s ON h.candidate_id = s.candidate_id
 )
-WHERE abs(z) >= 2.0
+WHERE var_pop > 0 AND abs(z) >= 2.0
 """
 
 SQL["brand_price_trend"] = """
@@ -2384,7 +2404,7 @@ GROUP BY GROUPING SETS ((region), (segment), ())
 
 SQL["customer_spend_deciles"] = """
 WITH spend AS (
-    SELECT o.o_custkey, sum(o.o_totalprice) AS total_spend,
+    SELECT o.o_custkey, ROUND(sum(o.o_totalprice), 2) AS total_spend,
            n.n_name AS nation
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey

@@ -266,6 +266,9 @@ _DEFS: dict[str, QueryFn] = {
         _t(s, d, "documents")
     ),
     "vote_key_skew": lambda s, d: voting.vote_key_skew(_t(s, d, "events")),
+    "hot_key_join_salted": lambda s, d: voting.hot_key_join_salted(
+        _t(s, d, "events"), _t(s, d, "customer")
+    ),
     # sketch op (NO_ORACLE, tolerance-tested): registered LAST so it
     # never displaces an oracle-gated entry from the checker window
     "doc_length_percentile_filter_approx": lambda s, d: (
@@ -394,8 +397,14 @@ _PRIORITY: list[str] = [
     "small_quantity_revenue", "large_volume_orders",
 ]
 
+# A misspelled priority entry must raise, not silently rotate a query
+# out of the external verification window (an 'if name in _DEFS'
+# filter would hide the typo from the length assert below).
+_unknown_priority = set(_PRIORITY) - set(_DEFS)
+assert not _unknown_priority, f"_PRIORITY names not in _DEFS: {sorted(_unknown_priority)}"
+
 QUERY_REGISTRY: dict[str, QueryFn] = {
-    **{name: _DEFS[name] for name in _PRIORITY if name in _DEFS},
+    **{name: _DEFS[name] for name in _PRIORITY},
     **{name: fn for name, fn in _DEFS.items() if name not in set(_PRIORITY)},
 }
 assert len(QUERY_REGISTRY) == len(_DEFS)

@@ -189,6 +189,29 @@ def stream_dedup_against_corpus(
     return new_only.dropDuplicates(["text_hash"])
 
 
+def stream_segment_dedup(documents: DataFrame) -> DataFrame:
+    """Ingest-time SUB-document segment dedup: each arriving doc
+    explodes into its SEGMENT_W-word segment hashes (the SAME
+    segmentation as batch segment_dedup -- operators.dedup.
+    doc_segments, single logical transform, two execution modes) and
+    only the FIRST occurrence of each segment class passes.  This is
+    the C4/Lee-et-al. exact-substring dedup run at ingest: boilerplate
+    that already exists anywhere in the accepted stream never lands
+    again, per segment rather than per whole doc.
+
+    State is one small row per distinct segment hash (dropDuplicates
+    keyed on seg_hash), hash-partitioned across executors -- the
+    segment-level twin of stream_dedup_exact's content-hash keep-set.
+    The explode itself is stateless and bounded (floor(tokens/W) rows
+    per doc).  For an unbounded feed, add an event-time column and
+    switch to dropDuplicatesWithinWatermark so stale segment state
+    expires; for corpus-scale keep-sets, the foreachBatch upsert sink
+    (sinks.py) is the external-store variant."""
+    from ..operators.dedup import doc_segments
+
+    return doc_segments(documents).dropDuplicates(["seg_hash"])
+
+
 def stream_embedding_buckets(embeddings: DataFrame) -> DataFrame:
     """Streaming LSH bucket histogram -- the SAME transform as batch
     embedding_lsh_buckets over a live embedding feed (single logical

@@ -185,7 +185,13 @@ def _update_funnel(
         elif stage == 2 and etype == "purchase" and ts_us >= click_us:
             stage = 3
             advanced.append((3, ts_us))
-    state.update((stage, view_us, click_us))
+    # Only persist state for users actually IN the funnel: writing a
+    # (0, None, None) row for every user ever seen would grow state
+    # O(all users) with NoTimeout (never evicted), not O(live voters)
+    # as documented below.  A user whose events never include a view
+    # leaves no state behind.
+    if stage > 0 or state.exists:
+        state.update((stage, view_us, click_us))
     if advanced:
         yield pd.DataFrame(
             {

@@ -225,3 +225,157 @@ def test_decode_bmp_rejects_compressed():
     bad[30] = 1
     with pytest.raises(ValueError):
         decode_bmp_rgb(bytes(bad))
+
+
+def _make_png(pixels, filters=None, color_type=2):
+    """Minimal non-interlaced 8-bit PNG from an H x W x ch array,
+    filtering each row with the given filter type (exercises the
+    decoder's unfilter paths with encoder-side filtering that is
+    exact by construction)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = arr.shape
+    assert ch == (3 if color_type == 2 else 4)
+    filters = filters if filters is not None else [0] * h
+    raw = bytearray()
+    prior = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        cur = arr[y].reshape(-1).astype(np.int64)
+        f = filters[y]
+        if f == 0:
+            enc = cur
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(ch, dtype=np.int64), cur[:-ch]])
+            enc = (cur - left) % 256
+        elif f == 2:  # Up
+            enc = (cur - prior) % 256
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(ch, dtype=np.int64), cur[:-ch]])
+            enc = (cur - ((left + prior) >> 1)) % 256
+        elif f == 4:  # Paeth
+            left = np.concatenate([np.zeros(ch, dtype=np.int64), cur[:-ch]])
+            ul = np.concatenate([np.zeros(ch, dtype=np.int64), prior[:-ch]])
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+            )
+            enc = (cur - pred) % 256
+        raw.append(f)
+        raw.extend(int(v) for v in enc)
+        prior = cur
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_rgb_known_image_all_filters():
+    """A synthesized RGB PNG must decode to exact dimensions and
+    channel means under every scanline filter type (None, Sub, Up,
+    Average, Paeth) -- same image, five encodings, one answer."""
+    import numpy as np
+
+    from de_realtime_voting_spark.operators.multimodal import decode_png_rgb
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    want_r = float(np.mean(img[:, :, 0].astype(np.float64)))
+    want_g = float(np.mean(img[:, :, 1].astype(np.float64)))
+    want_b = float(np.mean(img[:, :, 2].astype(np.float64)))
+    for f in range(5):
+        w, h, mr, mg, mb, sd = decode_png_rgb(_make_png(img, filters=[f] * 5))
+        assert (w, h) == (4.0, 5.0), f"filter {f}"
+        assert mr == want_r and mg == want_g and mb == want_b, f"filter {f}"
+        assert sd > 0
+    # mixed filters in one image
+    w, h, mr, mg, mb, sd = decode_png_rgb(_make_png(img, filters=[0, 1, 2, 3, 4]))
+    assert (mr, mg, mb) == (want_r, want_g, want_b)
+
+
+def test_decode_png_rgba_drops_alpha():
+    import numpy as np
+
+    from de_realtime_voting_spark.operators.multimodal import decode_png_rgb
+
+    img = np.zeros((2, 2, 4), dtype=np.uint8)
+    img[:, :, 0] = 10  # r
+    img[:, :, 1] = 20  # g
+    img[:, :, 2] = 30  # b
+    img[:, :, 3] = 255  # alpha (must not contaminate the means)
+    w, h, mr, mg, mb, sd = decode_png_rgb(
+        _make_png(img, filters=[4, 4], color_type=6)
+    )
+    assert (w, h, mr, mg, mb) == (2.0, 2.0, 10.0, 20.0, 30.0)
+
+
+def test_decode_png_rejects_unsupported():
+    from de_realtime_voting_spark.operators.multimodal import decode_png_rgb
+
+    with pytest.raises(ValueError):
+        decode_png_rgb(b"BM not a png")
+    # palette PNG (color type 3) must refuse, not mis-decode
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    pal = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png_rgb(pal)
+
+
+def test_decode_auto_dispatches_by_magic(spark):
+    """The decode table routes mixed-media payloads to the right real
+    decoder and raises BY NAME for stubbed codecs."""
+    import numpy as np
+
+    from de_realtime_voting_spark.operators.multimodal import (
+        decode_auto,
+        decode_media,
+    )
+
+    img = np.full((2, 3, 3), 50, dtype=np.uint8)
+    png = _make_png(img, filters=[1, 2])
+    bmp = _make_bmp(img.tolist())
+    wav = _make_wav(8000, np.zeros(16, dtype=np.int16))
+    assert decode_auto(png)[:2] == [3.0, 2.0]
+    assert decode_auto(bmp)[:2] == [3.0, 2.0]
+    assert decode_auto(wav)[0] == 1.0  # n_channels
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        decode_auto(b"\xff\xd8\xff\xe0 jpeg header")
+    with pytest.raises(ValueError):
+        decode_auto(b"no such magic")
+
+    # end-to-end through the Spark pipeline with a MIXED media table
+    media = spark.createDataFrame(
+        [
+            (1, "image/png", bytearray(png), 0),
+            (2, "image/bmp", bytearray(bmp), 0),
+            (3, "audio/wav", bytearray(wav), 0),
+        ],
+        "doc_id long, media_type string, payload binary, byte_len int",
+    )
+    got = {r["doc_id"]: r for r in decode_media(media, decode_auto).collect()}
+    assert got[1]["feature_dim"] == 6
+    assert got[2]["feature_dim"] == 6
+    assert got[3]["feature_dim"] == 5

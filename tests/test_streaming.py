@@ -797,10 +797,11 @@ def test_funnel_tracker_state_transitions():
             }
         )
 
-    # click before any view: no advancement at all
+    # click before any view: no advancement -- and NO state row either
+    # (r4 fix: stage-0 users must leave no NoTimeout state behind)
     st = _FakeGroupState()
     out = list(_update_funnel((1,), iter([batch([("2024-01-01 10:00", "click")])]), st))
-    assert out == [] and st.get[0] == 0
+    assert out == [] and not st.exists
 
     # view then (same batch, later) click then purchase: all 3 fire
     st2 = _FakeGroupState()
@@ -869,3 +870,78 @@ def test_funnel_tracker_stream_matches_batch(spark, sf_dir):
         assert agg["n_viewed"] > 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_segment_dedup_matches_batch(spark, sf_dir):
+    """Ingest-time segment dedup: the streamed keep-set must contain
+    every distinct segment hash exactly once (same segmentation as
+    batch operators.dedup.doc_segments), so a downstream exact-
+    substring dedup sees each segment class a single time."""
+    from de_realtime_voting_spark.operators.dedup import doc_segments
+    from de_realtime_voting_spark.streaming import stream_segment_dedup
+
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    d = tempfile.mkdtemp(prefix="seg_dedup_stream_")
+    try:
+        docs.repartition(2).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(docs.schema).parquet(d)
+        got = _run_stream_to_memory(
+            spark, stream_segment_dedup(stream), "seg_dedup_stream", "append"
+        )
+        kept = [r["seg_hash"] for r in got.collect()]
+        want = {
+            r["seg_hash"] for r in doc_segments(docs).select("seg_hash").collect()
+        }
+        assert len(kept) == len(set(kept))  # no segment class re-emitted
+        assert set(kept) == want and len(want) > 0  # every class exactly once
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stateful_pipelines_under_rocksdb(spark, sf_dir, vote_json_dir):
+    """The HDFS-backed in-memory state store is the streaming half's
+    scale-killer at 10^9 voters; session.enable_rocksdb_state_store
+    swaps in RocksDB (disk-backed, bounded heap).  The two stateful
+    pipelines with per-key state must produce byte-identical results
+    under both providers -- provider choice is storage policy, not
+    semantics."""
+    from de_realtime_voting_spark.session import (
+        ROCKSDB_STATE_STORE,
+        enable_rocksdb_state_store,
+    )
+    from de_realtime_voting_spark.streaming import funnel_tracker, running_tally
+
+    def run_both(suffix):
+        stream = parse_vote_stream(
+            spark.readStream.schema("value_json string").text(vote_json_dir),
+            "value_json",
+        )
+        tally = _run_stream_to_memory(
+            spark, running_tally(stream), f"tally_{suffix}", "update"
+        ).collect()
+        final_tally = {}
+        for r in tally:
+            final_tally[r["candidate_id"]] = r["total_votes"]
+        funnel = _run_stream_to_memory(
+            spark, funnel_tracker(stream), f"funnel_{suffix}", "update"
+        ).collect()
+        stages = {}
+        for r in funnel:
+            stages[(r["voter_id"], r["stage"])] = r["stage_ts_us"]
+        return final_tally, stages
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    assert prev is None or "RocksDB" not in prev  # default run really is HDFS-backed
+    default_tally, default_stages = run_both("default")
+    try:
+        enable_rocksdb_state_store(spark)
+        assert spark.conf.get(key) == ROCKSDB_STATE_STORE
+        rocks_tally, rocks_stages = run_both("rocksdb")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert rocks_tally == default_tally and len(default_tally) > 0
+    assert rocks_stages == default_stages and len(default_stages) > 0
