@@ -215,6 +215,10 @@ Q11_FRACTION = 0.001
 Q20_YEAR_START = "1998-01-01 00:00:00"
 Q20_YEAR_END = "1999-01-01 00:00:00"
 Q20_NAME_PREFIX = "b"
+# Q9-shape: profit per supplier-nation per order year for parts whose
+# name contains the token; supply cost is the Q2 derived-partsupp
+# idiom (MIN unit price the (part, supplier) pair ever shipped at).
+Q9_NAME_TOKEN = "bolt"
 # Q21-shape: a line is "late" when it ships > LATE_DAYS after the
 # order date (the q12 bucket boundary, shared definition).
 Q21_LATE_DAYS = 60

@@ -568,6 +568,72 @@ def q2_min_cost_supplier(
     )
 
 
+def q9_product_profit(
+    nation: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit) without a partsupp table:
+    supply cost for a (part, supplier) pair is the MIN unit price the
+    pair ever shipped at (the Q2 derived-partsupp idiom -- min over an
+    exact IEEE division, no float-sum hazard); profit per line is
+    revenue minus supplycost x quantity, rolled up by SUPPLIER nation
+    and order year for parts whose name contains Q9_NAME_TOKEN.  This
+    completes the repo's TPC-H query-shape coverage (all 22 analogs).
+
+    Scale shape: the name-filtered part dim broadcasts into BOTH the
+    cost aggregation and the fact side, so only matching lines enter
+    either shuffle; the cost agg shuffles on (partkey, suppkey) and
+    its join back to the filtered fact reuses that same key; the
+    orders join is the one orderkey fact-fact shuffle (the bucketed-
+    join candidate); supplier->nation broadcasts; the final rollup is
+    |nations| x |years| -- dim-sized.
+    """
+    from ..constants import Q9_NAME_TOKEN
+
+    flt = F.broadcast(
+        part.where(F.col("p_name").contains(Q9_NAME_TOKEN)).select("p_partkey")
+    )
+    cost = (
+        lineitem.join(flt, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("l_partkey").alias("c_partkey"),
+            F.col("l_suppkey").alias("c_suppkey"),
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost"))
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "supplycost"
+    ) * F.col("l_quantity")
+    return (
+        lineitem.join(flt, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            cost,
+            (F.col("l_partkey") == F.col("c_partkey"))
+            & (F.col("l_suppkey") == F.col("c_suppkey")),
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(rnd(F.sum(amount), 2).alias("profit"))
+    )
+
+
 def q11_important_stock(
     region: DataFrame, nation: DataFrame, supplier: DataFrame, lineitem: DataFrame
 ) -> DataFrame:

@@ -21,6 +21,7 @@ from .constants import (
     Q2_TOP_N,
     Q11_FRACTION,
     Q11_REGION,
+    Q9_NAME_TOKEN,
     Q20_NAME_PREFIX,
     Q20_YEAR_END,
     Q20_YEAR_START,
@@ -1501,6 +1502,54 @@ SELECT l_partkey AS partkey, p_name, l_suppkey AS suppkey, s_name, n_name,
 FROM offers JOIN best ON l_partkey = bk AND supplycost = min_cost
 ORDER BY acctbal DESC, suppkey ASC, partkey ASC
 LIMIT {Q2_TOP_N}
+"""
+
+SQL["semantic_dedup"] = f"""
+WITH {_IVF_ASG_CTES},
+cells AS (SELECT vec_id, embedding, cent_id AS cell FROM asg WHERE rn = 1),
+pairs AS (
+    SELECT a.cell, b.vec_id AS vec_b,
+           ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM cells a JOIN cells b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+kept_pairs AS (SELECT * FROM pairs WHERE cosine >= {COSINE_THRESHOLD}),
+tot AS (
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM cells GROUP BY 1
+),
+dup AS (
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_dup_pairs,
+           CAST(count(DISTINCT vec_b) AS BIGINT) AS n_dropped
+    FROM kept_pairs GROUP BY 1
+)
+SELECT t.cell, t.n_vecs,
+       CAST(COALESCE(d.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(t.n_vecs - COALESCE(d.n_dropped, 0) AS BIGINT) AS n_kept
+FROM tot t LEFT JOIN dup d ON t.cell = d.cell
+"""
+
+SQL["q9_product_profit"] = f"""
+WITH flt AS (
+    SELECT p_partkey FROM part WHERE p_name LIKE '%{Q9_NAME_TOKEN}%'
+),
+cost AS (
+    SELECT l_partkey, l_suppkey,
+           MIN(l_extendedprice / l_quantity) AS supplycost
+    FROM lineitem JOIN flt ON l_partkey = p_partkey
+    GROUP BY 1, 2
+)
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INT) AS o_year,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                 - c.supplycost * l.l_quantity), 2) AS profit
+FROM lineitem l
+JOIN flt ON l.l_partkey = flt.p_partkey
+JOIN cost c ON l.l_partkey = c.l_partkey AND l.l_suppkey = c.l_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
 """
 
 SQL["q11_important_stock"] = f"""

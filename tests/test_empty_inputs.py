@@ -172,6 +172,18 @@ CASES = {
     "customer_spend_deciles": lambda s, d: analytics.customer_spend_deciles(
         _empty(s, d, "orders"), _empty(s, d, "customer"), _empty(s, d, "nation")
     ),
+    # round 4 additions
+    "hot_key_join_salted": lambda s, d: voting.hot_key_join_salted(
+        _empty(s, d, "events"), _empty(s, d, "customer")
+    ),
+    "semantic_dedup": lambda s, d: dedup.semantic_dedup(_empty(s, d, "embeddings")),
+    "q9_product_profit": lambda s, d: analytics.q9_product_profit(
+        _empty(s, d, "nation"),
+        _empty(s, d, "supplier"),
+        _empty(s, d, "part"),
+        _empty(s, d, "orders"),
+        _empty(s, d, "lineitem"),
+    ),
 }
 
 # Report-shaped ops whose contract on empty input is a DEGENERATE
