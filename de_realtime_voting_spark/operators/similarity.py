@@ -178,6 +178,53 @@ def ann_ivf_topk(embeddings: DataFrame) -> DataFrame:
     return _topk(joined)
 
 
+def ann_recall_report(embeddings: DataFrame) -> DataFrame:
+    """Index-quality scoreboard: recall@k of each APPROXIMATE ANN
+    method (multi-probe LSH, IVF) against the exact brute-force top-k,
+    per query -- the acceptance gate an embedding index must pass
+    before it replaces exact search in a production retrieval path.
+    Turns the pytest-only recall assertion into a first-class,
+    oracle-gated report.
+
+    Scale shape: ground truth is the brute-force op (bounded broadcast
+    query set, corpus streams map-side) computed ONCE and persisted --
+    it feeds one semi-join per method; each approximate arm reuses its
+    registry op unchanged; hit counting is a (query, neighbor) semi-
+    join against the k x |queries|-row truth set (tiny, broadcast by
+    AQE); output is |methods| x |queries| rows.
+    """
+    # persist: ground truth feeds one semi-join per method; without it
+    # the full brute-force scan runs |methods|+1 times.  Deliberately
+    # not unpersisted (lazy plan outlives the function; LRU-evictable,
+    # harnesses clearCache() between queries).
+    bf = ann_bruteforce_topk(embeddings).select("query_id", "neighbor_id").persist()
+    truth_k = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    arms = []
+    for method, fn in (("lsh", ann_lsh_topk), ("ivf", ann_ivf_topk)):
+        hits = (
+            fn(embeddings)
+            .select("query_id", "neighbor_id")
+            .join(bf, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        arms.append(
+            truth_k.join(hits, "query_id", "left").select(
+                F.lit(method).alias("method"),
+                "query_id",
+                "k",
+                F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+                rnd(
+                    F.coalesce("n_hit", F.lit(0)) / F.col("k"), 6
+                ).alias("recall"),
+            )
+        )
+    out = arms[0]
+    for arm in arms[1:]:
+        out = out.unionByName(arm)
+    return out
+
+
 def embedding_kmeans_iter(embeddings: DataFrame) -> DataFrame:
     """One Lloyd (k-means) iteration over the coarse centroids: assign
     every vector map-side, recompute per-cell mean vectors as 64

@@ -2494,4 +2494,29 @@ FROM per_order
 GROUP BY 1
 """
 
+# Composed from the three ANN oracles above (subqueries with their
+# own CTE stacks): recall@k of each approximate method vs the exact
+# brute-force truth set, per query.
+SQL["ann_recall_report"] = f"""
+WITH bf AS (SELECT query_id, neighbor_id FROM ({SQL["ann_bruteforce_topk"]})),
+lsh AS (SELECT query_id, neighbor_id FROM ({SQL["ann_lsh_topk"]})),
+ivf AS (SELECT query_id, neighbor_id FROM ({SQL["ann_ivf_topk"]})),
+truth_k AS (
+    SELECT query_id, CAST(count(*) AS BIGINT) AS k FROM bf GROUP BY 1
+),
+hits AS (
+    SELECT 'lsh' AS method, l.query_id, CAST(count(*) AS BIGINT) AS n_hit
+    FROM lsh l JOIN bf USING (query_id, neighbor_id) GROUP BY 2
+    UNION ALL
+    SELECT 'ivf' AS method, i.query_id, CAST(count(*) AS BIGINT) AS n_hit
+    FROM ivf i JOIN bf USING (query_id, neighbor_id) GROUP BY 2
+)
+SELECT m.method, t.query_id, t.k,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       ROUND(COALESCE(h.n_hit, 0) / t.k, 6) AS recall
+FROM (SELECT 'lsh' AS method UNION ALL SELECT 'ivf') m
+CROSS JOIN truth_k t
+LEFT JOIN hits h ON h.method = m.method AND h.query_id = t.query_id
+"""
+
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

@@ -270,6 +270,9 @@ _DEFS: dict[str, QueryFn] = {
         _t(s, d, "events"), _t(s, d, "customer")
     ),
     "semantic_dedup": lambda s, d: dedup.semantic_dedup(_t(s, d, "embeddings")),
+    "ann_recall_report": lambda s, d: similarity.ann_recall_report(
+        _t(s, d, "embeddings")
+    ),
     "q9_product_profit": lambda s, d: analytics.q9_product_profit(
         _t(s, d, "nation"),
         _t(s, d, "supplier"),
@@ -370,6 +373,7 @@ _DEFS: dict[str, QueryFn] = {
 _PRIORITY: list[str] = [
     # new in round 4
     "hot_key_join_salted", "q9_product_profit", "semantic_dedup",
+    "ann_recall_report",
     # modified in round 4 (decile rank key, zscore guard, _lineage_cut
     # loops, doc_segments refactor)
     "customer_spend_deciles", "votes_anomaly_zscore", "segment_dedup",

@@ -212,6 +212,50 @@ def stream_segment_dedup(documents: DataFrame) -> DataFrame:
     return doc_segments(documents).dropDuplicates(["seg_hash"])
 
 
+def stream_semantic_dedup(embeddings: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Ingest-time SemDeDup gate: each arriving embedding is assigned
+    to its IVF cell (the SAME Arrow-batched assigner as batch
+    operators.dedup.semantic_dedup) and admitted only if NO corpus
+    member of that cell is a semantic near-twin (cosine >=
+    COSINE_THRESHOLD) -- paraphrases of content already in the lake
+    never land, per the SemDeDup blocking geometry.
+
+    COMPLETELY STATELESS: the corpus side is static (cells + norms
+    precomputed once per query start, broadcast into every micro-
+    batch) and the novelty test is a stream-static LEFT ANTI join
+    whose condition carries the cosine predicate -- no watermark, no
+    state store, append mode.  The corpus refreshes by restarting the
+    query against the re-deduped lake (the daily-compaction rhythm);
+    an in-stream twin-set would need the keep-set state of
+    stream_dedup_exact instead.  Centroid count is the same scale
+    knob as the batch op."""
+    from ..constants import COSINE_THRESHOLD
+    from ..functions import dot_product, l2_norm
+    from ..functions.columns import round_half_up as rnd
+    from ..operators.similarity import _assign_cells, _collect_centroids
+
+    cents = _collect_centroids(corpus)
+    corpus_cells = _assign_cells(corpus, cents).select(
+        F.col("cell").alias("cell_c"),
+        F.col("embedding").alias("emb_c"),
+        l2_norm(F.col("embedding")).alias("norm_c"),
+    )
+    arriving = _assign_cells(embeddings, cents).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        l2_norm(F.col("embedding")).alias("norm_a"),
+    )
+    cos = dot_product(F.col("embedding"), F.col("emb_c")) / (
+        F.col("norm_a") * F.col("norm_c")
+    )
+    return arriving.join(
+        corpus_cells,
+        (F.col("cell") == F.col("cell_c")) & (rnd(cos, 6) >= COSINE_THRESHOLD),
+        "left_anti",
+    ).select("vec_id", "embedding", "cell")
+
+
 def stream_embedding_buckets(embeddings: DataFrame) -> DataFrame:
     """Streaming LSH bucket histogram -- the SAME transform as batch
     embedding_lsh_buckets over a live embedding feed (single logical

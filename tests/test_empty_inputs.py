@@ -177,6 +177,9 @@ CASES = {
         _empty(s, d, "events"), _empty(s, d, "customer")
     ),
     "semantic_dedup": lambda s, d: dedup.semantic_dedup(_empty(s, d, "embeddings")),
+    "ann_recall_report": lambda s, d: similarity.ann_recall_report(
+        _empty(s, d, "embeddings")
+    ),
     "q9_product_profit": lambda s, d: analytics.q9_product_profit(
         _empty(s, d, "nation"),
         _empty(s, d, "supplier"),

@@ -945,3 +945,65 @@ def test_stateful_pipelines_under_rocksdb(spark, sf_dir, vote_json_dir):
             spark.conf.set(key, prev)
     assert rocks_tally == default_tally and len(default_tally) > 0
     assert rocks_stages == default_stages and len(default_stages) > 0
+
+
+def test_stream_semantic_dedup_matches_batch(spark, sf_dir):
+    """Ingest-time SemDeDup gate: streamed embeddings admitted by the
+    stream must be exactly those with no semantic near-twin in the
+    static corpus (same cell assignment + cosine threshold as the
+    batch path, computed here as the batch equivalent of the
+    stream-static anti-join)."""
+    from de_realtime_voting_spark.constants import COSINE_THRESHOLD
+    from de_realtime_voting_spark.functions import dot_product, l2_norm
+    from de_realtime_voting_spark.functions.columns import round_half_up as rnd
+    from de_realtime_voting_spark.operators.similarity import (
+        _assign_cells,
+        _collect_centroids,
+    )
+    from de_realtime_voting_spark.streaming import stream_semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 2 == 0).persist()
+    corpus.count()
+    d = tempfile.mkdtemp(prefix="sem_dedup_stream_")
+    try:
+        emb.repartition(2).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(emb.schema).parquet(d)
+        got = _run_stream_to_memory(
+            spark,
+            stream_semantic_dedup(stream, corpus),
+            "sem_dedup_stream",
+            "append",
+        )
+        got_ids = sorted(r["vec_id"] for r in got.collect())
+
+        # batch equivalent of the anti-join
+        cents = _collect_centroids(corpus)
+        cc = _assign_cells(corpus, cents).select(
+            F.col("cell").alias("cell_c"),
+            F.col("embedding").alias("emb_c"),
+            l2_norm(F.col("embedding")).alias("norm_c"),
+        )
+        arr = _assign_cells(emb, cents).select(
+            "vec_id", "embedding", "cell", l2_norm(F.col("embedding")).alias("norm_a")
+        )
+        cos = dot_product(F.col("embedding"), F.col("emb_c")) / (
+            F.col("norm_a") * F.col("norm_c")
+        )
+        want = sorted(
+            r["vec_id"]
+            for r in arr.join(
+                cc,
+                (F.col("cell") == F.col("cell_c"))
+                & (rnd(cos, 6) >= COSINE_THRESHOLD),
+                "left_anti",
+            ).collect()
+        )
+        # every corpus member is its own near-twin (cosine 1.0), so
+        # the admitted set is exactly the novel half minus near-dups
+        assert got_ids == want
+        assert len(got_ids) > 0
+        assert all(i % 2 == 1 for i in got_ids)  # no corpus member re-admitted
+    finally:
+        corpus.unpersist()
+        shutil.rmtree(d, ignore_errors=True)

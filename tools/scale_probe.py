@@ -59,6 +59,12 @@ DEFAULT = [
     "minhash_jaccard_estimate",
     "voter_retention_cohort",
     "embedding_label_cohesion",
+    # round-4 additions with pairing/join cost terms worth probing
+    "semantic_dedup",
+    "ann_recall_report",
+    "q9_product_profit",
+    "hot_key_join_salted",
+    "segment_dedup",
 ]
 
 
