@@ -223,3 +223,25 @@ Q9_NAME_TOKEN = "bolt"
 # order date (the q12 bucket boundary, shared definition).
 Q21_LATE_DAYS = 60
 Q21_TOP_N = 100
+
+# --- round-4 additions --------------------------------------------
+# Temperature-sampled data mix (XLM-R / GPT-3 style): sampling
+# probability proportional to share^alpha.  alpha = 0.5 is chosen so
+# the power IS sqrt -- IEEE-754 correctly-rounded in both engines
+# (pow() carries no such guarantee), keeping the oracle bit-exact.
+MIX_TEMP_ALPHA = 0.5
+# Dedup threshold sweep: exact-Jaccard histogram over the LSH
+# candidate pairs in THRESHOLD_SWEEP_BINS equal-width bins (the
+# tau-tuning curve); bin index is integer arithmetic, no float cuts.
+THRESHOLD_SWEEP_BINS = 20
+# Robust length-outlier screen: |n_chars - median| > K * MAD.
+# Medians of integers are exact half-integers, so the predicate is
+# bit-identical cross-engine (no stddev/mean float-sum hazard).
+MAD_OUTLIER_K = 3.0
+# Winnowing fingerprints (Schleimer et al., SIGMOD'03): char K-grams
+# hashed (md5 prefix), every window of W consecutive gram hashes
+# contributes its rightmost-minimal hash.  Guarantee: any shared
+# substring of length >= W + K - 1 = 8 chars yields a shared
+# fingerprint; expected density 2/(W+1) of positions.
+WINNOW_K = 5
+WINNOW_W = 4

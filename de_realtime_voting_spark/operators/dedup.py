@@ -1135,3 +1135,53 @@ def near_dup_graph_degree(documents: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+def dedup_threshold_sweep(documents: DataFrame) -> DataFrame:
+    """Exact-Jaccard histogram over the LSH candidate pairs: how many
+    near-dup pairs a given threshold tau would flag -- the tuning
+    curve consulted before fixing JACCARD_THRESHOLD for a corpus
+    (too low floods the cluster step, too high leaks boilerplate).
+    One row per occupied similarity bin, with the descending
+    cumulative pair count = pairs a sweep at tau = bin_lo captures.
+    (No reference analog -- training-data mandate.)
+
+    Scale shape: identical candidate bound to dedup_minhash_pairs
+    (band shuffle, verify inside buckets); the histogram collapses
+    the pair set to <= THRESHOLD_SWEEP_BINS+1 rows map-side, and the
+    cumulative window runs over that tiny frame.  Numeric
+    determinism: the bin index floor(inter*BINS/union) divides small
+    exact integers -- one IEEE division, identical in both engines.
+    """
+    from ..constants import THRESHOLD_SWEEP_BINS as BINS
+
+    sh = _doc_shingles(documents).persist()
+    cand = _band_candidate_pairs(_doc_bands_from(sh))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    binned = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.floor(inter * F.lit(BINS) / union).cast("int").alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    from pyspark.sql import Window
+
+    w_desc = (
+        Window.partitionBy()
+        .orderBy(F.col("bin").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    return binned.select(
+        "bin",
+        rnd(F.col("bin") / F.lit(float(BINS)), 4).alias("bin_lo"),
+        "n_pairs",
+        F.sum("n_pairs").over(w_desc).cast("bigint").alias("cum_pairs_at_tau"),
+        rnd(F.col("n_pairs") / F.sum("n_pairs").over(w_all), 6).alias("pair_share"),
+    )

@@ -311,3 +311,51 @@ def corpus_source_mix(documents: DataFrame) -> DataFrame:
         rnd(share, 6).alias("token_share"),
         rnd(weight, 6).alias("sample_weight"),
     )
+
+
+def source_temperature_weights(documents: DataFrame) -> DataFrame:
+    """Temperature-sampled data mix: per-source sampling probability
+    proportional to token_share^alpha (alpha = MIX_TEMP_ALPHA), the
+    XLM-R/GPT-3 smoothing that upweights tail domains without the
+    hard equalize-or-cap rule of corpus_source_mix.  mix_boost is
+    temp_prob/share -- > 1 means the domain is oversampled relative
+    to its natural frequency.  (No reference analog -- training-data
+    mandate; Conneau et al. 2020 §3.1, Brown et al. 2020 Table 2.2.)
+
+    Scale shape: one corpus agg shuffle down to |sources| rows; the
+    share/normalizer windows run over that tiny post-agg frame.
+    Numeric determinism: alpha = 0.5 makes the power sqrt (IEEE
+    correctly-rounded, unlike pow); the normalizer folds the sqrt
+    terms in ASCENDING SORTED order via aggregate(array_sort(...)),
+    so the double sum is order-independent across engines and
+    partition layouts -- the only float sum here is engine-exact.
+    """
+    w = Window.partitionBy()
+    per_source = documents.select(
+        "source", F.size(tokens(F.col("text"))).alias("n_tokens")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    share = F.col("total_tokens") / F.sum("total_tokens").over(w)
+    sq = F.sqrt(share)
+    denom = F.aggregate(
+        F.array_sort(F.collect_list(sq).over(w)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # a zero-token source contributes sqrt(0)=0 to the normalizer and
+    # samples with probability 0; boost guarded to 0.0 because 0/0
+    # diverges between engines (Spark non-ANSI -> NULL, DuckDB -> nan)
+    temp_prob = sq / denom
+    boost = F.when(F.col("total_tokens") == 0, F.lit(0.0)).otherwise(
+        temp_prob / share
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        rnd(share, 6).alias("token_share"),
+        rnd(temp_prob, 6).alias("temp_prob"),
+        rnd(boost, 4).alias("mix_boost"),
+    )

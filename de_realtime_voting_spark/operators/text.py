@@ -651,3 +651,145 @@ def doc_field_completeness(documents: DataFrame) -> DataFrame:
         F.col("n_blank").cast("bigint").alias("n_blank"),
         F.col("n_distinct").cast("bigint").alias("n_distinct"),
     )
+
+
+def doc_length_mad_outliers(documents: DataFrame) -> DataFrame:
+    """Robust per-language length-outlier screen: flag docs whose
+    |n_chars - median| exceeds MAD_OUTLIER_K x the median absolute
+    deviation.  Median/MAD resist the heavy tails that wreck a
+    mean/stddev z-score on document lengths (one mega-doc shifts the
+    mean; it cannot shift the median) -- the screen quality teams
+    actually run on length.  (No reference analog -- training-data
+    mandate.)
+
+    Scale shape: two dim-sized percentile aggs (|langs| rows each)
+    with broadcast joins back; the flag test is map-side.  At 100 TB
+    swap percentile for approx_percentile exactly as
+    doc_length_percentile_filter documents -- same plan shape.
+    Numeric determinism: medians of integers are exact half-integers
+    and K*MAD stays in exact-double territory, so the cutoff
+    predicate is bit-identical cross-engine (no float-sum ordering).
+    """
+    from ..constants import MAD_OUTLIER_K
+
+    med = documents.groupBy("lang").agg(
+        F.percentile(F.col("n_chars"), F.lit(0.5)).alias("med")
+    )
+    dev = documents.join(F.broadcast(med), "lang").select(
+        "lang", "n_chars", "med", F.abs(F.col("n_chars") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("lang").agg(
+        F.percentile(F.col("dev"), F.lit(0.5)).alias("mad")
+    )
+    flagged = (F.col("dev") > F.lit(MAD_OUTLIER_K) * F.col("mad")).cast("int")
+    return (
+        dev.join(F.broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            rnd(F.max("med"), 4).alias("median_chars"),
+            rnd(F.max("mad"), 4).alias("mad_chars"),
+            F.sum(flagged).cast("bigint").alias("n_outliers"),
+            rnd(F.sum(flagged) / F.count(F.lit(1)), 6).alias("outlier_rate"),
+        )
+    )
+
+
+def doc_winnowing_fingerprints(documents: DataFrame) -> DataFrame:
+    """Winnowing fingerprint audit (Schleimer et al., SIGMOD'03 --
+    the MOSS algorithm): hash every WINNOW_K-char gram, slide a
+    window of WINNOW_W consecutive hashes, and select each window's
+    rightmost-minimal hash.  Guarantee min-shingle fingerprints lack:
+    any substring match of length >= W+K-1 chars produces a shared
+    fingerprint.  Report per (lang, source): fingerprint density and
+    the share of docs sharing >= 1 fingerprint with another doc (the
+    local plagiarism/boilerplate signal).  (No reference analog --
+    training-data mandate.)
+
+    Scale shape: position explode is per-doc bounded (same shape as
+    the char-trigram ops); the selection window partitions by doc_id
+    and looks W-1 rows ahead -- no cross-doc state.  Fingerprint
+    sharing is one groupBy on the 32-bit hash space (bounded
+    occupancy), and the report aggregates to |langs|x|sources| rows.
+    Selection rule: min over struct(hash, -pos) picks the
+    rightmost-minimal hash per window -- the same lexicographic
+    struct-min the oracle runs, no floats anywhere.
+    """
+    from pyspark.sql import Window
+
+    from ..constants import WINNOW_K, WINNOW_W
+
+    npos = F.length("text") - WINNOW_K + 1
+    grams = (
+        documents.where(npos >= 1)
+        .select(
+            "doc_id",
+            npos.alias("npos"),
+            F.posexplode(F.sequence(F.lit(1), npos)).alias("i", "pos"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id",
+            "npos",
+            "pos",
+            F.substring(
+                F.md5(F.substr("text", F.col("pos"), F.lit(WINNOW_K))), 1, 8
+            ).alias("h"),
+        )
+    )
+    w_sel = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    # the struct min carries the winning hash itself, so selection and
+    # fingerprint extraction are one window pass -- no join-back; the
+    # distinct collapses repeated selections of the same hash
+    fp = (
+        grams.withColumn(
+            "sel",
+            F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(w_sel),
+        )
+        # windows must fit inside the doc: starts 1 .. npos-W+1
+        .where(F.col("pos") <= F.col("npos") - WINNOW_W + 1)
+        .select("doc_id", F.col("sel")["h"].alias("h"))
+        .distinct()
+    )
+    shared_h = (
+        fp.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("h")
+    )
+    per_doc = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    docs_shared = (
+        fp.join(shared_h, "h")
+        .select("doc_id")
+        .distinct()
+        .withColumn("has_shared", F.lit(1))
+    )
+    return (
+        documents.select("doc_id", "lang", "source")
+        .join(per_doc, "doc_id", "left")
+        .join(docs_shared, "doc_id", "left")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("n_fp"), F.lit(0))).cast("bigint").alias(
+                "total_fp"
+            ),
+            rnd(
+                F.sum(F.coalesce(F.col("n_fp"), F.lit(0)))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_fp_per_doc"),
+            F.sum(F.coalesce(F.col("has_shared"), F.lit(0))).cast("bigint").alias(
+                "docs_with_shared_fp"
+            ),
+            rnd(
+                F.sum(F.coalesce(F.col("has_shared"), F.lit(0)))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("shared_doc_share"),
+        )
+    )

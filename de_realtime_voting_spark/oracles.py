@@ -11,6 +11,10 @@ from __future__ import annotations
 
 from .constants import (
     ANN_K,
+    MAD_OUTLIER_K,
+    THRESHOLD_SWEEP_BINS,
+    WINNOW_K,
+    WINNOW_W,
     C4_MIN_TOKENS,
     C4_WORD_LEN_MAX,
     C4_WORD_LEN_MIN,
@@ -2517,6 +2521,123 @@ SELECT m.method, t.query_id, t.k,
 FROM (SELECT 'lsh' AS method UNION ALL SELECT 'ivf') m
 CROSS JOIN truth_k t
 LEFT JOIN hits h ON h.method = m.method AND h.query_id = t.query_id
+"""
+
+# ------------------------------------------------- round 4 cont. ops
+
+SQL["source_temperature_weights"] = f"""
+WITH s AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY 1
+),
+t AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS tt FROM s),
+q AS (
+    SELECT source, n_docs, total_tokens,
+           CAST(total_tokens AS DOUBLE) / tt AS share,
+           sqrt(CAST(total_tokens AS DOUBLE) / tt) AS sq
+    FROM s, t
+),
+d AS (
+    -- ascending sorted fold: the one float sum here is
+    -- order-independent, mirroring the Spark aggregate(array_sort(..))
+    SELECT list_aggregate(list_sort(list(sq)), 'sum') AS denom FROM q
+)
+SELECT source, n_docs, total_tokens,
+       ROUND(share, 6) AS token_share,
+       ROUND(sq / denom, 6) AS temp_prob,
+       ROUND(CASE WHEN total_tokens = 0 THEN 0.0
+             ELSE (sq / denom) / share END, 4) AS mix_boost
+FROM q, d
+"""
+
+SQL["dedup_threshold_sweep"] = f"""{_MINHASH_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+binned AS (
+    SELECT CAST(FLOOR(len(list_intersect(sa.shingles, sb.shingles))
+                      * {THRESHOLD_SWEEP_BINS}
+                      / len(list_distinct(list_concat(sa.shingles, sb.shingles))))
+                AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+    GROUP BY 1
+)
+SELECT bin,
+       ROUND(bin / CAST({THRESHOLD_SWEEP_BINS} AS DOUBLE), 4) AS bin_lo,
+       n_pairs,
+       CAST(SUM(n_pairs) OVER (ORDER BY bin DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_pairs_at_tau,
+       ROUND(CAST(n_pairs AS DOUBLE) / SUM(n_pairs) OVER (), 6) AS pair_share
+FROM binned
+"""
+
+SQL["doc_length_mad_outliers"] = f"""
+WITH med AS (
+    SELECT lang, quantile_cont(n_chars, 0.5) AS med
+    FROM documents GROUP BY 1
+),
+dev AS (
+    SELECT d.lang, abs(d.n_chars - m.med) AS dev, m.med
+    FROM documents d JOIN med m USING (lang)
+),
+mad AS (
+    SELECT lang, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT dev.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(MAX(dev.med), 4) AS median_chars,
+       ROUND(MAX(mad.mad), 4) AS mad_chars,
+       CAST(SUM(CASE WHEN dev.dev > {MAD_OUTLIER_K} * mad.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(SUM(CASE WHEN dev.dev > {MAD_OUTLIER_K} * mad.mad
+                 THEN 1 ELSE 0 END) / COUNT(*), 6) AS outlier_rate
+FROM dev JOIN mad USING (lang)
+GROUP BY 1
+"""
+
+SQL["doc_winnowing_fingerprints"] = f"""
+WITH g AS (
+    SELECT doc_id, length(text) - {WINNOW_K} + 1 AS npos, pos,
+           substr(md5(substr(text, CAST(pos AS INT), {WINNOW_K})), 1, 8) AS h
+    FROM documents, UNNEST(range(1, length(text) - {WINNOW_K} + 2)) AS u(pos)
+    WHERE length(text) >= {WINNOW_K}
+),
+fp AS (
+    SELECT DISTINCT doc_id, sel.h AS h FROM (
+        SELECT doc_id, npos, pos,
+               min({{'h': h, 'np': -pos}}) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING
+               ) AS sel
+        FROM g
+    ) WHERE pos <= npos - {WINNOW_W} + 1
+),
+shared_h AS (
+    SELECT h FROM fp GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+),
+per_doc AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fp GROUP BY 1
+),
+docs_shared AS (
+    SELECT DISTINCT doc_id, 1 AS has_shared FROM fp
+    WHERE h IN (SELECT h FROM shared_h)
+)
+SELECT d.lang, d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(COALESCE(p.n_fp, 0)) AS BIGINT) AS total_fp,
+       ROUND(SUM(COALESCE(p.n_fp, 0)) / COUNT(*), 4) AS avg_fp_per_doc,
+       CAST(SUM(COALESCE(s.has_shared, 0)) AS BIGINT) AS docs_with_shared_fp,
+       ROUND(SUM(COALESCE(s.has_shared, 0)) / COUNT(*), 6) AS shared_doc_share
+FROM documents d
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN docs_shared s USING (doc_id)
+GROUP BY 1, 2
 """
 
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

@@ -280,6 +280,19 @@ _DEFS: dict[str, QueryFn] = {
         _t(s, d, "orders"),
         _t(s, d, "lineitem"),
     ),
+    # --- round 4 cont.: mix temperature / tau sweep / MAD / winnowing ---
+    "source_temperature_weights": lambda s, d: pipeline.source_temperature_weights(
+        _t(s, d, "documents")
+    ),
+    "dedup_threshold_sweep": lambda s, d: dedup.dedup_threshold_sweep(
+        _t(s, d, "documents")
+    ),
+    "doc_length_mad_outliers": lambda s, d: text.doc_length_mad_outliers(
+        _t(s, d, "documents")
+    ),
+    "doc_winnowing_fingerprints": lambda s, d: text.doc_winnowing_fingerprints(
+        _t(s, d, "documents")
+    ),
     # sketch op (NO_ORACLE, tolerance-tested): registered LAST so it
     # never displaces an oracle-gated entry from the checker window
     "doc_length_percentile_filter_approx": lambda s, d: (
@@ -373,7 +386,9 @@ _DEFS: dict[str, QueryFn] = {
 _PRIORITY: list[str] = [
     # new in round 4
     "hot_key_join_salted", "q9_product_profit", "semantic_dedup",
-    "ann_recall_report",
+    "ann_recall_report", "source_temperature_weights",
+    "dedup_threshold_sweep", "doc_length_mad_outliers",
+    "doc_winnowing_fingerprints",
     # modified in round 4 (decile rank key, zscore guard, _lineage_cut
     # loops, doc_segments refactor)
     "customer_spend_deciles", "votes_anomaly_zscore", "segment_dedup",

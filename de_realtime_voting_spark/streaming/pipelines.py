@@ -391,3 +391,67 @@ def stream_votes_anomaly(
         .select(F.col("w").start.alias("hour"), "candidate_id", "n_votes")
     )
     return flag_hourly_anomalies(hourly, stats)
+
+
+def eval_gram_set(corpus: DataFrame) -> list[str]:
+    """Collect the held-out eval source's distinct word n-grams --
+    the static blocklist stream_decontam_gate ships to executors.
+    Eval benchmarks are tiny by construction (the same premise batch
+    benchmark_decontam broadcasts on), so this is an index-artifact
+    collect like the PQ codebook, not a data-path collect."""
+    from ..constants import DECONTAM_NGRAM_K, EVAL_SOURCE
+    from ..functions import tokens
+
+    toks_d = (
+        corpus.where(F.col("source") == EVAL_SOURCE)
+        .select(tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= DECONTAM_NGRAM_K)
+    )
+    grams = toks_d.select(
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks") - (DECONTAM_NGRAM_K - 1))
+        ).alias("pos"),
+        "toks",
+    ).select(
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), F.col("pos"), DECONTAM_NGRAM_K)
+        ).alias("gram")
+    )
+    return [r["gram"] for r in grams.distinct().collect()]
+
+
+def stream_decontam_gate(documents: DataFrame, eval_grams: list[str]) -> DataFrame:
+    """Ingest-time benchmark-decontamination gate: an arriving doc is
+    admitted only if it shares NO DECONTAM_NGRAM_K-word n-gram with
+    the held-out eval set -- eval contamination never lands in the
+    lake, instead of being audited out later by the batch twin
+    (#41 benchmark_decontam).
+
+    COMPLETELY STATELESS: the eval gram list is a static in-closure
+    array literal (same shipping pattern as the PQ codebook) and the
+    test is one map-side ``arrays_overlap`` against the doc's own
+    gram array -- no watermark, no state store, append mode.  The
+    doc's grams are built ONCE per row as an array (transform over a
+    position sequence, slice+concat per element); nothing explodes,
+    so the Generate re-evaluation trap the batch op documents never
+    arises.  A doc too short to contain a single n-gram is trivially
+    clean.  At 100 TB the per-doc cost is O(grams) hash probes into
+    the eval set -- arrays_overlap builds a hash set on the smaller
+    side -- and the gate scales with ingest volume alone."""
+    from ..constants import DECONTAM_NGRAM_K
+    from ..functions import tokens
+
+    k = DECONTAM_NGRAM_K
+    toks = tokens(F.col("text"))
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda pos: F.concat_ws(" ", F.slice(toks, pos, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    contaminated = F.arrays_overlap(
+        grams, F.lit(eval_grams).cast("array<string>")
+    )
+    # null text tokenizes to an empty gram set -> clean by definition
+    return documents.where(~F.coalesce(contaminated, F.lit(False)))

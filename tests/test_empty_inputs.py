@@ -187,6 +187,18 @@ CASES = {
         _empty(s, d, "orders"),
         _empty(s, d, "lineitem"),
     ),
+    "source_temperature_weights": lambda s, d: pipeline.source_temperature_weights(
+        _empty(s, d, "documents")
+    ),
+    "dedup_threshold_sweep": lambda s, d: dedup.dedup_threshold_sweep(
+        _empty(s, d, "documents")
+    ),
+    "doc_length_mad_outliers": lambda s, d: text.doc_length_mad_outliers(
+        _empty(s, d, "documents")
+    ),
+    "doc_winnowing_fingerprints": lambda s, d: text.doc_winnowing_fingerprints(
+        _empty(s, d, "documents")
+    ),
 }
 
 # Report-shaped ops whose contract on empty input is a DEGENERATE

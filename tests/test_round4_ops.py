@@ -1,0 +1,111 @@
+"""Behavioral contracts for the round-4 continuation ops: winnowing's
+substring-match guarantee, temperature-mix invariants, MAD robustness,
+and threshold-sweep consistency with the pair verifier.  (Cross-engine
+value parity is covered registry-wide by test_queries_oracle.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from de_realtime_voting_spark.constants import (
+    JACCARD_THRESHOLD,
+    THRESHOLD_SWEEP_BINS,
+    WINNOW_K,
+    WINNOW_W,
+)
+from de_realtime_voting_spark.operators import dedup, pipeline, text
+from de_realtime_voting_spark.queries import QUERY_REGISTRY
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, (t, lang, src) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Schleimer et al. guarantee: two docs sharing a substring of
+    length >= W + K - 1 chars MUST share a fingerprint; an unrelated
+    doc must not."""
+    shared = "zqxjkvwpbyfgm"  # 13 chars >= WINNOW_W + WINNOW_K - 1 = 8
+    docs = _docs(
+        spark,
+        [
+            ("aaaa " + shared + " bbbb", "en", "sA"),
+            ("cccc " + shared + " dddd", "en", "sB"),
+            ("totally unrelated content here", "en", "sC"),
+        ],
+    )
+    out = {
+        r["source"]: r for r in text.doc_winnowing_fingerprints(docs).collect()
+    }
+    assert out["sA"]["docs_with_shared_fp"] == 1
+    assert out["sB"]["docs_with_shared_fp"] == 1
+    assert out["sC"]["docs_with_shared_fp"] == 0
+    # density sanity: every doc long enough yields >= 1 fingerprint
+    assert all(r["total_fp"] >= 1 for r in out.values())
+
+
+def test_winnowing_short_doc_yields_no_fingerprints(spark):
+    """A doc with fewer than K+W-1 chars has no full window: zero
+    fingerprints, but the doc still appears in the report."""
+    docs = _docs(spark, [("ab", "en", "sX")])
+    [row] = text.doc_winnowing_fingerprints(docs).collect()
+    assert row["n_docs"] == 1
+    assert row["total_fp"] == 0
+    assert row["docs_with_shared_fp"] == 0
+
+
+def test_temperature_weights_invariants(spark, sf_dir):
+    rows = QUERY_REGISTRY["source_temperature_weights"](spark, sf_dir).collect()
+    assert rows
+    # probabilities form a distribution (rounded per-row to 1e-6)
+    assert abs(sum(r["temp_prob"] for r in rows) - 1.0) < 1e-4
+    # alpha < 1 smooths the mix: boost strictly decreases with share
+    by_share = sorted(rows, key=lambda r: r["token_share"])
+    boosts = [r["mix_boost"] for r in by_share]
+    assert boosts == sorted(boosts, reverse=True)
+    # head domains are downweighted, tail domains upweighted
+    assert by_share[0]["mix_boost"] > 1.0
+    assert by_share[-1]["mix_boost"] < 1.0
+
+
+def test_mad_outliers_robust_to_single_megadoc(spark):
+    """One mega-doc cannot shift the median: with 9 identical lengths
+    and one huge one, exactly the huge doc is flagged (a mean/stddev
+    z-score would have its cutoff dragged by the same outlier)."""
+    rows = [("x" * 10, "en", "s")] * 9 + [("x" * 1000, "en", "s")]
+    docs = _docs(spark, [(t, lang, f"{src}{i}") for i, (t, lang, src) in enumerate(rows)])
+    [row] = text.doc_length_mad_outliers(docs).collect()
+    assert row["median_chars"] == 10.0
+    assert row["mad_chars"] == 0.0
+    assert row["n_outliers"] == 1
+
+
+def test_mad_outliers_uniform_lengths_flag_nothing(spark):
+    docs = _docs(spark, [("y" * 50, "de", f"s{i}") for i in range(8)])
+    [row] = text.doc_length_mad_outliers(docs).collect()
+    assert row["n_outliers"] == 0
+    assert row["outlier_rate"] == 0.0
+
+
+def test_threshold_sweep_consistent_with_pair_verifier(spark, sf_dir):
+    """The sweep's cumulative count at tau = JACCARD_THRESHOLD must
+    equal the pair count dedup_minhash_pairs reports -- same candidate
+    set, same exact-Jaccard arithmetic, just histogrammed.  Exact
+    because tau*BINS is an integer bin boundary (0.8 * 20 = 16)."""
+    from de_realtime_voting_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sweep = dedup.dedup_threshold_sweep(docs).collect()
+    n_pairs_verified = dedup.dedup_minhash_pairs(docs).count()
+    cut_bin = round(JACCARD_THRESHOLD * THRESHOLD_SWEEP_BINS)
+    at_tau = [r for r in sweep if r["bin"] >= cut_bin]
+    # cum is descending-cumulative, so the smallest bin >= cut carries
+    # the full count of pairs at tau -- the max over qualifying rows
+    cum = max((r["cum_pairs_at_tau"] for r in at_tau), default=0)
+    assert cum == n_pairs_verified
+    # histogram total equals candidate-pair total (no pair dropped)
+    total = sum(r["n_pairs"] for r in sweep)
+    assert max(r["cum_pairs_at_tau"] for r in sweep) == total

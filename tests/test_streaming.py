@@ -1007,3 +1007,63 @@ def test_stream_semantic_dedup_matches_batch(spark, sf_dir):
     finally:
         corpus.unpersist()
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_decontam_gate_matches_python_reference(spark, sf_dir):
+    """Ingest-time decontamination: the stateless gate must admit
+    exactly the docs whose word-8-gram set is disjoint from the eval
+    source's grams (python reference), and drop the rest -- including
+    every long-enough eval-source doc (self-contaminated by
+    definition)."""
+    from de_realtime_voting_spark.constants import DECONTAM_NGRAM_K, EVAL_SOURCE
+    from de_realtime_voting_spark.streaming import (
+        eval_gram_set,
+        stream_decontam_gate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_grams = eval_gram_set(docs)
+    assert eval_grams  # the eval source must contribute grams at this SF
+
+    def grams_of(text):
+        toks = [t for t in text.split(" ") if t]
+        k = DECONTAM_NGRAM_K
+        return {
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        }
+
+    rows = docs.select("doc_id", "text", "source").collect()
+    eset = set(eval_grams)
+    want = {r["doc_id"] for r in rows if not (grams_of(r["text"]) & eset)}
+    assert 0 < len(want) < len(rows)
+    # every long-enough eval doc must be dropped
+    for r in rows:
+        if r["source"] == EVAL_SOURCE and len(grams_of(r["text"])) > 0:
+            assert r["doc_id"] not in want
+
+    d = tempfile.mkdtemp(prefix="docs_decontam_")
+    try:
+        docs.repartition(2).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(docs.schema).parquet(d)
+        got = _run_stream_to_memory(
+            spark,
+            stream_decontam_gate(stream, eval_grams),
+            "decontam_gate",
+            "append",
+        )
+        assert {r["doc_id"] for r in got.select("doc_id").collect()} == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_decontam_gate_short_and_null_docs_pass(spark):
+    """Docs too short to hold one n-gram (or with null text) carry no
+    eval n-gram: trivially clean, must pass, never raise."""
+    from de_realtime_voting_spark.streaming import stream_decontam_gate
+
+    df = spark.createDataFrame(
+        [(1, None, "en", "s", 0), (2, "tiny doc", "en", "s", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = stream_decontam_gate(df, ["some eval gram " * 2]).collect()
+    assert {r["doc_id"] for r in got} == {1, 2}
