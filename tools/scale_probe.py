@@ -65,6 +65,10 @@ DEFAULT = [
     "q9_product_profit",
     "hot_key_join_salted",
     "segment_dedup",
+    "dedup_threshold_sweep",
+    "doc_winnowing_fingerprints",
+    "doc_length_mad_outliers",
+    "source_temperature_weights",
 ]
 
 
