@@ -245,3 +245,7 @@ MAD_OUTLIER_K = 3.0
 # fingerprint; expected density 2/(W+1) of positions.
 WINNOW_K = 5
 WINNOW_W = 4
+# Inference harness: dimensionality of the deterministic pseudo-
+# embedder (md5-seeded stand-in for a real model call); small enough
+# that the SQL oracle's per-dim expression stays legible.
+INFER_DIM = 16

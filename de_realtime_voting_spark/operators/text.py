@@ -720,8 +720,12 @@ def doc_winnowing_fingerprints(documents: DataFrame) -> DataFrame:
     from ..constants import WINNOW_K, WINNOW_W
 
     npos = F.length("text") - WINNOW_K + 1
+    # spread the few-split scan across cores BEFORE the per-position
+    # md5 work (measured 1.5x at sf0.1: 3.6 -> 2.4 s) -- the window's
+    # own exchange comes too late to parallelize gram hashing
     grams = (
         documents.where(npos >= 1)
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
         .select(
             "doc_id",
             npos.alias("npos"),

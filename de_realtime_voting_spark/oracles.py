@@ -2640,4 +2640,23 @@ LEFT JOIN docs_shared s USING (doc_id)
 GROUP BY 1, 2
 """
 
+SQL["doc_embed_inference"] = """
+WITH hs AS (
+    SELECT doc_id, lang,
+           list_transform(range(0, 16),
+               j -> substr(md5(doc_id || ':' || j), 1, 8)) AS h8
+    FROM documents
+),
+em AS (
+    SELECT doc_id, lang,
+           list_transform(h8, h -> ((((((((0 * 16 + (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)) / 4294967296.0 - 0.5) AS e
+    FROM hs
+)
+SELECT doc_id, lang, CAST(16 AS INT) AS dim,
+       ROUND(e[1], 6) AS e_first,
+       ROUND(e[16], 6) AS e_last,
+       ROUND(sqrt(((((((((((((((((0.0 + e[1] * e[1]) + e[2] * e[2]) + e[3] * e[3]) + e[4] * e[4]) + e[5] * e[5]) + e[6] * e[6]) + e[7] * e[7]) + e[8] * e[8]) + e[9] * e[9]) + e[10] * e[10]) + e[11] * e[11]) + e[12] * e[12]) + e[13] * e[13]) + e[14] * e[14]) + e[15] * e[15]) + e[16] * e[16])), 6) AS norm
+FROM em
+"""
+
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

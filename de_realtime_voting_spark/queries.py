@@ -14,7 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import analytics, dedup, pipeline, similarity, text, voting
-from .operators import multimodal
+from .operators import inference, multimodal
 from .sources import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -293,6 +293,9 @@ _DEFS: dict[str, QueryFn] = {
     "doc_winnowing_fingerprints": lambda s, d: text.doc_winnowing_fingerprints(
         _t(s, d, "documents")
     ),
+    "doc_embed_inference": lambda s, d: inference.doc_embed_inference(
+        _t(s, d, "documents")
+    ),
     # sketch op (NO_ORACLE, tolerance-tested): registered LAST so it
     # never displaces an oracle-gated entry from the checker window
     "doc_length_percentile_filter_approx": lambda s, d: (
@@ -388,7 +391,7 @@ _PRIORITY: list[str] = [
     "hot_key_join_salted", "q9_product_profit", "semantic_dedup",
     "ann_recall_report", "source_temperature_weights",
     "dedup_threshold_sweep", "doc_length_mad_outliers",
-    "doc_winnowing_fingerprints",
+    "doc_winnowing_fingerprints", "doc_embed_inference",
     # modified in round 4 (decile rank key, zscore guard, _lineage_cut
     # loops, doc_segments refactor)
     "customer_spend_deciles", "votes_anomaly_zscore", "segment_dedup",

@@ -455,3 +455,17 @@ def stream_decontam_gate(documents: DataFrame, eval_grams: list[str]) -> DataFra
     )
     # null text tokenizes to an empty gram set -> clean by definition
     return documents.where(~F.coalesce(contaminated, F.lit(False)))
+
+
+def stream_embed_inference(documents: DataFrame) -> DataFrame:
+    """Online inference: the SAME Arrow-batched mapInPandas embedding
+    pass as batch operators.inference.embed_docs, applied to a live
+    document feed (single logical plan, two execution modes) -- the
+    embed-on-ingest stage that keeps a vector index fresh without a
+    nightly backfill.  Stateless, append mode, state = 0: each
+    micro-batch crosses the Python boundary once per Arrow batch and
+    nothing survives the batch.  Swap the stand-in model for a real
+    endpoint exactly as the batch harness documents."""
+    from ..operators.inference import embed_docs
+
+    return embed_docs(documents)

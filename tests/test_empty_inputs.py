@@ -11,6 +11,7 @@ import pytest
 from de_realtime_voting_spark.operators import (
     analytics,
     dedup,
+    inference,
     multimodal,
     pipeline,
     similarity,
@@ -197,6 +198,9 @@ CASES = {
         _empty(s, d, "documents")
     ),
     "doc_winnowing_fingerprints": lambda s, d: text.doc_winnowing_fingerprints(
+        _empty(s, d, "documents")
+    ),
+    "doc_embed_inference": lambda s, d: inference.doc_embed_inference(
         _empty(s, d, "documents")
     ),
 }

@@ -109,3 +109,42 @@ def test_threshold_sweep_consistent_with_pair_verifier(spark, sf_dir):
     # histogram total equals candidate-pair total (no pair dropped)
     total = sum(r["n_pairs"] for r in sweep)
     assert max(r["cum_pairs_at_tau"] for r in sweep) == total
+
+
+def test_embed_inference_python_path_pinned_to_catalyst_twin(spark, sf_dir):
+    """The mapInPandas inference pass must be bit-identical to the
+    Catalyst twin (conv(md5) per dim) -- the same pin discipline as
+    the Arrow IVF cell assigner.  If the stand-in model's arithmetic
+    drifts from the declared contract, this catches it before the
+    oracle does."""
+    from de_realtime_voting_spark.operators import inference
+    from de_realtime_voting_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(
+        map(tuple, inference._audit_projection(inference.embed_docs(docs)).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            inference._audit_projection(inference._embed_catalyst(docs)).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+def test_embed_inference_deterministic_and_bounded(spark):
+    """Same doc_id -> same vector on every run/partition layout, and
+    every component sits in [-0.5, 0.5) by construction."""
+    from de_realtime_voting_spark.operators import inference
+
+    docs = spark.createDataFrame(
+        [(7, "t", "en", "s", 1), (7, "t", "en", "s", 1), (11, "u", "de", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = inference.embed_docs(docs).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["doc_id"], []).append(tuple(r["embedding"]))
+        assert all(-0.5 <= x < 0.5 for x in r["embedding"])
+    assert len(by_id[7]) == 2 and by_id[7][0] == by_id[7][1]

@@ -1067,3 +1067,28 @@ def test_stream_decontam_gate_short_and_null_docs_pass(spark):
     )
     got = stream_decontam_gate(df, ["some eval gram " * 2]).collect()
     assert {r["doc_id"] for r in got} == {1, 2}
+
+
+def test_stream_embed_inference_matches_batch(spark, sf_dir):
+    """Batch/stream parity for the inference harness: the streaming
+    mapInPandas embedding pass must produce exactly the batch
+    vectors (deterministic stand-in model, same Arrow path)."""
+    from de_realtime_voting_spark.operators.inference import embed_docs
+    from de_realtime_voting_spark.streaming import stream_embed_inference
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="docs_embed_")
+    try:
+        docs.repartition(2).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(docs.schema).parquet(d)
+        got = _run_stream_to_memory(
+            spark, stream_embed_inference(stream), "embed_inference", "append"
+        )
+        a = sorted((r["doc_id"], tuple(r["embedding"])) for r in got.collect())
+        b = sorted(
+            (r["doc_id"], tuple(r["embedding"]))
+            for r in embed_docs(docs).collect()
+        )
+        assert a == b and len(a) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
