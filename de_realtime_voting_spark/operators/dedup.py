@@ -1155,6 +1155,9 @@ def dedup_threshold_sweep(documents: DataFrame) -> DataFrame:
     """
     from ..constants import THRESHOLD_SWEEP_BINS as BINS
 
+    # persist: shingles feed the band join AND both verify sides;
+    # deliberately not unpersisted (lazy plan outlives the function;
+    # LRU-evictable, harnesses clearCache() between queries)
     sh = _doc_shingles(documents).persist()
     cand = _band_candidate_pairs(_doc_bands_from(sh))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))

