@@ -106,20 +106,19 @@ def seq_pack_stats(documents: DataFrame) -> DataFrame:
     )
 
 
-def corpus_quality_keep(documents: DataFrame) -> DataFrame:
-    """End-to-end curation accounting: C4 quality gates + exact-dedup
-    keep-list + deterministic split, reported per (split, lang) --
-    the one query that says what actually ships to training after
-    the whole filter chain runs.
+def curation_tags(documents: DataFrame) -> DataFrame:
+    """Per-doc curation flags shared by the accounting query
+    (corpus_quality_keep) and the materializing pipeline
+    (curate.curate_corpus) -- one definition, so the report can never
+    drift from what actually ships.
 
-    A doc is KEPT when it (a) passes all three C4 gates and (b) is
-    the canonical copy of its exact-duplicate class (min doc_id per
-    md5(text)).  Scale shape: gates are map-side expressions; the
-    canonical-copy test is a min() WINDOW over text_hash -- ONE
-    shuffle on the 32-char hash, no groupBy+join back (a join would
-    shuffle the corpus twice and build a corpus-sized hash side at
-    100 TB); the final report is a small agg.  No pair joins
-    anywhere.
+    Columns: doc_id, split, lang, n_tokens, kept.  A doc is KEPT when
+    it (a) passes all three C4 gates and (b) is the canonical copy of
+    its exact-duplicate class (min doc_id per md5(text)).  Gates are
+    map-side expressions; the canonical test is a min() WINDOW over
+    text_hash -- ONE shuffle on the 32-char hash, no groupBy+join
+    back (a join would shuffle the corpus twice and build a
+    corpus-sized hash side at 100 TB).
     """
     from pyspark.sql import Window
     from ..constants import C4_MIN_TOKENS, C4_WORD_LEN_MAX, C4_WORD_LEN_MIN, STOPWORDS
@@ -159,12 +158,31 @@ def corpus_quality_keep(documents: DataFrame) -> DataFrame:
         n.alias("n_tokens"),
     )
     keep_id = F.min("doc_id").over(Window.partitionBy("text_hash"))
-    tagged = per_doc.select(
+    return per_doc.select(
+        "doc_id",
         "split",
         "lang",
         "n_tokens",
         (F.col("passes_c4") & (F.col("doc_id") == keep_id)).alias("kept"),
     )
+
+
+def corpus_quality_keep(documents: DataFrame) -> DataFrame:
+    """End-to-end curation accounting: C4 quality gates + exact-dedup
+    keep-list + deterministic split, reported per (split, lang) --
+    the one query that says what actually ships to training after
+    the whole filter chain runs.
+
+    A doc is KEPT when it (a) passes all three C4 gates and (b) is
+    the canonical copy of its exact-duplicate class (min doc_id per
+    md5(text)).  Scale shape: gates are map-side expressions; the
+    canonical-copy test is a min() WINDOW over text_hash -- ONE
+    shuffle on the 32-char hash, no groupBy+join back (a join would
+    shuffle the corpus twice and build a corpus-sized hash side at
+    100 TB); the final report is a small agg.  No pair joins
+    anywhere.
+    """
+    tagged = curation_tags(documents)
     return tagged.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
@@ -214,24 +232,14 @@ def corpus_stratified_sample(documents: DataFrame) -> DataFrame:
     )
 
 
-def benchmark_decontam(documents: DataFrame) -> DataFrame:
-    """Benchmark decontamination audit: per source, how many corpus
-    docs share at least one DECONTAM_NGRAM_K-word n-gram with the
-    held-out eval source (EVAL_SOURCE), plus the worst overlap.
-
-    Scale shape: the eval gram set is small by construction (eval
-    benchmarks are tiny next to the corpus) and broadcasts; corpus
-    grams explode map-side into the broadcast-hash probe, then one
-    shuffle aggregates hits per doc.  Never an n x m doc comparison.
-    """
-    # Grams are generated by exploding POSITIONS (a cheap integer
-    # sequence) and building each n-gram once per output row with
-    # slice+concat_ws.  Exploding a prebuilt word_shingles array
-    # re-evaluates the whole O(grams x K) array expression per
-    # GENERATED row (Generate keeps the generator expression inline;
-    # measured ~40x slower at sf0.1).  The repartition is the usual
-    # CollapseProject barrier so tokens(text) is materialized once.
-    # size(toks) >= K <=> at least one gram.
+def decontam_overlap(documents: DataFrame):
+    """Shared core of the decontamination audit and the materializing
+    pipeline: returns (toks_d, hits) where toks_d is the gram-bearing
+    corpus frame and hits maps each contaminated non-eval doc_id to
+    its distinct eval-gram overlap count.  One definition, so the
+    audit can never drift from what the curate step actually drops.
+    Grams explode via the positional-sequence idiom (the Generate
+    re-evaluation fix benchmark_decontam documents)."""
     toks_d = (
         documents.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
         .where(F.size("toks") >= DECONTAM_NGRAM_K)
@@ -262,6 +270,28 @@ def benchmark_decontam(documents: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("gram").alias("overlap"))
     )
+    return toks_d, hits
+
+
+def benchmark_decontam(documents: DataFrame) -> DataFrame:
+    """Benchmark decontamination audit: per source, how many corpus
+    docs share at least one DECONTAM_NGRAM_K-word n-gram with the
+    held-out eval source (EVAL_SOURCE), plus the worst overlap.
+
+    Scale shape: the eval gram set is small by construction (eval
+    benchmarks are tiny next to the corpus) and broadcasts; corpus
+    grams explode map-side into the broadcast-hash probe, then one
+    shuffle aggregates hits per doc.  Never an n x m doc comparison.
+    """
+    # Grams are generated by exploding POSITIONS (a cheap integer
+    # sequence) and building each n-gram once per output row with
+    # slice+concat_ws.  Exploding a prebuilt word_shingles array
+    # re-evaluates the whole O(grams x K) array expression per
+    # GENERATED row (Generate keeps the generator expression inline;
+    # measured ~40x slower at sf0.1).  The repartition is the usual
+    # CollapseProject barrier so tokens(text) is materialized once.
+    # size(toks) >= K <=> at least one gram.
+    toks_d, hits = decontam_overlap(documents)
     per_doc = (
         toks_d.where(F.col("source") != EVAL_SOURCE)
         .select("doc_id", "source")

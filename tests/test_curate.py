@@ -1,0 +1,115 @@
+"""The materializing curation pipeline must ship exactly the docs the
+oracle-gated accounting queries say it should -- shared definitions
+tested end-to-end against the written parquet, not the plan."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from de_realtime_voting_spark.constants import EVAL_SOURCE
+from de_realtime_voting_spark.curate import curate_corpus
+from de_realtime_voting_spark.operators.pipeline import (
+    corpus_quality_keep,
+    curation_tags,
+    decontam_overlap,
+)
+from de_realtime_voting_spark.sources import load_table
+
+
+def test_curate_matches_accounting_report(spark, sf_dir):
+    """With decontamination off, the written per-(split, lang) doc
+    counts must equal corpus_quality_keep's n_kept column -- the
+    materializer and the audit share one keep definition."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="curated_")
+    try:
+        manifest = curate_corpus(docs, d, drop_contaminated=False)
+        want = {
+            (r["split"], r["lang"]): r["n_kept"]
+            for r in corpus_quality_keep(docs).collect()
+            if r["n_kept"] > 0
+        }
+        got = {
+            (p["split"], p["lang"]): p["n_docs"] for p in manifest["partitions"]
+        }
+        assert got == want
+        assert manifest["n_written_docs"] == sum(want.values())
+        assert os.path.exists(os.path.join(d, "_MANIFEST.json"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_curate_drops_contaminated_and_eval_docs(spark, sf_dir):
+    """Full chain: written doc_ids == kept doc_ids minus decontam hits
+    minus every eval-source doc, and the run is idempotent."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="curated_full_")
+    try:
+        curate_corpus(docs, d, drop_contaminated=True)
+        kept = {
+            r["doc_id"]
+            for r in curation_tags(docs).where(F.col("kept")).collect()
+        }
+        _toks, hits = decontam_overlap(docs)
+        contaminated = {r["doc_id"] for r in hits.collect()}
+        eval_ids = {
+            r["doc_id"]
+            for r in docs.where(F.col("source") == EVAL_SOURCE).collect()
+        }
+        want = kept - contaminated - eval_ids
+        written = spark.read.parquet(d)
+        got = {r["doc_id"] for r in written.select("doc_id").collect()}
+        assert got == want and len(got) > 0
+
+        # idempotence: a re-run overwrites to the same doc set
+        m2 = curate_corpus(docs, d, drop_contaminated=True)
+        got2 = {
+            r["doc_id"]
+            for r in spark.read.parquet(d).select("doc_id").collect()
+        }
+        assert got2 == got
+        assert m2["n_written_docs"] == len(got)
+        with open(os.path.join(d, "_MANIFEST.json")) as f:
+            assert json.load(f)["n_written_docs"] == len(got)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_curate_output_prunes_by_split(spark, sf_dir):
+    """Training readers must be able to prune to their split: a
+    split-filtered read touches only that split's files."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="curated_prune_")
+    try:
+        curate_corpus(docs, d, drop_contaminated=False)
+        train = spark.read.parquet(d).where(F.col("split") == "train")
+        plan = train._jdf.queryExecution().executedPlan().toString()
+        # the split predicate must land in PartitionFilters (directory
+        # pruning), not survive as a post-scan Filter over all splits
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert pf and "split" in pf[0]
+        # and the pruned scan must actually read only train rows
+        assert train.count() > 0
+        assert (
+            spark.read.parquet(d).where(F.col("split") == "nope").count() == 0
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cli_list_and_run(spark, sf_dir, capsys):
+    """The CLI front door: list prints the registry; run executes a
+    query against --sf-dir (reuses the live session via getOrCreate)."""
+    from de_realtime_voting_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "votes_per_candidate" in out and "doc_embed_inference" in out
+    assert main(["--sf-dir", sf_dir, "run", "votes_per_candidate", "-n", "3"]) == 0
+    assert "candidate_id" in capsys.readouterr().out
+    assert main(["--sf-dir", sf_dir, "run", "nope"]) == 2
