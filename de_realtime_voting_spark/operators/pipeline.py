@@ -106,6 +106,37 @@ def seq_pack_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def c4_pass_expr(toks):
+    """The three C4 gates as one boolean column over a token array --
+    shared by the batch accounting (corpus_quality_keep), the
+    materializer (curate.curate_corpus) and the ingest gate
+    (streaming.stream_curate): one definition of "quality"."""
+    from ..constants import C4_MIN_TOKENS, C4_WORD_LEN_MAX, C4_WORD_LEN_MIN, STOPWORDS
+
+    n = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, wd: acc + F.length(wd))
+    awl = total_len / n
+    return (
+        (n >= C4_MIN_TOKENS)
+        & F.when(n > 0, (awl >= C4_WORD_LEN_MIN) & (awl <= C4_WORD_LEN_MAX)).otherwise(
+            F.lit(False)
+        )
+        & (F.size(F.filter(toks, lambda w: w.isin(STOPWORDS))) > 0)
+    )
+
+
+def split_expr(doc_id):
+    """Deterministic train/val/test split column from the md5 bucket
+    of doc_id -- stable across engines, reruns, cluster sizes, and
+    batch vs streaming execution (the property rand() lacks)."""
+    pct = md5_pct_bucket(doc_id)
+    return (
+        F.when(pct < SPLIT_TEST_PCT, F.lit("test"))
+        .when(pct < SPLIT_TEST_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+
+
 def curation_tags(documents: DataFrame) -> DataFrame:
     """Per-doc curation flags shared by the accounting query
     (corpus_quality_keep) and the materializing pipeline
@@ -121,25 +152,10 @@ def curation_tags(documents: DataFrame) -> DataFrame:
     corpus-sized hash side at 100 TB).
     """
     from pyspark.sql import Window
-    from ..constants import C4_MIN_TOKENS, C4_WORD_LEN_MAX, C4_WORD_LEN_MIN, STOPWORDS
 
-    toks = F.col("toks")
-    n = F.size(toks)
-    total_len = F.aggregate(toks, F.lit(0), lambda acc, wd: acc + F.length(wd))
-    awl = total_len / n
-    passes_c4 = (
-        (n >= C4_MIN_TOKENS)
-        & F.when(n > 0, (awl >= C4_WORD_LEN_MIN) & (awl <= C4_WORD_LEN_MAX)).otherwise(
-            F.lit(False)
-        )
-        & (F.size(F.filter(toks, lambda w: w.isin(STOPWORDS))) > 0)
-    )
-    pct = md5_pct_bucket(F.col("doc_id"))
-    split = (
-        F.when(pct < SPLIT_TEST_PCT, F.lit("test"))
-        .when(pct < SPLIT_TEST_PCT + SPLIT_VAL_PCT, F.lit("val"))
-        .otherwise(F.lit("train"))
-    )
+    passes_c4 = c4_pass_expr(F.col("toks"))
+    split = split_expr(F.col("doc_id"))
+    n = F.size(F.col("toks"))
     # No repartition barrier here -- measured at sf0.1: the window's
     # own shuffle on text_hash already spreads the wide stages, and
     # an extra exchange carrying token arrays costs more than the

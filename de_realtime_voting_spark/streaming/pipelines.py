@@ -469,3 +469,31 @@ def stream_embed_inference(documents: DataFrame) -> DataFrame:
     from ..operators.inference import embed_docs
 
     return embed_docs(documents)
+
+
+def stream_curate(documents: DataFrame, eval_grams: list[str]) -> DataFrame:
+    """The full curation chain at INGEST TIME: C4 quality gates
+    (stateless map-side predicate -- the same c4_pass_expr the batch
+    materializer uses) -> benchmark-decontamination gate (stateless,
+    in-closure eval grams) -> in-stream exact dedup (first copy per
+    content class passes) -> deterministic split tag.  What
+    curate.curate_corpus does to a lake overnight, this does to the
+    feed as it arrives; the batch/stream parity test pins the kept
+    CONTENT CLASSES equal (the surviving representative may differ:
+    batch keeps min doc_id per class, a stream keeps first arrival --
+    the honest difference between the two execution modes, documented
+    rather than papered over).
+
+    State = one row per distinct content hash (the dedup keep-set);
+    everything else is stateless.  Same watermark/TTL note as
+    stream_dedup_exact for unbounded feeds."""
+    from ..functions import tokens
+    from ..operators.pipeline import c4_pass_expr, split_expr
+
+    gated = documents.where(c4_pass_expr(tokens(F.col("text"))))
+    clean = stream_decontam_gate(gated, eval_grams)
+    return (
+        clean.withColumn("text_hash", F.md5("text"))
+        .dropDuplicates(["text_hash"])
+        .withColumn("split", split_expr(F.col("doc_id")))
+    )

@@ -1092,3 +1092,65 @@ def test_stream_embed_inference_matches_batch(spark, sf_dir):
         assert a == b and len(a) > 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_curate_matches_batch_content_classes(spark, sf_dir):
+    """Ingest-time curation vs the batch materializer: the surviving
+    CONTENT CLASSES (md5 of text) must be identical -- same C4 gates,
+    same decontamination, same dedup classes.  Representatives may
+    differ (batch keeps min doc_id, stream keeps first arrival), so
+    the pin is on hash sets, plus split-tag determinism on the docs
+    both kept."""
+    from de_realtime_voting_spark.constants import EVAL_SOURCE
+    from de_realtime_voting_spark.operators.pipeline import (
+        curation_tags,
+        decontam_overlap,
+    )
+    from de_realtime_voting_spark.streaming import eval_gram_set, stream_curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_grams = eval_gram_set(docs)
+
+    import pyspark.sql.functions as F
+
+    kept = curation_tags(docs).where(F.col("kept")).select("doc_id")
+    _t, hits = decontam_overlap(docs)
+    batch_ids = (
+        kept.join(hits.select("doc_id"), "doc_id", "left_anti")
+        .join(
+            docs.where(F.col("source") == EVAL_SOURCE).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    batch_hashes = {
+        r["h"]
+        for r in docs.join(batch_ids, "doc_id")
+        .select(F.md5("text").alias("h"))
+        .collect()
+    }
+
+    d = tempfile.mkdtemp(prefix="docs_curate_stream_")
+    try:
+        docs.repartition(2).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(docs.schema).parquet(d)
+        got = _run_stream_to_memory(
+            spark, stream_curate(stream, eval_grams), "stream_curate", "append"
+        )
+        rows = got.collect()
+        stream_hashes = {r["text_hash"] for r in rows}
+        assert stream_hashes == batch_hashes and len(stream_hashes) > 0
+        # split tag must be the deterministic hash split, not arrival-
+        # dependent: recompute from doc_id and compare
+        from de_realtime_voting_spark.operators.pipeline import split_expr
+
+        want_split = {
+            r["doc_id"]: r["s"]
+            for r in docs.select(
+                "doc_id", split_expr(F.col("doc_id")).alias("s")
+            ).collect()
+        }
+        for r in rows:
+            assert r["split"] == want_split[r["doc_id"]]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
