@@ -442,3 +442,129 @@ def decode_bmp_rgb(payload: bytes) -> list[float]:
 
 # late-bind the decoders defined below the dispatch table
 MEDIA_DECODERS["bmp"] = decode_bmp_rgb
+
+
+def decode_gif_rgb(payload: bytes) -> list[float]:
+    """REAL compressed-image decode for GIF87a/89a, pure stdlib +
+    numpy: walks the block structure, concatenates the image data
+    sub-blocks, and runs the GIF variant of LZW decompression
+    (variable 3..12-bit codes, clear/end codes, dictionary growth) --
+    no codec library involved.  First frame only; interlaced images
+    raise ValueError so a mixed-media table fails loudly.  Returns
+    the same feature vector as decode_bmp_rgb/decode_png_rgb:
+    [width, height, mean_r, mean_g, mean_b, stddev_gray].
+    """
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:  # global color table present
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(
+            n, 3
+        )
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(payload) and payload[p] != 0:
+            p += 1 + payload[p]
+        return p + 1
+
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 2)
+        elif block == 0x2C:  # image descriptor
+            w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            iflags = payload[pos + 9]
+            pos += 10
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF: not supported")
+            pal = gct
+            if iflags & 0x80:  # local color table overrides
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(
+                    payload[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image with no color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                size = payload[pos]
+                data += payload[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+            indices = _lzw_decode(bytes(data), min_code, w * h)
+            if len(indices) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            px = pal[np.asarray(indices[: w * h], dtype=np.int64) % len(pal)]
+            px = px.reshape(h, w, 3).astype(np.float64)
+            r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+            gray = 0.299 * r + 0.587 * g + 0.114 * b
+            return [
+                float(w),
+                float(h),
+                float(np.mean(r)),
+                float(np.mean(g)),
+                float(np.mean(b)),
+                float(np.std(gray)),
+            ]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def _lzw_decode(data: bytes, min_code: int, limit: int) -> list[int]:
+    """GIF-variant LZW: codes start at min_code+1 bits (LSB-first bit
+    packing), CLEAR resets the dictionary, codes grow to 12 bits max.
+    Decodes at most ``limit`` pixels (GIF encoders may pad)."""
+    clear = 1 << min_code
+    end = clear + 1
+    out: list[int] = []
+    # dictionary as list of index-tuples; rebuilt on CLEAR
+    base = [(i,) for i in range(clear)] + [(), ()]
+    table = list(base)
+    width = min_code + 1
+    buf = bits = 0
+    prev: tuple[int, ...] | None = None
+    for byte in data:
+        buf |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = buf & ((1 << width) - 1)
+            buf >>= width
+            bits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + (entry[0],))
+            else:  # the KwKwK case
+                entry = prev + (prev[0],)
+                table.append(entry)
+            out.extend(entry)
+            if len(out) >= limit:
+                return out
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+MEDIA_DECODERS["gif"] = decode_gif_rgb
+_MAGIC.append((b"GIF8", "gif"))

@@ -379,3 +379,120 @@ def test_decode_auto_dispatches_by_magic(spark):
     assert got[1]["feature_dim"] == 6
     assert got[2]["feature_dim"] == 6
     assert got[3]["feature_dim"] == 5
+
+
+def _pack_lzw(codes_widths):
+    """LSB-first GIF bit packing of (code, width) pairs -> sub-blocked
+    image data bytes."""
+    buf = bits = 0
+    out = bytearray()
+    for code, width in codes_widths:
+        buf |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            bits -= 8
+    if bits:
+        out.append(buf & 0xFF)
+    blocks = bytearray()
+    for i in range(0, len(out), 255):
+        piece = out[i : i + 255]
+        blocks.append(len(piece))
+        blocks += piece
+    blocks.append(0)
+    return bytes(blocks)
+
+
+def _make_gif(pixels, palette, w, h, min_code=2):
+    """Hand-built GIF89a using the 'uncompressed' LZW trick: CLEAR
+    before every root code keeps the dictionary fixed-width."""
+    import struct
+
+    n = len(palette)
+    assert n == 4  # 2-bit color table for these tests
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    codes = []
+    for p in pixels:
+        codes.append((clear, width))
+        codes.append((p, width))
+    codes.append((end, width))
+    gct = b"".join(bytes(c) for c in palette)
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | 0x01, 0, 0)  # GCT, 4 entries
+        + gct
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([min_code])
+        + _pack_lzw(codes)
+        + b"\x3b"
+    )
+
+
+def test_decode_gif_rgb_known_image():
+    """A hand-encoded 2x2 GIF (one pixel per palette entry) must
+    decode to exact channel means."""
+    from de_realtime_voting_spark.operators.multimodal import decode_gif_rgb
+
+    palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    payload = _make_gif([0, 1, 2, 3], palette, 2, 2)
+    w, h, mr, mg, mb, sd = decode_gif_rgb(payload)
+    assert (w, h) == (2.0, 2.0)
+    assert (mr, mg, mb) == (255.0 / 4, 255.0 / 4, 255.0 / 4)
+    assert sd > 0
+
+
+def test_decode_gif_lzw_dictionary_growth_and_kwkwk():
+    """Real LZW compression path: the code stream [CLEAR, 0, 6, 0]
+    exercises the KwKwK case (code == next table slot) and the width
+    bump at table size 8 -- decodes to four black pixels."""
+    import struct
+
+    from de_realtime_voting_spark.operators.multimodal import decode_gif_rgb
+
+    palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    gct = b"".join(bytes(c) for c in palette)
+    codes = [(4, 3), (0, 3), (6, 3), (0, 3), (5, 4)]  # END read at 4 bits
+    payload = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 2, 2, 0x81, 0, 0)
+        + gct
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+        + bytes([2])
+        + _pack_lzw(codes)
+        + b"\x3b"
+    )
+    w, h, mr, mg, mb, sd = decode_gif_rgb(payload)
+    assert (w, h, mr, mg, mb, sd) == (2.0, 2.0, 0.0, 0.0, 0.0, 0.0)
+
+
+def test_decode_gif_skips_extensions_and_rejects_interlace():
+    import struct
+
+    from de_realtime_voting_spark.operators.multimodal import decode_gif_rgb
+
+    palette = [(9, 9, 9), (255, 255, 255), (0, 0, 0), (1, 2, 3)]
+    base = _make_gif([1, 1, 1, 1], palette, 2, 2)
+    # splice a graphics-control extension between header+GCT and the
+    # image descriptor (0x21 0xf9, one 4-byte sub-block, terminator)
+    head, img = base[: 13 + 12], base[13 + 12 :]
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    w, h, mr, mg, mb, sd = decode_gif_rgb(head + ext + img)
+    assert (w, h, mr, mg, mb) == (2.0, 2.0, 255.0, 255.0, 255.0)
+
+    interlaced = bytearray(base)
+    # image descriptor flags byte: offset 13+12 (header+GCT) + 9
+    interlaced[13 + 12 + 9] |= 0x40
+    with pytest.raises(ValueError):
+        decode_gif_rgb(bytes(interlaced))
+
+
+def test_decode_auto_handles_gif():
+    from de_realtime_voting_spark.operators.multimodal import decode_auto
+
+    palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    out = decode_auto(_make_gif([2, 2, 2, 2], palette, 2, 2))
+    assert out[2:5] == [0.0, 255.0, 0.0]
