@@ -148,3 +148,53 @@ def test_embed_inference_deterministic_and_bounded(spark):
         by_id.setdefault(r["doc_id"], []).append(tuple(r["embedding"]))
         assert all(-0.5 <= x < 0.5 for x in r["embedding"])
     assert len(by_id[7]) == 2 and by_id[7][0] == by_id[7][1]
+
+
+def test_winnowing_matches_python_reference(spark):
+    """Full-algorithm pin: the report must equal a from-scratch python
+    winnowing (rightmost-minimal md5-prefix per window, distinct
+    selected hashes, cross-doc sharing) over adversarial inputs --
+    repeated chars (max ties), periodic strings, shared substrings,
+    short docs."""
+    import hashlib
+
+    texts = [
+        "aaaaaaaaaaaaaaaa",          # every gram identical: tie storm
+        "abababababababab",          # period-2
+        "abcabcabcabcabc",           # period-3
+        "the quick brown fox jumps", # normal text
+        "quick brown fox",           # shared substring with above
+        "zz",                        # too short: no grams
+        "exact",                     # exactly K chars: one gram, no window
+        "exactly8",                  # K+W-1 chars: exactly one window
+    ]
+    rows = [(i, t, "en", f"s{i}", len(t)) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    def py_fingerprints(t):
+        K, W = WINNOW_K, WINNOW_W
+        hs = [
+            int(hashlib.md5(t[p : p + K].encode()).hexdigest()[:8], 16)
+            for p in range(len(t) - K + 1)
+        ]
+        sel = set()
+        for i in range(len(hs) - W + 1):
+            win = [(hs[i + d], -(i + d)) for d in range(W)]
+            sel.add(min(win)[0])
+        return sel
+
+    fps = {i: py_fingerprints(t) for i, t in enumerate(texts)}
+    from collections import Counter
+
+    owners = Counter(h for s in fps.values() for h in set(s))
+    shared = {h for s in fps.values() for h in s if owners[h] > 1}
+    got = {
+        r["source"]: r for r in text.doc_winnowing_fingerprints(docs).collect()
+    }
+    assert len(got) == len(texts)
+    for i in range(len(texts)):
+        r = got[f"s{i}"]
+        assert r["total_fp"] == len(fps[i]), texts[i]
+        assert r["docs_with_shared_fp"] == int(bool(fps[i] & shared)), texts[i]
