@@ -249,3 +249,9 @@ WINNOW_W = 4
 # embedder (md5-seeded stand-in for a real model call); small enough
 # that the SQL oracle's per-dim expression stays legible.
 INFER_DIM = 16
+# Near-dup graph PageRank (boilerplate centrality): fixed iteration
+# count so the oracle unrolls to plain CTEs; damping is the classic
+# 0.85.  Exactly representable: 0.85 rounds once, then every engine
+# multiplies the same double.
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 0.85

@@ -1188,3 +1188,79 @@ def dedup_threshold_sweep(documents: DataFrame) -> DataFrame:
         F.sum("n_pairs").over(w_desc).cast("bigint").alias("cum_pairs_at_tau"),
         rnd(F.col("n_pairs") / F.sum("n_pairs").over(w_all), 6).alias("pair_share"),
     )
+
+
+def near_dup_pagerank(documents: DataFrame) -> DataFrame:
+    """Boilerplate centrality: PAGERANK_ITERS damped PageRank
+    iterations over the verified near-dup graph.  High-rank docs sit
+    at the center of large duplication families (site templates,
+    licence blocks, mirrored feeds) -- the curation ranking of WHAT
+    to deduplicate first, where raw degree (near_dup_graph_degree)
+    over-counts leaf-heavy stars.  (No reference analog --
+    training-data mandate.)
+
+    Scale shape: edges are the bucket-bounded verified pairs (same
+    candidate bound as dedup_minhash_pairs), symmetrized once and
+    persisted; each iteration is one join + one grouped fold on the
+    edge list -- O(iters x |edges|) total, never corpus-sized.  The
+    graph-order scalar |V| rides a broadcast 1-row frame (the Q22
+    idiom), so plan construction triggers no job.  Numeric
+    determinism: per-node contribution sums fold in ASCENDING SORTED
+    order (aggregate(array_sort(collect_list(..))) -- group size is
+    node degree, bounded by the banding), teleport and damping apply
+    in one fixed expression order, and every division is a single
+    IEEE op -- the oracle's unrolled CTEs reproduce each iteration
+    bit-for-bit.
+    """
+    from ..constants import PAGERANK_DAMPING as D
+    from ..constants import PAGERANK_ITERS
+
+    pairs = dedup_minhash_pairs(documents).select("doc_a", "doc_b")
+    # lineage cut BEFORE the loop (not persist): the edge frame is
+    # referenced in every iteration's join; a lazy plan would carry
+    # the whole shingle/band pipeline into each round's analysis
+    # (the measured 8x round-1 pathology -- see _lineage_cut)
+    edges = _lineage_cut(
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .distinct()
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n1 = F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+    # init: pr = 1/|V| for every node (uniform start)
+    pr = deg.crossJoin(n1).select(
+        "src", "deg", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = edges.join(
+            pr.select("src", (F.col("pr") / F.col("deg")).alias("c")), "src"
+        ).select(F.col("dst").alias("src"), "c")
+        sums = contrib.groupBy("src").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("c")), F.lit(0.0), lambda a, x: a + x
+            ).alias("s")
+        )
+        # every node of this graph has degree >= 1, hence in-edges:
+        # the left join + coalesce only guards degenerate inputs
+        pr = (
+            pr.select("src", "deg", "n_nodes")
+            .join(sums, "src", "left")
+            .select(
+                "src",
+                "deg",
+                "n_nodes",
+                (
+                    (F.lit(1.0) - F.lit(D)) / F.col("n_nodes")
+                    + F.lit(D) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return pr.select(
+        F.col("src").alias("doc_id"),
+        F.col("deg").cast("bigint").alias("degree"),
+        rnd(F.col("pr"), 6).alias("pagerank"),
+    )

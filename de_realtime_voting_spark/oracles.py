@@ -2659,4 +2659,62 @@ SELECT doc_id, lang, CAST(16 AS INT) AS dim,
 FROM em
 """
 
+SQL["near_dup_pagerank"] = f"""{_MINHASH_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+vp AS (
+    SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               len(list_intersect(sa.shingles, sb.shingles))
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS j
+        FROM cand
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b
+    ) WHERE j >= {JACCARD_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM vp
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM vp
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+p0 AS (SELECT src, deg, 1.0 / nn.n_nodes AS pr FROM deg, nn),
+s1 AS (
+    SELECT e.dst AS src,
+           list_aggregate(list_sort(list(p.pr / p.deg)), 'sum') AS s
+    FROM edges e JOIN p0 p ON p.src = e.src GROUP BY 1
+),
+p1 AS (
+    SELECT p.src, p.deg,
+           (1.0 - 0.85) / nn.n_nodes + 0.85 * COALESCE(s1.s, 0.0) AS pr
+    FROM p0 p LEFT JOIN s1 USING (src), nn
+),
+s2 AS (
+    SELECT e.dst AS src,
+           list_aggregate(list_sort(list(p.pr / p.deg)), 'sum') AS s
+    FROM edges e JOIN p1 p ON p.src = e.src GROUP BY 1
+),
+p2 AS (
+    SELECT p.src, p.deg,
+           (1.0 - 0.85) / nn.n_nodes + 0.85 * COALESCE(s2.s, 0.0) AS pr
+    FROM p1 p LEFT JOIN s2 USING (src), nn
+),
+s3 AS (
+    SELECT e.dst AS src,
+           list_aggregate(list_sort(list(p.pr / p.deg)), 'sum') AS s
+    FROM edges e JOIN p2 p ON p.src = e.src GROUP BY 1
+),
+p3 AS (
+    SELECT p.src, p.deg,
+           (1.0 - 0.85) / nn.n_nodes + 0.85 * COALESCE(s3.s, 0.0) AS pr
+    FROM p2 p LEFT JOIN s3 USING (src), nn
+)
+SELECT src AS doc_id, deg AS degree, ROUND(pr, 6) AS pagerank FROM p3
+"""
+
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

@@ -296,6 +296,9 @@ _DEFS: dict[str, QueryFn] = {
     "doc_embed_inference": lambda s, d: inference.doc_embed_inference(
         _t(s, d, "documents")
     ),
+    "near_dup_pagerank": lambda s, d: dedup.near_dup_pagerank(
+        _t(s, d, "documents")
+    ),
     # sketch op (NO_ORACLE, tolerance-tested): registered LAST so it
     # never displaces an oracle-gated entry from the checker window
     "doc_length_percentile_filter_approx": lambda s, d: (
@@ -392,6 +395,7 @@ _PRIORITY: list[str] = [
     "ann_recall_report", "source_temperature_weights",
     "dedup_threshold_sweep", "doc_length_mad_outliers",
     "doc_winnowing_fingerprints", "doc_embed_inference",
+    "near_dup_pagerank",
     # modified in round 4 (decile rank key, zscore guard, _lineage_cut
     # loops, doc_segments refactor)
     "customer_spend_deciles", "votes_anomaly_zscore", "segment_dedup",

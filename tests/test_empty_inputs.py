@@ -203,6 +203,9 @@ CASES = {
     "doc_embed_inference": lambda s, d: inference.doc_embed_inference(
         _empty(s, d, "documents")
     ),
+    "near_dup_pagerank": lambda s, d: dedup.near_dup_pagerank(
+        _empty(s, d, "documents")
+    ),
 }
 
 # Report-shaped ops whose contract on empty input is a DEGENERATE

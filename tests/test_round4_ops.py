@@ -198,3 +198,51 @@ def test_winnowing_matches_python_reference(spark):
         r = got[f"s{i}"]
         assert r["total_fp"] == len(fps[i]), texts[i]
         assert r["docs_with_shared_fp"] == int(bool(fps[i] & shared)), texts[i]
+
+
+def test_pagerank_matches_python_reference(spark, sf_dir):
+    """Damped PageRank over the verified near-dup graph must equal a
+    from-scratch python implementation with the same fold semantics
+    (sorted contribution sums, 3 iterations, d = 0.85)."""
+    from de_realtime_voting_spark.constants import (
+        PAGERANK_DAMPING,
+        PAGERANK_ITERS,
+    )
+    from de_realtime_voting_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_minhash_pairs(docs).collect()
+    ]
+    assert pairs
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    pr = {v: 1.0 / n for v in adj}
+    for _ in range(PAGERANK_ITERS):
+        contribs: dict[int, list[float]] = {v: [] for v in adj}
+        for v, nbrs in adj.items():
+            c = pr[v] / len(nbrs)
+            for u in nbrs:
+                contribs[u].append(c)
+        nxt = {}
+        for v in adj:
+            s = 0.0
+            for c in sorted(contribs[v]):
+                s = s + c
+            nxt[v] = (1.0 - PAGERANK_DAMPING) / n + PAGERANK_DAMPING * s
+        pr = nxt
+    got = {
+        r["doc_id"]: (r["degree"], r["pagerank"])
+        for r in QUERY_REGISTRY["near_dup_pagerank"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(adj)
+    for v in adj:
+        assert got[v][0] == len(adj[v])
+        # the op rounds to 6 decimals; compare at that granularity
+        assert abs(got[v][1] - pr[v]) < 5.1e-7, v
+    # probability mass is conserved (undirected graph, no dangling)
+    assert abs(sum(p for _d, p in got.values()) - 1.0) < 1e-4
