@@ -69,6 +69,8 @@ DEFAULT = [
     "doc_winnowing_fingerprints",
     "doc_length_mad_outliers",
     "source_temperature_weights",
+    "near_dup_pagerank",
+    "doc_embed_inference",
 ]
 
 
