@@ -496,3 +496,81 @@ def test_decode_auto_handles_gif():
     palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
     out = decode_auto(_make_gif([2, 2, 2, 2], palette, 2, 2))
     assert out[2:5] == [0.0, 255.0, 0.0]
+
+
+def _lzw_encode(seq, min_code):
+    """Reference GIF-LZW encoder.  Width-bump rule: the decoder's
+    append for the encoder's k-th dictionary add happens one code
+    LATER (while reading code k+1), so the encoder widens when
+    next_code - 1 reaches 2^width -- one add after the decoder's
+    table hits the boundary.  Getting this off by one emits codes the
+    decoder reads at the wrong width (the classic GIF LZW bug)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = clear + 2
+    codes = [(clear, width)]
+    w = ()
+
+    def bumped(width, next_code):
+        return width + 1 if next_code - 1 == (1 << width) and width < 12 else width
+
+    for s in seq:
+        wk = w + (s,)
+        if wk in table:
+            w = wk
+            continue
+        codes.append((table[w], width))
+        table[wk] = next_code
+        next_code += 1
+        width = bumped(width, next_code)
+        w = (s,)
+    if w:
+        codes.append((table[w], width))
+        next_code += 1  # the decoder appends after this code too
+        width = bumped(width, next_code)
+    codes.append((end, width))
+    buf = bits = 0
+    out = bytearray()
+    for code, cw in codes:
+        buf |= code << bits
+        bits += cw
+        while bits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            bits -= 8
+    if bits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_roundtrip_hypothesis():
+    """Property: encode(seq) then decode == seq for arbitrary 2-bit
+    pixel streams -- exercises dictionary growth, width bumps, and
+    run-heavy inputs far beyond the handcrafted cases."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from de_realtime_voting_spark.operators.multimodal import _lzw_decode
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=3), min_size=1, max_size=300))
+    def check(seq):
+        data = _lzw_encode(seq, 2)
+        assert _lzw_decode(data, 2, len(seq)) == seq
+
+    check()
+
+
+def test_lzw_roundtrip_long_runs():
+    """Deterministic stress: kilopixel runs and periodic patterns push
+    the dictionary through several width bumps."""
+    from de_realtime_voting_spark.operators.multimodal import _lzw_decode
+
+    for seq in (
+        [0] * 2000,
+        [0, 1, 2, 3] * 500,
+        [0, 0, 1, 1, 2, 2, 3, 3] * 250,
+        list(range(4)) * 3 + [0] * 100 + [3, 2, 1, 0] * 50,
+    ):
+        assert _lzw_decode(_lzw_encode(seq, 2), 2, len(seq)) == seq
