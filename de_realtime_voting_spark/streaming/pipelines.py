@@ -497,3 +497,55 @@ def stream_curate(documents: DataFrame, eval_grams: list[str]) -> DataFrame:
         .dropDuplicates(["text_hash"])
         .withColumn("split", split_expr(F.col("doc_id")))
     )
+
+
+def stream_leading_candidate_hourly(votes: DataFrame, snapshot_dir: str):
+    """The reference's dashboard loop end-to-end: watermarked hourly
+    per-candidate tallies in UPDATE mode feed an idempotent
+    latest-wins upsert snapshot (each micro-batch re-emits a key's
+    grown total; replay re-delivers the same maximum), and
+    ``hourly_leaders`` reads the live leaderboard off that snapshot
+    with the batch argmax rule.  Returns the configured (unstarted)
+    writeStream.
+
+    Scale shape: state is bounded by candidates x in-flight hours
+    (watermark evicts closed windows); the snapshot holds one row per
+    (window, candidate) -- dashboard-sized, never event-sized."""
+    from .sinks import foreach_batch_upsert
+
+    counts = (
+        watermark_votes(votes)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("event_type").alias("candidate_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("total_votes"))
+        .select(
+            F.col("w.start").alias("window_start"), "candidate_id", "total_votes"
+        )
+    )
+    return counts.writeStream.outputMode("update").foreachBatch(
+        foreach_batch_upsert(
+            snapshot_dir,
+            ["window_start", "candidate_id"],
+            "total_votes",
+            descending=True,
+        )
+    )
+
+
+def hourly_leaders(spark, snapshot_dir: str) -> DataFrame:
+    """Leaderboard view over the live snapshot: per-window argmax with
+    the SAME tie-break as batch voting.leading_candidate_per_hour
+    (votes desc, candidate asc)."""
+    from pyspark.sql import Window
+
+    snap = spark.read.parquet(snapshot_dir)
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("total_votes").desc(), F.col("candidate_id").asc()
+    )
+    return (
+        snap.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("window_start", "candidate_id", "total_votes")
+    )

@@ -78,14 +78,19 @@ def foreach_batch_upsert(
     target_dir: str,
     key_cols: list[str],
     order_col: str,
+    descending: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """Idempotent upsert sink via foreachBatch -- the Spark-native
     analog of the reference's Postgres `INSERT ... votes` with a
     primary key (main.py:56-66, voting.py:98-105).
 
     Each micro-batch is merged with the existing snapshot, keeping
-    the first row per key (earliest order_col): re-processing a batch
-    after failure cannot double-count votes.  Everything runs as
+    one row per key: earliest order_col by default (first-write-wins,
+    the votes-PK semantics -- re-processing a batch after failure
+    cannot double-count), or largest order_col with descending=True
+    (latest-aggregate-wins, the UPDATE-mode dashboard semantics where
+    each micro-batch re-emits a key's grown total and idempotent
+    replay re-delivers the same maximum).  Everything runs as
     DataFrame ops inside the batch function -- no driver-side rows.
 
     Crash safety: each merge lands in a fresh versioned directory
@@ -111,7 +116,8 @@ def foreach_batch_upsert(
         if os.path.exists(base):  # follows the symlink
             old = spark.read.parquet(base)
             new = old.unionByName(new)
-        w = Window.partitionBy(*key_cols).orderBy(F2.col(order_col).asc())
+        order = F2.col(order_col).desc() if descending else F2.col(order_col).asc()
+        w = Window.partitionBy(*key_cols).orderBy(order)
         merged = (
             new.withColumn("__rn", F2.row_number().over(w))
             .where(F2.col("__rn") == 1)

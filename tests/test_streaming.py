@@ -5,6 +5,7 @@ the idempotent foreachBatch upsert sink."""
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import tempfile
 import time
@@ -1154,3 +1155,37 @@ def test_stream_curate_matches_batch_content_classes(spark, sf_dir):
             assert r["split"] == want_split[r["doc_id"]]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_leading_candidate_matches_batch(spark, sf_dir):
+    """The live leaderboard (update-mode tallies -> latest-wins upsert
+    snapshot -> argmax view) must equal the batch
+    leading_candidate_per_hour over the same events -- including after
+    a second run against the same snapshot (idempotent replay)."""
+    from de_realtime_voting_spark.operators.voting import (
+        leading_candidate_per_hour,
+    )
+    from de_realtime_voting_spark.streaming import (
+        hourly_leaders,
+        stream_leading_candidate_hourly,
+    )
+
+    votes = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="votes_leader_src_")
+    snap = os.path.join(tempfile.mkdtemp(prefix="votes_leader_snap_"), "snapshot")
+    try:
+        votes.repartition(3).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(votes.schema).parquet(src)
+        for _ in range(2):  # second run = full replay into same snapshot
+            q = (
+                stream_leading_candidate_hourly(stream, snap)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        got = sorted(map(tuple, hourly_leaders(spark, snap).collect()))
+        want = sorted(map(tuple, leading_candidate_per_hour(votes).collect()))
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(snap), ignore_errors=True)
