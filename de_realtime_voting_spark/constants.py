@@ -255,3 +255,14 @@ INFER_DIM = 16
 # multiplies the same double.
 PAGERANK_ITERS = 3
 PAGERANK_DAMPING = 0.85
+# Per-domain curation short-list: keep the K highest-quality docs of
+# every source (quality = the composite text_quality_score formula,
+# rounded to 6 so the window ordering key is engine-exact).
+QUALITY_TOPK = 5
+# Deterministic epoch shuffle: the training order of epoch E is the
+# sort by md5('epoch{E}:' || doc_id) -- seeded, engine-independent,
+# cluster-size-independent.  The preview query surfaces the first
+# EPOCH_PREVIEW_N docs of that order (TakeOrderedAndProject shape;
+# the full permutation is never materialized).
+EPOCH_SEED = 1
+EPOCH_PREVIEW_N = 100

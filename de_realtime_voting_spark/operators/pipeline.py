@@ -405,3 +405,38 @@ def source_temperature_weights(documents: DataFrame) -> DataFrame:
         rnd(temp_prob, 6).alias("temp_prob"),
         rnd(boost, 4).alias("mix_boost"),
     )
+
+
+def corpus_epoch_shuffle(documents: DataFrame) -> DataFrame:
+    """Deterministic epoch-shuffle preview: the first EPOCH_PREVIEW_N
+    docs of epoch EPOCH_SEED's global training order, where the order
+    is the sort by md5('epoch{seed}:' || doc_id) -- a seeded,
+    engine-independent permutation that changes completely between
+    epochs (different salt) yet is identical across reruns, engines
+    and cluster sizes.  The "what does the loader actually feed
+    first" audit for a seeded training run.
+
+    Scale shape: the full permutation is NEVER materialized --
+    orderBy + limit compiles to TakeOrderedAndProject (per-partition
+    top-N heaps, driver-side merge of N x P candidates), so cost is
+    one scan plus an N-row merge regardless of corpus size.  The
+    epoch_pos row_number then runs over the N surviving rows only
+    (single task over EPOCH_PREVIEW_N rows by construction, not a
+    corpus-global window).
+    """
+    from ..constants import EPOCH_PREVIEW_N, EPOCH_SEED
+
+    key = F.md5(
+        F.concat(F.lit(f"epoch{EPOCH_SEED}:"), F.col("doc_id").cast("string"))
+    )
+    head = (
+        documents.select("doc_id", key.alias("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id")
+        .limit(EPOCH_PREVIEW_N)
+    )
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return head.select(
+        F.row_number().over(w).cast("int").alias("epoch_pos"),
+        "doc_id",
+        "shuffle_key",
+    )

@@ -88,24 +88,36 @@ def text_lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+def _doc_quality(toks) -> "F.Column":
+    """Composite quality expression over a token-array column: token
+    count (half weight, saturates at 200), stopword ratio (0.3) and
+    average word length (0.2, saturates at 10 chars) -- rounded to 6
+    so the double is a stable ordering/grouping key cross-engine.
+    Caller guards the empty-array case (size 0 divides by zero)."""
+    n = F.size(toks)
+    stop_ratio = _stopword_count(toks) / n
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+    avg_word_len = total_len / n
+    return rnd(
+        F.least(n / F.lit(200.0), F.lit(1.0)) * 0.5
+        + stop_ratio * 0.3
+        + F.least(avg_word_len / F.lit(10.0), F.lit(1.0)) * 0.2,
+        6,
+    )
+
+
 def text_quality_score(documents: DataFrame) -> DataFrame:
     """Composite doc-quality score (length, stopword ratio, word
     length) aggregated per source -- the classic pre-training quality
     filter signal."""
     toks = F.col("toks")
     n = F.size(toks)
-    stop_ratio = _stopword_count(toks) / n
-    total_len = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
-    avg_word_len = total_len / n
-    score = rnd(
-        F.least(n / F.lit(200.0), F.lit(1.0)) * 0.5
-        + stop_ratio * 0.3
-        + F.least(avg_word_len / F.lit(10.0), F.lit(1.0)) * 0.2,
-        6,
-    )
     per_doc = documents.select(
         "source", tokens(F.col("text")).alias("toks")
-    ).select("source", F.when(n > 0, score).otherwise(F.lit(0.0)).alias("quality"))
+    ).select(
+        "source",
+        F.when(n > 0, _doc_quality(toks)).otherwise(F.lit(0.0)).alias("quality"),
+    )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         rnd(F.avg("quality"), 4).alias("avg_quality"),
@@ -814,3 +826,42 @@ def doc_winnowing_fingerprints(documents: DataFrame) -> DataFrame:
             ).alias("shared_doc_share"),
         )
     )
+
+
+def domain_quality_topk(documents: DataFrame) -> DataFrame:
+    """Per-source curation short-list: the QUALITY_TOPK highest-
+    quality docs of every source, ranked by the composite quality
+    score (_doc_quality -- identical formula to text_quality_score)
+    with doc_id ascending as the deterministic tie-break.  The "keep
+    the best K pages per domain" selection every curated crawl
+    pipeline runs before mixing.
+
+    Scale shape: scoring is a map-side array expression inside
+    codegen; ranking is one row_number window partitioned by source
+    -- a single shuffle on the source key, each task bounded by that
+    domain's doc count.  For a pathologically hot domain the
+    two-phase top-K (per-partition local top-K, then top-K of the
+    K x P survivors) drops in without changing the contract; at
+    observed domain cardinalities the plain window wins (one scan,
+    no candidate union).  The score is rounded BEFORE ranking so the
+    window ordering key is engine-exact (no float-sum tie hazard).
+    """
+    from pyspark.sql import Window
+
+    from ..constants import QUALITY_TOPK
+
+    scored = documents.select(
+        "source", "doc_id", tokens(F.col("text")).alias("toks")
+    ).select(
+        "source",
+        "doc_id",
+        F.when(F.size("toks") > 0, _doc_quality(F.col("toks")))
+        .otherwise(F.lit(0.0))
+        .alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return scored.withColumn(
+        "quality_rank", F.row_number().over(w).cast("int")
+    ).where(F.col("quality_rank") <= QUALITY_TOPK)

@@ -931,3 +931,71 @@ def turnout_grouping_sets(
         enriched.groupingSets([["region"], ["segment"], []], "region", "segment")
         .agg(F.count(F.lit(1)).alias("total_turnout_votes"))
     )
+
+
+def event_transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: for every (prev_type, next_type) pair of CONSECUTIVE
+    events within a user (ordered by ts, event_id as the total
+    tie-break), the transition count and the conditional probability
+    P(next | prev) -- the sequence-mining view of the click stream
+    (what users do after an error, what precedes a purchase).
+
+    Scale shape: the lag() window shuffles ONCE on user_id with
+    per-task work bounded by a single user's history (never corpus-
+    global); the transition matrix itself is |event_types|^2 rows --
+    single digits squared -- so the normalizing sum-over-prev window
+    runs on a dashboard-sized frame.  Counts are exact bigints; the
+    single probability division is rounded to 6 in both engines.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    wt = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        rnd(
+            F.col("n_transitions") / F.sum("n_transitions").over(wt), 6
+        ).alias("p_next"),
+    )
+
+
+def votes_sliding_window(votes: DataFrame) -> DataFrame:
+    """Sliding 2-hour windows advancing every hour, per candidate --
+    the OVERLAPPING-window twin of votes_per_candidate_hourly
+    (tumbling).  Every vote lands in exactly two windows: the ones
+    starting at date_trunc('hour', ts) and one hour earlier, which
+    is precisely how the oracle expresses it (UNION ALL of the two
+    shifted tumbling assignments).
+
+    Streaming-ready: the identical F.window(slideDuration=) grouping
+    expression runs under readStream with a watermark.  Scale: the
+    2x row expansion happens inside the partial aggregation (each
+    input row feeds two window groups map-side), so the shuffle
+    carries pre-aggregated (window, candidate) partials, never the
+    doubled fact.
+    """
+    return (
+        votes.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"),
+            F.col("event_type").alias("candidate_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total_votes"),
+            rnd(F.sum("value"), 2).alias("total_weight"),
+        )
+        .select(
+            F.col("w").start.alias("window_start"),
+            "candidate_id",
+            "total_votes",
+            "total_weight",
+        )
+    )

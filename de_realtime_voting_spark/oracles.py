@@ -2718,3 +2718,79 @@ SELECT src AS doc_id, deg AS degree, ROUND(pr, 6) AS pagerank FROM p3
 """
 
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}
+
+from .constants import EPOCH_PREVIEW_N, EPOCH_SEED, QUALITY_TOPK  # noqa: E402
+
+SQL["domain_quality_topk"] = f"""
+WITH d AS (SELECT source, doc_id, {_TOKS} AS toks FROM documents),
+s AS (
+    SELECT source, doc_id,
+           CASE WHEN len(toks) > 0 THEN ROUND(
+               LEAST(len(toks) / 200.0, 1.0) * 0.5
+               + (len(list_filter(toks, w -> list_contains({_STOPLIST}, w)))
+                  / len(toks)) * 0.3
+               + LEAST((list_aggregate(list_transform(toks, w -> length(w)), 'sum')
+                        / len(toks)) / 10.0, 1.0) * 0.2,
+               6)
+           ELSE 0.0 END AS quality
+    FROM d
+),
+r AS (
+    SELECT source, doc_id, quality,
+           CAST(row_number() OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id ASC
+           ) AS INT) AS quality_rank
+    FROM s
+)
+SELECT source, doc_id, quality, quality_rank FROM r
+WHERE quality_rank <= {QUALITY_TOPK}
+"""
+
+SQL["corpus_epoch_shuffle"] = f"""
+WITH k AS (
+    SELECT doc_id,
+           md5('epoch{EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+),
+r AS (
+    SELECT CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS INT)
+               AS epoch_pos,
+           doc_id, shuffle_key
+    FROM k
+)
+SELECT epoch_pos, doc_id, shuffle_key FROM r WHERE epoch_pos <= {EPOCH_PREVIEW_N}
+"""
+
+SQL["event_transition_matrix"] = f"""
+WITH {_EVENTS_CTE},
+p AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_type
+    FROM ev
+),
+c AS (
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_transitions,
+       ROUND(n_transitions / SUM(n_transitions) OVER (PARTITION BY prev_type),
+             6) AS p_next
+FROM c
+"""
+
+SQL["votes_sliding_window"] = f"""
+WITH {_EVENTS_CTE},
+x AS (
+    SELECT date_trunc('hour', ts) AS window_start, event_type, value FROM ev
+    UNION ALL
+    SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start,
+           event_type, value FROM ev
+)
+SELECT window_start, event_type AS candidate_id,
+       CAST(COUNT(*) AS BIGINT) AS total_votes,
+       ROUND(SUM(value), 2) AS total_weight
+FROM x GROUP BY 1, 2
+"""

@@ -299,6 +299,19 @@ _DEFS: dict[str, QueryFn] = {
     "near_dup_pagerank": lambda s, d: dedup.near_dup_pagerank(
         _t(s, d, "documents")
     ),
+    # --- round 4 (cont.): curation top-K / epoch order / sequences / sliding ---
+    "domain_quality_topk": lambda s, d: text.domain_quality_topk(
+        _t(s, d, "documents")
+    ),
+    "corpus_epoch_shuffle": lambda s, d: pipeline.corpus_epoch_shuffle(
+        _t(s, d, "documents")
+    ),
+    "event_transition_matrix": lambda s, d: voting.event_transition_matrix(
+        _t(s, d, "events")
+    ),
+    "votes_sliding_window": lambda s, d: voting.votes_sliding_window(
+        _t(s, d, "events")
+    ),
     # sketch op (NO_ORACLE, tolerance-tested): registered LAST so it
     # never displaces an oracle-gated entry from the checker window
     "doc_length_percentile_filter_approx": lambda s, d: (
@@ -390,6 +403,9 @@ _DEFS: dict[str, QueryFn] = {
 # distributed quartiles, heavy dedup).  The voting/time-series block
 # earned fresh r3 rows and rotates to the back.
 _PRIORITY: list[str] = [
+    # newest in round 4 (this session)
+    "domain_quality_topk", "corpus_epoch_shuffle",
+    "event_transition_matrix", "votes_sliding_window",
     # new in round 4
     "hot_key_join_salted", "q9_product_profit", "semantic_dedup",
     "ann_recall_report", "source_temperature_weights",

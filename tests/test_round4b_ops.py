@@ -1,0 +1,105 @@
+"""Behavioral contracts for the round-4 continuation ops (session 2):
+per-domain top-K selection, seeded epoch shuffle determinism, Markov
+transition accounting, and sliding-window double-count geometry.
+(Cross-engine value parity is covered registry-wide by
+test_queries_oracle.)"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from de_realtime_voting_spark.constants import EPOCH_PREVIEW_N, QUALITY_TOPK
+from de_realtime_voting_spark.operators import pipeline, text, voting
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, (t, lang, src) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), u, et, 1.0, "{}")
+            for i, (m, u, et) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_domain_quality_topk_caps_and_orders(spark):
+    """Each source yields at most QUALITY_TOPK rows with contiguous
+    ranks, ordered by descending quality with doc_id tie-break."""
+    rows = [(f"word {'common the and of to ' * (i + 1)}", "en", "sA") for i in range(8)]
+    rows += [("tiny", "en", "sB")]
+    out = text.domain_quality_topk(_docs(spark, rows)).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src["sA"]) == QUALITY_TOPK
+    assert len(by_src["sB"]) == 1
+    for rs in by_src.values():
+        rs.sort(key=lambda r: r["quality_rank"])
+        assert [r["quality_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert (a["quality"], -a["doc_id"]) >= (b["quality"], -b["doc_id"])
+
+
+def test_domain_quality_topk_tiebreak_is_doc_id(spark):
+    """Identical texts have identical scores: rank order must follow
+    doc_id ascending (deterministic survivor choice)."""
+    rows = [("the same text again and again", "en", "sT")] * 3
+    out = sorted(
+        text.domain_quality_topk(_docs(spark, rows)).collect(),
+        key=lambda r: r["quality_rank"],
+    )
+    assert [r["doc_id"] for r in out] == [0, 1, 2]
+
+
+def test_epoch_shuffle_is_deterministic_permutation_prefix(spark):
+    docs = _docs(spark, [(f"text {i}", "en", "s") for i in range(30)])
+    a = pipeline.corpus_epoch_shuffle(docs).collect()
+    b = pipeline.corpus_epoch_shuffle(docs).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    n = min(EPOCH_PREVIEW_N, 30)
+    assert sorted(r["epoch_pos"] for r in a) == list(range(1, n + 1))
+    assert len({r["doc_id"] for r in a}) == n
+    # a seeded md5 order is (overwhelmingly) not the insertion order
+    assert [r["doc_id"] for r in sorted(a, key=lambda r: r["epoch_pos"])] != list(
+        range(n)
+    )
+
+
+def test_transition_matrix_counts_and_probabilities(spark):
+    """u1: view->click->purchase; u2: view->view.  Transitions are
+    per-user consecutive pairs; p_next is conditional on prev."""
+    ev = _events(
+        spark,
+        [(0, 1, "view"), (1, 1, "click"), (2, 1, "purchase"), (0, 2, "view"), (5, 2, "view")],
+    )
+    out = {(r["prev_type"], r["next_type"]): r for r in voting.event_transition_matrix(ev).collect()}
+    assert out[("view", "click")]["n_transitions"] == 1
+    assert out[("view", "view")]["n_transitions"] == 1
+    assert out[("click", "purchase")]["n_transitions"] == 1
+    assert out[("view", "click")]["p_next"] == 0.5
+    assert out[("click", "purchase")]["p_next"] == 1.0
+    # no cross-user transition (u1's purchase never precedes u2's view)
+    assert ("purchase", "view") not in out
+
+
+def test_sliding_window_counts_each_vote_twice(spark):
+    """2h windows sliding 1h: every vote lands in exactly two
+    windows, so the grand total is 2x the vote count."""
+    ev = _events(spark, [(0, 1, "A"), (30, 2, "A"), (90, 3, "B")])
+    out = voting.votes_sliding_window(ev).collect()
+    assert sum(r["total_votes"] for r in out) == 2 * 3
+    # the 00:00-02:00 window holds all three votes
+    full = {
+        (r["window_start"].hour, r["candidate_id"]): r["total_votes"] for r in out
+    }
+    assert full[(0, "A")] == 2 and full[(0, "B")] == 1
+    # the window starting at 23:00 (previous day) holds only hour-0 votes
+    assert full[(23, "A")] == 2 and (23, "B") not in full
