@@ -361,7 +361,9 @@ def test_decode_auto_dispatches_by_magic(spark):
     assert decode_auto(png)[:2] == [3.0, 2.0]
     assert decode_auto(bmp)[:2] == [3.0, 2.0]
     assert decode_auto(wav)[0] == 1.0  # n_channels
-    with pytest.raises(NotImplementedError, match="jpeg"):
+    with pytest.raises(NotImplementedError, match="mp3"):
+        decode_auto(b"ID3\x04\x00 mp3 header")
+    with pytest.raises(ValueError):  # jpeg is real now: garbage fails loudly
         decode_auto(b"\xff\xd8\xff\xe0 jpeg header")
     with pytest.raises(ValueError):
         decode_auto(b"no such magic")
@@ -574,3 +576,257 @@ def test_lzw_roundtrip_long_runs():
         list(range(4)) * 3 + [0] * 100 + [3, 2, 1, 0] * 50,
     ):
         assert _lzw_decode(_lzw_encode(seq, 2), 2, len(seq)) == seq
+
+
+# --- baseline JPEG: from-scratch encoder -> decode_jpeg_rgb roundtrip ----
+
+
+class _JBitWriter:
+    """MSB-first bit writer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value, nbits):
+        for i in reversed(range(nbits)):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def byte_align(self):
+        while self.n:
+            self.write(1, 1)
+
+
+def _j_put_sym(bw, s):
+    # encoder Huffman table: symbol s<255 -> code s at 9 bits;
+    # symbol 255 -> code 510 at 10 bits (canonical continuation)
+    if s < 255:
+        bw.write(s, 9)
+    else:
+        bw.write(510, 10)
+
+
+def _j_category(v):
+    return abs(v).bit_length()
+
+
+def _j_write_val(bw, v, s):
+    bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+
+
+def _j_encode_block(bw, coefs_zz, pred):
+    """coefs_zz: 64 ints in zigzag order; returns new DC predictor."""
+    diff = coefs_zz[0] - pred
+    s = _j_category(diff)
+    _j_put_sym(bw, s)
+    _j_write_val(bw, diff, s)
+    run = 0
+    for k in range(1, 64):
+        v = coefs_zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            _j_put_sym(bw, 0xF0)  # ZRL
+            run -= 16
+        s = _j_category(v)
+        _j_put_sym(bw, (run << 4) | s)
+        _j_write_val(bw, v, s)
+        run = 0
+    if run:
+        _j_put_sym(bw, 0x00)  # EOB
+    return coefs_zz[0]
+
+
+def _j_fdct_quant_zz(block):
+    """Forward orthonormal DCT of a level-shifted 8x8 block, quant=1,
+    rounded, returned in zigzag order."""
+    import numpy as np
+
+    from de_realtime_voting_spark.operators.multimodal import _ZIGZAG, _dct_matrix
+
+    c = _dct_matrix()
+    coef = c @ (block - 128.0) @ c.T
+    flat = np.rint(coef).astype(np.int64).reshape(64)
+    return [int(flat[_ZIGZAG[k]]) for k in range(64)]
+
+
+def _make_jpeg(rgb, subsample=False, restart_interval=0, grayscale=False):
+    """From-scratch baseline JPEG encoder (quant tables all ones, one
+    shared 9/10-bit Huffman table): 4:4:4, 4:2:0 or single-component
+    grayscale, optional DRI/RST markers."""
+    import numpy as np
+
+    rgb = np.asarray(rgb, dtype=np.float64)
+    h, w = rgb.shape[:2]
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    if grayscale:
+        comps = [(1, 1, 1, y)]
+    elif subsample:
+        cb2 = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        cr2 = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        comps = [(1, 2, 2, y), (2, 1, 1, cb2), (3, 1, 1, cr2)]
+    else:
+        comps = [(1, 1, 1, y), (2, 1, 1, cb), (3, 1, 1, cr)]
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    out = bytearray(b"\xff\xd8")
+    # DQT id 0: all ones
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes([1] * 64)
+    # SOF0
+    ncomp = len(comps)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for cid, hs, vs, _ in comps:
+        sof += bytes([cid, (hs << 4) | vs, 0])
+    out += b"\xff\xc0" + (2 + len(sof)).to_bytes(2, "big") + sof
+    # DHT: same code lengths for DC (class 0) and AC (class 1), id 0
+    counts = bytes([0] * 8 + [255, 1] + [0] * 6)
+    symbols = bytes(range(255)) + bytes([255])
+    for cls in (0, 1):
+        body = bytes([cls << 4]) + counts + symbols
+        out += b"\xff\xc4" + (2 + len(body)).to_bytes(2, "big") + body
+    if restart_interval:
+        out += b"\xff\xdd" + (4).to_bytes(2, "big") + restart_interval.to_bytes(2, "big")
+    # SOS
+    sos = bytes([ncomp])
+    for cid, *_ in comps:
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+
+    bw = _JBitWriter()
+    pred = {cid: 0 for cid, *_ in comps}
+    rst = 0
+    n_mcus = mcux * mcuy
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.byte_align()
+            out += bytes(bw.buf) + bytes([0xFF, 0xD0 + (rst & 7)])
+            bw = _JBitWriter()
+            rst += 1
+            pred = {cid: 0 for cid, *_ in comps}
+        my, mx = divmod(m, mcux)
+        for cid, hs, vs, plane in comps:
+            import numpy as np
+
+            ph = mcuy * vs * 8
+            pw = mcux * hs * 8
+            padded = np.zeros((ph, pw))
+            padded[: plane.shape[0], : plane.shape[1]] = plane
+            for by in range(vs):
+                for bx in range(hs):
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    blk = padded[y0 : y0 + 8, x0 : x0 + 8]
+                    pred[cid] = _j_encode_block(bw, _j_fdct_quant_zz(blk), pred[cid])
+    bw.byte_align()
+    out += bytes(bw.buf) + b"\xff\xd9"
+    return bytes(out)
+
+
+def _gradient_rgb(h, w):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    r = 255.0 * xx / max(w - 1, 1)
+    g = 255.0 * yy / max(h - 1, 1)
+    b = np.full((h, w), 96.0)
+    return np.stack([r, g, b], axis=2)
+
+
+def _true_features(rgb):
+    import numpy as np
+
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    gray = 0.299 * r + 0.587 * g + 0.114 * b
+    return (
+        float(np.mean(r)),
+        float(np.mean(g)),
+        float(np.mean(b)),
+        float(np.std(gray)),
+    )
+
+
+def test_decode_jpeg_444_roundtrip():
+    from de_realtime_voting_spark.operators.multimodal import decode_jpeg_rgb
+
+    img = _gradient_rgb(16, 16)
+    w, h, mr, mg, mb, sd = decode_jpeg_rgb(_make_jpeg(img))
+    tr, tg, tb, tsd = _true_features(img)
+    assert (w, h) == (16.0, 16.0)
+    # quant=1: only DCT-coefficient rounding noise survives
+    assert abs(mr - tr) < 1.0 and abs(mg - tg) < 1.0 and abs(mb - tb) < 1.0
+    assert abs(sd - tsd) < 1.5
+
+
+def test_decode_jpeg_420_subsampled_roundtrip():
+    from de_realtime_voting_spark.operators.multimodal import decode_jpeg_rgb
+
+    img = _gradient_rgb(16, 16)
+    w, h, mr, mg, mb, sd = decode_jpeg_rgb(_make_jpeg(img, subsample=True))
+    tr, tg, tb, tsd = _true_features(img)
+    assert (w, h) == (16.0, 16.0)
+    # chroma is 2x2-averaged then nearest-neighbor upsampled: smooth
+    # gradients survive within a couple of gray levels
+    assert abs(mr - tr) < 3.0 and abs(mg - tg) < 3.0 and abs(mb - tb) < 3.0
+
+
+def test_decode_jpeg_grayscale_and_odd_size():
+    """Single-component scan + non-multiple-of-8 dims (12x10 pads to
+    two MCUs wide; the pad must be cropped, not averaged in)."""
+    import numpy as np
+
+    from de_realtime_voting_spark.operators.multimodal import decode_jpeg_rgb
+
+    img = np.zeros((10, 12, 3))
+    img[:, :, :] = 200.0
+    w, h, mr, mg, mb, sd = decode_jpeg_rgb(_make_jpeg(img, grayscale=True))
+    assert (w, h) == (12.0, 10.0)
+    assert abs(mr - 200.0) < 1.5 and abs(sd) < 1.5
+    assert abs(mr - mg) < 1e-9 and abs(mr - mb) < 1e-9  # gray: R=G=B
+
+
+def test_decode_jpeg_restart_markers():
+    from de_realtime_voting_spark.operators.multimodal import decode_jpeg_rgb
+
+    img = _gradient_rgb(16, 24)  # 6 MCUs at 4:4:4 -> RSTs every 2
+    plain = decode_jpeg_rgb(_make_jpeg(img))
+    with_rst = decode_jpeg_rgb(_make_jpeg(img, restart_interval=2))
+    assert plain == with_rst
+
+
+def test_decode_jpeg_rejects_progressive():
+    import pytest
+
+    from de_realtime_voting_spark.operators.multimodal import decode_jpeg_rgb
+
+    img = _gradient_rgb(8, 8)
+    payload = bytearray(_make_jpeg(img))
+    idx = payload.find(b"\xff\xc0")
+    payload[idx + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg_rgb(bytes(payload))
+
+
+def test_decode_auto_handles_jpeg():
+    from de_realtime_voting_spark.operators.multimodal import decode_auto
+
+    img = _gradient_rgb(8, 8)
+    feats = decode_auto(_make_jpeg(img))
+    assert feats[0] == 8.0 and feats[1] == 8.0
