@@ -549,3 +549,15 @@ def hourly_leaders(spark, snapshot_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("window_start", "candidate_id", "total_votes")
     )
+
+
+def stream_votes_sliding_window(votes: DataFrame, delay: str = "1 minute") -> DataFrame:
+    """Watermarked SLIDING-window tally (2h windows advancing hourly)
+    -- the SAME transform as batch voting.votes_sliding_window
+    (single logical plan, two execution modes).  Each vote updates
+    two in-flight windows; the watermark finalizes a window once
+    event time passes its end + delay, so append mode emits each
+    (window, candidate) row exactly once and state stays bounded by
+    candidates x in-flight windows (at most 2 overlapping per hour
+    of watermark lag)."""
+    return voting.votes_sliding_window(watermark_votes(votes, delay))

@@ -1189,3 +1189,31 @@ def test_stream_leading_candidate_matches_batch(spark, sf_dir):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(os.path.dirname(snap), ignore_errors=True)
+
+
+def test_stream_sliding_window_matches_batch(spark, sf_dir, vote_json_dir):
+    """Finalized sliding windows from the stream must equal the batch
+    sliding-window tally (every vote in exactly two windows)."""
+    from de_realtime_voting_spark.streaming.pipelines import (
+        stream_votes_sliding_window,
+    )
+
+    stream = parse_vote_stream(
+        spark.readStream.schema("value_json string").text(vote_json_dir),
+        "value_json",
+    )
+    out = _run_stream_to_memory(
+        spark,
+        stream_votes_sliding_window(stream, "1 minute"),
+        "vsw_stream",
+        "append",
+    ).collect()
+    batch = {
+        (r["window_start"], r["candidate_id"]): r["total_votes"]
+        for r in voting.votes_sliding_window(
+            load_table(spark, sf_dir, "events")
+        ).collect()
+    }
+    assert len(out) > 0
+    for r in out:
+        assert batch[(r["window_start"], r["candidate_id"])] == r["total_votes"]
