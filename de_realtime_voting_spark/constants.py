@@ -266,3 +266,8 @@ QUALITY_TOPK = 5
 # the full permutation is never materialized).
 EPOCH_SEED = 1
 EPOCH_PREVIEW_N = 100
+# Interpolated bigram LM (CCNet-style perplexity screen, one step up
+# from the unigram model): P = LAMBDA*P(w2|w1) + (1-LAMBDA)*P(w2).
+# 0.7 is exactly representable enough for cross-engine parity: both
+# engines parse the same literal to the same double.
+BIGRAM_LAMBDA = 0.7

@@ -865,3 +865,71 @@ def domain_quality_topk(documents: DataFrame) -> DataFrame:
     return scored.withColumn(
         "quality_rank", F.row_number().over(w).cast("int")
     ).where(F.col("quality_rank") <= QUALITY_TOPK)
+
+
+def bigram_logprob_score(documents: DataFrame) -> DataFrame:
+    """Interpolated bigram-LM quality screen -- the next rung above
+    unigram_logprob_score on the CCNet-style perplexity ladder: every
+    document scored by the mean log-probability of its POSITIONAL
+    word bigrams under lambda*P(w2|w1) + (1-lambda)*P(w2)
+    (Jelinek-Mercer interpolation), reported per (lang, source).
+    Fluent prose keeps high-probability transitions; shuffled-word
+    soup that fools a unigram model scores low here.
+
+    Scale shape: mirrors unigram_logprob_score.  Model building is
+    groupBy counts with map-side partial agg (the Zipf head collapses
+    before the shuffle).  Scoring joins the exploded bigram stream to
+    the bigram/context/unigram models with the MODEL sides broadcast:
+    bigram frequency is Zipf-skewed, so a shuffle join keyed on the
+    bigram would funnel head transitions into a few tasks.  At 100 TB
+    the broadcast bigram model must be capped to the top-K transitions
+    with the interpolation absorbing the tail (unseen bigram => pure
+    unigram backoff via coalesce(bi_cnt, 0)); the full-vocab broadcast
+    here matches the oracle exactly.
+    """
+    from ..constants import BIGRAM_LAMBDA
+
+    toks = tokens(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    pair = documents.select(
+        "doc_id", "lang", "source", bigrams.alias("bigrams")
+    ).where(F.size("bigrams") >= 1).select(
+        "doc_id", "lang", "source", F.explode("bigrams").alias("bigram")
+    )
+    tok = documents.select(F.explode(tokens(F.col("text"))).alias("term"))
+    uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("uni_cnt"))
+    total = uni.agg(F.sum("uni_cnt").cast("double").alias("n_total"))
+    bi = pair.groupBy("bigram").agg(F.count(F.lit(1)).alias("bi_cnt"))
+    ctx = bi.groupBy(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1")
+    ).agg(F.sum("bi_cnt").alias("ctx_cnt"))
+    p_bi = F.col("bi_cnt") / F.col("ctx_cnt")
+    p_uni = F.col("uni_cnt") / F.col("n_total")
+    scored = (
+        pair.join(F.broadcast(bi), "bigram")
+        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("term", "w2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.log(
+                F.lit(BIGRAM_LAMBDA) * p_bi + F.lit(1.0 - BIGRAM_LAMBDA) * p_uni
+            ).alias("logp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "lang", "source").agg(
+        F.avg("logp").alias("lp")
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        rnd(F.avg("lp"), 4).alias("avg_logprob"),
+        rnd(F.min("lp"), 4).alias("min_logprob"),
+    )

@@ -2717,8 +2717,6 @@ p3 AS (
 SELECT src AS doc_id, deg AS degree, ROUND(pr, 6) AS pagerank FROM p3
 """
 
-SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}
-
 from .constants import EPOCH_PREVIEW_N, EPOCH_SEED, QUALITY_TOPK  # noqa: E402
 
 SQL["domain_quality_topk"] = f"""
@@ -2794,3 +2792,46 @@ SELECT window_start, event_type AS candidate_id,
        ROUND(SUM(value), 2) AS total_weight
 FROM x GROUP BY 1, 2
 """
+
+from .constants import BIGRAM_LAMBDA  # noqa: E402
+
+SQL["bigram_logprob_score"] = f"""
+WITH d AS (SELECT doc_id, lang, source, {_TOKS} AS toks FROM documents),
+pair AS (
+    SELECT doc_id, lang, source,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1])) AS bigram
+    FROM d WHERE len(toks) >= 2
+),
+tok AS (SELECT unnest({_TOKS}) AS term FROM documents),
+uni AS (SELECT term, COUNT(*) AS uni_cnt FROM tok GROUP BY 1),
+tot AS (SELECT CAST(SUM(uni_cnt) AS DOUBLE) AS n_total FROM uni),
+bi AS (SELECT bigram, COUNT(*) AS bi_cnt FROM pair GROUP BY 1),
+ctx AS (
+    SELECT split_part(bigram, ' ', 1) AS w1, SUM(bi_cnt) AS ctx_cnt
+    FROM bi GROUP BY 1
+),
+scored AS (
+    SELECT p.doc_id, p.lang, p.source,
+           ln({BIGRAM_LAMBDA} * (CAST(b.bi_cnt AS DOUBLE) / c.ctx_cnt)
+              + {1.0 - BIGRAM_LAMBDA} * (CAST(u.uni_cnt AS DOUBLE) / tot.n_total))
+               AS logp
+    FROM pair p
+    JOIN bi b ON p.bigram = b.bigram
+    JOIN ctx c ON split_part(p.bigram, ' ', 1) = c.w1
+    JOIN uni u ON split_part(p.bigram, ' ', 2) = u.term
+    CROSS JOIN tot
+),
+per_doc AS (
+    SELECT doc_id, lang, source, AVG(logp) AS lp
+    FROM scored GROUP BY 1, 2, 3
+)
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(lp), 4) AS avg_logprob,
+       ROUND(MIN(lp), 4) AS min_logprob
+FROM per_doc GROUP BY 1, 2
+"""
+
+# Applied LAST so every entry above -- including late additions -- gets
+# the engine-exact half-up rounding rewrite.
+SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

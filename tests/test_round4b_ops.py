@@ -103,3 +103,22 @@ def test_sliding_window_counts_each_vote_twice(spark):
     assert full[(0, "A")] == 2 and full[(0, "B")] == 1
     # the window starting at 23:00 (previous day) holds only hour-0 votes
     assert full[(23, "A")] == 2 and (23, "B") not in full
+
+
+def test_bigram_logprob_flags_shuffled_word_soup(spark):
+    """The discriminating property over the unigram model: a doc with
+    the SAME unigram distribution but scrambled word order must score
+    lower (its transitions are rare), while the fluent docs that
+    dominate the corpus score higher."""
+    fluent = "the quick brown fox jumps over the lazy dog"
+    shuffled = "dog the over fox lazy jumps quick the brown"
+    rows = [(fluent, "en", "fluent")] * 6 + [(shuffled, "en", "soup")]
+    out = {r["source"]: r for r in text.bigram_logprob_score(_docs(spark, rows)).collect()}
+    assert out["soup"]["avg_logprob"] < out["fluent"]["avg_logprob"]
+
+
+def test_bigram_logprob_single_token_docs_drop_out(spark):
+    """Docs with < 2 tokens have no bigrams and must not appear."""
+    rows = [("one", "en", "sA"), ("two words here", "en", "sB")]
+    out = text.bigram_logprob_score(_docs(spark, rows)).collect()
+    assert {r["source"] for r in out} == {"sB"}
