@@ -1264,3 +1264,68 @@ def near_dup_pagerank(documents: DataFrame) -> DataFrame:
         F.col("deg").cast("bigint").alias("degree"),
         rnd(F.col("pr"), 6).alias("pagerank"),
     )
+
+
+def near_dup_triangles(documents: DataFrame) -> DataFrame:
+    """Triangle census of the verified near-dup graph: one summary
+    row with vertex/edge counts, open-wedge count, triangle count and
+    the global clustering coefficient 3*triangles/wedges.  High
+    clustering = boilerplate families (mirror farms, templated pages)
+    where transitive closure is about to merge everything; low
+    clustering = sparse accidental pairs a cheap keep-one rule
+    handles.  The triage number consulted before choosing between
+    dedup_keep_canonical and full connected components.  (No
+    reference analog -- training-data mandate.)
+
+    Scale shape: edges are the bucket-bounded verified pairs
+    (dedup_minhash_pairs, doc_a < doc_b canonical orientation).  The
+    wedge join is edge-to-edge on the shared MIDDLE vertex -- work is
+    sum(deg^2), bounded because near-dup degrees are bounded by
+    near-dup family sizes, never corpus size; the closure check is
+    one more equi-join on the (low, high) endpoint key.  Each
+    triangle u<v<w is counted exactly once (both joins preserve the
+    ascending orientation).  All counts are exact integers; the one
+    clustering division is rounded in both engines.
+    """
+    # persist: the edge list feeds degrees, both wedge sides and the
+    # closure probe; deliberately not unpersisted (lazy plan outlives
+    # the function; LRU-evictable, harnesses clearCache() per query)
+    e = (
+        dedup_minhash_pairs(documents)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .persist()
+    )
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    vert_wedges = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    edges_cnt = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    paths = e.join(
+        e.select(F.col("u").alias("v"), F.col("v").alias("w")), "v"
+    ).select("u", "w")
+    tri_cnt = paths.join(
+        e.select("u", F.col("v").alias("w")), ["u", "w"]
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    return (
+        vert_wedges.crossJoin(F.broadcast(edges_cnt))
+        .crossJoin(F.broadcast(tri_cnt))
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                rnd(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("global_clustering"),
+        )
+    )

@@ -2832,6 +2832,48 @@ SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM per_doc GROUP BY 1, 2
 """
 
+SQL["near_dup_triangles"] = f"""{_MINHASH_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+ver AS (
+    SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               len(list_intersect(sa.shingles, sb.shingles))
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b
+    ) WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+deg AS (
+    SELECT doc_id, COUNT(*) AS deg FROM (
+        SELECT doc_a AS doc_id FROM ver
+        UNION ALL SELECT doc_b AS doc_id FROM ver
+    ) GROUP BY 1
+),
+vw AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+    FROM deg
+),
+edg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM ver),
+tri AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM ver e1
+    JOIN ver e2 ON e1.doc_b = e2.doc_a
+    JOIN ver e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+)
+SELECT n_vertices, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN ROUND(3.0 * n_triangles / n_wedges, 6)
+            ELSE 0.0 END AS global_clustering
+FROM vw, edg, tri
+"""
+
 # Applied LAST so every entry above -- including late additions -- gets
 # the engine-exact half-up rounding rewrite.
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

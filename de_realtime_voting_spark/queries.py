@@ -315,6 +315,9 @@ _DEFS: dict[str, QueryFn] = {
     "bigram_logprob_score": lambda s, d: text.bigram_logprob_score(
         _t(s, d, "documents")
     ),
+    "near_dup_triangles": lambda s, d: dedup.near_dup_triangles(
+        _t(s, d, "documents")
+    ),
     # sketch op (NO_ORACLE, tolerance-tested): registered LAST so it
     # never displaces an oracle-gated entry from the checker window
     "doc_length_percentile_filter_approx": lambda s, d: (
@@ -409,7 +412,7 @@ _PRIORITY: list[str] = [
     # newest in round 4 (this session)
     "domain_quality_topk", "corpus_epoch_shuffle",
     "event_transition_matrix", "votes_sliding_window",
-    "bigram_logprob_score",
+    "bigram_logprob_score", "near_dup_triangles",
     # new in round 4
     "hot_key_join_salted", "q9_product_profit", "semantic_dedup",
     "ann_recall_report", "source_temperature_weights",

@@ -122,3 +122,31 @@ def test_bigram_logprob_single_token_docs_drop_out(spark):
     rows = [("one", "en", "sA"), ("two words here", "en", "sB")]
     out = text.bigram_logprob_score(_docs(spark, rows)).collect()
     assert {r["source"] for r in out} == {"sB"}
+
+
+def test_near_dup_triangles_known_graph(spark):
+    """Three identical docs form a triangle (cc = 1 among them), two
+    more identical docs form an isolated edge: 5 vertices, 4 edges,
+    3 wedges, 1 triangle, global cc = 3*1/3 = 1.0."""
+    from de_realtime_voting_spark.operators import dedup
+
+    t1 = "alpha beta gamma delta epsilon zeta"
+    t2 = "one two three four five six seven"
+    rows = [(t1, "en", "s")] * 3 + [(t2, "en", "s")] * 2
+    [row] = dedup.near_dup_triangles(_docs(spark, rows)).collect()
+    assert row["n_vertices"] == 5
+    assert row["n_edges"] == 4
+    assert row["n_wedges"] == 3
+    assert row["n_triangles"] == 1
+    assert row["global_clustering"] == 1.0
+
+
+def test_near_dup_triangles_empty_graph(spark):
+    """No near-dups: zero counts and a 0.0 coefficient, not NaN."""
+    from de_realtime_voting_spark.operators import dedup
+
+    rows = [("completely different words here now", "en", "s"),
+            ("nothing shared with the other text", "en", "s")]
+    [row] = dedup.near_dup_triangles(_docs(spark, rows)).collect()
+    assert row["n_edges"] == 0 and row["n_triangles"] == 0
+    assert row["global_clustering"] == 0.0
