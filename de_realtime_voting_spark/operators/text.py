@@ -933,3 +933,42 @@ def bigram_logprob_score(documents: DataFrame) -> DataFrame:
         rnd(F.avg("lp"), 4).alias("avg_logprob"),
         rnd(F.min("lp"), 4).alias("min_logprob"),
     )
+
+
+def text_entropy_score(documents: DataFrame) -> DataFrame:
+    """Shannon token-entropy quality screen: every document scored by
+    the entropy of its within-doc token distribution (-sum p*ln p),
+    reported per (lang, source).  The information-theoretic
+    boilerplate detector: keyword-stuffed or looping spam has LOW
+    entropy for its length, natural prose sits near ln(vocab-in-doc).
+    Complements the bigram LM (which needs a corpus model) with a
+    per-doc signal that needs none.
+
+    Scale shape: per-doc term counts are a groupBy on (doc_id, term)
+    with map-side partial agg; the doc total rides a window over the
+    SAME (doc_id) partitioning -- Catalyst reuses the exchange, so
+    the whole score costs one shuffle plus the small report agg.  No
+    O(len^2) array scans (a filter-count per distinct token inside an
+    array lambda would quadratic-scan long docs).
+    """
+    from pyspark.sql import Window
+
+    tok = documents.select(
+        "doc_id", "lang", "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    cnt = tok.groupBy("doc_id", "lang", "source", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("doc_id")
+    p = F.col("c") / F.sum("c").over(w)
+    per_doc = (
+        cnt.select("doc_id", "lang", "source", (-p * F.log(p)).alias("h_term"))
+        .groupBy("doc_id", "lang", "source")
+        .agg(F.sum("h_term").alias("entropy"))
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        rnd(F.avg("entropy"), 4).alias("avg_entropy"),
+        rnd(F.min("entropy"), 4).alias("min_entropy"),
+        rnd(F.max("entropy"), 4).alias("max_entropy"),
+    )

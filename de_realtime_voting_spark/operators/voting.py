@@ -999,3 +999,43 @@ def votes_sliding_window(votes: DataFrame) -> DataFrame:
             "total_weight",
         )
     )
+
+
+def voter_stickiness(events: DataFrame) -> DataFrame:
+    """DAU/WAU stickiness per day: distinct daily actives over
+    distinct actives in the TRAILING 7-day window ending that day --
+    the engagement ratio every live dashboard tracks (1/7 = everyone
+    shows up once a week, 1.0 = the whole weekly base is in daily).
+
+    Scale shape: the fact collapses to distinct (day, user) FIRST
+    (one dedup shuffle bounded by actives, not events); the trailing
+    window is an explode of each active-day into the <= 7 window-days
+    it contributes to (sequence(day, day+6) -- bounded fan-out, never
+    a range self-join), deduped and counted per window day.  Exact
+    distinct counts by construction; the one ratio division is
+    rounded.  Window days past the observed range are dropped by the
+    inner join (a day with zero daily actives has no DAU row).
+    """
+    daily = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    dau = daily.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    weekly = (
+        daily.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("win_day"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("win_day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wau"))
+    )
+    return dau.join(weekly, dau["day"] == weekly["win_day"]).select(
+        "day",
+        "dau",
+        "wau",
+        rnd(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+    )

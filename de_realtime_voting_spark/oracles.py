@@ -2874,6 +2874,48 @@ SELECT n_vertices, n_edges, n_wedges, n_triangles,
 FROM vw, edg, tri
 """
 
+SQL["text_entropy_score"] = f"""
+WITH tok AS (
+    SELECT doc_id, lang, source, unnest({_TOKS}) AS term FROM documents
+),
+cnt AS (
+    SELECT doc_id, lang, source, term, COUNT(*) AS c
+    FROM tok GROUP BY 1, 2, 3, 4
+),
+pd AS (
+    SELECT doc_id, lang, source,
+           SUM(-(c / tot) * ln(c / tot)) AS entropy
+    FROM (SELECT *, SUM(c) OVER (PARTITION BY doc_id) AS tot FROM cnt)
+    GROUP BY 1, 2, 3
+)
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(entropy), 4) AS avg_entropy,
+       ROUND(MIN(entropy), 4) AS min_entropy,
+       ROUND(MAX(entropy), 4) AS max_entropy
+FROM pd GROUP BY 1, 2
+"""
+
+SQL["voter_stickiness"] = f"""
+WITH {_EVENTS_CTE},
+daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM ev),
+dau AS (
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM daily GROUP BY 1
+),
+contrib AS (
+    SELECT DISTINCT
+           CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+                                       CAST(day + 6 AS TIMESTAMP),
+                                       INTERVAL 1 DAY)) AS DATE) AS win_day,
+           user_id
+    FROM daily
+),
+wau AS (
+    SELECT win_day, CAST(COUNT(*) AS BIGINT) AS wau FROM contrib GROUP BY 1
+)
+SELECT d.day, d.dau, w.wau, ROUND(d.dau / w.wau, 6) AS stickiness
+FROM dau d JOIN wau w ON d.day = w.win_day
+"""
+
 # Applied LAST so every entry above -- including late additions -- gets
 # the engine-exact half-up rounding rewrite.
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

@@ -318,6 +318,12 @@ _DEFS: dict[str, QueryFn] = {
     "near_dup_triangles": lambda s, d: dedup.near_dup_triangles(
         _t(s, d, "documents")
     ),
+    "text_entropy_score": lambda s, d: text.text_entropy_score(
+        _t(s, d, "documents")
+    ),
+    "voter_stickiness": lambda s, d: voting.voter_stickiness(
+        _t(s, d, "events")
+    ),
     # sketch op (NO_ORACLE, tolerance-tested): registered LAST so it
     # never displaces an oracle-gated entry from the checker window
     "doc_length_percentile_filter_approx": lambda s, d: (
@@ -413,6 +419,7 @@ _PRIORITY: list[str] = [
     "domain_quality_topk", "corpus_epoch_shuffle",
     "event_transition_matrix", "votes_sliding_window",
     "bigram_logprob_score", "near_dup_triangles",
+    "text_entropy_score", "voter_stickiness",
     # new in round 4
     "hot_key_join_salted", "q9_product_profit", "semantic_dedup",
     "ann_recall_report", "source_temperature_weights",

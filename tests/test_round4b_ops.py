@@ -150,3 +150,37 @@ def test_near_dup_triangles_empty_graph(spark):
     [row] = dedup.near_dup_triangles(_docs(spark, rows)).collect()
     assert row["n_edges"] == 0 and row["n_triangles"] == 0
     assert row["global_clustering"] == 0.0
+
+
+def test_entropy_low_for_repetition_high_for_diversity(spark):
+    """A looping doc must score below a same-length all-distinct doc;
+    a one-token doc has entropy exactly 0."""
+    rows = [
+        ("spam " * 12, "en", "loop"),
+        ("a b c d e f g h i j k l", "en", "diverse"),
+        ("solo", "en", "single"),
+    ]
+    out = {r["source"]: r for r in text.text_entropy_score(_docs(spark, rows)).collect()}
+    assert out["loop"]["avg_entropy"] == 0.0  # all tokens identical
+    assert out["diverse"]["avg_entropy"] > 2.0  # ln(12) ~ 2.485
+    assert out["single"]["avg_entropy"] == 0.0
+
+
+def test_voter_stickiness_window_geometry(spark):
+    """u1 daily for 8 days, u2 only on day 3: DAU=2 on day 3 only;
+    WAU on day 3 counts both; stickiness 1.0 when DAU == WAU."""
+    ev = _events(
+        spark,
+        [(1440 * d, 1, "view") for d in range(8)] + [(1440 * 2, 2, "view")],
+    )
+    out = {r["day"].isoformat(): r for r in voting.voter_stickiness(ev).collect()}
+    assert out["2024-01-03"]["dau"] == 2
+    assert out["2024-01-03"]["wau"] == 2
+    assert out["2024-01-03"]["stickiness"] == 1.0
+    # u2's day-3 activity stays in the trailing window through day 9,
+    # so day 4..8 have dau=1, wau=2, stickiness 0.5
+    assert out["2024-01-04"]["dau"] == 1
+    assert out["2024-01-04"]["wau"] == 2
+    assert out["2024-01-04"]["stickiness"] == 0.5
+    # day 1: only u1 so far
+    assert out["2024-01-01"]["wau"] == 1
