@@ -206,6 +206,27 @@ CASES = {
     "near_dup_pagerank": lambda s, d: dedup.near_dup_pagerank(
         _empty(s, d, "documents")
     ),
+    "domain_quality_topk": lambda s, d: text.domain_quality_topk(
+        _empty(s, d, "documents")
+    ),
+    "corpus_epoch_shuffle": lambda s, d: pipeline.corpus_epoch_shuffle(
+        _empty(s, d, "documents")
+    ),
+    "bigram_logprob_score": lambda s, d: text.bigram_logprob_score(
+        _empty(s, d, "documents")
+    ),
+    "text_entropy_score": lambda s, d: text.text_entropy_score(
+        _empty(s, d, "documents")
+    ),
+    "event_transition_matrix": lambda s, d: voting.event_transition_matrix(
+        _empty(s, d, "events")
+    ),
+    "votes_sliding_window": lambda s, d: voting.votes_sliding_window(
+        _empty(s, d, "events")
+    ),
+    "voter_stickiness": lambda s, d: voting.voter_stickiness(
+        _empty(s, d, "events")
+    ),
 }
 
 # Report-shaped ops whose contract on empty input is a DEGENERATE
@@ -243,3 +264,13 @@ def test_empty_input_yields_empty_result(name, spark, sf_dir):
     out = CASES[name](spark, sf_dir)
     assert out.count() == 0
     assert len(out.schema.fields) > 0  # schema survives
+
+
+def test_near_dup_triangles_empty_input_zero_summary(spark, sf_dir):
+    """Summary-shaped: a zero-doc corpus still yields the one census
+    row (zero vertices/edges/triangles, cc 0.0), never an exception."""
+    [row] = dedup.near_dup_triangles(_empty(spark, sf_dir, "documents")).collect()
+    assert row["n_vertices"] == 0
+    assert row["n_edges"] == 0
+    assert row["n_triangles"] == 0
+    assert row["global_clustering"] == 0.0

@@ -71,6 +71,13 @@ DEFAULT = [
     "source_temperature_weights",
     "near_dup_pagerank",
     "doc_embed_inference",
+    # round-4 session-2 additions with join/fold cost terms
+    "bigram_logprob_score",
+    "near_dup_triangles",
+    "text_entropy_score",
+    "domain_quality_topk",
+    "voter_stickiness",
+    "event_transition_matrix",
 ]
 
 
