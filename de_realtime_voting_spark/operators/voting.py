@@ -1016,8 +1016,12 @@ def voter_stickiness(events: DataFrame) -> DataFrame:
     rounded.  Window days past the observed range are dropped by the
     inner join (a day with zero daily actives has no DAU row).
     """
+    # date_trunc (timestamp), not to_date: the repo's day-key idiom --
+    # both engines surface it as a timestamp, so the comparator sees
+    # one dtype (a DATE arrives as datetime.date from Spark but
+    # datetime64 from DuckDB)
     daily = events.select(
-        F.to_date("ts").alias("day"), "user_id"
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
     ).distinct()
     dau = daily.groupBy("day").agg(
         F.count(F.lit(1)).cast("bigint").alias("dau")
@@ -1025,7 +1029,11 @@ def voter_stickiness(events: DataFrame) -> DataFrame:
     weekly = (
         daily.select(
             F.explode(
-                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+                F.sequence(
+                    F.col("day"),
+                    F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
             ).alias("win_day"),
             "user_id",
         )

@@ -2897,15 +2897,14 @@ FROM pd GROUP BY 1, 2
 
 SQL["voter_stickiness"] = f"""
 WITH {_EVENTS_CTE},
-daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM ev),
+daily AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM ev),
 dau AS (
     SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM daily GROUP BY 1
 ),
 contrib AS (
     SELECT DISTINCT
-           CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
-                                       CAST(day + 6 AS TIMESTAMP),
-                                       INTERVAL 1 DAY)) AS DATE) AS win_day,
+           unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                  INTERVAL 1 DAY)) AS win_day,
            user_id
     FROM daily
 ),

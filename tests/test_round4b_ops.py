@@ -173,7 +173,7 @@ def test_voter_stickiness_window_geometry(spark):
         spark,
         [(1440 * d, 1, "view") for d in range(8)] + [(1440 * 2, 2, "view")],
     )
-    out = {r["day"].isoformat(): r for r in voting.voter_stickiness(ev).collect()}
+    out = {r["day"].date().isoformat(): r for r in voting.voter_stickiness(ev).collect()}
     assert out["2024-01-03"]["dau"] == 2
     assert out["2024-01-03"]["wau"] == 2
     assert out["2024-01-03"]["stickiness"] == 1.0
