@@ -271,3 +271,26 @@ EPOCH_PREVIEW_N = 100
 # 0.7 is exactly representable enough for cross-engine parity: both
 # engines parse the same literal to the same double.
 BIGRAM_LAMBDA = 0.7
+# Token-budget curation: greedy quality-descending selection keeps
+# docs while the inclusive running token sum stays within the budget
+# (FineWeb/DataComp-style "best N tokens" step).  12k tokens keeps
+# roughly a third of the synthetic corpus at every SF, so the cutoff
+# lands mid-distribution and both kept and dropped sets are non-empty.
+TOKEN_BUDGET = 12_000
+# Coarse quality-bucket width for the distributed running sum: the
+# bucket id is floor(quality * TOKEN_BUDGET_BUCKETS), so the bucket
+# frame has at most TOKEN_BUDGET_BUCKETS+1 rows (the only
+# unpartitioned window in the op runs over that tiny frame).
+TOKEN_BUDGET_BUCKETS = 1000
+# Bloom prefilter sizing for bloom_decontam: m = 1<<20 bits, k = 2
+# hash probes derived from one xxhash64.  At |eval grams| ~ 1e4 the
+# false-positive rate is (1 - e^{-kn/m})^k ~ 4e-4 -- the exact
+# verify join sees almost nothing but true hits.  Widen m with the
+# eval-benchmark suite, not with the corpus: corpus size never
+# appears in the filter's sizing math.
+BLOOM_M_BITS = 1 << 20
+# Distributed BPE trainer: fixed merge count so the DuckDB oracle
+# unrolls to plain chained CTEs (the pagerank precedent); ties break
+# on (count desc, left asc, right asc) so the merge table is
+# engine-exact.
+BPE_MERGE_STEPS = 6

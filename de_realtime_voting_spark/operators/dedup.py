@@ -1329,3 +1329,36 @@ def near_dup_triangles(documents: DataFrame) -> DataFrame:
             .alias("global_clustering"),
         )
     )
+
+
+def dedup_soft_weights(documents: DataFrame) -> DataFrame:
+    """Soft exact-dedup accounting: DOWNWEIGHT duplicates instead of
+    dropping them (each exact-duplicate class contributes one doc's
+    worth of sampling mass, split evenly -- weight = 1/|class|), the
+    SlimPajama-style alternative to a hard keep-list when repeated
+    docs should still be seen, just not over-sampled.  Reports per
+    source: docs, distinct classes touched, raw vs effective
+    (weight-adjusted) token counts, and the retained sampling mass.
+
+    Scale shape: class size rides a count() WINDOW over md5(text) --
+    ONE shuffle on the 32-char hash, no groupBy+join back (the
+    curation_tags idiom: a join would shuffle the corpus twice); the
+    per-source rollup is a second small agg shuffle.  Weights are
+    exact rationals over class counts, rounded once at report time.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text_hash")
+    per_doc = documents.select(
+        "source",
+        F.md5("text").alias("text_hash"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    ).withColumn("class_size", F.count(F.lit(1)).over(w))
+    weight = F.lit(1.0) / F.col("class_size")
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("text_hash").alias("n_classes"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        rnd(F.sum(F.col("n_tokens") * weight), 4).alias("effective_tokens"),
+        rnd(F.sum(weight), 4).alias("retained_mass"),
+    )

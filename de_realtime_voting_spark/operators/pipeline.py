@@ -22,15 +22,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..constants import (
+    BLOOM_M_BITS,
     DECONTAM_NGRAM_K,
     EVAL_SOURCE,
     PACK_SHARDS,
     PACK_WINDOW_TOKENS,
     SPLIT_TEST_PCT,
     SPLIT_VAL_PCT,
+    TOKEN_BUDGET,
+    TOKEN_BUDGET_BUCKETS,
 )
 from ..functions import tokens
 from ..functions.columns import md5_pct_bucket, round_half_up as rnd
+from .text import _doc_quality
 
 
 def corpus_train_split(documents: DataFrame) -> DataFrame:
@@ -248,14 +252,12 @@ def corpus_stratified_sample(documents: DataFrame) -> DataFrame:
     )
 
 
-def decontam_overlap(documents: DataFrame):
-    """Shared core of the decontamination audit and the materializing
-    pipeline: returns (toks_d, hits) where toks_d is the gram-bearing
-    corpus frame and hits maps each contaminated non-eval doc_id to
-    its distinct eval-gram overlap count.  One definition, so the
-    audit can never drift from what the curate step actually drops.
-    Grams explode via the positional-sequence idiom (the Generate
-    re-evaluation fix benchmark_decontam documents)."""
+def _gram_pairs(documents: DataFrame):
+    """Gram-bearing corpus frame plus one row per (doc, position)
+    DECONTAM_NGRAM_K-word n-gram.  Grams explode via the
+    positional-sequence idiom (the Generate re-evaluation fix --
+    benchmark_decontam documents); the repartition is the usual
+    CollapseProject barrier so tokens(text) materializes once."""
     toks_d = (
         documents.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
         .where(F.size("toks") >= DECONTAM_NGRAM_K)
@@ -271,10 +273,21 @@ def decontam_overlap(documents: DataFrame):
     ).select(
         "doc_id",
         "source",
+        "pos",
         F.concat_ws(
             " ", F.slice(F.col("toks"), F.col("pos"), DECONTAM_NGRAM_K)
         ).alias("gram"),
     )
+    return toks_d, pairs
+
+
+def decontam_overlap(documents: DataFrame):
+    """Shared core of the decontamination audit and the materializing
+    pipeline: returns (toks_d, hits) where toks_d is the gram-bearing
+    corpus frame and hits maps each contaminated non-eval doc_id to
+    its distinct eval-gram overlap count.  One definition, so the
+    audit can never drift from what the curate step actually drops."""
+    toks_d, pairs = _gram_pairs(documents)
     eval_grams = (
         pairs.where(F.col("source") == EVAL_SOURCE).select("gram").distinct()
     )
@@ -308,6 +321,14 @@ def benchmark_decontam(documents: DataFrame) -> DataFrame:
     # CollapseProject barrier so tokens(text) is materialized once.
     # size(toks) >= K <=> at least one gram.
     toks_d, hits = decontam_overlap(documents)
+    return _contam_report(toks_d, hits)
+
+
+def _contam_report(toks_d: DataFrame, hits: DataFrame) -> DataFrame:
+    """Per-source contamination rollup shared by the broadcast-exact
+    path (benchmark_decontam) and the Bloom-prefiltered path
+    (bloom_decontam): one definition, so the two physical strategies
+    can never drift in what they report."""
     per_doc = (
         toks_d.where(F.col("source") != EVAL_SOURCE)
         .select("doc_id", "source")
@@ -439,4 +460,182 @@ def corpus_epoch_shuffle(documents: DataFrame) -> DataFrame:
         F.row_number().over(w).cast("int").alias("epoch_pos"),
         "doc_id",
         "shuffle_key",
+    )
+
+
+def bloom_decontam(documents: DataFrame) -> DataFrame:
+    """Benchmark decontamination with a broadcast Bloom prefilter:
+    the same per-source report as ``benchmark_decontam`` (identical
+    oracle SQL -- the filter only prunes, the exact join decides),
+    but shaped for the regime where the eval gram set has outgrown
+    the broadcast-hash-join threshold.
+
+    Scale shape: ``benchmark_decontam`` broadcasts the eval gram set
+    and probes map-side -- the right plan while the benchmark suite
+    fits in a broadcast (tens of MB).  Past that, Catalyst would fall
+    back to shuffling EVERY corpus gram against the eval set.  Here
+    the broadcast stays O(BLOOM_M_BITS) -- 128 KiB regardless of
+    corpus OR eval size -- and the map-side Bloom probe (Arrow-batched
+    pandas_udf over xxhash64, two bit tests per gram) drops all but
+    ~fp-rate of clean grams BEFORE the exact verify join, so the
+    shuffle carries true hits plus (1-e^{-2n/m})^2 of noise instead of
+    the whole corpus gram stream.  False positives are removed by the
+    exact join; false negatives are impossible (Bloom), so the answer
+    is bit-identical to the exact path.
+
+    The eval-gram-hash collect() is an index artifact (bounded by the
+    benchmark suite, never the corpus) -- same justification as the
+    IVF codebook collects in operators/similarity.py."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    toks_d, pairs = _gram_pairs(documents)
+    eval_grams = (
+        pairs.where(F.col("source") == EVAL_SOURCE).select("gram").distinct()
+    )
+    m = BLOOM_M_BITS
+    hashes = np.array(
+        [r["h"] for r in eval_grams.select(F.xxhash64("gram").alias("h")).collect()],
+        dtype=np.int64,
+    ).astype(np.uint64)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    for shift in (np.uint64(0), np.uint64(17)):
+        p = ((hashes >> shift) % np.uint64(m)).astype(np.int64)
+        np.bitwise_or.at(
+            bits, p >> 3, np.uint8(1) << (p & 7).astype(np.uint8)
+        )
+
+    def _bloom_probe(h):
+        hv = h.to_numpy(dtype=np.int64).astype(np.uint64)
+        hit = np.ones(len(hv), dtype=bool)
+        for shift in (np.uint64(0), np.uint64(17)):
+            p = ((hv >> shift) % np.uint64(m)).astype(np.int64)
+            hit &= ((bits[p >> 3] >> (p & 7).astype(np.uint8)) & 1).astype(bool)
+        return pd.Series(hit)
+
+    # functional-form pandas_udf: `from __future__ import annotations`
+    # stringifies the pd.Series hints the decorator form would need
+    bloom_maybe = pandas_udf(_bloom_probe, "boolean")
+
+    candidates = pairs.where(F.col("source") != EVAL_SOURCE).where(
+        bloom_maybe(F.xxhash64("gram"))
+    )
+    # deliberately NOT F.broadcast: this op models the eval set past
+    # the broadcast threshold, so the verify join is the shuffle path
+    # -- whose volume the Bloom probe just bounded.  (AQE may still
+    # pick broadcast at test scale; the logical shape is what's under
+    # audit here.)
+    hits = (
+        candidates.join(eval_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("overlap"))
+    )
+    return _contam_report(toks_d, hits)
+
+
+def token_budget_select(documents: DataFrame) -> DataFrame:
+    """Greedy token-budget curation (the FineWeb/DataComp "best N
+    tokens" step): walk docs in (quality DESC, doc_id ASC) order and
+    keep each while the inclusive running token sum stays within
+    TOKEN_BUDGET; report the kept/total split per source with the
+    quality cutoff that emerged.  Quality is the composite
+    text_quality_score formula (rounded to 6 -- an engine-exact
+    ordering key), so selection is deterministic across engines,
+    cluster sizes and reruns.
+
+    Scale shape: a naive ``SUM() OVER (ORDER BY quality DESC)`` is a
+    single-task global window.  Instead the running sum is two-phase:
+    docs bucket by floor(quality * TOKEN_BUDGET_BUCKETS); per-bucket
+    token totals aggregate to a frame of <= TOKEN_BUDGET_BUCKETS+1
+    rows (the only unpartitioned window runs there); each doc's
+    global cumsum = its bucket's strictly-better-bucket offset
+    (broadcast back) + its within-bucket running sum.  Because the
+    bucket id is monotone in the ordering key, the two-phase sum
+    equals the oracle's single window bit-for-bit.  Within-bucket
+    windows partition by bucket id: per-task work is bounded by the
+    corpus share of one quality-granularity class (same watch-item
+    class as customer_spend_deciles; a doc_id range sub-split is the
+    swap if a profile ever shows one hot class)."""
+    per_doc = (
+        documents.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            "source",
+            F.size("toks").alias("n_tokens"),
+            F.when(F.size("toks") > 0, _doc_quality(F.col("toks")))
+            .otherwise(F.lit(0.0))
+            .alias("quality"),
+        )
+        .withColumn(
+            "qbucket",
+            F.floor(F.col("quality") * TOKEN_BUDGET_BUCKETS).cast("int"),
+        )
+    )
+    bucket_tot = per_doc.groupBy("qbucket").agg(F.sum("n_tokens").alias("btok"))
+    wb = Window.orderBy(F.col("qbucket").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bucket_tot.select(
+        "qbucket", F.coalesce(F.sum("btok").over(wb), F.lit(0)).alias("boffset")
+    )
+    wd = (
+        Window.partitionBy("qbucket")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = (
+        per_doc.join(F.broadcast(offsets), "qbucket")
+        .withColumn("cum", F.col("boffset") + F.sum("n_tokens").over(wd))
+        .withColumn("kept", F.col("cum") <= TOKEN_BUDGET)
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min(F.when(F.col("kept"), F.col("quality"))).alias("cutoff_quality"),
+    )
+
+
+def contam_span_report(documents: DataFrame) -> DataFrame:
+    """Per-doc contamination GEOMETRY: for every contaminated corpus
+    doc, the number of contaminated n-gram islands (maximal runs of
+    consecutive hit positions), the longest island, and the total hit
+    count.  benchmark_decontam says HOW MANY docs are dirty; this says
+    WHERE and HOW CONTIGUOUSLY -- one long verbatim span (a quoted
+    benchmark item, surgically removable) reads very differently from
+    scattered single-gram hits (natural phrase collisions).
+
+    Scale shape: hit positions come from the same broadcast eval-gram
+    probe as benchmark_decontam (map-side, no corpus shuffle); islands
+    use the gaps-and-islands idiom -- pos minus row_number() over a
+    doc-partitioned window is constant within a run -- so the only
+    shuffle after the probe is keyed by doc_id and bounded by hits per
+    doc, never doc length.  Output is one row per CONTAMINATED doc
+    (the small set), not per corpus doc.
+    """
+    _, pairs = _gram_pairs(documents)
+    eval_grams = (
+        pairs.where(F.col("source") == EVAL_SOURCE).select("gram").distinct()
+    )
+    # (doc_id, pos) is unique by construction, so no distinct needed
+    hit_pos = (
+        pairs.where(F.col("source") != EVAL_SOURCE)
+        .join(F.broadcast(eval_grams), "gram")
+        .select("doc_id", "source", "pos")
+    )
+    wi = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        hit_pos.withColumn("grp", F.col("pos") - F.row_number().over(wi))
+        .groupBy("doc_id", "source", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.max("run_len").cast("bigint").alias("longest_span_grams"),
+        F.sum("run_len").cast("bigint").alias("n_contam_grams"),
     )

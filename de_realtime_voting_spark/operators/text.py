@@ -1000,3 +1000,97 @@ def text_entropy_score(documents: DataFrame) -> DataFrame:
         rnd(F.min("entropy"), 4).alias("min_entropy"),
         rnd(F.max("entropy"), 4).alias("max_entropy"),
     )
+
+
+def bpe_train_merges(documents: DataFrame) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING: run BPE_MERGE_STEPS greedy
+    merge steps over the corpus and return the learned merge table
+    (step, left, right, pair_count, new_symbol) -- the artifact a
+    tokenizer build hands to the encoder (bpe_pair_counts is one
+    round of the pair statistics; this is the full training loop).
+
+    Algorithm (Sennrich et al. 2016, the classic trainer): BPE trains
+    on the WORD-FREQUENCY table, not the raw corpus -- one corpus
+    shuffle builds (word, freq), and every iteration after that works
+    on a vocab-bounded frame.  Each step counts adjacent symbol pairs
+    weighted by word frequency (map-side positional explode + one
+    small agg shuffle), takes the argmax (TakeOrdered, 1 row -- a
+    model artifact collect like the k-means centroids), and rewrites
+    each word's symbol array with the merge applied left-to-right
+    greedily.  The rewrite is a pure Catalyst fold: accumulate a
+    unit-separator-joined string, appending ``right`` directly when
+    the accumulator's last symbol equals ``left`` (that IS the greedy
+    left-to-right scan: a symbol produced by a merge this pass can
+    never equal ``left`` again, because new symbols are strict
+    concatenations), then re-split.  Ties break on (count desc, left
+    asc, right asc) so the merge table is engine-exact; the oracle
+    unrolls the same loop into chained CTEs (the pagerank precedent)
+    with DuckDB's list_reduce as the same fold.
+
+    Scale shape: iteration state is O(|vocab|), never O(corpus);
+    lineage is cut per step (dedup._lineage_cut -- reliable
+    checkpoint when a dir is configured).  Pair counting shuffles
+    |vocab| rows on a bounded key; the argmax is
+    TakeOrderedAndProject.  At 10^9-word corpora the vocab table is
+    ~10^7 rows -- one executor's worth of work per step.
+    """
+    from ..constants import BPE_MERGE_STEPS
+    from .dedup import _lineage_cut
+
+    spark = documents.sparkSession
+    sep = "\x1f"
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.substring(F.col("w"), i, F.lit(1)),
+    )
+    vocab = _lineage_cut(
+        documents.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("w", "freq", chars.alias("syms"))
+    )
+    merges = []
+    for step in range(1, BPE_MERGE_STEPS + 1):
+        best = (
+            vocab.where(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("i"),
+                "syms",
+            )
+            .select(
+                F.element_at("syms", F.col("i")).alias("left"),
+                F.element_at("syms", F.col("i") + 1).alias("right"),
+                "freq",
+            )
+            .groupBy("left", "right")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.col("left").asc(),
+                F.col("right").asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right = best[0]["left"], best[0]["right"]
+        merges.append((step, left, right, int(best[0]["pair_count"]), left + right))
+        l_lit, r_lit = F.lit(left), F.lit(right)
+        merged = F.aggregate(
+            F.slice(F.col("syms"), 2, F.greatest(F.size("syms") - 1, F.lit(0))),
+            F.element_at("syms", 1),
+            lambda acc, s: F.when(
+                (s == r_lit)
+                & ((acc == l_lit) | F.endswith(acc, F.lit(sep + left))),
+                F.concat(acc, r_lit),
+            ).otherwise(F.concat(acc, F.lit(sep), s)),
+        )
+        vocab = _lineage_cut(
+            vocab.select("w", "freq", F.split(merged, sep).alias("syms"))
+        )
+    return spark.createDataFrame(
+        merges,
+        "step int, left string, right string, pair_count bigint, new_symbol string",
+    )

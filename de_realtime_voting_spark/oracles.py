@@ -2915,6 +2915,154 @@ SELECT d.day, d.dau, w.wau, ROUND(d.dau / w.wau, 6) AS stickiness
 FROM dau d JOIN wau w ON d.day = w.win_day
 """
 
+from .constants import (  # noqa: E402
+    BPE_MERGE_STEPS,
+    TOKEN_BUDGET,
+)
+
+SQL["token_budget_select"] = f"""
+WITH d AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+s AS (
+    SELECT doc_id, source, len(toks) AS n_tokens,
+           CASE WHEN len(toks) > 0 THEN ROUND(
+               LEAST(len(toks) / 200.0, 1.0) * 0.5
+               + (len(list_filter(toks, w -> list_contains({_STOPLIST}, w)))
+                  / len(toks)) * 0.3
+               + LEAST((list_aggregate(list_transform(toks, w -> length(w)), 'sum')
+                        / len(toks)) / 10.0, 1.0) * 0.2,
+               6)
+           ELSE 0.0 END AS quality
+    FROM d
+),
+c AS (
+    SELECT source, n_tokens, quality,
+           SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM s
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN cum <= {TOKEN_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(SUM(CASE WHEN cum <= {TOKEN_BUDGET} THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS kept_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(CASE WHEN cum <= {TOKEN_BUDGET} THEN quality END) AS cutoff_quality
+FROM c GROUP BY 1
+"""
+
+# The Bloom prefilter only prunes; the exact verify join decides.  The
+# oracle is therefore IDENTICAL to the exact path's -- asserting the
+# physical-strategy swap never changes the answer.
+SQL["bloom_decontam"] = SQL["benchmark_decontam"]
+
+
+def _bpe_step_ctes(i: int) -> str:
+    """One unrolled BPE merge step: pair counts from vocab{i-1}, the
+    argmax pair, and the merged vocab{i}.  DuckDB's list_reduce with a
+    string accumulator is the same greedy left-to-right fold the Spark
+    operator runs (operators/text.py bpe_train_merges)."""
+    return f"""
+pairs{i} AS (
+    SELECT p['l'] AS l, p['r'] AS r, SUM(freq) AS cnt
+    FROM (
+        SELECT freq,
+               unnest(list_transform(
+                   range(1, len(syms)),
+                   j -> {{'l': syms[j], 'r': syms[j+1]}})) AS p
+        FROM vocab{i - 1} WHERE len(syms) >= 2
+    ) GROUP BY 1, 2
+),
+best{i} AS (
+    SELECT l, r, cnt FROM pairs{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+),
+vocab{i} AS (
+    SELECT w, freq,
+           string_split(
+               list_reduce(syms, (acc, s) -> CASE
+                   WHEN s = b.r AND (acc = b.l OR ends_with(acc, chr(31) || b.l))
+                   THEN acc || b.r ELSE acc || chr(31) || s END),
+               chr(31)) AS syms
+    FROM vocab{i - 1} CROSS JOIN best{i} b
+)"""
+
+
+SQL["bpe_train_merges"] = (
+    f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS w FROM documents),
+vocab0 AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, string_split(w, '') AS syms
+    FROM toks GROUP BY w
+),"""
+    + ",".join(_bpe_step_ctes(i) for i in range(1, BPE_MERGE_STEPS + 1))
+    + f""",
+merges AS (
+{" UNION ALL ".join(
+        f"SELECT {i} AS step, l, r, cnt FROM best{i}"
+        for i in range(1, BPE_MERGE_STEPS + 1)
+    )}
+)
+SELECT CAST(step AS INT) AS step, l AS "left", r AS "right",
+       CAST(cnt AS BIGINT) AS pair_count, l || r AS new_symbol
+FROM merges ORDER BY step
+"""
+)
+
+SQL["dedup_soft_weights"] = f"""
+WITH d AS (
+    SELECT source, md5(text) AS text_hash, len({_TOKS}) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT source, text_hash, n_tokens,
+           COUNT(*) OVER (PARTITION BY text_hash) AS class_size
+    FROM d
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT text_hash) AS BIGINT) AS n_classes,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(SUM(n_tokens * (1.0 / class_size)), 4) AS effective_tokens,
+       ROUND(SUM(1.0 / class_size), 4) AS retained_mass
+FROM c GROUP BY 1
+"""
+
+_SPAN_CAT = " || ' ' || ".join(
+    "toks[pos]" if j == 0 else f"toks[pos+{j}]" for j in range(DECONTAM_NGRAM_K)
+)
+
+SQL["contam_span_report"] = f"""
+WITH toksed AS (
+    SELECT doc_id, source, {_TOKS} AS toks FROM documents
+),
+sized AS (SELECT * FROM toksed WHERE len(toks) >= {DECONTAM_NGRAM_K}),
+pp AS (
+    SELECT doc_id, source, toks,
+           unnest(range(1, len(toks) - {DECONTAM_NGRAM_K - 2})) AS pos
+    FROM sized
+),
+g AS (SELECT doc_id, source, pos, {_SPAN_CAT} AS gram FROM pp),
+eval_g AS (
+    SELECT DISTINCT gram FROM g WHERE source = '{EVAL_SOURCE}'
+),
+hit_pos AS (
+    SELECT g.doc_id, g.source, g.pos
+    FROM g JOIN eval_g USING (gram) WHERE g.source <> '{EVAL_SOURCE}'
+),
+runs AS (
+    SELECT doc_id, source,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM hit_pos
+),
+r2 AS (
+    SELECT doc_id, source, grp, COUNT(*) AS run_len
+    FROM runs GROUP BY 1, 2, 3
+)
+SELECT doc_id, source,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(MAX(run_len) AS BIGINT) AS longest_span_grams,
+       CAST(SUM(run_len) AS BIGINT) AS n_contam_grams
+FROM r2 GROUP BY 1, 2
+"""
+
 # Applied LAST so every entry above -- including late additions -- gets
 # the engine-exact half-up rounding rewrite.
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

@@ -400,6 +400,17 @@ _DEFS: dict[str, QueryFn] = {
     "order_fill_rate": lambda s, d: analytics.order_fill_rate(
         _t(s, d, "orders"), _t(s, d, "lineitem")
     ),
+    "token_budget_select": lambda s, d: pipeline.token_budget_select(
+        _t(s, d, "documents")
+    ),
+    "bloom_decontam": lambda s, d: pipeline.bloom_decontam(_t(s, d, "documents")),
+    "bpe_train_merges": lambda s, d: text.bpe_train_merges(_t(s, d, "documents")),
+    "dedup_soft_weights": lambda s, d: dedup.dedup_soft_weights(
+        _t(s, d, "documents")
+    ),
+    "contam_span_report": lambda s, d: pipeline.contam_span_report(
+        _t(s, d, "documents")
+    ),
 }
 
 # Registry ORDER matters operationally: external checkers iterate in
@@ -415,7 +426,12 @@ _DEFS: dict[str, QueryFn] = {
 # distributed quartiles, heavy dedup).  The voting/time-series block
 # earned fresh r3 rows and rotates to the back.
 _PRIORITY: list[str] = [
-    # newest in round 4 (this session)
+    # newest in round 4 (session 4): token-budget curation, Bloom
+    # decontamination, distributed BPE trainer, soft dedup weights,
+    # contamination span geometry
+    "token_budget_select", "bloom_decontam", "bpe_train_merges",
+    "dedup_soft_weights", "contam_span_report",
+    # round-4 session 3
     "domain_quality_topk", "corpus_epoch_shuffle",
     "event_transition_matrix", "votes_sliding_window",
     "bigram_logprob_score", "near_dup_triangles",

@@ -227,6 +227,21 @@ CASES = {
     "voter_stickiness": lambda s, d: voting.voter_stickiness(
         _empty(s, d, "events")
     ),
+    "token_budget_select": lambda s, d: pipeline.token_budget_select(
+        _empty(s, d, "documents")
+    ),
+    "bloom_decontam": lambda s, d: pipeline.bloom_decontam(
+        _empty(s, d, "documents")
+    ),
+    "bpe_train_merges": lambda s, d: text.bpe_train_merges(
+        _empty(s, d, "documents")
+    ),
+    "dedup_soft_weights": lambda s, d: dedup.dedup_soft_weights(
+        _empty(s, d, "documents")
+    ),
+    "contam_span_report": lambda s, d: pipeline.contam_span_report(
+        _empty(s, d, "documents")
+    ),
 }
 
 # Report-shaped ops whose contract on empty input is a DEGENERATE

@@ -1,0 +1,252 @@
+"""Behavioral contracts for the round-4 continuation ops (session 4):
+token-budget greedy curation, Bloom-prefiltered decontamination, and
+the distributed BPE trainer.  (Cross-engine value parity is covered
+registry-wide by test_queries_oracle / tools.check_parity.)"""
+
+from __future__ import annotations
+
+from de_realtime_voting_spark.constants import (
+    BPE_MERGE_STEPS,
+    EVAL_SOURCE,
+    TOKEN_BUDGET,
+)
+from de_realtime_voting_spark.operators import pipeline, text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", src, len(t)) for i, (t, src) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+# ---------------------------------------------------------------- budget
+
+
+def _doc_of_tokens(n):
+    return " ".join("tok" for _ in range(n))
+
+
+def test_token_budget_keeps_quality_prefix_with_doc_id_tiebreak(spark):
+    """Identical texts score identically, so greedy order is doc_id
+    ascending; with 5k-token docs and a 12k budget exactly the first
+    two fit (inclusive cumsum: 5k, 10k, 15k>12k)."""
+    assert TOKEN_BUDGET == 12_000  # the arithmetic below assumes it
+    docs = _docs(spark, [(_doc_of_tokens(5000), f"s{i}") for i in range(3)])
+    out = {r["source"]: r for r in pipeline.token_budget_select(docs).collect()}
+    assert out["s0"]["n_kept"] == 1 and out["s1"]["n_kept"] == 1
+    assert out["s2"]["n_kept"] == 0
+    assert out["s2"]["cutoff_quality"] is None
+    assert all(r["n_docs"] == 1 and r["total_tokens"] == 5000 for r in out.values())
+
+
+def test_token_budget_boundary_is_inclusive(spark):
+    """A single doc whose inclusive cumsum lands exactly on the budget
+    is kept (cum <= TOKEN_BUDGET)."""
+    docs = _docs(spark, [(_doc_of_tokens(TOKEN_BUDGET), "sA")])
+    [r] = pipeline.token_budget_select(docs).collect()
+    assert r["n_kept"] == 1
+    assert r["kept_tokens"] == TOKEN_BUDGET
+
+
+def test_token_budget_two_phase_equals_naive_cumsum(spark):
+    """The bucket-offset running sum must equal the single-window
+    definition: replay selection in pandas over the same per-doc
+    (quality, n_tokens) frame and compare kept counts per source."""
+    rows = []
+    for i in range(40):
+        # vary length and stopword share so qualities spread widely
+        body = ("the and of to in " * (i % 7 + 1)) + ("zzz " * (i % 11))
+        rows.append((body + _doc_of_tokens(300 + 37 * i), f"s{i % 5}"))
+    docs = _docs(spark, rows)
+    got = {r["source"]: r["n_kept"] for r in pipeline.token_budget_select(docs).collect()}
+
+    from pyspark.sql import functions as F
+    from de_realtime_voting_spark.functions import tokens
+    from de_realtime_voting_spark.operators.text import _doc_quality
+
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        _doc_quality(tokens(F.col("text"))).alias("quality"),
+    ).toPandas()
+    per_doc = per_doc.sort_values(["quality", "doc_id"], ascending=[False, True])
+    per_doc["cum"] = per_doc["n_tokens"].cumsum()
+    kept = per_doc[per_doc["cum"] <= TOKEN_BUDGET]
+    want = kept.groupby("source").size().to_dict()
+    assert {s: n for s, n in got.items() if n} == {
+        s: int(n) for s, n in want.items() if n
+    }
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def test_bloom_decontam_matches_exact_path(spark):
+    """The Bloom prefilter only prunes; the verify join decides -- so
+    the report must be row-identical to benchmark_decontam on a
+    corpus with planted contamination."""
+    gram = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [
+        (gram + " tailA tailB", EVAL_SOURCE),
+        (gram + " other words here", "sX"),  # contaminated
+        ("completely different text " + _doc_of_tokens(8), "sX"),
+        ("clean corpus doc " + _doc_of_tokens(10), "sY"),
+    ]
+    docs = _docs(spark, rows)
+    got = sorted(map(tuple, pipeline.bloom_decontam(docs).collect()))
+    want = sorted(map(tuple, pipeline.benchmark_decontam(docs).collect()))
+    assert got == want
+    by_src = {t[0]: t for t in got}
+    assert by_src["sX"][2] == 1  # n_contaminated
+
+
+def test_bloom_decontam_no_eval_grams_means_clean(spark):
+    """With no eval-source docs the filter is all-zeros and nothing is
+    flagged -- and the op must not error on an empty Bloom build."""
+    docs = _docs(spark, [(_doc_of_tokens(12), "sA"), (_doc_of_tokens(15), "sB")])
+    out = pipeline.bloom_decontam(docs).collect()
+    assert {r["source"] for r in out} == {"sA", "sB"}
+    assert all(r["n_contaminated"] == 0 for r in out)
+
+
+# ---------------------------------------------------------------- bpe
+
+
+def _ref_bpe(freqs: dict[str, int], steps: int):
+    """From-scratch BPE trainer (Sennrich et al. 2016): greedy argmax
+    pair with (count desc, left asc, right asc) ties, left-to-right
+    merge application."""
+    vocab = {w: list(w) for w in freqs}
+    out = []
+    for step in range(1, steps + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in freqs.items():
+            syms = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((step, left, right, cnt, left + right))
+        for w, syms in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    merged.append(left + right)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            vocab[w] = merged
+    return out
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """Pin the distributed trainer to the from-scratch reference on a
+    corpus whose merges chain (ab, then ab+c) and repeat symbols."""
+    corpus = "abc abc abab ddd ddd ddd dd abcabc"
+    docs = _docs(spark, [(corpus, "s")])
+    got = [tuple(r) for r in text.bpe_train_merges(docs).collect()]
+    freqs: dict[str, int] = {}
+    for w in corpus.split():
+        freqs[w] = freqs.get(w, 0) + 1
+    want = _ref_bpe(freqs, BPE_MERGE_STEPS)
+    assert got == want
+
+
+def test_bpe_merge_application_is_greedy_left_to_right(spark):
+    """'aaaa' under pair (a,a) must become [aa, aa] -- 2 per word --
+    not the overlapping count 3.  Step 2 then sees (aa, aa)."""
+    docs = _docs(spark, [("aaaa aaaa baba", "s")])
+    rows = text.bpe_train_merges(docs).collect()
+    s1 = rows[0]
+    assert (s1["left"], s1["right"]) == ("a", "a")
+    # 2 'aaaa' words x 3 adjacent positions = 6 weighted pairs BEFORE
+    # merging; the recorded count is the pre-merge pair stat
+    assert s1["pair_count"] == 6
+    s2 = rows[1]
+    assert (s2["left"], s2["right"], s2["pair_count"]) == ("aa", "aa", 2)
+
+
+def test_bpe_stops_when_no_pairs_remain(spark):
+    """Single-char words exhaust immediately: fewer than
+    BPE_MERGE_STEPS rows, not an error."""
+    docs = _docs(spark, [("a b c a b", "s")])
+    rows = text.bpe_train_merges(docs).collect()
+    assert rows == []
+
+
+# ------------------------------------------------------------ soft dedup
+
+
+def test_soft_weights_split_mass_across_sources(spark):
+    """One text duplicated 3x across two sources: class mass 1.0
+    splits 2/3 vs 1/3; a unique doc keeps weight 1.0."""
+    from de_realtime_voting_spark.operators import dedup
+
+    rows = [
+        ("dup text here", "sA"),
+        ("dup text here", "sA"),
+        ("dup text here", "sB"),
+        ("unique doc words", "sB"),
+    ]
+    out = {r["source"]: r for r in dedup.dedup_soft_weights(_docs(spark, rows)).collect()}
+    assert out["sA"]["n_docs"] == 2 and out["sA"]["n_classes"] == 1
+    assert abs(out["sA"]["retained_mass"] - 2 / 3) < 1e-3
+    assert out["sB"]["n_docs"] == 2 and out["sB"]["n_classes"] == 2
+    assert abs(out["sB"]["retained_mass"] - (1 / 3 + 1.0)) < 1e-3
+    # effective tokens: 3 tokens/doc weighted
+    assert abs(out["sA"]["effective_tokens"] - 3 * 2 / 3) < 1e-3
+
+
+def test_soft_weights_no_duplicates_is_identity(spark):
+    from de_realtime_voting_spark.operators import dedup
+
+    rows = [(f"distinct text number {i}", "s") for i in range(4)]
+    [r] = dedup.dedup_soft_weights(_docs(spark, rows)).collect()
+    assert r["n_docs"] == r["n_classes"] == 4
+    assert r["effective_tokens"] == float(r["total_tokens"])
+    assert r["retained_mass"] == 4.0
+
+
+# ------------------------------------------------------- contamination
+
+
+def test_contam_span_islands_and_longest_run(spark):
+    """Eval doc 'w1..w10' plants 3 consecutive 8-gram hits in a doc
+    that embeds w1..w10 verbatim (one island of 3); a doc with the
+    same 10 words split by a separator word yields no 8-gram hit."""
+    eval_text = " ".join(f"w{i}" for i in range(1, 11))
+    contaminated = "prefix " + eval_text + " suffix words"
+    broken = " ".join(f"w{i}" for i in range(1, 6)) + " X " + " ".join(
+        f"w{i}" for i in range(6, 11)
+    )
+    rows = [(eval_text, EVAL_SOURCE), (contaminated, "sA"), (broken, "sA")]
+    out = pipeline.contam_span_report(_docs(spark, rows)).collect()
+    assert len(out) == 1
+    [r] = out
+    assert r["source"] == "sA"
+    # 10-word eval doc has 3 8-grams; all 3 land consecutively
+    assert r["n_spans"] == 1
+    assert r["longest_span_grams"] == 3
+    assert r["n_contam_grams"] == 3
+
+
+def test_contam_span_separate_islands(spark):
+    """Two verbatim eval spans separated by clean text produce two
+    islands in the same doc."""
+    span1 = " ".join(f"a{i}" for i in range(8))
+    span2 = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        (span1, EVAL_SOURCE),
+        (span2, EVAL_SOURCE),
+        (span1 + " clean gap words here between " + span2, "sX"),
+    ]
+    [r] = pipeline.contam_span_report(_docs(spark, rows)).collect()
+    assert r["n_spans"] == 2
+    assert r["longest_span_grams"] == 1
+    assert r["n_contam_grams"] == 2
