@@ -1002,9 +1002,10 @@ def text_entropy_score(documents: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train_merges(documents: DataFrame) -> DataFrame:
+def _bpe_train(documents: DataFrame):
     """Distributed BPE tokenizer TRAINING: run BPE_MERGE_STEPS greedy
-    merge steps over the corpus and return the learned merge table
+    merge steps over the corpus and return (merge table rows, final
+    vocab frame) -- the merge table is the artifact
     (step, left, right, pair_count, new_symbol) -- the artifact a
     tokenizer build hands to the encoder (bpe_pair_counts is one
     round of the pair statistics; this is the full training loop).
@@ -1090,7 +1091,50 @@ def bpe_train_merges(documents: DataFrame) -> DataFrame:
         vocab = _lineage_cut(
             vocab.select("w", "freq", F.split(merged, sep).alias("syms"))
         )
-    return spark.createDataFrame(
+    return merges, vocab
+
+
+def bpe_fertility_stats(documents: DataFrame) -> DataFrame:
+    """Tokenizer QUALITY report for the trained BPE merges: apply the
+    BPE_MERGE_STEPS-merge vocabulary (the exact state bpe_train_merges
+    ends on -- shared training loop, one definition) back to the
+    corpus and report, per lang: word/char/symbol totals, fertility
+    (symbols per word -- the number a tokenizer eval quotes first)
+    and compression (chars per symbol).  Train -> apply -> measure is
+    the complete tokenizer-build story.
+
+    Scale shape: the trained vocab maps each distinct WORD to its
+    post-merge symbol count, so application is a (lang, word)-counts
+    frame (one corpus shuffle, map-side partials) joined to the
+    vocab-bounded frame on the word key -- the corpus token stream
+    itself never carries symbol arrays.  The oracle replays the same
+    unrolled merge chain and joins vocab{N} identically."""
+    _, vocab = _bpe_train(documents)
+    per_word = vocab.select("w", F.size("syms").alias("n_syms"))
+    lang_words = (
+        documents.select("lang", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    joined = lang_words.join(per_word, "w")
+    return joined.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_words"),
+        F.sum(F.col("n") * F.length("w")).cast("bigint").alias("total_chars"),
+        F.sum(F.col("n") * F.col("n_syms")).cast("bigint").alias("total_symbols"),
+        rnd(F.sum(F.col("n") * F.col("n_syms")) / F.sum("n"), 6).alias("fertility"),
+        rnd(
+            F.sum(F.col("n") * F.length("w"))
+            / F.sum(F.col("n") * F.col("n_syms")),
+            6,
+        ).alias("chars_per_symbol"),
+    )
+
+
+def bpe_train_merges(documents: DataFrame) -> DataFrame:
+    """The learned merge table of the distributed BPE trainer (see
+    _bpe_train for the algorithm and scale argument)."""
+    merges, _ = _bpe_train(documents)
+    return documents.sparkSession.createDataFrame(
         merges,
         "step int, left string, right string, pair_count bigint, new_symbol string",
     )

@@ -3007,6 +3007,32 @@ FROM merges ORDER BY step
 """
 )
 
+SQL["bpe_fertility_stats"] = (
+    f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS w FROM documents),
+vocab0 AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, string_split(w, '') AS syms
+    FROM toks GROUP BY w
+),"""
+    + ",".join(_bpe_step_ctes(i) for i in range(1, BPE_MERGE_STEPS + 1))
+    + f""",
+lw AS (
+    SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT lang, unnest({_TOKS}) AS w FROM documents) GROUP BY 1, 2
+),
+j AS (
+    SELECT lw.lang, lw.n, length(lw.w) AS wlen, len(v.syms) AS n_syms
+    FROM lw JOIN vocab{BPE_MERGE_STEPS} v ON lw.w = v.w
+)
+SELECT lang, CAST(SUM(n) AS BIGINT) AS n_words,
+       CAST(SUM(n * wlen) AS BIGINT) AS total_chars,
+       CAST(SUM(n * n_syms) AS BIGINT) AS total_symbols,
+       ROUND(SUM(n * n_syms) / SUM(n), 6) AS fertility,
+       ROUND(SUM(n * wlen) / SUM(n * n_syms), 6) AS chars_per_symbol
+FROM j GROUP BY 1
+"""
+)
+
 SQL["dedup_soft_weights"] = f"""
 WITH d AS (
     SELECT source, md5(text) AS text_hash, len({_TOKS}) AS n_tokens

@@ -411,6 +411,9 @@ _DEFS: dict[str, QueryFn] = {
     "contam_span_report": lambda s, d: pipeline.contam_span_report(
         _t(s, d, "documents")
     ),
+    "bpe_fertility_stats": lambda s, d: text.bpe_fertility_stats(
+        _t(s, d, "documents")
+    ),
 }
 
 # Registry ORDER matters operationally: external checkers iterate in
@@ -430,7 +433,7 @@ _PRIORITY: list[str] = [
     # decontamination, distributed BPE trainer, soft dedup weights,
     # contamination span geometry
     "token_budget_select", "bloom_decontam", "bpe_train_merges",
-    "dedup_soft_weights", "contam_span_report",
+    "dedup_soft_weights", "contam_span_report", "bpe_fertility_stats",
     # round-4 session 3
     "domain_quality_topk", "corpus_epoch_shuffle",
     "event_transition_matrix", "votes_sliding_window",

@@ -457,6 +457,82 @@ def stream_decontam_gate(documents: DataFrame, eval_grams: list[str]) -> DataFra
     return documents.where(~F.coalesce(contaminated, F.lit(False)))
 
 
+def stream_bloom_quarantine(documents: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Ingest-time contamination TRIAGE for eval suites too big to
+    ship as a closure array: route each arriving doc to ``admit`` or
+    ``quarantine`` using only the 128 KiB Bloom image of the static
+    eval gram set (operators.pipeline.bloom_decontam's filter, built
+    once at query start from ``corpus``'s EVAL_SOURCE grams).
+
+    Zero false negatives by construction (Bloom): a doc sharing ANY
+    eval n-gram always quarantines, so nothing contaminated is ever
+    admitted; false positives (~(1-e^{-2n/m})^2 of clean docs) land
+    in quarantine for the BATCH verifier (bloom_decontam's exact
+    join) to clear on its own rhythm -- the production split between
+    a cheap always-on gate and an exact nightly adjudicator.
+    stream_decontam_gate is the exact in-closure variant for small
+    eval sets; this is the constant-memory one.
+
+    COMPLETELY STATELESS: no watermark, no state store, append mode.
+    Per-doc cost is O(grams) xxhash64 probes (Catalyst) + one Arrow
+    batch crossing for the vectorized bit tests; the Bloom image is
+    corpus-size- AND eval-size-independent (widen BLOOM_M_BITS with
+    the benchmark suite)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..constants import BLOOM_M_BITS, DECONTAM_NGRAM_K, EVAL_SOURCE
+    from ..functions import tokens
+    from ..operators.pipeline import _gram_pairs
+
+    m = BLOOM_M_BITS
+    _, pairs = _gram_pairs(corpus)
+    eval_grams = (
+        pairs.where(F.col("source") == EVAL_SOURCE).select("gram").distinct()
+    )
+    hashes = np.array(
+        [r["h"] for r in eval_grams.select(F.xxhash64("gram").alias("h")).collect()],
+        dtype=np.int64,
+    ).astype(np.uint64)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    for shift in (np.uint64(0), np.uint64(17)):
+        p = ((hashes >> shift) % np.uint64(m)).astype(np.int64)
+        np.bitwise_or.at(bits, p >> 3, np.uint8(1) << (p & 7).astype(np.uint8))
+
+    def _any_hit(hs):
+        lens = hs.map(len).to_numpy(dtype=np.int64)
+        out = np.zeros(len(hs), dtype=bool)
+        if lens.sum() == 0:
+            return pd.Series(out)
+        flat = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in hs if len(x)]
+        ).astype(np.uint64)
+        hit = np.ones(len(flat), dtype=bool)
+        for shift in (np.uint64(0), np.uint64(17)):
+            p = ((flat >> shift) % np.uint64(m)).astype(np.int64)
+            hit &= ((bits[p >> 3] >> (p & 7).astype(np.uint8)) & 1).astype(bool)
+        doc_idx = np.repeat(np.arange(len(hs)), lens)
+        out[np.unique(doc_idx[hit])] = True
+        return pd.Series(out)
+
+    bloom_any = pandas_udf(_any_hit, "boolean")
+    k = DECONTAM_NGRAM_K
+    toks = tokens(F.col("text"))
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda pos: F.concat_ws(" ", F.slice(toks, pos, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gram_hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    decision = F.when(
+        F.coalesce(bloom_any(gram_hashes), F.lit(False)), F.lit("quarantine")
+    ).otherwise(F.lit("admit"))
+    return documents.withColumn("decision", decision)
+
+
 def stream_embed_inference(documents: DataFrame) -> DataFrame:
     """Online inference: the SAME Arrow-batched mapInPandas embedding
     pass as batch operators.inference.embed_docs, applied to a live

@@ -242,6 +242,9 @@ CASES = {
     "contam_span_report": lambda s, d: pipeline.contam_span_report(
         _empty(s, d, "documents")
     ),
+    "bpe_fertility_stats": lambda s, d: text.bpe_fertility_stats(
+        _empty(s, d, "documents")
+    ),
 }
 
 # Report-shaped ops whose contract on empty input is a DEGENERATE

@@ -142,7 +142,7 @@ def _ref_bpe(freqs: dict[str, int], steps: int):
                     merged.append(syms[i])
                     i += 1
             vocab[w] = merged
-    return out
+    return out, vocab
 
 
 def test_bpe_train_matches_python_reference(spark):
@@ -154,7 +154,7 @@ def test_bpe_train_matches_python_reference(spark):
     freqs: dict[str, int] = {}
     for w in corpus.split():
         freqs[w] = freqs.get(w, 0) + 1
-    want = _ref_bpe(freqs, BPE_MERGE_STEPS)
+    want, _ = _ref_bpe(freqs, BPE_MERGE_STEPS)
     assert got == want
 
 
@@ -250,3 +250,34 @@ def test_contam_span_separate_islands(spark):
     assert r["n_spans"] == 2
     assert r["longest_span_grams"] == 1
     assert r["n_contam_grams"] == 2
+
+
+def test_bpe_fertility_matches_python_reference(spark):
+    """Apply-phase pin: fertility/compression per lang must match the
+    python reference's post-merge vocab on a mixed corpus."""
+    corpus = "abc abc abab ddd ddd ddd dd abcabc xyz"
+    docs = _docs(spark, [(corpus, "s")])
+    freqs: dict[str, int] = {}
+    for w in corpus.split():
+        freqs[w] = freqs.get(w, 0) + 1
+    _, vocab = _ref_bpe(freqs, BPE_MERGE_STEPS)
+    n_words = sum(freqs.values())
+    total_chars = sum(len(w) * f for w, f in freqs.items())
+    total_syms = sum(len(vocab[w]) * f for w, f in freqs.items())
+    [r] = text.bpe_fertility_stats(docs).collect()
+    assert r["lang"] == "en"
+    assert r["n_words"] == n_words
+    assert r["total_chars"] == total_chars
+    assert r["total_symbols"] == total_syms
+    assert abs(r["fertility"] - total_syms / n_words) < 1e-6
+    assert abs(r["chars_per_symbol"] - total_chars / total_syms) < 1e-6
+
+
+def test_bpe_fertility_merges_reduce_symbols(spark):
+    """A merge-friendly corpus must end with fertility strictly below
+    the char-level baseline (= avg word length)."""
+    corpus = "hello hello hello world world hello world"
+    docs = _docs(spark, [(corpus, "s")])
+    [r] = text.bpe_fertility_stats(docs).collect()
+    assert r["total_symbols"] < r["total_chars"]
+    assert r["fertility"] < r["total_chars"] / r["n_words"]

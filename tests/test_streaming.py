@@ -1217,3 +1217,59 @@ def test_stream_sliding_window_matches_batch(spark, sf_dir, vote_json_dir):
     assert len(out) > 0
     for r in out:
         assert batch[(r["window_start"], r["candidate_id"])] == r["total_votes"]
+
+
+def test_stream_bloom_quarantine_never_admits_contamination(spark, sf_dir):
+    """The constant-memory triage gate: every doc sharing an eval
+    n-gram (python reference) must be quarantined -- Bloom gives zero
+    false negatives -- while the bulk of clean docs is admitted
+    map-side (false-positive quarantines allowed, bounded loosely)."""
+    from de_realtime_voting_spark.constants import DECONTAM_NGRAM_K, EVAL_SOURCE
+    from de_realtime_voting_spark.streaming import (
+        eval_gram_set,
+        stream_bloom_quarantine,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    eset = set(eval_gram_set(docs))
+    assert eset
+
+    def grams_of(text):
+        toks = [t for t in text.split(" ") if t]
+        k = DECONTAM_NGRAM_K
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    rows = docs.select("doc_id", "text", "source").collect()
+    dirty = {r["doc_id"] for r in rows if grams_of(r["text"]) & eset}
+    clean = {r["doc_id"] for r in rows} - dirty
+    assert dirty and clean
+
+    d = tempfile.mkdtemp(prefix="docs_bloomq_")
+    try:
+        docs.repartition(2).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(docs.schema).parquet(d)
+        got = _run_stream_to_memory(
+            spark,
+            stream_bloom_quarantine(stream, docs),
+            "bloom_quarantine",
+            "append",
+        )
+        by_decision = {}
+        for r in got.select("doc_id", "decision").collect():
+            by_decision.setdefault(r["decision"], set()).add(r["doc_id"])
+        quarantined = by_decision.get("quarantine", set())
+        admitted = by_decision.get("admit", set())
+        # partition of the input, zero false negatives
+        assert quarantined | admitted == dirty | clean
+        assert quarantined & admitted == set()
+        assert dirty <= quarantined
+        # the gate must actually admit: false-positive quarantines of
+        # clean docs stay a small minority at m = 2^20
+        fp = quarantined - dirty
+        assert len(fp) <= max(2, len(clean) // 10)
+        # every long-enough eval doc self-quarantines
+        for r in rows:
+            if r["source"] == EVAL_SOURCE and grams_of(r["text"]):
+                assert r["doc_id"] in quarantined
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
