@@ -639,3 +639,117 @@ def contam_span_report(documents: DataFrame) -> DataFrame:
         F.max("run_len").cast("bigint").alias("longest_span_grams"),
         F.sum("run_len").cast("bigint").alias("n_contam_grams"),
     )
+
+
+def curation_waterfall(documents: DataFrame) -> DataFrame:
+    """The curation FUNNEL in one query: how many docs (and tokens)
+    survive each cumulative stage of the standard pipeline --
+
+        raw -> C4 quality -> exact-dedup canonical -> decontaminated
+            -> token budget
+
+    -- the first table a data lead asks for before a training run,
+    and the cross-check that the stage operators (#42, #21, #41/#97,
+    #96) compose the way their individual reports claim.  Every stage
+    reuses the SHARED expression its standalone operator uses
+    (c4_pass_expr, the min-doc_id-per-md5 canonical window,
+    decontam_overlap's hit frame, token_budget_select's two-phase
+    running sum), so the funnel can never drift from the parts.
+
+    Scale shape: flags are map-side or ride the md5 window's one hash
+    shuffle; the decontam probe is the broadcast eval-gram path; the
+    budget running sum masks non-survivors to zero inside the same
+    bucket-offset machinery (masked zeros keep the two-phase sum
+    bit-equal to the oracle's single conditional window).  Output is
+    5 rows.
+    """
+    corpus = documents.where(F.col("source") != EVAL_SOURCE)
+    per_doc = (
+        corpus.select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("text_hash"),
+            tokens(F.col("text")).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "text_hash",
+            F.size("toks").alias("n_tokens"),
+            c4_pass_expr(F.col("toks")).alias("c4"),
+            F.when(F.size("toks") > 0, _doc_quality(F.col("toks")))
+            .otherwise(F.lit(0.0))
+            .alias("quality"),
+        )
+    )
+    wh = Window.partitionBy("text_hash")
+    # exact duplicates share text, hence identical c4 flags -- so the
+    # unconditional class min IS the first passing member, and this
+    # stage equals corpus_quality_keep's kept definition exactly
+    keep_id = F.min("doc_id").over(wh)
+    flagged = per_doc.withColumn(
+        "canonical", F.col("c4") & (F.col("doc_id") == keep_id)
+    )
+    _, hits = decontam_overlap(documents)
+    flagged = (
+        flagged.join(hits, "doc_id", "left")
+        .withColumn(
+            "clean",
+            F.col("canonical") & (F.coalesce("overlap", F.lit(0)) == 0),
+        )
+        .withColumn(
+            "qbucket",
+            F.floor(F.col("quality") * TOKEN_BUDGET_BUCKETS).cast("int"),
+        )
+    )
+    masked = F.when(F.col("clean"), F.col("n_tokens")).otherwise(F.lit(0))
+    bucket_tot = flagged.groupBy("qbucket").agg(F.sum(masked).alias("btok"))
+    wb = Window.orderBy(F.col("qbucket").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bucket_tot.select(
+        "qbucket", F.coalesce(F.sum("btok").over(wb), F.lit(0)).alias("boffset")
+    )
+    wd = (
+        Window.partitionBy("qbucket")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = (
+        flagged.join(F.broadcast(offsets), "qbucket")
+        .withColumn("cum", F.col("boffset") + F.sum(masked).over(wd))
+        .withColumn(
+            "budgeted", F.col("clean") & (F.col("cum") <= TOKEN_BUDGET)
+        )
+    )
+    one = staged.agg(
+        F.count(F.lit(1)).alias("raw_docs"),
+        F.sum("n_tokens").alias("raw_tokens"),
+        *[
+            agg
+            for flag in ("c4", "canonical", "clean", "budgeted")
+            for agg in (
+                F.sum(F.col(flag).cast("int")).alias(f"{flag}_docs"),
+                F.sum(F.when(F.col(flag), F.col("n_tokens")).otherwise(0)).alias(
+                    f"{flag}_tokens"
+                ),
+            )
+        ],
+    )
+    stages = [
+        ("1_raw", "raw"),
+        ("2_quality", "c4"),
+        ("3_canonical", "canonical"),
+        ("4_decontaminated", "clean"),
+        ("5_token_budget", "budgeted"),
+    ]
+    stack_args = ", ".join(
+        f"'{label}', {flag}_docs, {flag}_tokens" for label, flag in stages
+    )
+    return one.selectExpr(
+        f"stack({len(stages)}, {stack_args}) AS (stage, n_docs, n_tokens)"
+    ).select(
+        "stage",
+        # empty corpus: the global agg row carries NULL sums -> 0
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+    )

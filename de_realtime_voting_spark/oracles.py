@@ -3007,6 +3007,85 @@ FROM merges ORDER BY step
 """
 )
 
+_WF_GRAM = " || ' ' || ".join(
+    "toks[i]" if j == 0 else f"toks[i+{j}]" for j in range(DECONTAM_NGRAM_K)
+)
+
+SQL["curation_waterfall"] = f"""
+WITH d AS (
+    SELECT doc_id, source, md5(text) AS text_hash, {_TOKS} AS toks
+    FROM documents WHERE source <> '{EVAL_SOURCE}'
+),
+ev AS (
+    SELECT DISTINCT unnest(list_transform(
+        range(1, len(toks) - {DECONTAM_NGRAM_K - 2}), i -> {_WF_GRAM}
+    )) AS gram
+    FROM (SELECT {_TOKS} AS toks FROM documents WHERE source = '{EVAL_SOURCE}')
+    WHERE len(toks) >= {DECONTAM_NGRAM_K}
+),
+s AS (
+    SELECT doc_id, text_hash, len(toks) AS n_tokens, toks,
+           len(toks) >= {C4_MIN_TOKENS}
+           AND CASE WHEN len(toks) > 0 THEN
+                   (list_aggregate(list_transform(toks, w -> length(w)), 'sum') / len(toks))
+                       BETWEEN {C4_WORD_LEN_MIN} AND {C4_WORD_LEN_MAX}
+               ELSE FALSE END
+           AND len(list_filter(toks, w -> list_contains({_STOPLIST}, w))) > 0
+               AS c4,
+           CASE WHEN len(toks) > 0 THEN ROUND(
+               LEAST(len(toks) / 200.0, 1.0) * 0.5
+               + (len(list_filter(toks, w -> list_contains({_STOPLIST}, w)))
+                  / len(toks)) * 0.3
+               + LEAST((list_aggregate(list_transform(toks, w -> length(w)), 'sum')
+                        / len(toks)) / 10.0, 1.0) * 0.2,
+               6)
+           ELSE 0.0 END AS quality
+    FROM d
+),
+hits AS (
+    SELECT doc_id, COUNT(*) AS overlap FROM (
+        SELECT g.doc_id, g.gram FROM (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(toks) - {DECONTAM_NGRAM_K - 2}),
+                       i -> {_WF_GRAM}
+                   ))) AS gram
+            FROM s WHERE len(toks) >= {DECONTAM_NGRAM_K}
+        ) g JOIN ev USING (gram)
+    ) GROUP BY 1
+),
+canon AS (SELECT text_hash, MIN(doc_id) AS keep_doc_id FROM s GROUP BY 1),
+flagged AS (
+    SELECT s.doc_id, s.n_tokens, s.quality, s.c4,
+           s.c4 AND s.doc_id = c.keep_doc_id AS canonical,
+           s.c4 AND s.doc_id = c.keep_doc_id
+               AND COALESCE(h.overlap, 0) = 0 AS clean
+    FROM s JOIN canon c USING (text_hash)
+    LEFT JOIN hits h ON h.doc_id = s.doc_id
+),
+staged AS (
+    SELECT *,
+           clean AND SUM(CASE WHEN clean THEN n_tokens ELSE 0 END)
+               OVER (ORDER BY quality DESC, doc_id ASC
+                     ROWS UNBOUNDED PRECEDING) <= {TOKEN_BUDGET} AS budgeted
+    FROM flagged
+)
+SELECT '1_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM staged
+UNION ALL
+SELECT '2_quality', CAST(SUM(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN c4 THEN n_tokens ELSE 0 END) AS BIGINT) FROM staged
+UNION ALL
+SELECT '3_canonical', CAST(SUM(CASE WHEN canonical THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN canonical THEN n_tokens ELSE 0 END) AS BIGINT) FROM staged
+UNION ALL
+SELECT '4_decontaminated', CAST(SUM(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN clean THEN n_tokens ELSE 0 END) AS BIGINT) FROM staged
+UNION ALL
+SELECT '5_token_budget', CAST(SUM(CASE WHEN budgeted THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN budgeted THEN n_tokens ELSE 0 END) AS BIGINT) FROM staged
+"""
+
 SQL["bpe_fertility_stats"] = (
     f"""
 WITH toks AS (SELECT unnest({_TOKS}) AS w FROM documents),

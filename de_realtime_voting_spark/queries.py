@@ -414,6 +414,9 @@ _DEFS: dict[str, QueryFn] = {
     "bpe_fertility_stats": lambda s, d: text.bpe_fertility_stats(
         _t(s, d, "documents")
     ),
+    "curation_waterfall": lambda s, d: pipeline.curation_waterfall(
+        _t(s, d, "documents")
+    ),
 }
 
 # Registry ORDER matters operationally: external checkers iterate in
@@ -434,6 +437,7 @@ _PRIORITY: list[str] = [
     # contamination span geometry
     "token_budget_select", "bloom_decontam", "bpe_train_merges",
     "dedup_soft_weights", "contam_span_report", "bpe_fertility_stats",
+    "curation_waterfall",
     # round-4 session 3
     "domain_quality_topk", "corpus_epoch_shuffle",
     "event_transition_matrix", "votes_sliding_window",

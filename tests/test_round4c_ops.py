@@ -281,3 +281,47 @@ def test_bpe_fertility_merges_reduce_symbols(spark):
     [r] = text.bpe_fertility_stats(docs).collect()
     assert r["total_symbols"] < r["total_chars"]
     assert r["fertility"] < r["total_chars"] / r["n_words"]
+
+
+# ------------------------------------------------------------- waterfall
+
+
+def test_curation_waterfall_stage_by_stage(spark):
+    """Hand-built corpus where every stage cuts exactly one doc:
+    short doc fails C4, the duplicate loses canonical, the eval-gram
+    carrier is decontaminated away, and the budget stage drops the
+    lowest-quality survivor."""
+    # C4 pass needs >= 20 tokens, avg word len in [3, 10], a stopword.
+    # Quality ordering matters for the budget stage: `good` (pure
+    # stopwords: len-saturated + stop-ratio 1.0 ~ 0.86) must outrank
+    # `huge` (~0.58) so the greedy prefix admits good then runs out.
+    good = ("the " * 200).strip()  # 200 tokens, quality ~ 0.86
+    eval_span = " ".join(f"evalgram{i}" for i in range(1, 9))  # one 8-gram
+    dirty = ("the " + eval_span + " plus more filler words padding here "
+             "extra tokens appended until twenty total now").strip()
+    huge = ("the " + "xxxx " * 12000).strip()  # 12001 toks > budget
+    rows = [
+        (eval_span, EVAL_SOURCE),   # eval: excluded from the funnel
+        ("too short", "s"),          # fails C4 (< 20 tokens)
+        (good, "s"),                 # survives everything
+        (good, "s"),                 # exact duplicate: loses canonical
+        (dirty, "s"),                # C4-pass but contaminated
+        (huge, "s"),                 # clean but blows the 12k budget
+    ]
+    out = {r["stage"]: r for r in pipeline.curation_waterfall(_docs(spark, rows)).collect()}
+    assert [out[k]["n_docs"] for k in sorted(out)] == [5, 4, 3, 2, 1]
+    # monotone tokens too
+    tok = [out[k]["n_tokens"] for k in sorted(out)]
+    assert all(a >= b for a, b in zip(tok, tok[1:]))
+
+
+def test_curation_waterfall_empty_input_zero_rows(spark, sf_dir):
+    """Empty corpus: the funnel still reports all 5 stages, zeroed."""
+    from de_realtime_voting_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(0)
+    rows = pipeline.curation_waterfall(docs).collect()
+    assert [r["stage"] for r in sorted(rows, key=lambda r: r["stage"])] == [
+        "1_raw", "2_quality", "3_canonical", "4_decontaminated", "5_token_budget"
+    ]
+    assert all(r["n_docs"] == 0 and r["n_tokens"] == 0 for r in rows)
