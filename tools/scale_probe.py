@@ -78,6 +78,14 @@ DEFAULT = [
     "domain_quality_topk",
     "voter_stickiness",
     "event_transition_matrix",
+    # round-4 session-4 additions: selection/decontam/tokenizer ops
+    "token_budget_select",
+    "bloom_decontam",
+    "bpe_train_merges",
+    "bpe_fertility_stats",
+    "dedup_soft_weights",
+    "contam_span_report",
+    "curation_waterfall",
 ]
 
 
