@@ -650,3 +650,34 @@ def embedding_label_cohesion(embeddings: DataFrame) -> DataFrame:
             rnd(F.min("cos"), 4).alias("min_cohesion"),
         )
     )
+
+
+def ivf_cell_balance(embeddings: DataFrame) -> DataFrame:
+    """Operational health check for the IVF index: per-cell occupancy
+    with each cell's corpus share and ratio to the mean cell.  Skewed
+    cells are the ANN equivalent of hot shuffle keys -- a cell holding
+    10x its share makes every probe of it 10x the work, and the fix
+    (re-train or split the hot centroid) starts from exactly this
+    table.  Run after every index build / nightly ingest.
+
+    Scale shape: the same Arrow-batched map-side assigner as
+    ann_ivf_topk (bit-identical to the Catalyst twin, so the oracle's
+    cross-join argmax agrees); one agg shuffle down to <= |centroids|
+    rows; the share/ratio windows run over that tiny post-agg frame
+    (the corpus_source_mix idiom -- the unpartitioned window never
+    sees the corpus)."""
+    cents = _collect_centroids(embeddings)
+    cells = (
+        _assign_cells(embeddings, cents)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+    w = Window.partitionBy()
+    return cells.select(
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("n_vectors").cast("bigint").alias("n_vectors"),
+        rnd(F.col("n_vectors") / F.sum("n_vectors").over(w), 6).alias("share"),
+        rnd(F.col("n_vectors") / F.avg("n_vectors").over(w), 6).alias(
+            "ratio_to_mean"
+        ),
+    )

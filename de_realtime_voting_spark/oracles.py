@@ -3007,6 +3007,18 @@ FROM merges ORDER BY step
 """
 )
 
+SQL["ivf_cell_balance"] = f"""
+WITH {_IVF_ASG_CTES},
+cells AS (
+    SELECT cent_id AS cell, CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM asg WHERE rn = 1 GROUP BY 1
+)
+SELECT CAST(cell AS BIGINT) AS cell, n_vectors,
+       ROUND(n_vectors / SUM(n_vectors) OVER (), 6) AS share,
+       ROUND(n_vectors / AVG(n_vectors) OVER (), 6) AS ratio_to_mean
+FROM cells
+"""
+
 _WF_GRAM = " || ' ' || ".join(
     "toks[i]" if j == 0 else f"toks[i+{j}]" for j in range(DECONTAM_NGRAM_K)
 )

@@ -417,6 +417,9 @@ _DEFS: dict[str, QueryFn] = {
     "curation_waterfall": lambda s, d: pipeline.curation_waterfall(
         _t(s, d, "documents")
     ),
+    "ivf_cell_balance": lambda s, d: similarity.ivf_cell_balance(
+        _t(s, d, "embeddings")
+    ),
 }
 
 # Registry ORDER matters operationally: external checkers iterate in
@@ -437,7 +440,7 @@ _PRIORITY: list[str] = [
     # contamination span geometry
     "token_budget_select", "bloom_decontam", "bpe_train_merges",
     "dedup_soft_weights", "contam_span_report", "bpe_fertility_stats",
-    "curation_waterfall",
+    "curation_waterfall", "ivf_cell_balance",
     # round-4 session 3
     "domain_quality_topk", "corpus_epoch_shuffle",
     "event_transition_matrix", "votes_sliding_window",

@@ -245,6 +245,9 @@ CASES = {
     "bpe_fertility_stats": lambda s, d: text.bpe_fertility_stats(
         _empty(s, d, "documents")
     ),
+    "ivf_cell_balance": lambda s, d: similarity.ivf_cell_balance(
+        _empty(s, d, "embeddings")
+    ),
 }
 
 # Report-shaped ops whose contract on empty input is a DEGENERATE

@@ -325,3 +325,20 @@ def test_curation_waterfall_empty_input_zero_rows(spark, sf_dir):
         "1_raw", "2_quality", "3_canonical", "4_decontaminated", "5_token_budget"
     ]
     assert all(r["n_docs"] == 0 and r["n_tokens"] == 0 for r in rows)
+
+
+# ----------------------------------------------------------- ivf balance
+
+
+def test_ivf_cell_balance_partitions_the_corpus(spark, sf_dir):
+    """Occupancies must sum to the corpus size, shares to ~1, and the
+    mean ratio to ~1 -- the invariants an index health check trades on."""
+    from de_realtime_voting_spark.operators import similarity
+    from de_realtime_voting_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = similarity.ivf_cell_balance(emb).collect()
+    assert sum(r["n_vectors"] for r in rows) == emb.count()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["ratio_to_mean"] for r in rows) / len(rows) - 1.0) < 1e-3
+    assert len({r["cell"] for r in rows}) == len(rows)
