@@ -294,3 +294,13 @@ BLOOM_M_BITS = 1 << 20
 # on (count desc, left asc, right asc) so the merge table is
 # engine-exact.
 BPE_MERGE_STEPS = 6
+# Sorted-neighborhood dedup (Hernandez & Stolfo 1995): two passes
+# (normalized text prefix, reversed-text prefix = suffix key), each
+# comparing a doc to its SNM_WINDOW successors in sort order within a
+# SNM_BLOCK_LEN-char prefix block.  Deterministic, order-based
+# blocking -- complementary to MinHash/SimHash's hash-band luck; the
+# multi-pass key set is the classic recall recovery for docs that
+# differ in their first characters.
+SNM_KEY_LEN = 24
+SNM_BLOCK_LEN = 2
+SNM_WINDOW = 2

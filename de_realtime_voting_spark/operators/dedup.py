@@ -1362,3 +1362,75 @@ def dedup_soft_weights(documents: DataFrame) -> DataFrame:
         rnd(F.sum(F.col("n_tokens") * weight), 4).alias("effective_tokens"),
         rnd(F.sum(weight), 4).alias("retained_mass"),
     )
+
+
+def dedup_sorted_neighborhood(documents: DataFrame) -> DataFrame:
+    """Multi-pass sorted-neighborhood near-dup pairs (Hernandez &
+    Stolfo 1995, the classic record-linkage blocking): sort docs by a
+    normalized key, compare each to its SNM_WINDOW successors, verify
+    candidates by char-trigram Jaccard.  Two passes -- text prefix and
+    reversed-text prefix (suffix) -- union their candidates, the
+    standard recall recovery for near-dups that differ early in the
+    string.  Complementary to the hash familes: DETERMINISTIC,
+    order-based candidate generation with a hard per-doc candidate
+    bound (2 keys x SNM_WINDOW), no band-collision luck.
+
+    Scale shape: each pass is one shuffle on the block prefix + a
+    bounded within-block sort (window lead, never a self-join);
+    candidate count is <= 2*SNM_WINDOW per doc BY CONSTRUCTION, so
+    the verify join (per-pair trigram intersect on the tiny candidate
+    set) is linear in corpus size.  The known SNM trade -- near-dups
+    falling in different blocks are missed -- is exactly what the
+    multi-pass key set and the LSH families cover from the other side.
+    """
+    from pyspark.sql import Window
+    from ..constants import (
+        CHAR_NGRAM_K,
+        SNM_BLOCK_LEN,
+        SNM_KEY_LEN,
+        SNM_WINDOW,
+    )
+
+    keyed = documents.where(F.length("text") >= CHAR_NGRAM_K).select(
+        "doc_id",
+        F.lower(F.substring("text", 1, SNM_KEY_LEN)).alias("k1"),
+        F.lower(F.substring(F.reverse(F.col("text")), 1, SNM_KEY_LEN)).alias("k2"),
+    )
+    passes = []
+    for key in ("k1", "k2"):
+        base = keyed.select(
+            "doc_id",
+            F.col(key).alias("key"),
+            F.substring(F.col(key), 1, SNM_BLOCK_LEN).alias("blk"),
+        )
+        wspec = Window.partitionBy("blk").orderBy("key", "doc_id")
+        for lag in range(1, SNM_WINDOW + 1):
+            nb = F.lead("doc_id", lag).over(wspec)
+            passes.append(
+                base.select("doc_id", nb.alias("nb"))
+                .where(F.col("nb").isNotNull())
+                .select(
+                    F.least(F.col("doc_id"), F.col("nb")).alias("doc_a"),
+                    F.greatest(F.col("doc_id"), F.col("nb")).alias("doc_b"),
+                )
+            )
+    cands = passes[0]
+    for p in passes[1:]:
+        cands = cands.unionByName(p)
+    cands = cands.distinct()
+    g = (
+        documents.where(F.length("text") >= CHAR_NGRAM_K)
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .select("doc_id", char_ngrams(F.col("text")).alias("grams"))
+    )
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_distinct(F.concat("ga", "gb")))
+    jac = rnd(inter / union, 6)
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+    )

@@ -3007,6 +3007,56 @@ FROM merges ORDER BY step
 """
 )
 
+from .constants import (  # noqa: E402
+    SNM_BLOCK_LEN,
+    SNM_KEY_LEN,
+    SNM_WINDOW,
+)
+
+_SNM_LEADS = ", ".join(
+    f"lead(doc_id, {lag}) OVER w{k} AS n{k}{lag}"
+    for k in (1, 2)
+    for lag in range(1, SNM_WINDOW + 1)
+)
+_SNM_UNNEST = ", ".join(
+    f"n{k}{lag}" for k in (1, 2) for lag in range(1, SNM_WINDOW + 1)
+)
+
+SQL["dedup_sorted_neighborhood"] = f"""
+WITH k AS (
+    SELECT doc_id,
+           lower(substr(text, 1, {SNM_KEY_LEN})) AS k1,
+           lower(substr(reverse(text), 1, {SNM_KEY_LEN})) AS k2
+    FROM documents WHERE length(text) >= {CHAR_NGRAM_K}
+),
+p AS (
+    SELECT doc_id, {_SNM_LEADS}
+    FROM k
+    WINDOW w1 AS (PARTITION BY substr(k1, 1, {SNM_BLOCK_LEN}) ORDER BY k1, doc_id),
+           w2 AS (PARTITION BY substr(k2, 1, {SNM_BLOCK_LEN}) ORDER BY k2, doc_id)
+),
+cand AS (
+    SELECT DISTINCT LEAST(doc_id, n) AS doc_a, GREATEST(doc_id, n) AS doc_b
+    FROM (SELECT doc_id, unnest([{_SNM_UNNEST}]) AS n FROM p)
+    WHERE n IS NOT NULL
+),
+g AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, length(text) - {CHAR_NGRAM_K - 2}),
+               i -> substr(text, i, {CHAR_NGRAM_K}))) AS grams
+    FROM documents WHERE length(text) >= {CHAR_NGRAM_K}
+)
+SELECT doc_a, doc_b, jaccard FROM (
+    SELECT c.doc_a, c.doc_b,
+           ROUND(len(list_intersect(a.grams, b.grams))
+                 / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+    FROM cand c
+    JOIN g a ON a.doc_id = c.doc_a
+    JOIN g b ON b.doc_id = c.doc_b
+) WHERE jaccard >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
 SQL["ivf_cell_balance"] = f"""
 WITH {_IVF_ASG_CTES},
 cells AS (

@@ -420,6 +420,9 @@ _DEFS: dict[str, QueryFn] = {
     "ivf_cell_balance": lambda s, d: similarity.ivf_cell_balance(
         _t(s, d, "embeddings")
     ),
+    "dedup_sorted_neighborhood": lambda s, d: dedup.dedup_sorted_neighborhood(
+        _t(s, d, "documents")
+    ),
 }
 
 # Registry ORDER matters operationally: external checkers iterate in
@@ -440,7 +443,7 @@ _PRIORITY: list[str] = [
     # contamination span geometry
     "token_budget_select", "bloom_decontam", "bpe_train_merges",
     "dedup_soft_weights", "contam_span_report", "bpe_fertility_stats",
-    "curation_waterfall", "ivf_cell_balance",
+    "curation_waterfall", "ivf_cell_balance", "dedup_sorted_neighborhood",
     # round-4 session 3
     "domain_quality_topk", "corpus_epoch_shuffle",
     "event_transition_matrix", "votes_sliding_window",

@@ -248,6 +248,9 @@ CASES = {
     "ivf_cell_balance": lambda s, d: similarity.ivf_cell_balance(
         _empty(s, d, "embeddings")
     ),
+    "dedup_sorted_neighborhood": lambda s, d: dedup.dedup_sorted_neighborhood(
+        _empty(s, d, "documents")
+    ),
 }
 
 # Report-shaped ops whose contract on empty input is a DEGENERATE

@@ -342,3 +342,45 @@ def test_ivf_cell_balance_partitions_the_corpus(spark, sf_dir):
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
     assert abs(sum(r["ratio_to_mean"] for r in rows) / len(rows) - 1.0) < 1e-3
     assert len({r["cell"] for r in rows}) == len(rows)
+
+
+# ----------------------------------------------------- sorted neighborhood
+
+
+def test_snm_finds_prefix_and_suffix_neighbors(spark):
+    """Two docs sharing a long prefix (pass 1) and two sharing a long
+    suffix but differing at char 1 (pass 2, which prefix sorting
+    would miss) must both surface; an unrelated doc pairs with
+    nothing."""
+    from de_realtime_voting_spark.operators import dedup
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (shared + " tail one", "s"),                    # 0
+        (shared + " tail two", "s"),                    # 1: prefix twin of 0
+        ("X " + shared, "s"),                           # 2
+        ("Y " + shared, "s"),                           # 3: suffix twin of 2
+        ("completely unrelated content 1234567890", "s"),  # 4
+    ]
+    out = dedup.dedup_sorted_neighborhood(_docs(spark, rows)).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (0, 1) in pairs
+    assert (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+    assert all(r["jaccard"] >= 0.8 for r in out)
+
+
+def test_snm_candidate_bound_holds(spark):
+    """Each doc contributes at most 2 passes x SNM_WINDOW candidate
+    pairs as the LEFT member -- the construction's hard bound."""
+    from collections import Counter
+
+    from de_realtime_voting_spark.constants import SNM_WINDOW
+    from de_realtime_voting_spark.operators import dedup
+
+    # identical docs: every neighborhood pair verifies at jaccard 1.0
+    rows = [("identical text body repeated verbatim here", "s")] * 6
+    out = dedup.dedup_sorted_neighborhood(_docs(spark, rows)).collect()
+    c = Counter(r["doc_a"] for r in out)
+    assert max(c.values()) <= 2 * SNM_WINDOW
+    assert all(r["jaccard"] == 1.0 for r in out)
