@@ -320,3 +320,27 @@ def test_pq_encoder_arrow_matches_catalyst(spark, sf_dir):
         r["vec_id"]: tuple(r["codes"]) for r in _pq_codes_catalyst(emb, cb).collect()
     }
     assert arrow == catalyst and len(arrow) > 0
+
+
+def test_entropy_pandas_matches_catalyst_fold(spark, sf_dir):
+    """The Arrow entropy pass must match the Catalyst run-length fold
+    on real docs to within accumulated libm ulps: term order and the
+    sequential accumulation are identical by construction, but
+    numpy's log and java.lang.Math.log may differ in the LAST ULP for
+    some inputs (so may DuckDB's ln -- the reason the op's report
+    rounds to 4 decimals; that rounding, not bit-equality, is the
+    cross-engine contract for transcendental ops)."""
+    from de_realtime_voting_spark.functions.pandas_udfs import entropy_pandas
+    from de_realtime_voting_spark.operators.text import _entropy_fold_column
+    from de_realtime_voting_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select(
+        entropy_pandas(F.col("text")).alias("arrow"),
+        _entropy_fold_column().alias("fold"),
+    ).collect()
+    import math
+
+    assert len(rows) > 0
+    for r in rows:
+        assert math.isclose(r["arrow"], r["fold"], rel_tol=1e-12, abs_tol=1e-12)

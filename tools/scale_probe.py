@@ -86,6 +86,8 @@ DEFAULT = [
     "dedup_soft_weights",
     "contam_span_report",
     "curation_waterfall",
+    "ivf_cell_balance",
+    "dedup_sorted_neighborhood",
 ]
 
 
