@@ -304,3 +304,12 @@ BPE_MERGE_STEPS = 6
 SNM_KEY_LEN = 24
 SNM_BLOCK_LEN = 2
 SNM_WINDOW = 2
+# Count-Min-Sketch heavy hitters: DEPTH independent md5-row hashes
+# onto WIDTH counters each (state = DEPTH x WIDTH regardless of
+# corpus size); estimate = min over rows (always >= exact).  Expected
+# overcount per row ~ N/WIDTH; min over 3 rows makes large inflation
+# exponentially unlikely (Cormode & Muthukrishnan 2005).  4 hex
+# digits (16 bits) feed the mod, so WIDTH must stay << 65536.
+CMS_DEPTH = 3
+CMS_WIDTH = 1024
+HH_TOPK = 20

@@ -164,16 +164,23 @@ def simhash_hex(*bands: Column) -> Column:
     )
 
 
-def md5_pct_bucket(col: Column) -> Column:
-    """Deterministic 0..99 bucket from the first 4 hex chars of
-    md5(cast(col as string)) -- the stable hash behind train/val/test
-    splitting.  Pure integer arithmetic; the oracle mirrors it with
-    instr('0123..f', ...) digit extraction."""
+def md5_mod_bucket(col: Column, m: int) -> Column:
+    """Deterministic 0..m-1 bucket from the first 4 hex chars of
+    md5(cast(col as string)) -- the stable row hash behind the split
+    buckets and the Count-Min rows.  Pure integer arithmetic; the
+    oracle mirrors it with instr('0123..f', ...) digit extraction.
+    16 bits of hash feed the mod, so m must stay well under 65536."""
     h = F.md5(col.cast("string"))
     v = F.lit(0)
     for i in range(4):
         v = v * 16 + _hexval(F.substring(h, i + 1, 1))
-    return v % 100
+    return v % m
+
+
+def md5_pct_bucket(col: Column) -> Column:
+    """Deterministic 0..99 bucket (md5_mod_bucket at m=100) -- the
+    stable hash behind train/val/test splitting."""
+    return md5_mod_bucket(col, 100)
 
 
 def _as_double(arr: Column) -> Column:

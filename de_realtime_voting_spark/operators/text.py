@@ -1155,3 +1155,63 @@ def bpe_train_merges(documents: DataFrame) -> DataFrame:
         merges,
         "step int, left string, right string, pair_count bigint, new_symbol string",
     )
+
+
+def token_heavy_hitters_cms(documents: DataFrame) -> DataFrame:
+    """Count-Min-Sketch heavy hitters (Cormode & Muthukrishnan 2005)
+    with its accuracy audit in the same report: the exact top-HH_TOPK
+    tokens next to what a CMS_DEPTH x CMS_WIDTH sketch would answer
+    for them, plus the inflation ratio (estimate/exact, always >= 1
+    -- CMS never undercounts).  The sizing table for replacing exact
+    term counting with bounded-memory sketching at ingest.
+
+    Deterministic BY CONSTRUCTION, so the sketch itself is
+    oracle-able exactly: row hashes are the repo's md5-digit buckets
+    (functions.columns.md5_mod_bucket over 'd:term'), not a seeded
+    RNG.  Scale shape: sketch state is DEPTH x WIDTH counters
+    REGARDLESS of corpus size; building it is one groupBy over
+    (row, bucket) with map-side partials (DEPTH rows per token,
+    positional explode); the estimate probe joins the tiny candidate
+    set against the <= DEPTH*WIDTH-row sketch.  The candidate set
+    here is the exact top-K (the audit needs exact counts anyway);
+    a pure-sketch deployment tracks candidates with a per-partition
+    heap instead -- the sketch side is what this op pins.
+    """
+    from ..constants import CMS_DEPTH, CMS_WIDTH, HH_TOPK
+    from ..functions.columns import md5_mod_bucket
+
+    terms = documents.select(F.explode(tokens(F.col("text"))).alias("term"))
+    exact = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("term").asc())
+        .limit(HH_TOPK)
+    )
+    bucket = md5_mod_bucket(
+        F.concat(F.col("d").cast("string"), F.lit(":"), F.col("term")), CMS_WIDTH
+    )
+    cms = (
+        terms.select(
+            "term",
+            F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
+        )
+        .select("d", bucket.alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cand = exact.select(
+        "term",
+        "exact_count",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
+    ).select("term", "exact_count", "d", bucket.alias("bucket"))
+    est = (
+        cand.join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("term", "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        "term",
+        F.col("exact_count").cast("bigint").alias("exact_count"),
+        F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        rnd(F.col("cms_estimate") / F.col("exact_count"), 6).alias("inflation"),
+    )

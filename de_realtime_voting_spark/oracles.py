@@ -3008,10 +3008,55 @@ FROM merges ORDER BY step
 )
 
 from .constants import (  # noqa: E402
+    CMS_DEPTH,
+    CMS_WIDTH,
+    HH_TOPK,
     SNM_BLOCK_LEN,
     SNM_KEY_LEN,
     SNM_WINDOW,
 )
+
+
+def _duck_md5_mod(arg_sql: str, m: int) -> str:
+    """Twin of columns.md5_mod_bucket over an arbitrary string expr."""
+    return (
+        "(("
+        + " + ".join(
+            f"{_duck_hexval(f'md5({arg_sql})', i + 1)} * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        + f") % {m})"
+    )
+
+
+_CMS_BUCKET = _duck_md5_mod("CAST(d AS VARCHAR) || ':' || term", CMS_WIDTH)
+
+SQL["token_heavy_hitters_cms"] = f"""
+WITH terms AS (SELECT unnest({_TOKS}) AS term FROM documents),
+exact AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_count
+    FROM terms GROUP BY 1
+    ORDER BY exact_count DESC, term ASC LIMIT {HH_TOPK}
+),
+upd AS (
+    SELECT term, unnest(range(0, {CMS_DEPTH})) AS d FROM terms
+),
+cms AS (
+    SELECT d, {_CMS_BUCKET} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM upd GROUP BY 1, 2
+),
+cand AS (
+    SELECT term, exact_count, unnest(range(0, {CMS_DEPTH})) AS d FROM exact
+),
+cb AS (
+    SELECT term, exact_count, d, {_CMS_BUCKET} AS bucket FROM cand
+)
+SELECT c.term, c.exact_count,
+       CAST(MIN(m.cnt) AS BIGINT) AS cms_estimate,
+       ROUND(MIN(m.cnt) / c.exact_count, 6) AS inflation
+FROM cb c JOIN cms m USING (d, bucket)
+GROUP BY 1, 2
+"""
 
 _SNM_LEADS = ", ".join(
     f"lead(doc_id, {lag}) OVER w{k} AS n{k}{lag}"

@@ -251,6 +251,9 @@ CASES = {
     "dedup_sorted_neighborhood": lambda s, d: dedup.dedup_sorted_neighborhood(
         _empty(s, d, "documents")
     ),
+    "token_heavy_hitters_cms": lambda s, d: text.token_heavy_hitters_cms(
+        _empty(s, d, "documents")
+    ),
 }
 
 # Report-shaped ops whose contract on empty input is a DEGENERATE

@@ -384,3 +384,53 @@ def test_snm_candidate_bound_holds(spark):
     c = Counter(r["doc_a"] for r in out)
     assert max(c.values()) <= 2 * SNM_WINDOW
     assert all(r["jaccard"] == 1.0 for r in out)
+
+
+# ------------------------------------------------------------- cms
+
+
+def test_cms_never_undercounts_and_matches_python(spark):
+    """CMS estimates must be >= exact for every candidate, and equal
+    a from-scratch python sketch with the same md5-digit row hashes."""
+    import hashlib
+
+    from de_realtime_voting_spark.constants import CMS_DEPTH, CMS_WIDTH
+    from de_realtime_voting_spark.operators import text as t
+
+    corpus = "alpha beta alpha gamma alpha beta delta " * 5 + "epsilon"
+    docs = _docs(spark, [(corpus, "s")])
+    rows = t.token_heavy_hitters_cms(docs).collect()
+    assert rows
+
+    def bucket(d, term):
+        h = hashlib.md5(f"{d}:{term}".encode()).hexdigest()
+        return int(h[:4], 16) % CMS_WIDTH
+
+    counts: dict[str, int] = {}
+    for w in corpus.split():
+        counts[w] = counts.get(w, 0) + 1
+    sketch: dict[tuple[int, int], int] = {}
+    for w, c in counts.items():
+        for d in range(CMS_DEPTH):
+            k = (d, bucket(d, w))
+            sketch[k] = sketch.get(k, 0) + c
+    for r in rows:
+        assert r["exact_count"] == counts[r["term"]]
+        want = min(sketch[(d, bucket(d, r["term"]))] for d in range(CMS_DEPTH))
+        assert r["cms_estimate"] == want
+        assert r["cms_estimate"] >= r["exact_count"]
+        assert r["inflation"] >= 1.0
+
+
+def test_cms_collision_inflates_estimate(spark):
+    """Force a within-row collision check: with a tiny corpus the
+    sketch is sparse, so estimates equal exacts; the audit columns
+    must then read inflation == 1.0 exactly."""
+    from de_realtime_voting_spark.operators import text as t
+
+    docs = _docs(spark, [("one two three two one one", "s")])
+    rows = t.token_heavy_hitters_cms(docs).collect()
+    assert {r["term"]: r["exact_count"] for r in rows} == {
+        "one": 3, "two": 2, "three": 1
+    }
+    assert all(r["inflation"] == 1.0 for r in rows)
