@@ -88,6 +88,7 @@ DEFAULT = [
     "curation_waterfall",
     "ivf_cell_balance",
     "dedup_sorted_neighborhood",
+    "token_heavy_hitters_cms",
 ]
 
 
