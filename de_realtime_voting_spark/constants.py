@@ -313,3 +313,8 @@ SNM_WINDOW = 2
 CMS_DEPTH = 3
 CMS_WIDTH = 1024
 HH_TOPK = 20
+# Two-stage retrieval: the PQ-ADC scan shortlists 3*ANN_K candidates
+# per query; raw vectors are fetched ONLY for the shortlist and exact
+# cosine fixes the quantization error in the final order -- the
+# standard compressed-scan + re-rank production pattern.
+PQ_RERANK_SHORTLIST = 15

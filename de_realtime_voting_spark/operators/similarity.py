@@ -538,6 +538,14 @@ def _pq_codes(embeddings: DataFrame, cb) -> DataFrame:
     )
 
 
+def _pq_adc_rank(embeddings: DataFrame, k: int) -> DataFrame:
+    """ADC-ranked (query_id, neighbor_id, rank, adc_dist) rows up to
+    rank k -- the shared scan behind ann_pq_topk (k = ANN_K) and the
+    two-stage re-ranker (k = PQ_RERANK_SHORTLIST).  See ann_pq_topk
+    for the algorithm and scale argument."""
+    return _ann_pq_ranked(embeddings, k)
+
+
 def ann_pq_topk(embeddings: DataFrame) -> DataFrame:
     """Product-quantization ANN: encode every vector as PQ_M codebook
     codes (nearest codeword per contiguous subspace), then rank
@@ -561,7 +569,18 @@ def ann_pq_topk(embeddings: DataFrame) -> DataFrame:
     break on code/neighbor id, so both engines pick identical codes
     and ranks.
     """
-    from ..constants import ANN_K, ANN_QUERY_IDS, PQ_M, PQ_SUB_DIM
+    from ..constants import ANN_K
+
+    return (
+        _ann_pq_ranked(embeddings, ANN_K)
+        .select(
+            "query_id", "neighbor_id", "rank", rnd("adc_dist", 6).alias("adc_dist")
+        )
+    )
+
+
+def _ann_pq_ranked(embeddings: DataFrame, k: int) -> DataFrame:
+    from ..constants import ANN_QUERY_IDS, PQ_M, PQ_SUB_DIM
 
     cb = _collect_pq_codebook(embeddings)
     if not cb or not cb[0]:
@@ -611,10 +630,52 @@ def ann_pq_topk(embeddings: DataFrame) -> DataFrame:
     return (
         pairs.select("query_id", "neighbor_id", adc.alias("adc_dist"))
         .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= ANN_K)
+        .where(F.col("rank") <= k)
+    )
+
+
+def ann_pq_rerank_topk(embeddings: DataFrame) -> DataFrame:
+    """Two-stage retrieval: PQ-ADC shortlist -> exact-cosine re-rank.
+    The production billion-vector pattern: the compressed scan (codes
+    only, PQ_M bytes/vector) finds PQ_RERANK_SHORTLIST candidates per
+    query cheaply; RAW vectors are then fetched ONLY for the
+    shortlist -- a |queries| x SHORTLIST row join keyed on
+    neighbor_id, never a corpus scan of raw floats -- and exact
+    cosine fixes the ADC quantization error in the final top-ANN_K
+    order.  Ties break on neighbor_id; ranks are deterministic.
+
+    Scale shape: stage 1 is ann_pq_topk's scan (shared _pq_adc_rank,
+    one definition); stage 2's raw-vector fetch is a broadcast-able
+    join of a tiny frame against the embeddings table's (vec_id,
+    embedding) projection, and the re-rank window partitions by
+    query over SHORTLIST rows."""
+    from ..constants import ANN_K, ANN_QUERY_IDS, PQ_RERANK_SHORTLIST
+
+    short = _pq_adc_rank(embeddings, PQ_RERANK_SHORTLIST).select(
+        "query_id", "neighbor_id"
+    )
+    q = embeddings.where(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    nb = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+    )
+    scored = (
+        short.join(F.broadcast(q), "query_id")
+        .join(nb, "neighbor_id")
         .select(
-            "query_id", "neighbor_id", "rank", rnd("adc_dist", 6).alias("adc_dist")
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
         )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id", "rank", rnd("cosine", 6).alias("cosine"))
     )
 
 

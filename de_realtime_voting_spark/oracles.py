@@ -3017,6 +3017,39 @@ from .constants import (  # noqa: E402
 )
 
 
+from .constants import PQ_RERANK_SHORTLIST  # noqa: E402
+
+_PQ_SHORT = SQL["ann_pq_topk"].replace(
+    f'WHERE "rank" <= {ANN_K}', f'WHERE "rank" <= {PQ_RERANK_SHORTLIST}'
+)
+assert _PQ_SHORT != SQL["ann_pq_topk"]
+
+SQL["ann_pq_rerank_topk"] = f"""
+WITH short AS ({_PQ_SHORT}),
+qr AS (
+    SELECT vec_id AS query_id, embedding AS q_emb
+    FROM embeddings WHERE vec_id IN {_ANN_IDS}
+),
+x AS (
+    SELECT s.query_id, s.neighbor_id,
+           {_cos('qr.q_emb', 'e.embedding')} AS cosine
+    FROM short s
+    JOIN qr ON qr.query_id = s.query_id
+    JOIN embeddings e ON e.vec_id = s.neighbor_id
+),
+rr AS (
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS INTEGER) AS "rank",
+           cosine
+    FROM x
+)
+SELECT query_id, neighbor_id, "rank", ROUND(cosine, 6) AS cosine
+FROM rr WHERE "rank" <= {ANN_K}
+"""
+
+
 def _duck_md5_mod(arg_sql: str, m: int) -> str:
     """Twin of columns.md5_mod_bucket over an arbitrary string expr."""
     return (

@@ -426,6 +426,9 @@ _DEFS: dict[str, QueryFn] = {
     "token_heavy_hitters_cms": lambda s, d: text.token_heavy_hitters_cms(
         _t(s, d, "documents")
     ),
+    "ann_pq_rerank_topk": lambda s, d: similarity.ann_pq_rerank_topk(
+        _t(s, d, "embeddings")
+    ),
 }
 
 # Registry ORDER matters operationally: external checkers iterate in
@@ -447,7 +450,7 @@ _PRIORITY: list[str] = [
     "token_budget_select", "bloom_decontam", "bpe_train_merges",
     "dedup_soft_weights", "contam_span_report", "bpe_fertility_stats",
     "curation_waterfall", "ivf_cell_balance", "dedup_sorted_neighborhood",
-    "token_heavy_hitters_cms",
+    "token_heavy_hitters_cms", "ann_pq_rerank_topk",
     # round-4 session 3
     "domain_quality_topk", "corpus_epoch_shuffle",
     "event_transition_matrix", "votes_sliding_window",

@@ -254,6 +254,9 @@ CASES = {
     "token_heavy_hitters_cms": lambda s, d: text.token_heavy_hitters_cms(
         _empty(s, d, "documents")
     ),
+    "ann_pq_rerank_topk": lambda s, d: similarity.ann_pq_rerank_topk(
+        _empty(s, d, "embeddings")
+    ),
 }
 
 # Report-shaped ops whose contract on empty input is a DEGENERATE

@@ -258,3 +258,31 @@ def test_doc_chunk_windows_coverage(spark, sf_dir):
             assert r["n_chunk_tokens"] == min(CHUNK_W, n - r["start_pos"] + 1)
         last = rows[-1]
         assert last["start_pos"] + last["n_chunk_tokens"] - 1 == n  # full coverage
+
+
+def test_ann_pq_rerank_improves_or_matches_pq(spark, sf_dir):
+    """Two-stage retrieval contract: exact re-rank over the ADC
+    shortlist must recall at least as much of the exact top-k as the
+    raw PQ ranking (it re-orders a superset of PQ's top-k with the
+    TRUE metric), and every reranked hit must come from the
+    shortlist's queries with exactly ANN_K deterministic ranks."""
+    from de_realtime_voting_spark.constants import ANN_K
+
+    def topsets(name):
+        out: dict[int, set[int]] = {}
+        for r in QUERY_REGISTRY[name](spark, sf_dir).collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    brute = topsets("ann_bruteforce_topk")
+    pq = topsets("ann_pq_topk")
+    rr = topsets("ann_pq_rerank_topk")
+    assert set(rr) == set(pq)
+    assert all(len(v) == ANN_K for v in rr.values())
+
+    def recall(cand):
+        return sum(len(brute[q] & cand.get(q, set())) for q in brute) / sum(
+            len(brute[q]) for q in brute
+        )
+
+    assert recall(rr) >= recall(pq), (recall(rr), recall(pq))
