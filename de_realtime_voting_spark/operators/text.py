@@ -1157,6 +1157,39 @@ def bpe_train_merges(documents: DataFrame) -> DataFrame:
     )
 
 
+def _cms_bucket():
+    """The CMS bucket column for a frame carrying (d, term): the
+    md5-digit row hash over 'd:term' mod CMS_WIDTH -- ONE definition
+    shared by the sketch build, the probe side, and the streaming
+    twin, so the three can never hash apart."""
+    from ..constants import CMS_WIDTH
+    from ..functions.columns import md5_mod_bucket
+
+    return md5_mod_bucket(
+        F.concat(F.col("d").cast("string"), F.lit(":"), F.col("term")), CMS_WIDTH
+    )
+
+
+def cms_sketch_rows(documents: DataFrame) -> DataFrame:
+    """(d, bucket, cnt) Count-Min sketch rows over the corpus token
+    stream -- the shared transform behind token_heavy_hitters_cms and
+    streaming.stream_token_cms (single logical plan, two execution
+    modes).  State/output is bounded by CMS_DEPTH x CMS_WIDTH rows
+    regardless of corpus or stream size."""
+    from ..constants import CMS_DEPTH
+
+    return (
+        documents.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .select(
+            "term",
+            F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
+        )
+        .select("d", _cms_bucket().alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def token_heavy_hitters_cms(documents: DataFrame) -> DataFrame:
     """Count-Min-Sketch heavy hitters (Cormode & Muthukrishnan 2005)
     with its accuracy audit in the same report: the exact top-HH_TOPK
@@ -1187,23 +1220,12 @@ def token_heavy_hitters_cms(documents: DataFrame) -> DataFrame:
         .orderBy(F.col("exact_count").desc(), F.col("term").asc())
         .limit(HH_TOPK)
     )
-    bucket = md5_mod_bucket(
-        F.concat(F.col("d").cast("string"), F.lit(":"), F.col("term")), CMS_WIDTH
-    )
-    cms = (
-        terms.select(
-            "term",
-            F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
-        )
-        .select("d", bucket.alias("bucket"))
-        .groupBy("d", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    cms = cms_sketch_rows(documents)
     cand = exact.select(
         "term",
         "exact_count",
         F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
-    ).select("term", "exact_count", "d", bucket.alias("bucket"))
+    ).select("term", "exact_count", "d", _cms_bucket().alias("bucket"))
     est = (
         cand.join(F.broadcast(cms), ["d", "bucket"])
         .groupBy("term", "exact_count")

@@ -533,6 +533,27 @@ def stream_bloom_quarantine(documents: DataFrame, corpus: DataFrame) -> DataFram
     return documents.withColumn("decision", decision)
 
 
+def stream_token_cms(documents: DataFrame) -> DataFrame:
+    """Live Count-Min-Sketch maintenance: the (d, bucket, cnt) sketch
+    rows of the arriving token stream, update mode -- the ingest-time
+    twin of token_heavy_hitters_cms's sketch build (operators.text.
+    cms_sketch_rows: single logical transform, two execution modes,
+    same md5-digit row hashes, so batch and stream can never hash
+    apart).
+
+    THE textbook sketch/streaming fit: state is <= CMS_DEPTH x
+    CMS_WIDTH counter rows REGARDLESS of stream length -- a
+    bounded-state aggregation that needs no watermark and no TTL,
+    unlike per-term exact counts whose state grows with vocabulary.
+    A dashboard answers "how often has term t appeared so far" as
+    min over the DEPTH rows of t's buckets, always an overestimate
+    bounded by the CMS guarantee; batch/stream sketch equality is
+    pytest-pinned."""
+    from ..operators.text import cms_sketch_rows
+
+    return cms_sketch_rows(documents)
+
+
 def stream_embed_inference(documents: DataFrame) -> DataFrame:
     """Online inference: the SAME Arrow-batched mapInPandas embedding
     pass as batch operators.inference.embed_docs, applied to a live

@@ -1273,3 +1273,27 @@ def test_stream_bloom_quarantine_never_admits_contamination(spark, sf_dir):
                 assert r["doc_id"] in quarantined
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_token_cms_equals_batch_sketch(spark, sf_dir):
+    """The live sketch after draining the stream must equal the batch
+    sketch row-for-row (same shared transform, same hashes) -- and
+    stay within the DEPTH x WIDTH state bound."""
+    from de_realtime_voting_spark.constants import CMS_DEPTH, CMS_WIDTH
+    from de_realtime_voting_spark.operators.text import cms_sketch_rows
+    from de_realtime_voting_spark.streaming import stream_token_cms
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = sorted(map(tuple, cms_sketch_rows(docs).collect()))
+    assert 0 < len(want) <= CMS_DEPTH * CMS_WIDTH
+
+    d = tempfile.mkdtemp(prefix="docs_cms_")
+    try:
+        docs.repartition(3).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(docs.schema).parquet(d)
+        got = _run_stream_to_memory(
+            spark, stream_token_cms(stream), "token_cms", "complete"
+        )
+        assert sorted(map(tuple, got.collect())) == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
