@@ -1297,3 +1297,30 @@ def test_stream_token_cms_equals_batch_sketch(spark, sf_dir):
         assert sorted(map(tuple, got.collect())) == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_one_vote_per_voter_ttl_dedups_within_horizon(
+    spark, sf_dir, vote_json_dir
+):
+    """Within one watermark horizon the TTL variant must behave like
+    the unbounded keep-set: one surviving vote per voter (the test
+    drains a bounded file stream, so no state expires mid-run); the
+    TTL trade only manifests past the horizon, which the docstring
+    states as the contract."""
+    from de_realtime_voting_spark.streaming import stream_one_vote_per_voter_ttl
+
+    stream = parse_vote_stream(
+        spark.readStream.schema("value_json string").text(vote_json_dir),
+        "value_json",
+    )
+    out = _run_stream_to_memory(
+        spark,
+        stream_one_vote_per_voter_ttl(stream, "365 days"),
+        "ovpv_ttl_stream",
+        "append",
+    )
+    events = load_table(spark, sf_dir, "events")
+    n_voters = events.select("user_id").distinct().count()
+    rows = out.collect()
+    assert len(rows) == n_voters
+    assert len({r["user_id"] for r in rows}) == n_voters
