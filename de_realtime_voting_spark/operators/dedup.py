@@ -1404,24 +1404,30 @@ def dedup_sorted_neighborhood(documents: DataFrame) -> DataFrame:
             F.substring(F.col(key), 1, SNM_BLOCK_LEN).alias("blk"),
         )
         wspec = Window.partitionBy("blk").orderBy("key", "doc_id")
-        for lag in range(1, SNM_WINDOW + 1):
-            nb = F.lead("doc_id", lag).over(wspec)
-            passes.append(
-                base.select("doc_id", nb.alias("nb"))
-                .where(F.col("nb").isNotNull())
-                .select(
-                    F.least(F.col("doc_id"), F.col("nb")).alias("doc_a"),
-                    F.greatest(F.col("doc_id"), F.col("nb")).alias("doc_b"),
-                )
+        # ONE projection computes every lead over the same window spec
+        # (one sort per pass), then melts -- Spark does not dedup
+        # common subtrees across union branches, so a branch per lag
+        # would re-shuffle and re-sort the keyed frame 2x per key
+        leads = base.select(
+            "doc_id",
+            F.array(
+                *[
+                    F.lead("doc_id", lag).over(wspec)
+                    for lag in range(1, SNM_WINDOW + 1)
+                ]
+            ).alias("nbs"),
+        )
+        passes.append(
+            leads.select("doc_id", F.explode("nbs").alias("nb"))
+            .where(F.col("nb").isNotNull())
+            .select(
+                F.least(F.col("doc_id"), F.col("nb")).alias("doc_a"),
+                F.greatest(F.col("doc_id"), F.col("nb")).alias("doc_b"),
             )
-    cands = passes[0]
-    for p in passes[1:]:
-        cands = cands.unionByName(p)
-    cands = cands.distinct()
-    g = (
-        documents.where(F.length("text") >= CHAR_NGRAM_K)
-        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
-        .select("doc_id", char_ngrams(F.col("text")).alias("grams"))
+        )
+    cands = passes[0].unionByName(passes[1]).distinct()
+    g = _spread(documents.where(F.length("text") >= CHAR_NGRAM_K)).select(
+        "doc_id", char_ngrams(F.col("text")).alias("grams")
     )
     a = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
     b = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))

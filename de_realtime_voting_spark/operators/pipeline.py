@@ -463,6 +463,49 @@ def corpus_epoch_shuffle(documents: DataFrame) -> DataFrame:
     )
 
 
+# The two probe shifts of the Bloom filter: k = 2 hash functions
+# derived from one xxhash64 (low bits and bits >> 17).  ONE
+# definition shared by the batch verifier and the streaming
+# quarantine gate -- if build and probe ever used different shifts,
+# the "zero false negatives" contract would silently break.
+BLOOM_SHIFTS = (0, 17)
+
+
+def bloom_bits(hashes) -> "object":
+    """Build the BLOOM_M_BITS-bit Bloom image (packed uint8 numpy
+    array) from int64 xxhash64 values -- the single bit-layout
+    definition behind bloom_decontam and streaming.
+    stream_bloom_quarantine."""
+    import numpy as np
+
+    from ..constants import BLOOM_M_BITS
+
+    m = BLOOM_M_BITS
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    hv = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+    for shift in BLOOM_SHIFTS:
+        p = ((hv >> np.uint64(shift)) % np.uint64(m)).astype(np.int64)
+        np.bitwise_or.at(bits, p >> 3, np.uint8(1) << (p & 7).astype(np.uint8))
+    return bits
+
+
+def bloom_probe(bits, hashes) -> "object":
+    """Vectorized membership test against a bloom_bits image: True
+    where ALL BLOOM_SHIFTS probe bits are set (possible member),
+    False only for definite non-members."""
+    import numpy as np
+
+    from ..constants import BLOOM_M_BITS
+
+    m = BLOOM_M_BITS
+    hv = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+    hit = np.ones(len(hv), dtype=bool)
+    for shift in BLOOM_SHIFTS:
+        p = ((hv >> np.uint64(shift)) % np.uint64(m)).astype(np.int64)
+        hit &= ((bits[p >> 3] >> (p & 7).astype(np.uint8)) & 1).astype(bool)
+    return hit
+
+
 def bloom_decontam(documents: DataFrame) -> DataFrame:
     """Benchmark decontamination with a broadcast Bloom prefilter:
     the same per-source report as ``benchmark_decontam`` (identical
@@ -494,29 +537,22 @@ def bloom_decontam(documents: DataFrame) -> DataFrame:
     eval_grams = (
         pairs.where(F.col("source") == EVAL_SOURCE).select("gram").distinct()
     )
-    m = BLOOM_M_BITS
-    hashes = np.array(
-        [r["h"] for r in eval_grams.select(F.xxhash64("gram").alias("h")).collect()],
-        dtype=np.int64,
-    ).astype(np.uint64)
-    bits = np.zeros(m // 8, dtype=np.uint8)
-    for shift in (np.uint64(0), np.uint64(17)):
-        p = ((hashes >> shift) % np.uint64(m)).astype(np.int64)
-        np.bitwise_or.at(
-            bits, p >> 3, np.uint8(1) << (p & 7).astype(np.uint8)
+    bits = bloom_bits(
+        np.array(
+            [
+                r["h"]
+                for r in eval_grams.select(F.xxhash64("gram").alias("h")).collect()
+            ],
+            dtype=np.int64,
         )
+    )
 
-    def _bloom_probe(h):
-        hv = h.to_numpy(dtype=np.int64).astype(np.uint64)
-        hit = np.ones(len(hv), dtype=bool)
-        for shift in (np.uint64(0), np.uint64(17)):
-            p = ((hv >> shift) % np.uint64(m)).astype(np.int64)
-            hit &= ((bits[p >> 3] >> (p & 7).astype(np.uint8)) & 1).astype(bool)
-        return pd.Series(hit)
+    def _probe_series(h):
+        return pd.Series(bloom_probe(bits, h.to_numpy(dtype=np.int64)))
 
     # functional-form pandas_udf: `from __future__ import annotations`
     # stringifies the pd.Series hints the decorator form would need
-    bloom_maybe = pandas_udf(_bloom_probe, "boolean")
+    bloom_maybe = pandas_udf(_probe_series, "boolean")
 
     candidates = pairs.where(F.col("source") != EVAL_SOURCE).where(
         bloom_maybe(F.xxhash64("gram"))

@@ -1210,8 +1210,7 @@ def token_heavy_hitters_cms(documents: DataFrame) -> DataFrame:
     a pure-sketch deployment tracks candidates with a per-partition
     heap instead -- the sketch side is what this op pins.
     """
-    from ..constants import CMS_DEPTH, CMS_WIDTH, HH_TOPK
-    from ..functions.columns import md5_mod_bucket
+    from ..constants import CMS_DEPTH, HH_TOPK
 
     terms = documents.select(F.explode(tokens(F.col("text"))).alias("term"))
     exact = (

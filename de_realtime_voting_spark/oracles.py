@@ -2976,13 +2976,19 @@ best{i} AS (
     SELECT l, r, cnt FROM pairs{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
 ),
 vocab{i} AS (
+    -- LEFT JOIN ON TRUE (not CROSS JOIN): when best{i} is empty the
+    -- vocab must SURVIVE unmerged, matching the Spark trainer's
+    -- 'if not best: break' -- a cross join with an empty frame would
+    -- annihilate the chain and break the fertility oracle on corpora
+    -- whose vocabulary exhausts before BPE_MERGE_STEPS merges
     SELECT w, freq,
            string_split(
                list_reduce(syms, (acc, s) -> CASE
-                   WHEN s = b.r AND (acc = b.l OR ends_with(acc, chr(31) || b.l))
+                   WHEN b.r IS NOT NULL AND s = b.r
+                        AND (acc = b.l OR ends_with(acc, chr(31) || b.l))
                    THEN acc || b.r ELSE acc || chr(31) || s END),
                chr(31)) AS syms
-    FROM vocab{i - 1} CROSS JOIN best{i} b
+    FROM vocab{i - 1} LEFT JOIN best{i} b ON TRUE
 )"""
 
 
@@ -3211,19 +3217,19 @@ staged AS (
     FROM flagged
 )
 SELECT '1_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM staged
+       CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens FROM staged
 UNION ALL
-SELECT '2_quality', CAST(SUM(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT),
-       CAST(SUM(CASE WHEN c4 THEN n_tokens ELSE 0 END) AS BIGINT) FROM staged
+SELECT '2_quality', CAST(COALESCE(SUM(CASE WHEN c4 THEN 1 ELSE 0 END), 0) AS BIGINT),
+       CAST(COALESCE(SUM(CASE WHEN c4 THEN n_tokens ELSE 0 END), 0) AS BIGINT) FROM staged
 UNION ALL
-SELECT '3_canonical', CAST(SUM(CASE WHEN canonical THEN 1 ELSE 0 END) AS BIGINT),
-       CAST(SUM(CASE WHEN canonical THEN n_tokens ELSE 0 END) AS BIGINT) FROM staged
+SELECT '3_canonical', CAST(COALESCE(SUM(CASE WHEN canonical THEN 1 ELSE 0 END), 0) AS BIGINT),
+       CAST(COALESCE(SUM(CASE WHEN canonical THEN n_tokens ELSE 0 END), 0) AS BIGINT) FROM staged
 UNION ALL
-SELECT '4_decontaminated', CAST(SUM(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT),
-       CAST(SUM(CASE WHEN clean THEN n_tokens ELSE 0 END) AS BIGINT) FROM staged
+SELECT '4_decontaminated', CAST(COALESCE(SUM(CASE WHEN clean THEN 1 ELSE 0 END), 0) AS BIGINT),
+       CAST(COALESCE(SUM(CASE WHEN clean THEN n_tokens ELSE 0 END), 0) AS BIGINT) FROM staged
 UNION ALL
-SELECT '5_token_budget', CAST(SUM(CASE WHEN budgeted THEN 1 ELSE 0 END) AS BIGINT),
-       CAST(SUM(CASE WHEN budgeted THEN n_tokens ELSE 0 END) AS BIGINT) FROM staged
+SELECT '5_token_budget', CAST(COALESCE(SUM(CASE WHEN budgeted THEN 1 ELSE 0 END), 0) AS BIGINT),
+       CAST(COALESCE(SUM(CASE WHEN budgeted THEN n_tokens ELSE 0 END), 0) AS BIGINT) FROM staged
 """
 
 SQL["bpe_fertility_stats"] = (

@@ -502,23 +502,25 @@ def stream_bloom_quarantine(documents: DataFrame, corpus: DataFrame) -> DataFram
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    from ..constants import BLOOM_M_BITS, DECONTAM_NGRAM_K, EVAL_SOURCE
+    from ..constants import DECONTAM_NGRAM_K, EVAL_SOURCE
     from ..functions import tokens
-    from ..operators.pipeline import _gram_pairs
+    from ..operators.pipeline import _gram_pairs, bloom_bits, bloom_probe
 
-    m = BLOOM_M_BITS
     _, pairs = _gram_pairs(corpus)
     eval_grams = (
         pairs.where(F.col("source") == EVAL_SOURCE).select("gram").distinct()
     )
-    hashes = np.array(
-        [r["h"] for r in eval_grams.select(F.xxhash64("gram").alias("h")).collect()],
-        dtype=np.int64,
-    ).astype(np.uint64)
-    bits = np.zeros(m // 8, dtype=np.uint8)
-    for shift in (np.uint64(0), np.uint64(17)):
-        p = ((hashes >> shift) % np.uint64(m)).astype(np.int64)
-        np.bitwise_or.at(bits, p >> 3, np.uint8(1) << (p & 7).astype(np.uint8))
+    # shared build/probe (operators.pipeline.bloom_bits/bloom_probe):
+    # the stream gate and the batch adjudicator can never hash apart
+    bits = bloom_bits(
+        np.array(
+            [
+                r["h"]
+                for r in eval_grams.select(F.xxhash64("gram").alias("h")).collect()
+            ],
+            dtype=np.int64,
+        )
+    )
 
     def _any_hit(hs):
         lens = hs.map(len).to_numpy(dtype=np.int64)
@@ -527,11 +529,8 @@ def stream_bloom_quarantine(documents: DataFrame, corpus: DataFrame) -> DataFram
             return pd.Series(out)
         flat = np.concatenate(
             [np.asarray(x, dtype=np.int64) for x in hs if len(x)]
-        ).astype(np.uint64)
-        hit = np.ones(len(flat), dtype=bool)
-        for shift in (np.uint64(0), np.uint64(17)):
-            p = ((flat >> shift) % np.uint64(m)).astype(np.int64)
-            hit &= ((bits[p >> 3] >> (p & 7).astype(np.uint8)) & 1).astype(bool)
+        )
+        hit = bloom_probe(bits, flat)
         doc_idx = np.repeat(np.arange(len(hs)), lens)
         out[np.unique(doc_idx[hit])] = True
         return pd.Series(out)

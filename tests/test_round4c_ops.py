@@ -434,3 +434,26 @@ def test_cms_collision_inflates_estimate(spark):
         "one": 3, "two": 2, "three": 1
     }
     assert all(r["inflation"] == 1.0 for r in rows)
+
+
+def test_bpe_fertility_oracle_survives_vocab_exhaustion(spark):
+    """Regression (code-review finding): a corpus whose vocabulary
+    exhausts before BPE_MERGE_STEPS merges (every word 'ab': one
+    merge then no pairs) must yield IDENTICAL fertility rows from the
+    Spark operator and the DuckDB oracle -- the oracle's vocab chain
+    previously annihilated through a CROSS JOIN with the empty
+    best{i} frame while Spark's trainer breaks and keeps the last
+    vocab."""
+    import duckdb
+
+    from de_realtime_voting_spark.oracles import SQL
+
+    docs = _docs(spark, [("ab ab ab", "s")])
+    got = sorted(map(tuple, text.bpe_fertility_stats(docs).collect()))
+    assert got  # non-empty: the exhausted vocab must survive
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = sorted(
+        map(tuple, con.sql(SQL["bpe_fertility_stats"]).df().itertuples(index=False))
+    )
+    assert got == want

@@ -89,6 +89,7 @@ DEFAULT = [
     "ivf_cell_balance",
     "dedup_sorted_neighborhood",
     "token_heavy_hitters_cms",
+    "ann_pq_rerank_topk",
 ]
 
 
