@@ -318,3 +318,9 @@ HH_TOPK = 20
 # cosine fixes the quantization error in the final order -- the
 # standard compressed-scan + re-rank production pattern.
 PQ_RERANK_SHORTLIST = 15
+# Per-domain token cap (head-domain suppression): each source keeps
+# its best docs until the cap; oversized domains are truncated, small
+# domains pass whole -- the domain-balancing complement to the global
+# TOKEN_BUDGET.  800 truncates most synthetic sources (~1.4k tokens
+# each) mid-distribution at every SF.
+SOURCE_TOKEN_CAP = 800

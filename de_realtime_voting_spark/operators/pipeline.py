@@ -789,3 +789,52 @@ def curation_waterfall(documents: DataFrame) -> DataFrame:
         F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
         F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
     )
+
+
+def source_capped_selection(documents: DataFrame) -> DataFrame:
+    """Per-DOMAIN token caps (head-domain suppression): within each
+    source, keep docs in (quality DESC, doc_id ASC) order while the
+    inclusive running token sum stays within SOURCE_TOKEN_CAP --
+    oversized domains truncate to their best SOURCE_TOKEN_CAP tokens,
+    small domains pass whole.  The domain-balancing complement to
+    token_budget_select's single global budget (mix ablations cap the
+    head domains; the global budget sizes the whole corpus).
+
+    Scale shape: the running sum partitions by source NATURALLY, so
+    there is no global window at all -- the exact contrast with the
+    global budget's two-phase machinery.  Per-task work is bounded by
+    one domain's doc count; if one domain ever dominates the corpus,
+    swap in token_budget_select's bucket-offset decomposition inside
+    that domain (same math, documented there).
+    """
+    from ..constants import SOURCE_TOKEN_CAP
+
+    per_doc = (
+        documents.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            "source",
+            F.size("toks").alias("n_tokens"),
+            F.when(F.size("toks") > 0, _doc_quality(F.col("toks")))
+            .otherwise(F.lit(0.0))
+            .alias("quality"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = per_doc.withColumn(
+        "kept", F.sum("n_tokens").over(w) <= SOURCE_TOKEN_CAP
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min(F.when(F.col("kept"), F.col("quality"))).alias("cutoff_quality"),
+    )

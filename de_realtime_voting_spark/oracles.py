@@ -3023,6 +3023,39 @@ from .constants import (  # noqa: E402
 )
 
 
+from .constants import SOURCE_TOKEN_CAP  # noqa: E402
+
+SQL["source_capped_selection"] = f"""
+WITH d AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+s AS (
+    SELECT doc_id, source, len(toks) AS n_tokens,
+           CASE WHEN len(toks) > 0 THEN ROUND(
+               LEAST(len(toks) / 200.0, 1.0) * 0.5
+               + (len(list_filter(toks, w -> list_contains({_STOPLIST}, w)))
+                  / len(toks)) * 0.3
+               + LEAST((list_aggregate(list_transform(toks, w -> length(w)), 'sum')
+                        / len(toks)) / 10.0, 1.0) * 0.2,
+               6)
+           ELSE 0.0 END AS quality
+    FROM d
+),
+c AS (
+    SELECT source, n_tokens, quality,
+           SUM(n_tokens) OVER (PARTITION BY source
+                               ORDER BY quality DESC, doc_id ASC
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM s
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN cum <= {SOURCE_TOKEN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(SUM(CASE WHEN cum <= {SOURCE_TOKEN_CAP} THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS kept_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(CASE WHEN cum <= {SOURCE_TOKEN_CAP} THEN quality END) AS cutoff_quality
+FROM c GROUP BY 1
+"""
+
 from .constants import PQ_RERANK_SHORTLIST  # noqa: E402
 
 _PQ_SHORT = SQL["ann_pq_topk"].replace(

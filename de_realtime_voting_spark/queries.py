@@ -429,6 +429,9 @@ _DEFS: dict[str, QueryFn] = {
     "ann_pq_rerank_topk": lambda s, d: similarity.ann_pq_rerank_topk(
         _t(s, d, "embeddings")
     ),
+    "source_capped_selection": lambda s, d: pipeline.source_capped_selection(
+        _t(s, d, "documents")
+    ),
 }
 
 # Registry ORDER matters operationally: external checkers iterate in
@@ -451,6 +454,7 @@ _PRIORITY: list[str] = [
     "dedup_soft_weights", "contam_span_report", "bpe_fertility_stats",
     "curation_waterfall", "ivf_cell_balance", "dedup_sorted_neighborhood",
     "token_heavy_hitters_cms", "ann_pq_rerank_topk",
+    "source_capped_selection",
     # round-4 session 3
     "domain_quality_topk", "corpus_epoch_shuffle",
     "event_transition_matrix", "votes_sliding_window",

@@ -257,6 +257,9 @@ CASES = {
     "ann_pq_rerank_topk": lambda s, d: similarity.ann_pq_rerank_topk(
         _empty(s, d, "embeddings")
     ),
+    "source_capped_selection": lambda s, d: pipeline.source_capped_selection(
+        _empty(s, d, "documents")
+    ),
 }
 
 # Report-shaped ops whose contract on empty input is a DEGENERATE

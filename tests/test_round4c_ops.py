@@ -457,3 +457,35 @@ def test_bpe_fertility_oracle_survives_vocab_exhaustion(spark):
         map(tuple, con.sql(SQL["bpe_fertility_stats"]).df().itertuples(index=False))
     )
     assert got == want
+
+
+# --------------------------------------------------------- source caps
+
+
+def test_source_caps_truncate_big_domains_only(spark):
+    """A domain over the cap keeps its best-quality prefix; a domain
+    under the cap passes whole (identical texts tie-break doc_id)."""
+    from de_realtime_voting_spark.constants import SOURCE_TOKEN_CAP
+
+    assert SOURCE_TOKEN_CAP == 800  # the arithmetic below assumes it
+    rows = [(_doc_of_tokens(300), "big") for _ in range(4)]   # 1200 > 800
+    rows += [(_doc_of_tokens(100), "small") for _ in range(2)]  # 200 <= 800
+    out = {r["source"]: r for r in pipeline.source_capped_selection(_docs(spark, rows)).collect()}
+    assert out["big"]["n_kept"] == 2 and out["big"]["kept_tokens"] == 600
+    assert out["small"]["n_kept"] == 2 and out["small"]["kept_tokens"] == 200
+    assert out["big"]["total_tokens"] == 1200
+
+
+def test_source_caps_order_is_quality_first(spark):
+    """Within a domain the kept prefix follows quality descending:
+    a high-quality (stopword-rich) doc survives over earlier-id
+    low-quality filler when only one fits the cap."""
+    filler = _doc_of_tokens(700)           # low quality, id 0
+    good = ("the " * 700).strip()          # high quality, id 1
+    out = {r["source"]: r for r in pipeline.source_capped_selection(
+        _docs(spark, [(filler, "s"), (good, "s")])).collect()}
+    r = out["s"]
+    assert r["n_kept"] == 1
+    assert r["kept_tokens"] == 700
+    # the survivor is the high-quality doc: its quality IS the cutoff
+    assert r["cutoff_quality"] > 0.8
