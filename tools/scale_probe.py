@@ -90,6 +90,7 @@ DEFAULT = [
     "dedup_sorted_neighborhood",
     "token_heavy_hitters_cms",
     "ann_pq_rerank_topk",
+    "source_capped_selection",
 ]
 
 
