@@ -1288,8 +1288,9 @@ def near_dup_triangles(documents: DataFrame) -> DataFrame:
     clustering division is rounded in both engines.
     """
     # persist: the edge list feeds degrees, both wedge sides and the
-    # closure probe; deliberately not unpersisted (lazy plan outlives
-    # the function; LRU-evictable, harnesses clearCache() per query)
+    # closure probe.  The summary is ONE bounded row, so it is
+    # materialized eagerly below and the cache released before
+    # returning -- long-lived sessions don't accumulate edge frames.
     e = (
         dedup_minhash_pairs(documents)
         .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
@@ -1313,7 +1314,7 @@ def near_dup_triangles(documents: DataFrame) -> DataFrame:
     tri_cnt = paths.join(
         e.select("u", F.col("v").alias("w")), ["u", "w"]
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
-    return (
+    summary = (
         vert_wedges.crossJoin(F.broadcast(edges_cnt))
         .crossJoin(F.broadcast(tri_cnt))
         .select(
@@ -1329,6 +1330,12 @@ def near_dup_triangles(documents: DataFrame) -> DataFrame:
             .alias("global_clustering"),
         )
     )
+    # Bounded model-artifact collect (1 row): forces the census while
+    # the edge cache is hot, then frees it deterministically instead
+    # of leaning on LRU eviction in long-lived sessions.
+    rows = summary.collect()
+    e.unpersist()
+    return documents.sparkSession.createDataFrame(rows, summary.schema)
 
 
 def dedup_soft_weights(documents: DataFrame) -> DataFrame:

@@ -890,11 +890,17 @@ def bigram_logprob_score(documents: DataFrame) -> DataFrame:
     from ..constants import BIGRAM_LAMBDA
 
     toks = tokens(F.col("text"))
-    bigrams = F.zip_with(
-        F.slice(toks, 1, F.size(toks) - 1),
-        F.slice(toks, 2, F.size(toks) - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
+    # Guard like word_shingles/char_ngrams: a 0/1-token doc has no
+    # bigrams; F.slice with a negative length would throw
+    # INVALID_PARAMETER_VALUE.LENGTH and abort the whole query.
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     pair = documents.select(
         "doc_id", "lang", "source", bigrams.alias("bigrams")
     ).where(F.size("bigrams") >= 1).select(

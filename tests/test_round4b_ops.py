@@ -124,6 +124,19 @@ def test_bigram_logprob_single_token_docs_drop_out(spark):
     assert {r["source"] for r in out} == {"sB"}
 
 
+def test_bigram_logprob_empty_text_does_not_crash(spark):
+    """Empty / whitespace-only text tokenizes to ZERO tokens; the
+    bigram slice must not throw INVALID_PARAMETER_VALUE.LENGTH (the
+    never-throw robustness contract).  Such docs simply drop out."""
+    rows = [
+        ("", "en", "sA"),
+        ("   ", "en", "sA"),
+        ("two words here again", "en", "sB"),
+    ]
+    out = text.bigram_logprob_score(_docs(spark, rows)).collect()
+    assert {r["source"] for r in out} == {"sB"}
+
+
 def test_near_dup_triangles_known_graph(spark):
     """Three identical docs form a triangle (cc = 1 among them), two
     more identical docs form an isolated edge: 5 vertices, 4 edges,
