@@ -692,50 +692,115 @@ def curation_waterfall(documents: DataFrame) -> DataFrame:
     decontam_overlap's hit frame, token_budget_select's two-phase
     running sum), so the funnel can never drift from the parts.
 
-    Scale shape: flags are map-side or ride the md5 window's one hash
-    shuffle; the decontam probe is the broadcast eval-gram path; the
-    budget running sum masks non-survivors to zero inside the same
-    bucket-offset machinery (masked zeros keep the two-phase sum
-    bit-equal to the oracle's single conditional window).  Output is
-    5 rows.
+    Scale shape (single corpus pass, r5): the corpus is tokenized
+    ONCE into a persisted base frame that feeds BOTH the per-doc
+    stats and the corpus-side gram stream of the decontam probe --
+    previously the funnel shared the stage *expressions* but not a
+    shared *scan*, costing 6 parquet scans / 10 exchanges for 5
+    stage rows (five full corpus passes at 100 TB).  Now: 2 scans
+    (corpus once + the small eval-source slice for the broadcast
+    gram set), flags are map-side or ride the md5 window's one hash
+    shuffle, and the doc-level flag frame is persisted so the
+    two-phase budget machinery (bucket totals, then the within-
+    bucket running sum) reads it twice without recomputation.  The
+    caches spill to disk under memory pressure; at 100 TB they
+    replace full corpus re-scans + re-tokenization, the cheaper
+    side of the trade.  The budget running sum masks non-survivors
+    to zero inside the same bucket-offset machinery (masked zeros
+    keep the two-phase sum bit-equal to the oracle's single
+    conditional window).  Output is 5 rows.
     """
     corpus = documents.where(F.col("source") != EVAL_SOURCE)
-    per_doc = (
-        corpus.select(
+    # ONE corpus scan: tokenize + hash once; round-robin spread (not
+    # a counted hash shuffle) so the cached partitions parallelize
+    # the explode and window work downstream.
+    # repartition FIRST (raw text through the round-robin exchange),
+    # project AFTER: md5 + tokenize then run 32-way parallel in the
+    # cache-build tasks instead of inside the few scan tasks.
+    base = (
+        corpus.select("doc_id", "text")
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .select(
             "doc_id",
-            "source",
             F.md5("text").alias("text_hash"),
             tokens(F.col("text")).alias("toks"),
         )
+        .persist()
+    )
+    # Decontam probe, corpus side derived from the SAME base frame
+    # (same gram definition as _gram_pairs: size floor, positional
+    # explode, concat_ws slice); eval side is its own small scan.
+    eval_grams = (
+        documents.where(F.col("source") == EVAL_SOURCE)
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= DECONTAM_NGRAM_K)
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - (DECONTAM_NGRAM_K - 1))
+            ).alias("pos"),
+            "toks",
+        )
+        .select(
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("pos"), DECONTAM_NGRAM_K)
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    # The funnel only needs the dirty/clean BIT, not the overlap
+    # count -- a distinct doc_id marker set is cheaper than
+    # count_distinct(gram) agg buffers.
+    dirty = (
+        base.where(F.size("toks") >= DECONTAM_NGRAM_K)
         .select(
             "doc_id",
-            "text_hash",
-            F.size("toks").alias("n_tokens"),
-            c4_pass_expr(F.col("toks")).alias("c4"),
-            F.when(F.size("toks") > 0, _doc_quality(F.col("toks")))
-            .otherwise(F.lit(0.0))
-            .alias("quality"),
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - (DECONTAM_NGRAM_K - 1))
+            ).alias("pos"),
+            "toks",
         )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("pos"), DECONTAM_NGRAM_K)
+            ).alias("gram"),
+        )
+        .join(F.broadcast(eval_grams), "gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("dirty", F.lit(True))
+    )
+    per_doc = base.select(
+        "doc_id",
+        "text_hash",
+        F.size("toks").alias("n_tokens"),
+        c4_pass_expr(F.col("toks")).alias("c4"),
+        F.when(F.size("toks") > 0, _doc_quality(F.col("toks")))
+        .otherwise(F.lit(0.0))
+        .alias("quality"),
     )
     wh = Window.partitionBy("text_hash")
     # exact duplicates share text, hence identical c4 flags -- so the
     # unconditional class min IS the first passing member, and this
     # stage equals corpus_quality_keep's kept definition exactly
     keep_id = F.min("doc_id").over(wh)
-    flagged = per_doc.withColumn(
-        "canonical", F.col("c4") & (F.col("doc_id") == keep_id)
-    )
-    _, hits = decontam_overlap(documents)
     flagged = (
-        flagged.join(hits, "doc_id", "left")
+        per_doc.withColumn(
+            "canonical", F.col("c4") & (F.col("doc_id") == keep_id)
+        )
+        .join(dirty, "doc_id", "left")
         .withColumn(
             "clean",
-            F.col("canonical") & (F.coalesce("overlap", F.lit(0)) == 0),
+            F.col("canonical") & ~F.coalesce("dirty", F.lit(False)),
         )
         .withColumn(
             "qbucket",
             F.floor(F.col("quality") * TOKEN_BUDGET_BUCKETS).cast("int"),
         )
+        # doc-level flag frame: read twice (bucket totals + the
+        # masked cumsum), persisted so the window/join upstream runs
+        # once -- this is what turns 5 funnel stages into ONE pass
+        .persist()
     )
     masked = F.when(F.col("clean"), F.col("n_tokens")).otherwise(F.lit(0))
     bucket_tot = flagged.groupBy("qbucket").agg(F.sum(masked).alias("btok"))
