@@ -1196,6 +1196,31 @@ def cms_sketch_rows(documents: DataFrame) -> DataFrame:
     )
 
 
+def cms_sketch_from_counts(term_counts: DataFrame) -> DataFrame:
+    """(d, bucket, cnt) sketch rows folded from a (term, exact_count)
+    VOCAB-bounded frame: sum of per-term counts into each row's
+    bucket is algebraically identical to counting per-occurrence rows
+    (sum over occurrences of 1 == sum over terms of count), but the
+    DEPTH-way hash work runs over |vocab| rows instead of |corpus
+    tokens| x DEPTH -- the batch-side hot-path fix (the streaming
+    twin keeps the per-occurrence cms_sketch_rows shape because
+    chained aggregations are illegal in an update-mode stream).
+    Same _cms_bucket hash, so the two builds can never hash apart
+    (equality pytest-pinned)."""
+    from ..constants import CMS_DEPTH
+
+    return (
+        term_counts.select(
+            "term",
+            F.col("exact_count").alias("cnt_in"),
+            F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
+        )
+        .select("d", _cms_bucket().alias("bucket"), "cnt_in")
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt_in").alias("cnt"))
+    )
+
+
 def token_heavy_hitters_cms(documents: DataFrame) -> DataFrame:
     """Count-Min-Sketch heavy hitters (Cormode & Muthukrishnan 2005)
     with its accuracy audit in the same report: the exact top-HH_TOPK
@@ -1207,25 +1232,32 @@ def token_heavy_hitters_cms(documents: DataFrame) -> DataFrame:
     Deterministic BY CONSTRUCTION, so the sketch itself is
     oracle-able exactly: row hashes are the repo's md5-digit buckets
     (functions.columns.md5_mod_bucket over 'd:term'), not a seeded
-    RNG.  Scale shape: sketch state is DEPTH x WIDTH counters
-    REGARDLESS of corpus size; building it is one groupBy over
-    (row, bucket) with map-side partials (DEPTH rows per token,
-    positional explode); the estimate probe joins the tiny candidate
-    set against the <= DEPTH*WIDTH-row sketch.  The candidate set
-    here is the exact top-K (the audit needs exact counts anyway);
-    a pure-sketch deployment tracks candidates with a per-partition
-    heap instead -- the sketch side is what this op pins.
+    RNG.  Scale shape (r5): ONE corpus pass -- the token stream
+    collapses to a persisted VOCAB-bounded (term, exact_count) frame
+    (map-side partials on the one term shuffle), which feeds BOTH
+    the exact top-K and the sketch build; the DEPTH-way row hashing
+    runs over |vocab| rows via cms_sketch_from_counts instead of
+    exploding every token occurrence x DEPTH (the r4 shape, pure CPU
+    inflation).  Sketch state stays DEPTH x WIDTH counters
+    regardless of corpus size; the estimate probe joins the tiny
+    candidate set against the <= DEPTH*WIDTH-row sketch.  The
+    candidate set here is the exact top-K (the audit needs exact
+    counts anyway); a pure-sketch deployment tracks candidates with
+    a per-partition heap instead -- the sketch side is what this op
+    pins.
     """
     from ..constants import CMS_DEPTH, HH_TOPK
 
-    terms = documents.select(F.explode(tokens(F.col("text"))).alias("term"))
-    exact = (
-        terms.groupBy("term")
+    counts = (
+        documents.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
         .agg(F.count(F.lit(1)).alias("exact_count"))
-        .orderBy(F.col("exact_count").desc(), F.col("term").asc())
-        .limit(HH_TOPK)
+        .persist()
     )
-    cms = cms_sketch_rows(documents)
+    exact = counts.orderBy(
+        F.col("exact_count").desc(), F.col("term").asc()
+    ).limit(HH_TOPK)
+    cms = cms_sketch_from_counts(counts)
     cand = exact.select(
         "term",
         "exact_count",

@@ -422,6 +422,34 @@ def test_cms_never_undercounts_and_matches_python(spark):
         assert r["inflation"] >= 1.0
 
 
+def test_cms_batch_fold_equals_occurrence_sketch(spark):
+    """The vocab-folded batch build (cms_sketch_from_counts) must be
+    row-identical to the per-occurrence build (cms_sketch_rows, the
+    streaming twin's shape) -- same _cms_bucket hash, algebraically
+    equal counts."""
+    import pyspark.sql.functions as F
+
+    from de_realtime_voting_spark.functions.columns import tokens
+    from de_realtime_voting_spark.operators import text as t
+
+    corpus = "alpha beta alpha gamma alpha beta delta " * 3 + "zeta eta"
+    docs = _docs(spark, [(corpus, "s"), ("beta beta gamma", "s2")])
+    occ = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in t.cms_sketch_rows(docs).collect()
+    }
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    fold = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in t.cms_sketch_from_counts(counts).collect()
+    }
+    assert occ == fold
+
+
 def test_cms_collision_inflates_estimate(spark):
     """Force a within-row collision check: with a tiny corpus the
     sketch is sparse, so estimates equal exacts; the audit columns
