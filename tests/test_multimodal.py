@@ -361,7 +361,9 @@ def test_decode_auto_dispatches_by_magic(spark):
     assert decode_auto(png)[:2] == [3.0, 2.0]
     assert decode_auto(bmp)[:2] == [3.0, 2.0]
     assert decode_auto(wav)[0] == 1.0  # n_channels
-    with pytest.raises(NotImplementedError, match="mp3"):
+    # mp3 header metadata is REAL now: an ID3 tag with no sync frame
+    # behind it fails loudly instead of raising NotImplementedError
+    with pytest.raises(ValueError):
         decode_auto(b"ID3\x04\x00 mp3 header")
     with pytest.raises(ValueError):  # jpeg is real now: garbage fails loudly
         decode_auto(b"\xff\xd8\xff\xe0 jpeg header")
@@ -830,3 +832,97 @@ def test_decode_auto_handles_jpeg():
     img = _gradient_rgb(8, 8)
     feats = decode_auto(_make_jpeg(img))
     assert feats[0] == 8.0 and feats[1] == 8.0
+
+
+# ---------------------------------------------------------------- mp3
+
+
+def _mp3_frame(br_idx, sr_idx=0, padding=0, version=3):
+    """Hand-build one MPEG Layer III frame (header + zero body) with
+    the exact length the header implies."""
+    from de_realtime_voting_spark.operators.multimodal import (
+        _MP3_BITRATES_V1,
+        _MP3_BITRATES_V2,
+        _MP3_RATES,
+    )
+
+    b1 = 0xE0 | (version << 3) | (1 << 1) | 1  # sync tail|version|layerIII|no-crc
+    b2 = (br_idx << 4) | (sr_idx << 2) | (padding << 1)
+    rate = _MP3_RATES[version][sr_idx]
+    if version == 3:
+        kbps, coef = _MP3_BITRATES_V1[br_idx], 144
+    else:
+        kbps, coef = _MP3_BITRATES_V2[br_idx], 72
+    n = (coef * kbps * 1000) // rate + padding
+    return bytes([0xFF, b1, b2, 0x00]) + b"\x00" * (n - 4)
+
+
+def test_mp3_meta_cbr_stream():
+    from de_realtime_voting_spark.operators.multimodal import parse_mp3_meta
+
+    payload = b"".join(_mp3_frame(9) for _ in range(5))  # 128kbps@44100 x5
+    kbps, rate, n, dur, vbr = parse_mp3_meta(payload)
+    assert (kbps, rate, n, vbr) == (128.0, 44100.0, 5.0, 0.0)
+    assert abs(dur - 5 * 1152 / 44100) < 1e-12
+
+
+def test_mp3_meta_vbr_and_id3v2_skip():
+    from de_realtime_voting_spark.operators.multimodal import parse_mp3_meta
+
+    frames = _mp3_frame(9) + _mp3_frame(11) + _mp3_frame(9, padding=1)
+    tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + b"\x01" * 20
+    kbps, rate, n, dur, vbr = parse_mp3_meta(tag + frames)
+    assert n == 3.0 and vbr == 1.0 and rate == 44100.0
+    assert abs(kbps - (128 + 192 + 128) / 3) < 1e-12
+
+
+def test_mp3_meta_mpeg2_and_truncation():
+    from de_realtime_voting_spark.operators.multimodal import parse_mp3_meta
+
+    full = _mp3_frame(8, version=2)  # 64kbps@22050, 576 samples/frame
+    payload = full * 4 + full[:-10]  # truncated 5th frame
+    kbps, rate, n, dur, vbr = parse_mp3_meta(payload)
+    assert (kbps, rate, n) == (64.0, 22050.0, 4.0)
+    assert abs(dur - 4 * 576 / 22050) < 1e-12
+
+
+def test_mp3_meta_garbage_fails_loudly():
+    import pytest
+
+    from de_realtime_voting_spark.operators.multimodal import parse_mp3_meta
+
+    with pytest.raises(ValueError):
+        parse_mp3_meta(b"\xff\xfb")  # sync but no room for a frame
+    with pytest.raises(ValueError):
+        parse_mp3_meta(b"not audio at all")
+    with pytest.raises(ValueError):  # free-format bitrate index 0
+        parse_mp3_meta(bytes([0xFF, 0xFB, 0x00, 0x00]) + b"\x00" * 100)
+
+
+def test_mp3_meta_property_frame_walk():
+    """Any hand-built (bitrate, padding) frame sequence parses back to
+    its own frame count and mean bitrate."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from de_realtime_voting_spark.operators.multimodal import (
+        _MP3_BITRATES_V1,
+        parse_mp3_meta,
+    )
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(1, 14), st.integers(0, 1)), min_size=1, max_size=12
+        )
+    )
+    @settings(max_examples=40, deadline=None)
+    def check(specs):
+        payload = b"".join(_mp3_frame(b, padding=p) for b, p in specs)
+        kbps, rate, n, dur, vbr = parse_mp3_meta(payload)
+        want = [_MP3_BITRATES_V1[b] for b, _ in specs]
+        assert n == float(len(specs))
+        assert abs(kbps - sum(want) / len(want)) < 1e-9
+        assert vbr == (1.0 if len(set(want)) > 1 else 0.0)
+        assert rate == 44100.0
+
+    check()
