@@ -64,11 +64,16 @@ def curate_corpus(
     # manifest from the WRITTEN data (not the plan): what a training
     # job reads is what gets accounted
     written = documents.sparkSession.read.parquet(out_dir)
+    from .functions.columns import tokens
+
     per_part = (
         written.groupBy("split", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias(
+            # the SAME tokens() definition as every audit query, so
+            # manifest totals are comparable to the waterfall's
+            # stage rows token-for-token (cross-artifact pytest)
+            F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias(
                 "approx_tokens"
             ),
         )

@@ -31,6 +31,14 @@ TUNED_CONF = {
 def get_spark(app_name: str = "de-realtime-voting-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    # JVM-launch conf (ignored by getOrCreate on a live session): the
+    # single local JVM is driver AND all 32 executor threads, so the
+    # 1g default heap starves broadcast builds well before the box's
+    # RAM does (first seen at the sf1 scale probe).  On a real
+    # cluster this is spark-submit's --driver-memory/--executor-memory.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    )
     for k, v in TUNED_CONF.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -113,3 +113,29 @@ def test_cli_list_and_run(spark, sf_dir, capsys):
     assert main(["--sf-dir", sf_dir, "run", "votes_per_candidate", "-n", "3"]) == 0
     assert "candidate_id" in capsys.readouterr().out
     assert main(["--sf-dir", sf_dir, "run", "nope"]) == 2
+
+
+def test_curate_manifest_matches_waterfall_sf01(spark):
+    """Cross-artifact drift gate at sf0.1: the MATERIALIZED corpus
+    (curate.py's written manifest) must agree doc-for-doc and
+    token-for-token with the curation_waterfall's '4_decontaminated'
+    stage row on the same input -- the funnel's accounting and the
+    bytes a training job actually reads cannot diverge.  (The budget
+    stage is a selection the materializer does not apply, so stage 4,
+    not 5, is the written set.)"""
+    from de_realtime_voting_spark.operators.pipeline import curation_waterfall
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    d = tempfile.mkdtemp(prefix="curated_sf01_")
+    try:
+        manifest = curate_corpus(docs, d)
+        wf = {r["stage"]: r for r in curation_waterfall(docs).collect()}
+        s4 = wf["4_decontaminated"]
+        assert manifest["n_written_docs"] == s4["n_docs"]
+        assert sum(p["n_docs"] for p in manifest["partitions"]) == s4["n_docs"]
+        assert (
+            sum(p["approx_tokens"] for p in manifest["partitions"])
+            == s4["n_tokens"]
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

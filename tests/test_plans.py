@@ -109,3 +109,42 @@ def test_ngram_jaccard_no_cartesian_and_prunes(spark, sf_dir):
     df = dedup.dedup_ngram_jaccard(load_table(spark, sf_dir, "documents"))
     assert_no_cartesian(df)
     assert_read_schema_only(df, "documents.parquet", {"doc_id", "lang", "text"})
+
+
+def test_bucketed_documents_dedup_has_no_exchange(spark, sf_dir):
+    """The corpus-table bucketing claim: documents ingested bucketed
+    by a materialized md5(text) hash prepay the dedup family's one
+    shuffle -- the exact-dedup class agg (dedup_exact's shape) AND
+    the per-class count window (dedup_soft_weights' shape) both run
+    with ZERO Exchange over the bucketed table."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from de_realtime_voting_spark.plans import physical_plan
+    from de_realtime_voting_spark.sources import write_bucketed
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text_hash", F.md5("text")
+    )
+    write_bucketed(
+        docs, "docs_bucketed", ["text_hash"], 8, sort_by=["text_hash"]
+    )
+    try:
+        b = spark.table("docs_bucketed")
+        clusters = b.groupBy("text_hash").agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        plan = physical_plan(clusters)
+        assert "Exchange hashpartitioning" not in plan, plan
+        soft = b.withColumn(
+            "class_size",
+            F.count(F.lit(1)).over(Window.partitionBy("text_hash")),
+        ).select("doc_id", (F.lit(1.0) / F.col("class_size")).alias("w"))
+        plan2 = physical_plan(soft)
+        assert "Exchange hashpartitioning" not in plan2, plan2
+        # and the results are the dedup family's (sanity, not shape)
+        total = clusters.agg(F.sum("n_copies")).first()[0]
+        assert total == docs.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS docs_bucketed")

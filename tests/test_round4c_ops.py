@@ -517,3 +517,66 @@ def test_source_caps_order_is_quality_first(spark):
     assert r["kept_tokens"] == 700
     # the survivor is the high-quality doc: its quality IS the cutoff
     assert r["cutoff_quality"] > 0.8
+
+
+# --------------------------------------------------- prefix filtering
+
+
+def test_ngram_jaccard_prefix_filter_is_lossless(spark):
+    """The r5 PPJoin rewrite must return EXACTLY the pairs of the
+    naive all-pairs-in-block formulation -- prefix filtering is a
+    physical optimization, not a semantic change.  Corpus mixes
+    near-identical pairs (must survive), exact duplicate families
+    (prefixes identical -- the k^2 output case), and unrelated docs
+    sharing only stopword-ish trigrams (must NOT pair)."""
+    import pyspark.sql.functions as F
+
+    from de_realtime_voting_spark.constants import (
+        NGRAM_JACCARD_THRESHOLD,
+        NGRAM_LEN_BUCKET,
+    )
+    from de_realtime_voting_spark.functions.columns import char_ngrams
+    from de_realtime_voting_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (base, "s"),
+        (base.replace("lazy", "hazy"), "s"),          # near-dup of 0
+        (base, "s"),                                   # exact dup of 0
+        (base, "s"),                                   # exact dup family
+        ("the cat the hat the mat the bat the rat sat", "s"),  # shares 'the'
+        ("completely different words entirely here now okay", "s"),
+        ("zzz", "s"),                                  # single-gram doc
+    ]
+    docs = _docs(spark, rows)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.dedup_ngram_jaccard(docs).collect()
+    }
+
+    # naive reference: all pairs within (lang, len_bucket), exact sets
+    g = docs.select(
+        "doc_id",
+        "lang",
+        F.floor(F.length("text") / NGRAM_LEN_BUCKET).cast("int").alias("b"),
+        char_ngrams(F.col("text")).alias("grams"),
+    ).where(F.length("text") >= 3).collect()
+    want = {}
+    for i, a in enumerate(g):
+        for b in g[i + 1:]:
+            x, y = (a, b) if a["doc_id"] < b["doc_id"] else (b, a)
+            if (x["lang"], x["b"]) != (y["lang"], y["b"]):
+                continue
+            sa, sb = set(x["grams"]), set(y["grams"])
+            j = len(sa & sb) / len(sa | sb)
+            if j >= NGRAM_JACCARD_THRESHOLD:
+                want[(x["doc_id"], y["doc_id"])] = j
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-6
+    # the duplicate family must appear pairwise (k^2 output case)
+    dup_ids = [0, 2, 3]
+    for i in dup_ids:
+        for j in dup_ids:
+            if i < j:
+                assert (i, j) in got and got[(i, j)] == 1.0

@@ -1324,3 +1324,104 @@ def test_stream_one_vote_per_voter_ttl_dedups_within_horizon(
     rows = out.collect()
     assert len(rows) == n_voters
     assert len({r["user_id"] for r in rows}) == n_voters
+
+
+# ----------------------------------------------------------- kafka
+
+
+def _kafka_available(spark) -> str | None:
+    """Return a skip reason, or None when a real broker AND the Kafka
+    connector are both present.  Gate order: env var -> TCP reach ->
+    connector class on the classpath."""
+    import socket as _socket
+
+    servers = os.environ.get("KAFKA_BOOTSTRAP")
+    if not servers:
+        return "KAFKA_BOOTSTRAP not set (no broker in this environment)"
+    host, _, port = servers.partition(":")
+    try:
+        with _socket.create_connection((host, int(port or 9092)), timeout=3):
+            pass
+    except OSError as e:
+        return f"broker {servers} unreachable: {e}"
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+    except Exception:
+        return ("spark-sql-kafka connector not on the classpath "
+                "(launch with --packages org.apache.spark:"
+                "spark-sql-kafka-0-10_2.13:<spark-version>)")
+    return None
+
+
+def test_kafka_end_to_end_tally(spark, tmp_path):
+    """The ONE reference behavior otherwise verified by analogy
+    (spark-streaming.py:56-61): against a real broker, votes written
+    through the batch Kafka sink come back through kafka_source ->
+    parse_vote_stream -> watermark -> the SAME tally transform, and
+    the streamed tally equals the batch tally of the same rows.
+    Skips cleanly (by reason) when the environment has no broker or
+    no connector -- DEPLOY.md documents how to provide both."""
+    import uuid
+
+    from de_realtime_voting_spark.streaming import (
+        kafka_source,
+        parse_vote_stream,
+        stream_votes_per_candidate,
+        to_kafka_frame,
+        watermark_votes,
+    )
+
+    reason = _kafka_available(spark)
+    if reason:
+        pytest.skip(reason)
+
+    servers = os.environ["KAFKA_BOOTSTRAP"]
+    topic = f"votes_e2e_{uuid.uuid4().hex[:8]}"
+    rows = [
+        (i, f"2024-01-01 10:{i % 60:02d}:00", 100 + i % 7,
+         ["A", "B", "C"][i % 3], 1.0 + (i % 5) / 10.0, "{}")
+        for i in range(60)
+    ]
+    votes_batch = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    # produce via the BATCH kafka writer using the shared sink
+    # framing (value = to_json(struct(*))) -- no external client
+    # library needed
+    (to_kafka_frame(votes_batch)
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("topic", topic)
+        .save())
+
+    raw = kafka_source(spark, servers, topic).load()
+    tally = stream_votes_per_candidate(
+        watermark_votes(parse_vote_stream(raw, value_col="value"))
+    )
+    q = (
+        tally.writeStream.format("memory")
+        .queryName("kafka_tally")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["event_type"]: (r["n_votes"], r["total_weight"])
+            for r in spark.sql("SELECT * FROM kafka_tally").collect()
+        }
+    finally:
+        q.stop()
+    from de_realtime_voting_spark.operators.voting import votes_per_candidate
+
+    want = {
+        r["event_type"]: (r["n_votes"], r["total_weight"])
+        for r in votes_per_candidate(votes_batch).collect()
+    }
+    assert got == want

@@ -1,0 +1,136 @@
+"""Generate an sf1 probe dataset (~10x sf0.1) for the scale probe.
+
+The driver ships sf0.001/0.01/0.1 only; at those sizes most heavy
+ops are overhead-bound and the fitted growth exponents prove only
+the ABSENCE of blow-ups, not linearity.  This tool builds a 10x
+point by replicating sf0.1 ten times with key-domain offsets so
+referential integrity holds (custkey/orderkey/partkey/suppkey/
+doc_id/vec_id/event_id shift per copy; nation/region stay fixed),
+writing to ``.scaledata/sf1`` inside the repo (gitignored -- the
+driver's /root/testdata is read-only and must not be touched).
+
+Replication is timing-faithful, not statistics-blind:
+
+* ``documents.text`` gets ~30% of token positions rewritten per copy
+  (deterministic in (copy, position)) so cross-copy Jaccard lands
+  ~0.54, far under the 0.8 near-dup threshold -- otherwise every doc
+  would gain 9 verbatim twins and the pair ops would measure an
+  artificial 45x edge inflation no real corpus scale-up produces.
+  Intra-copy duplicate classes are preserved exactly (identical
+  texts transform identically), so the dup-rate stays proportional.
+* ``embeddings.embedding`` gets per-copy seeded noise at relative
+  norm ~0.5 so cross-copy cosine falls below the semantic-dup
+  thresholds, for the same reason.
+* Everything else (timestamps, values, categorical mixes) replicates
+  unchanged: 10x density over the same domains.
+
+Usage:  python tools/make_sf1.py  [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+REPLACE_FRAC = 0.3
+
+# key domains: (table, column) pairs sharing one offset constant
+DOMAINS = {
+    "custkey": [("customer", "c_custkey"), ("orders", "o_custkey"),
+                ("events", "user_id")],
+    "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "partkey": [("part", "p_partkey"), ("lineitem", "l_partkey")],
+    "suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+    "doc_id": [("documents", "doc_id")],
+    "vec_id": [("embeddings", "vec_id")],
+    "event_id": [("events", "event_id")],
+}
+FIXED_TABLES = ("region", "nation")
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _perturb_texts(texts: list[str | None], copy: int) -> list[str | None]:
+    if copy == 0:
+        return texts
+    out = []
+    for t in texts:
+        if t is None:
+            out.append(t)
+            continue
+        toks = t.split(" ")
+        for j in range(len(toks)):
+            # deterministic in (copy, position): identical texts stay
+            # identical (intra-copy dup classes preserved)
+            if (j * 2654435761 + copy * 40503) % 100 < REPLACE_FRAC * 100:
+                toks[j] = f"v{copy}t{j % 57}"
+        out.append(" ".join(toks))
+    return out
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scaledata", "sf1")
+    os.makedirs(out_dir, exist_ok=True)
+
+    tabs = {t: pq.read_table(os.path.join(SRC, f"{t}.parquet")) for t in TABLES}
+    offsets = {
+        dom: max(int(pc.max(tabs[t][c]).as_py()) for t, c in cols) + 1
+        for dom, cols in DOMAINS.items()
+    }
+    col_offset = {(t, c): offsets[dom] for dom, cols in DOMAINS.items()
+                  for t, c in cols}
+
+    for name, tab in tabs.items():
+        if name in FIXED_TABLES:
+            pq.write_table(tab, os.path.join(out_dir, f"{name}.parquet"))
+            print(f"{name}: {tab.num_rows} rows (fixed dim)")
+            continue
+        parts = []
+        for i in range(COPIES):
+            cols = []
+            for field in tab.schema:
+                col = tab[field.name]
+                off = col_offset.get((name, field.name))
+                if off is not None and i > 0:
+                    col = pc.add(col, pa.scalar(off * i, type=field.type))
+                elif name == "documents" and field.name == "text":
+                    col = pa.array(_perturb_texts(col.to_pylist(), i),
+                                   type=pa.string())
+                elif name == "documents" and field.name == "n_chars":
+                    # recomputed after text perturbation below
+                    col = None
+                elif name == "embeddings" and field.name == "embedding" and i > 0:
+                    mat = np.array(col.to_pylist(), dtype=np.float32)
+                    rng = np.random.RandomState(42 + i)
+                    noise = rng.normal(0.0, 1.0, mat.shape).astype(np.float32)
+                    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+                    nn = np.linalg.norm(noise, axis=1, keepdims=True)
+                    noise *= 0.5 * norms / np.maximum(nn, 1e-9)
+                    col = pa.array([row for row in (mat + noise).tolist()],
+                                   type=field.type)
+                cols.append(col)
+            if name == "documents":
+                ti = tab.schema.get_field_index("text")
+                ni = tab.schema.get_field_index("n_chars")
+                texts = cols[ti].to_pylist()
+                cols[ni] = pa.array(
+                    [len(t) if t is not None else None for t in texts],
+                    type=pa.int64())
+            parts.append(pa.table(dict(zip(tab.schema.names, cols)),
+                                  schema=tab.schema))
+        big = pa.concat_tables(parts)
+        pq.write_table(big, os.path.join(out_dir, f"{name}.parquet"))
+        print(f"{name}: {big.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()
