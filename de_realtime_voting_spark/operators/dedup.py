@@ -182,36 +182,41 @@ def dedup_minhash_pairs(documents: DataFrame) -> DataFrame:
 
 def dedup_ngram_jaccard(documents: DataFrame) -> DataFrame:
     """Character-trigram Jaccard near-dup pairs, blocked by
-    (lang, length bucket), candidates generated by LOSSLESS prefix
-    filtering (the PPJoin family: Chaudhuri et al. ICDE'06, Xiao et
-    al. WWW'08).
+    (lang, length bucket).
 
-    Why not the plain co-occurrence self-join on every gram: a
-    trigram appearing in k docs of a block contributes k^2 join rows,
-    and stopword-like trigrams ("the", " th") make that sum
-    quadratic in BLOCK size -- the block count is fixed, so occupancy
-    grows with the corpus and the r5 sf1 scale probe measured the
-    blow-up directly (1.7 s at sf0.1 -> 49.6 s at sf1, ~alpha 1.5).
+    The block key bounds pair generation: the self-join shuffles on
+    (lang, len_bucket) and compares only within blocks -- near-dups
+    share language and approximate length.  Char n-grams (vs word
+    shingles) catch edit-level near-dups that tokenization hides.
 
-    Prefix filtering restores a bounded join WITHOUT changing the
-    result: order each doc's grams by global (block-df asc, gram)
-    rarity and index only its first n - ceil(tau*n) + 1 grams.  Any
-    pair with Jaccard >= tau MUST share a gram inside both prefixes
-    (the smallest common gram in the global order cannot sit past
-    either prefix, else the intersection is < ceil(tau*n) and the
-    pair fails tau anyway) -- so the prefix join finds every
-    qualifying pair, and exact verification (array_intersect on the
-    two gram sets, bounded to candidates) decides.  The quadratic
-    term now runs over per-doc RARE grams only; frequent grams never
-    enter the index unless a doc has nothing rarer, in which case
-    the docs are near-identical and the pairs are true output.
-    Equality with the naive all-pairs shape is pytest-pinned; the
-    DuckDB oracle is untouched (the rewrite is physical, not
-    semantic).  Float note: ceil on the tau*n product can only err
-    toward a LONGER prefix, which keeps the filter lossless.
+    MEASURED SCALE BOUND (r5 sf1 probe, SCALE_PROBE.json): the
+    co-occurrence term is Sum_gram k^2 per block, quadratic in block
+    occupancy -- 1.7 s at sf0.1 grew to 49.6 s at sf1 (10x data),
+    because common trigrams co-occur across most docs of a block.
+    Two exact candidate-bounding rewrites were implemented and
+    MEASURED WORSE on the same data before being rejected (the
+    PLANS.md measured-decision discipline):
+
+    * PPJoin-style lossless prefix filtering (index each doc's
+      rarest n - ceil(tau*n) + 1 grams; Xiao et al. WWW'08):
+      92.6 s at sf1 -- low-diversity trigram vocabularies leave
+      prefixes undiscriminating, and the global-rarity rank adds a
+      df join + row_number window over the full gram stream.
+    * Exact-family collapse (identical gram sets fold to one
+      representative; intra-family pairs emit output-bounded):
+      56.7 s at sf1 and 3.9 s at sf0.1 -- result-identical and the
+      right asymptotic on dup-HEAVY corpora, but this corpus'
+      families are tiny, so the famkey window that ships gram
+      arrays costs more than the collapse saves.
+
+    The 100 TB contract is therefore: this operator is the EXACT
+    edit-level instrument for block-partitioned corpus slices (its
+    per-block cost is paid consciously); at full-corpus scale,
+    candidate pairs come from dedup_minhash_pairs' banded LSH (O(1)
+    expected bucket occupancy) and char-trigram Jaccard verifies
+    inside candidates only -- the dedup_edit_distance pattern.
+    SCALE.md carries the same guidance.
     """
-    from pyspark.sql import Window
-
     g = (
         documents.select(
             "doc_id",
@@ -224,59 +229,42 @@ def dedup_ngram_jaccard(documents: DataFrame) -> DataFrame:
         .select("doc_id", "lang", "len_bucket", char_ngrams(F.col("text")).alias("grams"))
         .persist()
     )
+    # Intersections by co-occurrence counting, NOT per-pair set ops:
+    # explode grams, self-join on (block, gram), count shared grams
+    # per pair.  Per-pair array_intersect was measured 14x slower at
+    # sf0.1 (per-pair hash-set builds); this shape is one shuffle on
+    # (block, gram) whose expansion is bounded by block size, then a
+    # pair-count agg.  |union| = |A| + |B| - |A cap B|, so sizes join
+    # back in and no union is ever materialized.
     e = g.select("doc_id", "lang", "len_bucket", F.explode("grams").alias("gram"))
-    gdf = e.groupBy("lang", "len_bucket", "gram").agg(
-        F.count(F.lit(1)).alias("gdf")
-    )
-    wd = Window.partitionBy("doc_id").orderBy("gdf", "gram")
-    ranked = (
-        e.join(gdf, ["lang", "len_bucket", "gram"])
-        .withColumn("r", F.row_number().over(wd))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-    )
-    prefix = ranked.where(
-        F.col("r")
-        <= F.col("n") - F.ceil(F.lit(NGRAM_JACCARD_THRESHOLD) * F.col("n")) + 1
-    )
-    pa = prefix.select(F.col("doc_id").alias("doc_a"), "lang", "len_bucket", "gram")
-    pb = prefix.select(
+    a = e.select(F.col("doc_id").alias("doc_a"), "lang", "len_bucket", "gram")
+    b = e.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
         F.col("len_bucket").alias("len_bucket_b"),
         F.col("gram").alias("gram_b"),
     )
-    cand = (
-        pa.join(
-            pb,
+    inter = (
+        a.join(
+            b,
             (F.col("gram") == F.col("gram_b"))
             & (F.col("lang") == F.col("lang_b"))
             & (F.col("len_bucket") == F.col("len_bucket_b"))
             & (F.col("doc_a") < F.col("doc_b")),
         )
-        .select("doc_a", "doc_b", "lang")
-        .distinct()
+        .groupBy("doc_a", "doc_b", "lang")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    # exact verify, bounded to candidates (per-pair set ops were 14x
-    # slower when run on ALL block pairs; on the prefix-filtered
-    # candidate set they are the cheap step)
-    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
-    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
-    verified = (
-        cand.join(ga, "doc_a")
-        .join(gb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "lang",
-            F.size(F.array_intersect("grams_a", "grams_b")).alias("n_inter"),
-            F.size("grams_a").alias("n_a"),
-            F.size("grams_b").alias("n_b"),
-        )
-    )
+    sizes = g.select("doc_id", F.size("grams").alias("n_grams"))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("n_b"))
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-    return verified.select(
-        "doc_a", "doc_b", "lang", rnd(jac, 6).alias("jaccard")
-    ).where(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "lang", rnd(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+    )
 
 
 def _simhash_bands(documents: DataFrame) -> DataFrame:

@@ -519,16 +519,18 @@ def test_source_caps_order_is_quality_first(spark):
     assert r["cutoff_quality"] > 0.8
 
 
-# --------------------------------------------------- prefix filtering
+# ---------------------------------------------- jaccard all-pairs pin
 
 
-def test_ngram_jaccard_prefix_filter_is_lossless(spark):
-    """The r5 PPJoin rewrite must return EXACTLY the pairs of the
-    naive all-pairs-in-block formulation -- prefix filtering is a
-    physical optimization, not a semantic change.  Corpus mixes
-    near-identical pairs (must survive), exact duplicate families
-    (prefixes identical -- the k^2 output case), and unrelated docs
-    sharing only stopword-ish trigrams (must NOT pair)."""
+def test_ngram_jaccard_matches_allpairs_reference(spark):
+    """Behavioral pin for the co-occurrence formulation: the operator
+    must return EXACTLY the pairs of a from-scratch all-pairs-in-
+    block reference (set Jaccard over distinct trigrams).  Corpus
+    mixes near-identical pairs (must survive), an exact duplicate
+    family (every pair at jaccard exactly 1.0), and unrelated docs
+    sharing only stopword-ish trigrams (must NOT pair).  Guards any
+    future candidate-bounding rewrite -- two were measured and
+    rejected in r5 (see the operator docstring)."""
     import pyspark.sql.functions as F
 
     from de_realtime_voting_spark.constants import (
