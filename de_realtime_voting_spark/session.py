@@ -33,11 +33,15 @@ def get_spark(app_name: str = "de-realtime-voting-spark") -> SparkSession:
     builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
     # JVM-launch conf (ignored by getOrCreate on a live session): the
     # single local JVM is driver AND all 32 executor threads, so the
-    # 1g default heap starves broadcast builds well before the box's
-    # RAM does (first seen at the sf1 scale probe).  On a real
-    # cluster this is spark-submit's --driver-memory/--executor-memory.
+    # 1g default heap starves broadcast builds at the sf1 probe
+    # point.  8g measured BEST for the bench sweep -- a 24g heap let
+    # G1 accumulate GC debt across the 156-query sequence and several
+    # untouched queries regressed 2-3x (A/B'd at r5: 147.5s @24g vs
+    # 141.6s @8g, all regressions gone).  The sf1 scale probe raises
+    # this via SPARK_GRAFT_DRIVER_MEM for its broadcast headroom.  On
+    # a real cluster this is spark-submit's --driver/--executor-memory.
     builder = builder.config(
-        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     )
     for k, v in TUNED_CONF.items():
         builder = builder.config(k, v)

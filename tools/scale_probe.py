@@ -22,6 +22,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# sf1 broadcast builds need more heap than the GC-friendly 8g the
+# bench default uses (see session.py); must be set before JVM launch
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
 from de_realtime_voting_spark.queries import QUERY_REGISTRY
 from de_realtime_voting_spark.session import get_spark
 
