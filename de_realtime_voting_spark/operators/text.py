@@ -889,7 +889,19 @@ def bigram_logprob_score(documents: DataFrame) -> DataFrame:
     """
     from ..constants import BIGRAM_LAMBDA
 
-    toks = tokens(F.col("text"))
+    # ONE corpus scan + tokenize: the cached token frame feeds the
+    # bigram stream (consumed by the bigram model AND the scoring
+    # side) and the unigram stream -- previously each path re-scanned
+    # and re-tokenized the corpus (3 tokenize passes; r5 fold).
+    base = (
+        documents.select("doc_id", "lang", "source", "text")
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            "doc_id", "lang", "source", tokens(F.col("text")).alias("toks")
+        )
+        .persist()
+    )
+    toks = F.col("toks")
     # Guard like word_shingles/char_ngrams: a 0/1-token doc has no
     # bigrams; F.slice with a negative length would throw
     # INVALID_PARAMETER_VALUE.LENGTH and abort the whole query.
@@ -901,12 +913,12 @@ def bigram_logprob_score(documents: DataFrame) -> DataFrame:
             lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    pair = documents.select(
+    pair = base.select(
         "doc_id", "lang", "source", bigrams.alias("bigrams")
     ).where(F.size("bigrams") >= 1).select(
         "doc_id", "lang", "source", F.explode("bigrams").alias("bigram")
     )
-    tok = documents.select(F.explode(tokens(F.col("text"))).alias("term"))
+    tok = base.select(F.explode(toks).alias("term"))
     uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("uni_cnt"))
     total = uni.agg(F.sum("uni_cnt").cast("double").alias("n_total"))
     bi = pair.groupBy("bigram").agg(F.count(F.lit(1)).alias("bi_cnt"))
