@@ -1358,9 +1358,12 @@ def near_dup_triangles(documents: DataFrame) -> DataFrame:
     )
     # Bounded model-artifact collect (1 row): forces the census while
     # the edge cache is hot, then frees it deterministically instead
-    # of leaning on LRU eviction in long-lived sessions.
-    rows = summary.collect()
-    e.unpersist()
+    # of leaning on LRU eviction in long-lived sessions -- including
+    # on the failure path (a crashed census must not strand the cache).
+    try:
+        rows = summary.collect()
+    finally:
+        e.unpersist()
     return documents.sparkSession.createDataFrame(rows, summary.schema)
 
 

@@ -383,11 +383,12 @@ def parse_mp3_meta(payload: bytes) -> list[float]:
     reference has no media columns)."""
     pos = 0
     if payload[:3] == b"ID3" and len(payload) >= 10:
-        # 4 syncsafe bytes (7 bits each), header is 10 bytes
+        # 4 syncsafe bytes (7 bits each), header is 10 bytes; the
+        # ID3v2.4 footer flag (0x10) adds a trailing 10-byte footer
         size = 0
         for b in payload[6:10]:
             size = (size << 7) | (b & 0x7F)
-        pos = 10 + size
+        pos = 10 + size + (10 if payload[5] & 0x10 else 0)
     n_frames = 0
     bitrates: list[int] = []
     sample_rate = 0

@@ -252,33 +252,43 @@ def corpus_stratified_sample(documents: DataFrame) -> DataFrame:
     )
 
 
+def _gram_stream(toks_frame: DataFrame, carry: list[str]) -> DataFrame:
+    """One row per DECONTAM_NGRAM_K-word n-gram of a frame carrying a
+    `toks` array column, with `carry` columns kept plus `pos` --
+    THE single definition of the decontamination gram (size floor,
+    positional-sequence explode per the Generate re-evaluation fix,
+    concat_ws slice), shared by _gram_pairs and the fused
+    curation_waterfall so the probes can never drift apart."""
+    return (
+        toks_frame.where(F.size("toks") >= DECONTAM_NGRAM_K)
+        .select(
+            *carry,
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - (DECONTAM_NGRAM_K - 1))
+            ).alias("pos"),
+            "toks",
+        )
+        .select(
+            *carry,
+            "pos",
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("pos"), DECONTAM_NGRAM_K)
+            ).alias("gram"),
+        )
+    )
+
+
 def _gram_pairs(documents: DataFrame):
     """Gram-bearing corpus frame plus one row per (doc, position)
-    DECONTAM_NGRAM_K-word n-gram.  Grams explode via the
-    positional-sequence idiom (the Generate re-evaluation fix --
-    benchmark_decontam documents); the repartition is the usual
-    CollapseProject barrier so tokens(text) materializes once."""
+    DECONTAM_NGRAM_K-word n-gram (via the shared _gram_stream); the
+    repartition is the usual CollapseProject barrier so tokens(text)
+    materializes once."""
     toks_d = (
         documents.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
         .where(F.size("toks") >= DECONTAM_NGRAM_K)
         .repartition(documents.sparkSession.sparkContext.defaultParallelism)
     )
-    pairs = toks_d.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.sequence(F.lit(1), F.size("toks") - (DECONTAM_NGRAM_K - 1))
-        ).alias("pos"),
-        "toks",
-    ).select(
-        "doc_id",
-        "source",
-        "pos",
-        F.concat_ws(
-            " ", F.slice(F.col("toks"), F.col("pos"), DECONTAM_NGRAM_K)
-        ).alias("gram"),
-    )
-    return toks_d, pairs
+    return toks_d, _gram_stream(toks_d, ["doc_id", "source"])
 
 
 def decontam_overlap(documents: DataFrame):
@@ -689,7 +699,8 @@ def curation_waterfall(documents: DataFrame) -> DataFrame:
     #96) compose the way their individual reports claim.  Every stage
     reuses the SHARED expression its standalone operator uses
     (c4_pass_expr, the min-doc_id-per-md5 canonical window,
-    decontam_overlap's hit frame, token_budget_select's two-phase
+    _gram_stream -- the one decontam gram definition behind
+    decontam_overlap -- and token_budget_select's two-phase
     running sum), so the funnel can never drift from the parts.
 
     Scale shape (single corpus pass, r5): the corpus is tokenized
@@ -727,44 +738,20 @@ def curation_waterfall(documents: DataFrame) -> DataFrame:
         )
         .persist()
     )
-    # Decontam probe, corpus side derived from the SAME base frame
-    # (same gram definition as _gram_pairs: size floor, positional
-    # explode, concat_ws slice); eval side is its own small scan.
+    # Decontam probe: BOTH sides run through the shared _gram_stream
+    # definition -- the corpus side over the cached base frame, the
+    # eval side through _gram_pairs on the small eval slice (whose
+    # repartition barrier keeps the Generate fix on that scan too).
     eval_grams = (
-        documents.where(F.col("source") == EVAL_SOURCE)
-        .select("doc_id", tokens(F.col("text")).alias("toks"))
-        .where(F.size("toks") >= DECONTAM_NGRAM_K)
-        .select(
-            F.explode(
-                F.sequence(F.lit(1), F.size("toks") - (DECONTAM_NGRAM_K - 1))
-            ).alias("pos"),
-            "toks",
-        )
-        .select(
-            F.concat_ws(
-                " ", F.slice(F.col("toks"), F.col("pos"), DECONTAM_NGRAM_K)
-            ).alias("gram")
-        )
+        _gram_pairs(documents.where(F.col("source") == EVAL_SOURCE))[1]
+        .select("gram")
         .distinct()
     )
     # The funnel only needs the dirty/clean BIT, not the overlap
     # count -- a distinct doc_id marker set is cheaper than
     # count_distinct(gram) agg buffers.
     dirty = (
-        base.where(F.size("toks") >= DECONTAM_NGRAM_K)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.size("toks") - (DECONTAM_NGRAM_K - 1))
-            ).alias("pos"),
-            "toks",
-        )
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ", F.slice(F.col("toks"), F.col("pos"), DECONTAM_NGRAM_K)
-            ).alias("gram"),
-        )
+        _gram_stream(base, ["doc_id"])
         .join(F.broadcast(eval_grams), "gram")
         .select("doc_id")
         .distinct()

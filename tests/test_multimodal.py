@@ -926,3 +926,17 @@ def test_mp3_meta_property_frame_walk():
         assert rate == 44100.0
 
     check()
+
+
+def test_mp3_meta_id3v24_footer_flag():
+    """An ID3v2.4 tag with the footer flag (0x10) occupies
+    10 + size + 10 bytes; the sync walk must start past the footer,
+    not on the b'3DI' footer identifier."""
+    from de_realtime_voting_spark.operators.multimodal import parse_mp3_meta
+
+    frames = _mp3_frame(9) * 2
+    body = b"\x02" * 30
+    tag = (b"ID3\x04\x00\x10" + bytes([0, 0, 0, len(body)]) + body
+           + b"3DI\x04\x00\x10" + bytes([0, 0, 0, len(body)]))
+    kbps, rate, n, dur, vbr = parse_mp3_meta(tag + frames)
+    assert (kbps, rate, n) == (128.0, 44100.0, 2.0)

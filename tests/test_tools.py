@@ -50,9 +50,10 @@ def test_make_sf1_perturbation_pushes_jaccard_below_threshold():
 
 
 def test_explain_audit_dedupes_cached_subtrees():
-    """plan_text-style dedup: a repeated InMemoryRelation header (same
-    modulo exprIds) must have its block counted once."""
-    from explain_audit import audit
+    """A repeated InMemoryRelation subtree (same modulo exprIds) is
+    counted once -- exercising the REAL dedup function, not a
+    replica."""
+    from explain_audit import audit, dedup_cached_subtrees
 
     plan = """AdaptiveSparkPlan
 +- HashAggregate
@@ -66,27 +67,27 @@ def test_explain_audit_dedupes_cached_subtrees():
          +- Exchange hashpartitioning(x#1, 32)
             +- FileScan parquet [x#1,y#2]
 """
-    # fake df with the raw string: call the line-dedup logic directly
-    import re
-
-    from explain_audit import plan_text  # noqa: F401  (import check)
-
-    # replicate plan_text's core on a raw string
-    out, seen, skip = [], set(), None
-    for line in plan.splitlines():
-        stripped = line.lstrip(" :+-*(")
-        indent = len(line) - len(stripped)
-        if skip is not None:
-            if indent > skip:
-                continue
-            skip = None
-        if stripped.startswith("InMemoryRelation"):
-            key = re.sub(r"#\d+", "#", stripped)
-            if key in seen:
-                skip = indent
-                continue
-            seen.add(key)
-        out.append(line)
-    a = audit("\n".join(out))
+    a = audit(dedup_cached_subtrees(plan))
     assert a["scans"] == 1
     assert a["exchanges"] == 2  # one outer + one inside the cached plan
+
+
+def test_explain_audit_keeps_distinct_caches_with_same_header():
+    """Two DIFFERENT caches whose headers normalize identically must
+    BOTH keep their subtrees (disambiguated by the first body line) --
+    dropping the second would under-count genuinely-executing scans."""
+    from explain_audit import audit, dedup_cached_subtrees
+
+    plan = """Join
++- InMemoryTableScan [a#10]
+   +- InMemoryRelation [a#10, b#11], StorageLevel(disk)
+      +- Exchange hashpartitioning(x#1, 32)
+         +- FileScan parquet [x#1,y#2]
++- InMemoryTableScan [a#50]
+   +- InMemoryRelation [a#50, b#51], StorageLevel(disk)
+      +- Project [q#7]
+         +- FileScan parquet [q#7,r#8]
+"""
+    a = audit(dedup_cached_subtrees(plan))
+    assert a["scans"] == 2
+    assert a["exchanges"] == 1

@@ -18,9 +18,15 @@ Replication is timing-faithful, not statistics-blind:
   artificial 45x edge inflation no real corpus scale-up produces.
   Intra-copy duplicate classes are preserved exactly (identical
   texts transform identically), so the dup-rate stays proportional.
-* ``embeddings.embedding`` gets per-copy seeded noise at relative
-  norm ~0.5 so cross-copy cosine falls below the semantic-dup
-  thresholds, for the same reason.
+* ``embeddings.embedding``: copies > 0 get FRESH seeded random
+  directions with the ORIGINAL per-vector norms.  Additive noise
+  cannot work here: any residual mean-cosine shift inflates the
+  above-COSINE_THRESHOLD tail beyond the natural random-pair rate
+  (r5 review caught 0.5x noise leaving cosine ~0.85; 15x still
+  tripled the above-threshold rate).  Independent directions make
+  cross-copy pairs statistically identical to unrelated pairs --
+  no artificial twins -- while norm screens and quantization scales
+  see the same inputs.
 * Everything else (timestamps, values, categorical mixes) replicates
   unchanged: 10x density over the same domains.
 
@@ -114,8 +120,18 @@ def main() -> None:
                     noise = rng.normal(0.0, 1.0, mat.shape).astype(np.float32)
                     norms = np.linalg.norm(mat, axis=1, keepdims=True)
                     nn = np.linalg.norm(noise, axis=1, keepdims=True)
-                    noise *= 0.5 * norms / np.maximum(nn, 1e-9)
-                    col = pa.array([row for row in (mat + noise).tolist()],
+                    # FRESH random directions, norm-matched: any
+                    # additive perturbation keeps a mean cosine shift
+                    # whose 64-dim tail crosses COSINE_THRESHOLD more
+                    # often than unrelated vectors do (measured: 3.0%
+                    # vs the 0.7% natural rate at 15x noise; 0.5x left
+                    # 0.85 mean cosine).  Independent directions make
+                    # the cross-copy above-threshold rate EQUAL the
+                    # natural random-pair rate by construction, and
+                    # keeping the original norms preserves the outlier
+                    # screens' and quantization scales' inputs.
+                    mixed = noise * (norms / np.maximum(nn, 1e-9))
+                    col = pa.array([row for row in mixed.tolist()],
                                    type=field.type)
                 cols.append(col)
             if name == "documents":
