@@ -384,11 +384,14 @@ def parse_mp3_meta(payload: bytes) -> list[float]:
     pos = 0
     if payload[:3] == b"ID3" and len(payload) >= 10:
         # 4 syncsafe bytes (7 bits each), header is 10 bytes; the
-        # ID3v2.4 footer flag (0x10) adds a trailing 10-byte footer
+        # footer flag (0x10) adds a trailing 10-byte footer -- but
+        # only ID3v2.4 defines it, so gate on the version byte (a
+        # v2.3 tagger that sets the bit anyway has no footer)
         size = 0
         for b in payload[6:10]:
             size = (size << 7) | (b & 0x7F)
-        pos = 10 + size + (10 if payload[5] & 0x10 else 0)
+        footer = 10 if payload[3] == 4 and payload[5] & 0x10 else 0
+        pos = 10 + size + footer
     n_frames = 0
     bitrates: list[int] = []
     sample_rate = 0

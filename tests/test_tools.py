@@ -91,3 +91,26 @@ def test_explain_audit_keeps_distinct_caches_with_same_header():
     a = audit(dedup_cached_subtrees(plan))
     assert a["scans"] == 2
     assert a["exchanges"] == 1
+
+
+def test_explain_audit_distinct_caches_sharing_first_child():
+    """The collision class one level deeper: two distinct caches with
+    identical header AND identical first body line (but different
+    subtrees below) must BOTH keep their scans -- the key is the full
+    normalized subtree."""
+    from explain_audit import audit, dedup_cached_subtrees
+
+    plan = """Join
++- InMemoryTableScan [a#10]
+   +- InMemoryRelation [a#10, b#11], StorageLevel(disk)
+      +- Exchange hashpartitioning(doc_id#1, 32)
+         +- FileScan parquet [doc_id#1,y#2]
++- InMemoryTableScan [a#50]
+   +- InMemoryRelation [a#50, b#51], StorageLevel(disk)
+      +- Exchange hashpartitioning(doc_id#7, 32)
+         +- Project [doc_id#7]
+            +- FileScan parquet [doc_id#7,r#8]
+"""
+    a = audit(dedup_cached_subtrees(plan))
+    assert a["scans"] == 2
+    assert a["exchanges"] == 2

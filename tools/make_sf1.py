@@ -131,8 +131,7 @@ def main() -> None:
                     # keeping the original norms preserves the outlier
                     # screens' and quantization scales' inputs.
                     mixed = noise * (norms / np.maximum(nn, 1e-9))
-                    col = pa.array([row for row in mixed.tolist()],
-                                   type=field.type)
+                    col = pa.array(mixed.tolist(), type=field.type)
                 cols.append(col)
             if name == "documents":
                 ti = tab.schema.get_field_index("text")
