@@ -147,3 +147,57 @@ def entropy_pandas(text: pd.Series) -> pd.Series:
         p = counts.astype(np.float64) / n
         out[i] = np.cumsum(-(p * np.log(p)))[-1]
     return pd.Series(out)
+
+
+@pandas_udf("struct<b0:int,b1:int,b2:int,b3:int>")
+def simhash_bands_pandas(dt: pd.Series) -> pd.DataFrame:
+    """64-bit SimHash as 4 x 16-bit bands over a DISTINCT-token array
+    column -- the Arrow twin of operators/dedup.py::
+    _simhash_bands_catalyst (pinned equal in tests/test_functions.py).
+
+    Bit semantics replicated exactly: per token, md5's first 8 bytes;
+    band b = bytes [2b, 2b+2) big-endian uint16; bit k of the result
+    set when 2*count(k) > n over the doc's distinct tokens (strict,
+    same tie rule).  hashlib.md5 == Spark md5 == DuckDB md5 on utf-8
+    bytes, and all counts are integers, so the signatures are
+    bit-identical cross-path and cross-engine.
+
+    Speed comes from two batch-level effects Catalyst can't express:
+    a digest CACHE keyed on the token string (Zipf repetition means
+    most lookups hit), and one vectorized row-gather + column-sum per
+    doc instead of a 65-buffer hash-aggregate over the exploded
+    token stream."""
+    import hashlib
+
+    # np.unpackbits yields MSB-first per byte: bit k (LSB-numbered) of
+    # band b sits at position 16*b + (15 - k)
+    pos = np.arange(64)
+    band_of = pos // 16
+    weight = (1 << (15 - (pos % 16))).astype(np.int64)
+
+    idx_cache: dict[str, int] = {}
+    vocab_mat = np.zeros((1024, 64), dtype=np.int64)  # grows geometrically
+    n_vocab = 0
+    out = np.zeros((len(dt), 4), dtype=np.int64)
+    for i, toks in enumerate(dt.to_numpy(dtype=object)):
+        if toks is None or len(toks) == 0:
+            continue
+        idxs = np.empty(len(toks), dtype=np.int64)
+        for j, w in enumerate(toks):
+            k = idx_cache.get(w)
+            if k is None:
+                k = n_vocab
+                idx_cache[w] = k
+                if n_vocab == len(vocab_mat):
+                    vocab_mat = np.vstack([vocab_mat, np.zeros_like(vocab_mat)])
+                d8 = hashlib.md5(w.encode("utf-8")).digest()[:8]
+                vocab_mat[k] = np.unpackbits(
+                    np.frombuffer(d8, dtype=np.uint8)
+                )
+                n_vocab += 1
+            idxs[j] = k
+        counts = vocab_mat[idxs].sum(axis=0)
+        win = (2 * counts) > len(toks)
+        out[i] = np.bincount(band_of, weights=win * weight, minlength=4)
+    return pd.DataFrame({"b0": out[:, 0], "b1": out[:, 1],
+                         "b2": out[:, 2], "b3": out[:, 3]}).astype("int32")

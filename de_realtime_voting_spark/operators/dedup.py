@@ -270,6 +270,34 @@ def dedup_ngram_jaccard(documents: DataFrame) -> DataFrame:
 def _simhash_bands(documents: DataFrame) -> DataFrame:
     """(doc_id, b0..b3): the 64-bit SimHash as 4 x 16-bit band ints.
 
+    Hot path (r5): the Arrow pass simhash_bands_pandas -- a
+    batch-level md5 digest cache (Zipf token repetition makes most
+    lookups hits) plus one vectorized row-gather/column-sum per doc,
+    measured 5x over the explode+agg Catalyst shape at sf0.1
+    (0.3 s vs 1.5 s best-of-3; signatures bit-identical, so the
+    DuckDB parity gate is unchanged).  The Catalyst formulation
+    below (_simhash_bands_catalyst) stays as the pinned SPEC TWIN --
+    tests/test_functions.py asserts band-for-band equality."""
+    from ..functions.pandas_udfs import simhash_bands_pandas
+
+    return (
+        documents.select(
+            "doc_id", F.array_distinct(tokens(F.col("text"))).alias("dt")
+        )
+        .where(F.size("dt") > 0)
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .select("doc_id", simhash_bands_pandas(F.col("dt")).alias("s"))
+        .select(
+            "doc_id",
+            *[F.col(f"s.b{b}").alias(f"b{b}") for b in range(4)],
+        )
+    )
+
+
+def _simhash_bands_catalyst(documents: DataFrame) -> DataFrame:
+    """The all-Catalyst SimHash formulation -- the semantics
+    reference the Arrow hot path is pinned against.
+
     Formulated as explode -> codegen'd per-token band parse -> 64
     SUM(bit) hash aggregates, NOT as array lambdas: higher-order
     functions are interpreted expression-tree walks, and 64 filter

@@ -344,3 +344,23 @@ def test_entropy_pandas_matches_catalyst_fold(spark, sf_dir):
     assert len(rows) > 0
     for r in rows:
         assert math.isclose(r["arrow"], r["fold"], rel_tol=1e-12, abs_tol=1e-12)
+
+
+def test_simhash_arrow_path_equals_catalyst_twin(spark, sf_dir):
+    """The r5 Arrow hot path (simhash_bands_pandas) must produce
+    band-for-band identical signatures to the all-Catalyst spec twin
+    on real corpus data -- integer counts and the same md5 bytes, so
+    equality is exact, not approximate."""
+    from de_realtime_voting_spark.operators import dedup
+    from de_realtime_voting_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in dedup._simhash_bands(docs).collect()
+    }
+    want = {
+        r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in dedup._simhash_bands_catalyst(docs).collect()
+    }
+    assert got == want and len(got) > 0
