@@ -176,14 +176,21 @@ def simhash_bands_pandas(dt: pd.Series) -> pd.DataFrame:
     weight = (1 << (15 - (pos % 16))).astype(np.int64)
 
     idx_cache: dict[str, int] = {}
-    vocab_mat = np.zeros((1024, 64), dtype=np.int64)  # grows geometrically
+    # one bit per cell: uint8 keeps the per-batch cache 8x smaller;
+    # the gather/sum widens to int64 at reduction time
+    vocab_mat = np.zeros((1024, 64), dtype=np.uint8)  # grows geometrically
     n_vocab = 0
     out = np.zeros((len(dt), 4), dtype=np.int64)
     for i, toks in enumerate(dt.to_numpy(dtype=object)):
         if toks is None or len(toks) == 0:
             continue
-        idxs = np.empty(len(toks), dtype=np.int64)
-        for j, w in enumerate(toks):
+        idxs = []
+        for w in toks:
+            if w is None:
+                # Catalyst twin: md5(null) null-propagates, SUM skips
+                # the row but count(lit(1)) still counts it -- so a
+                # null token contributes no bits yet stays in n
+                continue
             k = idx_cache.get(w)
             if k is None:
                 k = n_vocab
@@ -195,66 +202,63 @@ def simhash_bands_pandas(dt: pd.Series) -> pd.DataFrame:
                     np.frombuffer(d8, dtype=np.uint8)
                 )
                 n_vocab += 1
-            idxs[j] = k
-        counts = vocab_mat[idxs].sum(axis=0)
+            idxs.append(k)
+        counts = vocab_mat[np.array(idxs, dtype=np.int64)].sum(
+            axis=0, dtype=np.int64
+        )
         win = (2 * counts) > len(toks)
         out[i] = np.bincount(band_of, weights=win * weight, minlength=4)
     return pd.DataFrame({"b0": out[:, 0], "b1": out[:, 1],
                          "b2": out[:, 2], "b3": out[:, 3]}).astype("int32")
 
 
-def _make_minhash_signature_pandas():
+@pandas_udf("array<string>")
+def minhash_signature_pandas(shingles: pd.Series) -> pd.Series:
+    """MinHash signature over a shingle-array column -- the Arrow
+    twin of functions.columns.minhash_signature (pinned equal in
+    tests/test_functions.py).
+
+    Exact semantics: sig[i] = min over shingles s of md5(f"{i}:{s}")
+    as the 32-char lowercase hex string; the min runs on the 128-bit
+    integer value of the digest, which orders identically to the
+    fixed-width hex string, and the winner is re-rendered as hex --
+    hashlib.md5 == Spark md5 == DuckDB md5 on utf-8 bytes, so
+    signatures are bit-identical cross-path.  Null handling matches
+    the twin: an empty array yields all-null (array_min of empty);
+    a null ELEMENT is skipped (its permuted hash null-propagates and
+    array_min ignores nulls).
+
+    Speed: a batch-level digest cache keyed on the shingle (the K
+    permutation values are computed once per distinct shingle per
+    batch) replaces K interpreted-HOF transform walks per row."""
+    import hashlib
+
     from ..constants import MINHASH_SIGS
 
-    @pandas_udf("array<string>")
-    def minhash_signature_pandas(shingles: pd.Series) -> pd.Series:
-        """MinHash signature over a shingle-array column -- the Arrow
-        twin of functions.columns.minhash_signature (pinned equal in
-        tests/test_functions.py).
-
-        Exact semantics: sig[i] = min over shingles s of
-        md5(f"{i}:{s}") as the 32-char lowercase hex string; the min
-        runs on the 128-bit integer value of the digest, which orders
-        identically to the fixed-width hex string, and the winner is
-        re-rendered as hex -- hashlib.md5 == Spark md5 == DuckDB md5
-        on utf-8 bytes, so signatures are bit-identical cross-path.
-        An empty shingle array yields all-null (array_min of empty).
-
-        Speed: a batch-level digest cache keyed on the shingle (the
-        K permutation values are computed once per distinct shingle
-        per batch) replaces K interpreted-HOF transform walks per
-        row."""
-        import hashlib
-
-        K = MINHASH_SIGS
-        cache: dict[str, list[int]] = {}
-        out: list[list[str | None]] = []
-        for toks in shingles.to_numpy(dtype=object):
-            if toks is None or len(toks) == 0:
-                out.append([None] * K)
+    K = MINHASH_SIGS
+    cache: dict[str, list[int]] = {}
+    out: list[list[str | None]] = []
+    for toks in shingles.to_numpy(dtype=object):
+        if toks is None or len(toks) == 0:
+            out.append([None] * K)
+            continue
+        mins: list[int | None] = [None] * K
+        for s in toks:
+            if s is None:
                 continue
-            mins: list[int | None] = [None] * K
-            for s in toks:
-                v = cache.get(s)
-                if v is None:
-                    v = [
-                        int.from_bytes(
-                            hashlib.md5(f"{i}:{s}".encode("utf-8")).digest(),
-                            "big",
-                        )
-                        for i in range(K)
-                    ]
-                    cache[s] = v
-                for i in range(K):
-                    m = mins[i]
-                    if m is None or v[i] < m:
-                        mins[i] = v[i]
-            out.append(
-                [None if m is None else format(m, "032x") for m in mins]
-            )
-        return pd.Series(out)
-
-    return minhash_signature_pandas
-
-
-minhash_signature_pandas = _make_minhash_signature_pandas()
+            v = cache.get(s)
+            if v is None:
+                v = [
+                    int.from_bytes(
+                        hashlib.md5(f"{i}:{s}".encode("utf-8")).digest(),
+                        "big",
+                    )
+                    for i in range(K)
+                ]
+                cache[s] = v
+            for i in range(K):
+                m = mins[i]
+                if m is None or v[i] < m:
+                    mins[i] = v[i]
+        out.append([None if m is None else format(m, "032x") for m in mins])
+    return pd.Series(out)

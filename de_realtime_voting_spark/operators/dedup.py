@@ -291,11 +291,11 @@ def _simhash_bands(documents: DataFrame) -> DataFrame:
     from ..functions.pandas_udfs import simhash_bands_pandas
 
     return (
-        documents.select(
-            "doc_id", F.array_distinct(tokens(F.col("text"))).alias("dt")
+        _spread(
+            documents.select(
+                "doc_id", F.array_distinct(tokens(F.col("text"))).alias("dt")
+            ).where(F.size("dt") > 0)
         )
-        .where(F.size("dt") > 0)
-        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
         .select("doc_id", simhash_bands_pandas(F.col("dt")).alias("s"))
         .select(
             "doc_id",
