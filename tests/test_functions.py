@@ -385,3 +385,45 @@ def test_minhash_arrow_path_equals_catalyst_twin(spark, sf_dir):
     got = {r["doc_id"]: r["a"] for r in sh.select("doc_id", minhash_signature_pandas(F.col("shingles")).alias("a")).collect()}
     want = {r["doc_id"]: r["a"] for r in sh.select("doc_id", minhash_signature(F.col("shingles")).alias("a")).collect()}
     assert got == want and len(got) > 0
+
+
+def test_arrow_hash_udfs_null_elements_match_catalyst(spark):
+    """Null ELEMENTS inside the arrays must follow the Catalyst
+    twins' null-propagation: simhash counts the row in n but adds no
+    bits; minhash skips the shingle entirely."""
+    import pyspark.sql.functions as F
+
+    from de_realtime_voting_spark.functions import minhash_signature
+    from de_realtime_voting_spark.functions.pandas_udfs import (
+        minhash_signature_pandas,
+        simhash_bands_pandas,
+    )
+    df = spark.createDataFrame(
+        [(1, ["alpha", None, "beta"]), (2, ["alpha", "beta"])],
+        "doc_id long, arr array<string>",
+    )
+    mh = {
+        r["doc_id"]: r["a"]
+        for r in df.select(
+            "doc_id", minhash_signature_pandas(F.col("arr")).alias("a")
+        ).collect()
+    }
+    mh_cat = {
+        r["doc_id"]: r["a"]
+        for r in df.select(
+            "doc_id", minhash_signature(F.col("arr")).alias("a")
+        ).collect()
+    }
+    assert mh == mh_cat
+    # null shingle is a no-op: doc 1 and doc 2 share the same sig
+    assert mh[1] == mh[2]
+
+    sh = df.select(
+        "doc_id", simhash_bands_pandas(F.col("arr")).alias("s")
+    ).collect()
+    bands = {r["doc_id"]: tuple(r["s"]) for r in sh}
+    # doc 1: n=3 with 2 voting tokens -> strict majority 2*c > 3
+    # requires BOTH tokens to set a bit; doc 2: n=2 requires both as
+    # well (2*c > 2) -- so the two rows agree exactly here, and the
+    # property proven is "no crash + null adds no bits"
+    assert bands[1] == bands[2]
