@@ -1002,6 +1002,30 @@ SELECT doc_a, doc_b, lang, jaccard FROM (
 ) WHERE jaccard >= {NGRAM_JACCARD_THRESHOLD}
 """
 
+SQL["dedup_ngram_jaccard_scaled"] = f"""{_MINHASH_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+g AS (
+    SELECT doc_id, lang,
+           list_distinct(list_transform(
+               range(1, length(text) - {CHAR_NGRAM_K - 2}),
+               i -> substr(text, i, {CHAR_NGRAM_K}))) AS grams
+    FROM documents WHERE length(text) >= {CHAR_NGRAM_K}
+)
+SELECT doc_a, doc_b, lang, jaccard FROM (
+    SELECT doc_a, doc_b, ga.lang AS lang,
+           ROUND(len(list_intersect(ga.grams, gb.grams))
+                 / len(list_distinct(ga.grams || gb.grams)), 6) AS jaccard
+    FROM cand
+    JOIN g ga ON ga.doc_id = doc_a
+    JOIN g gb ON gb.doc_id = doc_b AND gb.lang = ga.lang
+) WHERE jaccard >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
 _IVF_ASG_CTES = f"""cent AS (
     SELECT vec_id AS cent_id, embedding AS c_emb
     FROM embeddings WHERE vec_id IN {_IVF_IDS}

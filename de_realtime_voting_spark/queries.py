@@ -188,6 +188,9 @@ _DEFS: dict[str, QueryFn] = {
     "dedup_minhash_pairs": lambda s, d: dedup.dedup_minhash_pairs(_t(s, d, "documents")),
     "dedup_simhash": lambda s, d: dedup.dedup_simhash(_t(s, d, "documents")),
     "dedup_ngram_jaccard": lambda s, d: dedup.dedup_ngram_jaccard(_t(s, d, "documents")),
+    "dedup_ngram_jaccard_scaled": lambda s, d: dedup.dedup_ngram_jaccard_scaled(
+        _t(s, d, "documents")
+    ),
     "dedup_clusters": lambda s, d: dedup.dedup_clusters(_t(s, d, "documents")),
     "dedup_keep_canonical": lambda s, d: dedup.dedup_keep_canonical(
         _t(s, d, "documents")
@@ -446,6 +449,7 @@ _DEFS: dict[str, QueryFn] = {
 # the block's tail.  r3- and r4-row sections rotate behind the
 # window (the round-close PARITY_r5 sweep still covers all 156).
 _PRIORITY: list[str] = [
+    "dedup_ngram_jaccard_scaled",
     "curation_waterfall", "token_heavy_hitters_cms", "bigram_logprob_score",
     "near_dup_triangles", "customer_top_orders", "events_json_props",
     "invalid_vote_rate", "large_volume_orders", "nation_acctbal",

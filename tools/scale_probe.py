@@ -53,6 +53,7 @@ DEFAULT = [
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_scaled",
     "dedup_clusters",
     "dedup_clusters_bigstar",
     "dedup_embedding_cosine",
