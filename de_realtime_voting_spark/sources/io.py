@@ -100,9 +100,11 @@ def jdbc_reader(
     Without partition_column a JDBC read is ONE task on one executor;
     the (column, bounds, numPartitions) split turns it into
     num_partitions range-predicate queries that run in parallel.
-    Returns the configured DataFrameReader -- ``.load()`` executes it
-    (needs the JDBC driver jar on the classpath, absent here, so
-    construction stays lazy and testable).
+    Returns the configured DataFrameReader -- ``.load()`` executes
+    it.  Executed for real against embedded Derby (the driver ships
+    inside the Spark distribution) in tests/test_jdbc_derby.py,
+    including the partition-parallel split; a Postgres/MySQL target
+    is the same builder with a different url/driver.
     """
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
@@ -140,11 +142,12 @@ def jdbc_writer(
     Postgres).  Exactly-once does NOT come from this writer -- JDBC
     appends are at-least-once on task retry; route idempotent upserts
     through a keyed foreachBatch (streaming/sinks.foreach_batch_upsert
-    shows the merge shape) or a staging table + MERGE.
+    for parquet snapshots, foreach_batch_jdbc_upsert for the
+    staging-table + MERGE database shape).
 
-    Returns the configured DataFrameWriter -- ``.save()`` executes
-    (needs the JDBC driver jar, absent here, so construction stays
-    lazy and unit-testable like jdbc_reader).
+    Returns the configured DataFrameWriter -- ``.save()`` executes.
+    Executed for real against embedded Derby in
+    tests/test_jdbc_derby.py (write -> read round-trip, value-exact).
     """
     if mode not in {"append", "overwrite", "ignore", "error", "errorifexists"}:
         raise ValueError(f"jdbc_writer: invalid mode {mode!r}")
