@@ -74,10 +74,13 @@ ANN_QUERY_IDS = list(range(10))
 ANN_K = 5
 LSH_NUM_PLANES = 6        # 64 hyperplane buckets
 
-# IVF coarse quantizer: centroids are a fixed, deterministic sample of
-# corpus vectors (exists at every SF: vec_id <= 452 < 500).  A real
-# pipeline would k-means these; the index structure -- assign to
-# nearest centroid, probe the closest NPROBE cells -- is identical.
+# IVF coarse quantizer: since r6 the centroids are TRAINED k-means
+# means (ivf_model.py, produced by tools/train_ivf.py -- distributed
+# Lloyd iterations over sf0.1, converged to the double noise floor;
+# ivf recall@5 0.38 -> 0.42 at sf0.1, cell balance 86..144 ->
+# 110..141).  These ids are the trainer's SEEDS (a deterministic
+# corpus sample that exists at every SF: vec_id <= 452 < 500) and
+# remain the stable cell labels.
 IVF_CENTROID_IDS = [17 + 29 * i for i in range(16)]
 IVF_NPROBE = 2
 

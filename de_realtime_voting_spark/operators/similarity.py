@@ -64,14 +64,21 @@ def embedding_lsh_buckets(embeddings: DataFrame) -> DataFrame:
 
 
 def _collect_centroids(embeddings: DataFrame) -> list[tuple[int, list[float]]]:
-    """The 16 coarse centroids, collected once -- an index/model
-    artifact, like trained k-means centroids."""
-    return sorted(
-        (r["vec_id"], [float(x) for x in r["embedding"]])
-        for r in embeddings.where(F.col("vec_id").isin(IVF_CENTROID_IDS))
-        .select("vec_id", "embedding")
-        .collect()
-    )
+    """The 16 coarse centroids -- since r6 a TRAINED k-means model
+    artifact (tools/train_ivf.py: distributed Lloyd iterations over
+    sf0.1, converged to the double noise floor), frozen as literals
+    in ivf_model.py and shared verbatim with the DuckDB oracle's
+    VALUES CTE, so cross-engine parity stays bit-exact.
+
+    The ``embeddings`` argument is kept for API stability (and for
+    the retraining path, which seeds from corpus rows); an index's
+    centroids are a model artifact, independent of the corpus being
+    indexed -- this also removes the per-query centroid collect the
+    r1-r5 sampled quantizer paid."""
+    del embeddings  # model artifact: no per-query corpus dependency
+    from ..ivf_model import IVF_TRAINED_CENTROIDS
+
+    return [(cid, list(emb)) for cid, emb in IVF_TRAINED_CENTROIDS]
 
 
 def _assign_cells(embeddings: DataFrame, cents) -> DataFrame:

@@ -199,7 +199,9 @@ _PARTY_CASE = "CASE event_type " + " ".join(
 ) + " ELSE NULL END"
 
 _ANN_IDS = "(" + ", ".join(str(i) for i in ANN_QUERY_IDS) + ")"
-_IVF_IDS = "(" + ", ".join(str(i) for i in IVF_CENTROID_IDS) + ")"
+# IVF_CENTROID_IDS kept only as the trainer seed; oracles now embed
+# the trained centroid literals (see _IVF_CENT_VALUES below).
+from .ivf_model import IVF_TRAINED_CENTROIDS as _IVF_TRAINED_CENTROIDS  # noqa: E402
 
 # events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as long ns
 # and floors to microseconds, so the oracle casts ns -> us the same way.
@@ -1026,9 +1028,19 @@ SELECT doc_a, doc_b, lang, jaccard FROM (
 ) WHERE jaccard >= {NGRAM_JACCARD_THRESHOLD}
 """
 
+# Trained IVF centroids (ivf_model.py, k-means via tools/train_ivf.py)
+# embedded as a literal VALUES CTE: repr() round-trips IEEE doubles,
+# so both engines see the identical model -- same discipline as the
+# LSH plane literals.
+_IVF_CENT_VALUES = ",\n    ".join(
+    f"({cid}, [{', '.join(repr(x) for x in emb)}])"
+    for cid, emb in _IVF_TRAINED_CENTROIDS
+)
+
 _IVF_ASG_CTES = f"""cent AS (
-    SELECT vec_id AS cent_id, embedding AS c_emb
-    FROM embeddings WHERE vec_id IN {_IVF_IDS}
+    SELECT * FROM (VALUES
+    {_IVF_CENT_VALUES}
+    ) AS t(cent_id, c_emb)
 ),
 scored AS (
     SELECT e.vec_id, e.embedding, c.cent_id,
