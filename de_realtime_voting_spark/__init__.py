@@ -14,6 +14,19 @@ Design rules:
 - Hot paths stay JVM-side (builtin functions / higher-order array
   lambdas); Python appears only in Arrow-batched ``mapInPandas`` for
   the (stubbed) multimodal decode.
+
+Cache lifecycle: a handful of operators ``persist()`` a multiply-read
+intermediate and return a LAZY plan that still references it
+(``curation_waterfall``, ``bigram_logprob_score``,
+``token_heavy_hitters_cms``, several dedup ops — each site carries a
+comment).  These caches are LRU-evictable and the batch harnesses
+(bench.py, tools/check_parity.py) call
+``spark.catalog.clearCache()`` between queries; a long-lived session
+embedding these operators should do the same once it has consumed a
+query's result.  The exception is ops whose result is a bounded
+summary (e.g. ``near_dup_triangles``): those collect eagerly inside
+the builder and release their caches deterministically before
+returning.
 """
 
 __version__ = "0.1.0"

@@ -1421,6 +1421,15 @@ def near_dup_triangles(documents: DataFrame) -> DataFrame:
     triangle u<v<w is counted exactly once (both joins preserve the
     ascending orientation).  All counts are exact integers; the one
     clustering division is rounded in both engines.
+
+    EAGER: unlike the rest of the registry this builder EXECUTES the
+    census at construction time (the summary is one bounded row, so
+    it is collected while the edge cache is hot and the cache is
+    released deterministically — including on failure — instead of
+    leaning on LRU eviction).  Callers doing plan-only inspection pay
+    the full run, and runtime errors surface here rather than at
+    action time; use ``dedup_minhash_pairs`` directly if you need the
+    lazy edge list.
     """
     # persist: the edge list feeds degrees, both wedge sides and the
     # closure probe.  The summary is ONE bounded row, so it is

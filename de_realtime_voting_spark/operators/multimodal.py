@@ -407,6 +407,20 @@ def parse_mp3_meta(payload: bytes) -> list[float]:
         padding = (b2 >> 1) & 1
         if version == 1 or layer != 1 or br_idx in (0, 15) or sr_idx == 3:
             if n_frames == 0:
+                # a VALID sync frame that is simply not Layer III /
+                # not fixed-bitrate is an unsupported CODEC variant,
+                # not garbage -- report it like decode_auto does
+                # (NotImplementedError naming the format) so callers
+                # can tell "unsupported" from "corrupt"
+                if version != 1 and sr_idx != 3 and layer in (2, 3):
+                    raise NotImplementedError(
+                        "mp2/mp1 codec not available (valid MPEG Layer "
+                        f"{'I' if layer == 3 else 'II'} sync frame)"
+                    )
+                if version != 1 and sr_idx != 3 and layer == 1 and br_idx == 0:
+                    raise NotImplementedError(
+                        "mp3 free-format bitrate not supported"
+                    )
                 raise ValueError(
                     "not an MPEG Layer III stream (bad first frame header)"
                 )

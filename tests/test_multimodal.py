@@ -895,8 +895,15 @@ def test_mp3_meta_garbage_fails_loudly():
         parse_mp3_meta(b"\xff\xfb")  # sync but no room for a frame
     with pytest.raises(ValueError):
         parse_mp3_meta(b"not audio at all")
-    with pytest.raises(ValueError):  # free-format bitrate index 0
+    # valid sync frames of UNSUPPORTED codec variants are reported as
+    # NotImplementedError naming the format (decode_auto's contract),
+    # not conflated with garbage:
+    with pytest.raises(NotImplementedError, match="free-format"):
         parse_mp3_meta(bytes([0xFF, 0xFB, 0x00, 0x00]) + b"\x00" * 100)
+    with pytest.raises(NotImplementedError, match="Layer II"):  # layer bits 10
+        parse_mp3_meta(bytes([0xFF, 0xFD, 0x40, 0x00]) + b"\x00" * 100)
+    with pytest.raises(NotImplementedError, match="Layer I\\b"):  # layer bits 11
+        parse_mp3_meta(bytes([0xFF, 0xFF, 0x40, 0x00]) + b"\x00" * 100)
 
 
 def test_mp3_meta_property_frame_walk():

@@ -35,6 +35,7 @@ Usage:  python tools/make_sf1.py  [out_dir]
 
 from __future__ import annotations
 
+import hashlib
 import os
 import sys
 
@@ -72,11 +73,16 @@ def _perturb_texts(texts: list[str | None], copy: int) -> list[str | None]:
             out.append(t)
             continue
         toks = t.split(" ")
+        # per-text digest mixed into every replacement token: without
+        # it all docs of a copy share one 57-token injected vocabulary,
+        # inflating cross-document trigram/token overlap (biases block
+        # co-occurrence in jaccard-style probes).  Identical texts
+        # still transform identically (dup classes preserved).
+        h = hashlib.md5(t.encode()).hexdigest()[:4]
         for j in range(len(toks)):
-            # deterministic in (copy, position): identical texts stay
-            # identical (intra-copy dup classes preserved)
+            # deterministic in (copy, position, text-digest)
             if (j * 2654435761 + copy * 40503) % 100 < REPLACE_FRAC * 100:
-                toks[j] = f"v{copy}t{j % 57}"
+                toks[j] = f"v{copy}t{j % 57}h{h}"
         out.append(" ".join(toks))
     return out
 
