@@ -439,69 +439,69 @@ _DEFS: dict[str, QueryFn] = {
 
 # Registry ORDER matters operationally: external checkers iterate in
 # insertion order and may cap how many entries they verify per run
-# (the driver checks ~50).  Round-5 rotation (per the r4 verdict):
-# STALEST-FIRST.  The r5-modified queries lead (new code = freshest
-# check), then the 12 ops whose only driver rows date from round 1
-# (pre-regeneration testdata), the two declared rows-only sketch ops,
-# then the r2-row block (early LLM dedup/ANN/text families and the
-# derived-partsupp TPC-H shapes) grouped by family -- except the five
-# ops the judge independently re-verified on r4 code, which sit at
-# the block's tail.  r3- and r4-row sections rotate behind the
-# window (the round-close PARITY_r5 sweep still covers all 156).
+# (the driver checks ~50).  Round-6 rotation, STALEST-FIRST from the
+# cumulative CORRECTNESS_r01..r05 union: the r6-modified code leads
+# (dedup_ngram_jaccard_scaled is NEW; the six IVF-family queries run
+# on retrained-centroid code, so their r5 rows predate the code they
+# must vouch for), then the two declared rows-only sketch ops, the
+# 15 ops whose freshest row is r2, and the first 26 of the 45
+# r3-vintage ops.  The remaining 19 r3 ops head the next window;
+# r4/r5 sections rotate behind (the round-close PARITY_r6 sweep
+# still covers all 157).
 _PRIORITY: list[str] = [
-    "dedup_ngram_jaccard_scaled",
-    "curation_waterfall", "token_heavy_hitters_cms", "bigram_logprob_score",
-    "near_dup_triangles", "customer_top_orders", "events_json_props",
-    "invalid_vote_rate", "large_volume_orders", "nation_acctbal",
-    "order_priority_count", "registered_non_voters", "small_quantity_revenue",
-    "supplier_nation_revenue", "unique_voters_per_candidate", "voter_registration_stats",
-    "votes_value_stats", "doc_length_percentile_filter_approx", "votes_approx_stats",
-    "dedup_edit_distance", "dedup_embedding_cosine", "dedup_exact",
-    "dedup_incremental", "dedup_minhash_bands", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_simhash_pairs", "ann_bruteforce_topk",
-    "ann_ivf_topk", "doc_embedding_stats", "embedding_kmeans_iter",
-    "embedding_lsh_buckets", "embedding_norm_outliers", "embedding_quantization_stats",
-    "bpe_pair_counts", "doc_fingerprint", "doc_length_percentile_filter",
-    "ngram_top", "repeated_ngram_spans", "text_bpe_tokens",
-    "text_c4_filters", "text_lang_id", "text_redact_pii",
-    "text_repetition_score", "text_token_count", "tfidf_top_terms",
-    "unigram_logprob_score", "vocab_coverage", "benchmark_decontam",
-    "corpus_quality_keep", "corpus_source_mix", "corpus_stratified_sample",
-    "corpus_train_split", "multimodal_binary_stats", "multimodal_chunk_stats",
-    "seq_pack_stats", "q11_important_stock", "q20_excess_suppliers",
-    "q22_idle_rich_customers", "q2_min_cost_supplier", "vote_key_skew",
-    "ann_lsh_topk", "dedup_minhash_pairs", "q21_waiting_suppliers",
-    "text_quality_score", "voter_value_quartiles", "ann_pq_topk",
-    "brand_price_trend", "candidate_hourly_pivot", "cumulative_daily_votes",
-    "doc_chunk_windows", "doc_field_completeness", "election_winner",
-    "embedding_label_cohesion", "embedding_pca_stats", "funnel_conversion",
-    "lapsed_voters", "leading_candidate_per_hour", "market_basket_pairs",
-    "minhash_jaccard_estimate", "near_dup_graph_degree", "near_dup_rate_by_source",
-    "ngram_containment", "one_vote_per_voter", "order_fill_rate",
-    "party_vote_share", "referential_integrity_audit", "repeat_buyers_by_nation",
-    "source_url_dedup", "supplier_concentration", "supplier_lead_time",
-    "token_zipf_stats", "turnout_by_location", "turnout_by_region",
-    "turnout_by_segment", "turnout_grouping_sets", "turnout_rollup",
-    "vote_interarrival", "vote_value_histogram", "vote_weight_percentiles",
-    "voter_party_loyalty", "voter_profile", "voter_retention_cohort",
-    "votes_asof_prior_click", "votes_cube", "votes_enriched",
-    "votes_in_launch_windows", "votes_minute_rate", "votes_per_candidate",
-    "votes_per_candidate_hourly", "votes_sessionized", "ann_pq_rerank_topk",
-    "ann_recall_report", "bloom_decontam", "bpe_fertility_stats",
+    "dedup_ngram_jaccard_scaled", "ann_ivf_topk", "ann_recall_report",
+    "ivf_cell_balance", "semantic_dedup", "embedding_kmeans_iter",
+    "dedup_embedding_cosine", "doc_length_percentile_filter_approx", "votes_approx_stats",
+    "ann_lsh_topk", "corpus_stratified_sample", "corpus_train_split",
+    "dedup_minhash_pairs", "multimodal_binary_stats", "multimodal_chunk_stats",
+    "q11_important_stock", "q20_excess_suppliers", "q21_waiting_suppliers",
+    "q22_idle_rich_customers", "q2_min_cost_supplier", "seq_pack_stats",
+    "text_quality_score", "vote_key_skew", "voter_value_quartiles",
+    "ann_pq_topk", "brand_price_trend", "candidate_hourly_pivot",
+    "cumulative_daily_votes", "doc_chunk_windows", "doc_field_completeness",
+    "election_winner", "embedding_label_cohesion", "embedding_pca_stats",
+    "funnel_conversion", "lapsed_voters", "leading_candidate_per_hour",
+    "market_basket_pairs", "minhash_jaccard_estimate", "near_dup_graph_degree",
+    "near_dup_rate_by_source", "ngram_containment", "one_vote_per_voter",
+    "order_fill_rate", "party_vote_share", "referential_integrity_audit",
+    "repeat_buyers_by_nation", "source_url_dedup", "supplier_concentration",
+    "supplier_lead_time", "token_zipf_stats", "turnout_by_location",
+    "turnout_by_region", "turnout_by_segment", "turnout_grouping_sets",
+    "turnout_rollup", "vote_interarrival", "vote_value_histogram",
+    "vote_weight_percentiles", "voter_party_loyalty", "voter_profile",
+    "voter_retention_cohort", "votes_asof_prior_click", "votes_cube",
+    "votes_enriched", "votes_in_launch_windows", "votes_minute_rate",
+    "votes_per_candidate", "votes_per_candidate_hourly", "votes_sessionized",
+    "ann_pq_rerank_topk", "bloom_decontam", "bpe_fertility_stats",
     "bpe_train_merges", "contam_span_report", "corpus_epoch_shuffle",
     "customer_spend_deciles", "dedup_clusters", "dedup_clusters_bigstar",
     "dedup_keep_canonical", "dedup_soft_weights", "dedup_sorted_neighborhood",
     "dedup_threshold_sweep", "doc_embed_inference", "doc_length_mad_outliers",
     "doc_winnowing_fingerprints", "domain_quality_topk", "event_transition_matrix",
-    "hot_key_join_salted", "ivf_cell_balance", "near_dup_pagerank",
-    "q10_returned_items", "q12_ship_lag_priority", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_counts",
-    "q19_disjunctive_revenue", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_regional_revenue", "q6_forecast_revenue", "q7_nation_volume",
-    "q8_market_share", "q9_product_profit", "segment_dedup",
-    "semantic_dedup", "source_capped_selection", "source_temperature_weights",
-    "text_entropy_score", "token_budget_select", "top_brand_revenue",
-    "voter_stickiness", "votes_anomaly_zscore", "votes_sliding_window",
+    "hot_key_join_salted", "near_dup_pagerank", "q10_returned_items",
+    "q12_ship_lag_priority", "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_part_supplier_counts", "q19_disjunctive_revenue",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "segment_dedup", "source_capped_selection",
+    "source_temperature_weights", "text_entropy_score", "token_budget_select",
+    "top_brand_revenue", "voter_stickiness", "votes_anomaly_zscore",
+    "votes_sliding_window", "ann_bruteforce_topk", "benchmark_decontam",
+    "bigram_logprob_score", "bpe_pair_counts", "corpus_quality_keep",
+    "corpus_source_mix", "curation_waterfall", "customer_top_orders",
+    "dedup_edit_distance", "dedup_exact", "dedup_incremental",
+    "dedup_minhash_bands", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_simhash_pairs", "doc_embedding_stats", "doc_fingerprint",
+    "doc_length_percentile_filter", "embedding_lsh_buckets", "embedding_norm_outliers",
+    "embedding_quantization_stats", "events_json_props", "invalid_vote_rate",
+    "large_volume_orders", "nation_acctbal", "near_dup_triangles",
+    "ngram_top", "order_priority_count", "registered_non_voters",
+    "repeated_ngram_spans", "small_quantity_revenue", "supplier_nation_revenue",
+    "text_bpe_tokens", "text_c4_filters", "text_lang_id",
+    "text_redact_pii", "text_repetition_score", "text_token_count",
+    "tfidf_top_terms", "token_heavy_hitters_cms", "unigram_logprob_score",
+    "unique_voters_per_candidate", "vocab_coverage", "voter_registration_stats",
+    "votes_value_stats",
 ]
 
 
