@@ -83,50 +83,63 @@ SESSION_STATE = StructType(
 )
 
 
-def _update_session(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    if state.hasTimedOut:
-        n, start_us, last_us = state.get
-        state.remove()
-        yield pd.DataFrame(
-            {
-                "voter_id": [key[0]],
-                "n_votes": [n],
-                "session_start_us": [start_us],
-                "session_end_us": [last_us],
-                "closed_by_timeout": ["yes"],
-            }
-        )
-        return
-    n, start_us, last_us = state.get if state.exists else (0, None, None)
-    for pdf in pdfs:
-        if len(pdf) == 0:
-            continue
-        us = pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
-        n += len(us)
-        start_us = min(us) if start_us is None else min(start_us, min(us))
-        last_us = max(us) if last_us is None else max(last_us, max(us))
-    state.update((n, start_us, last_us))
-    # close the session if no new votes arrive within the gap;
-    # nothing is emitted while the voter stays active
-    state.setTimeoutDuration(30 * 60 * 1000)
+def _make_update_session(gap_ms: int):
+    """Closure factory (not a default-arg lambda: the captured value
+    must ship inside the pickled function, and default args change
+    the inferred arity) binding the session gap for the worker side."""
+
+    def _update_session(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, start_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "voter_id": [key[0]],
+                    "n_votes": [n],
+                    "session_start_us": [start_us],
+                    "session_end_us": [last_us],
+                    "closed_by_timeout": ["yes"],
+                }
+            )
+            return
+        n, start_us, last_us = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            us = pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
+            n += len(us)
+            start_us = min(us) if start_us is None else min(start_us, min(us))
+            last_us = max(us) if last_us is None else max(last_us, max(us))
+        state.update((n, start_us, last_us))
+        # close the session if no new votes arrive within the gap;
+        # nothing is emitted while the voter stays active
+        state.setTimeoutDuration(gap_ms)
+
+    return _update_session
 
 
-def voter_sessions_with_timeout(votes: DataFrame) -> DataFrame:
+def voter_sessions_with_timeout(
+    votes: DataFrame, gap_ms: int = 30 * 60 * 1000
+) -> DataFrame:
     """Custom stateful sessionization with PROCESSING-TIME timeout:
     a voter's session closes (and its summary row is emitted) only
-    when no vote arrives for 30 minutes of wall clock -- the state-TTL
-    pattern for operators session_window can't express (emit-on-close,
-    state removed on expiry, bounded memory per live voter).
+    when no vote arrives for `gap_ms` of wall clock (default 30
+    minutes) -- the state-TTL pattern for operators session_window
+    can't express (emit-on-close, state removed on expiry, bounded
+    memory per live voter).
 
     Timeout semantics are processing-time (GroupStateTimeout), so the
     pytest drives it structurally: state accumulates across batches
-    and nothing is emitted while voters stay active."""
+    and nothing is emitted while voters stay active.  NOTE for
+    bounded harnesses (availableNow soaks): the query keeps running
+    until pending processing-time timeouts fire, so drive it with a
+    short `gap_ms` there."""
     return (
         votes.groupBy("user_id")
         .applyInPandasWithState(
-            _update_session,
+            _make_update_session(gap_ms),
             outputStructType=SESSION_OUTPUT,
             stateStructType=SESSION_STATE,
             outputMode="update",

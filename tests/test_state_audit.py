@@ -1,0 +1,95 @@
+"""Executed no-unbounded-growth checks for the streaming state audit
+(tools/state_soak.py writes the full STATE_AUDIT.md; this pins the
+worst offender in CI).
+
+The stream-stream self-join (`stream_repeat_vote_pairs`) is the one
+pipeline whose state is linear in RATE by contract — O(rate x
+join-horizon).  Its boundedness claim is about TIME: however long the
+stream has run, buffered state holds roughly ONE join horizon of
+events, because the watermark evicts rows older than `within` +
+delay.  A soak over 4 horizons at fixed rate asserts exactly that:
+final state ≪ total input, ≈ one horizon.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from tools.state_soak import run_stateful, write_vote_slices
+
+
+def _vote_schema():
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    return StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+
+
+def test_join_state_evicts_over_time(spark, tmp_path):
+    """4 join-horizons of stream at fixed rate: the join buffers must
+    hold ~one horizon at the end, not the whole history — the
+    eviction that makes O(rate x horizon) an honest bound."""
+    from de_realtime_voting_spark.session import enable_rocksdb_state_store
+    from de_realtime_voting_spark.streaming.pipelines import (
+        stream_repeat_vote_pairs,
+    )
+
+    enable_rocksdb_state_store(spark)
+    within, span_min, n_slices, volume = "30 minutes", 240, 16, 16_000
+    src = str(tmp_path / "votes")
+    write_vote_slices(src, volume, span_min=span_min, n_slices=n_slices)
+
+    m = run_stateful(
+        spark, src, _vote_schema(),
+        lambda v: stream_repeat_vote_pairs(v, within=within, delay="1 minute"),
+        "append",
+    )
+    # both join sides buffer ~ (within + delay + one 15-min slice of
+    # watermark lag) of events = ~46 min of a 240-min feed ≈ 19% per
+    # side.  Assert the state is a small fraction of total input and
+    # comfortably under two horizons per side — NOT O(history).
+    total_seen = 2 * volume  # volume rows buffered on each join side
+    assert 0 < m["state_rows"] < 0.5 * total_seen, m
+    horizon_rows = volume * 46 / span_min  # rows inside one horizon
+    assert m["state_rows"] <= 2 * 2 * horizon_rows, m
+
+
+def test_ttl_dedup_state_is_horizon_bounded(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: after a 4-hour feed the dedup
+    state holds only voters whose ts is inside the watermark horizon,
+    not every (voter, vote) ever seen."""
+    from de_realtime_voting_spark.session import enable_rocksdb_state_store
+    from de_realtime_voting_spark.streaming.pipelines import (
+        stream_one_vote_per_voter_ttl,
+    )
+
+    enable_rocksdb_state_store(spark)
+    volume = 16_000
+    src = str(tmp_path / "votes_ttl")
+    write_vote_slices(src, volume, span_min=240, n_slices=16)
+
+    m = run_stateful(
+        spark, src, _vote_schema(),
+        lambda v: stream_one_vote_per_voter_ttl(v, delay="1 minute"),
+        "append",
+    )
+    # horizon = 1 min delay + watermark lag of one 15-min slice: the
+    # PEAK dedup state is at most ~2 slices of rows = 2 * volume/16,
+    # far under the 16k total (and under the 2k electorate the no-TTL
+    # variant keeps).  Peak is the assertion target: the run's final
+    # batch sits post-eviction (the soak harness drains trailing
+    # empty batches, so final rows can legitimately reach 0).
+    assert 0 < m["peak_rows"] <= 2 * (volume // 16), m
+    assert m["state_rows"] <= m["peak_rows"], m

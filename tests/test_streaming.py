@@ -346,7 +346,9 @@ class _FakeGroupState:
 def test_session_timeout_state_transitions(spark):
     import pandas as pd
 
-    from de_realtime_voting_spark.streaming.state import _update_session
+    from de_realtime_voting_spark.streaming.state import _make_update_session
+
+    _update_session = _make_update_session(30 * 60 * 1000)
 
     pdf = pd.DataFrame(
         {"ts": pd.to_datetime(["2024-01-01 10:00:00", "2024-01-01 10:10:00"])}

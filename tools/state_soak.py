@@ -1,0 +1,410 @@
+"""Streaming state-size soak: measure (don't assert-by-docstring) the
+state-store footprint of the stateful pipelines under RocksDB.
+
+Each of the 28 stateful streaming surfaces documents a state bound
+("candidates x in-flight windows", "CMS_DEPTH x CMS_WIDTH", "three
+numbers per live voter", ...).  This tool EXECUTES a representative
+pipeline per bound family over a deterministic synthetic feed at 1x
+and 10x volume (same key domains, same event-time span — i.e. a 10x
+RATE), under the RocksDB state store provider, and records the
+final-batch `stateOperators` metrics (numRowsTotal, memory/SST bytes)
+from the query progress.  For every pipeline it then checks
+
+  * an ABSOLUTE row bound derived from the documented formula, and
+  * a GROWTH cap: state rows at 10x rate / rows at 1x rate.  Bounded
+    pipelines must stay ~flat (cap 1.05-1.6 depending on how much of
+    the key domain the 1x feed already touches); the stream-stream
+    join is the documented exception — its state is O(rate x
+    join-horizon), so 10x rate legitimately means ~10x state and its
+    no-unbounded-growth property is eviction over TIME, pinned by
+    tests/test_state_audit.py with a 4-horizon soak.
+
+Artifacts: STATE_AUDIT.md (human table + contract notes) and
+STATE_AUDIT.json (machine rows).  Usage:
+
+    python tools/state_soak.py                 # full soak
+    python tools/state_soak.py name [name...]  # chunk: soak only these
+                                               # pipelines, merge into
+                                               # STATE_AUDIT.json (the
+                                               # MD regenerates from
+                                               # the merged rows)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# deterministic feed geometry (no wall-clock anywhere)
+T0_US = 1_709_251_200_000_000  # 2024-03-01 00:00:00 UTC
+SPAN_MIN = 120
+N_SLICES = 12                  # one file per 10-minute slice
+N_USERS = 2_000
+EVENT_TYPES = ["view", "click", "purchase", "share", "like"]
+V_BASE = 24_000                # 1x volume; 10x = 240_000 over the SAME span
+
+
+def write_vote_slices(
+    out_dir: str, volume: int, span_min: int = SPAN_MIN, n_slices: int = N_SLICES
+) -> None:
+    """`volume` vote rows spread evenly over `span_min`, one parquet
+    file per time slice (ascending), so maxFilesPerTrigger=1 advances
+    the watermark slice by slice exactly like a live feed."""
+    os.makedirs(out_dir, exist_ok=True)
+    span_us = span_min * 60 * 1_000_000
+    per_slice = volume // n_slices
+    for s in range(n_slices):
+        idx = range(s * per_slice, (s + 1) * per_slice)
+        tab = pa.table(
+            {
+                "event_id": pa.array(list(idx), pa.int64()),
+                "ts": pa.array(
+                    [T0_US + i * span_us // volume for i in idx],
+                    pa.timestamp("us", tz="UTC"),
+                ),
+                "user_id": pa.array([i % N_USERS for i in idx], pa.int64()),
+                # round-robin rounds over the user domain: round r gives
+                # every user one event of EVENT_TYPES[r % 5] — users
+                # traverse view->click->purchase in funnel order
+                "event_type": pa.array(
+                    [EVENT_TYPES[(i // N_USERS) % len(EVENT_TYPES)] for i in idx]
+                ),
+                "value": pa.array([float(i % 7) + 0.5 for i in idx], pa.float64()),
+                "props": pa.array([None] * per_slice, pa.string()),
+            }
+        )
+        pq.write_table(tab, os.path.join(out_dir, f"{s:03d}.parquet"))
+
+
+DOC_VOCAB = 800
+DOC_TOKENS = 30
+D_BASE = 1_000
+
+
+def write_doc_slices(out_dir: str, volume: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    per_slice = volume // 6
+    for s in range(6):
+        idx = range(s * per_slice, (s + 1) * per_slice)
+        tab = pa.table(
+            {
+                "doc_id": pa.array(list(idx), pa.int64()),
+                "text": pa.array(
+                    [
+                        " ".join(
+                            f"tok{(i * 31 + j * 7) % DOC_VOCAB}"
+                            for j in range(DOC_TOKENS)
+                        )
+                        for i in idx
+                    ]
+                ),
+            }
+        )
+        pq.write_table(tab, os.path.join(out_dir, f"{s:03d}.parquet"))
+
+
+def _await_drained(q, max_sec: float = 600.0) -> None:
+    """awaitTermination with an escape hatch for processing-time
+    timeouts: FlatMapGroupsWithStateExec.shouldRunAnotherBatch is
+    unconditionally TRUE for ProcessingTimeTimeout, so an availableNow
+    query over such an operator schedules empty batches FOREVER after
+    the feed drains (measured: 700+ batches before this guard
+    existed).  Poll instead: once recent batches carry zero input and
+    the state has either fully drained (timeouts fired and removed
+    every group) or sat unchanged across enough empty batches to span
+    the timeout gap, stop() the query manually."""
+    import time
+
+    deadline = time.monotonic() + max_sec
+    while q.isActive:
+        if q.awaitTermination(2):
+            return
+        empty = [
+            p for p in q.recentProgress
+            if p.get("numInputRows", 0) == 0 and p.get("stateOperators")
+        ]
+        if len(empty) >= 2:
+            rows = [
+                sum(op.get("numRowsTotal", 0) for op in p["stateOperators"])
+                for p in empty
+            ]
+            if rows[-1] == 0 or (len(empty) >= 6 and rows[-1] == rows[-6]):
+                q.stop()
+                q.awaitTermination(30)
+                return
+        if time.monotonic() > deadline:
+            q.stop()
+            raise TimeoutError("soak query did not drain within max_sec")
+
+
+def run_stateful(spark, src_dir: str, schema, build, output_mode: str) -> dict:
+    """Stream `src_dir` (one file per micro-batch) through `build`,
+    discard output, and return the FINAL batch's summed stateOperators
+    metrics — the post-eviction state footprint."""
+    ckpt = tempfile.mkdtemp(prefix="state_soak_ckpt_")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            build(stream)
+            .writeStream.format("noop")
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drained(q)
+        progress = [p for p in q.recentProgress if p.get("stateOperators")]
+        assert progress, "query reported no stateOperators progress"
+        last = progress[-1]["stateOperators"]
+        rows = sum(op.get("numRowsTotal", 0) for op in last)
+        peak = max(
+            sum(op.get("numRowsTotal", 0) for op in p["stateOperators"])
+            for p in progress
+        )
+        mem = sum(op.get("memoryUsedBytes", 0) for op in last)
+        sst = sum(
+            int(op.get("customMetrics", {}).get("rocksdbSstFileSize", 0))
+            for op in last
+        )
+        pinned = sum(
+            int(op.get("customMetrics", {}).get("rocksdbPinnedBlocksMemoryUsage", 0))
+            for op in last
+        )
+        return {
+            "state_rows": rows,
+            "peak_rows": peak,
+            "memory_bytes": mem,
+            "sst_bytes": sst,
+            "pinned_bytes": pinned,
+            "operators": [op.get("operatorName", "?") for op in last],
+            "batches": len(progress),
+        }
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _pipelines():
+    """(name, domain, build, mode, bound_rows, growth_cap, contract)."""
+    from de_realtime_voting_spark.constants import CMS_DEPTH, CMS_WIDTH
+    from de_realtime_voting_spark.streaming import pipelines as P
+    from de_realtime_voting_spark.streaming import state as S
+
+    n_types = len(EVENT_TYPES)
+    span_h = SPAN_MIN // 60
+    return [
+        # --- flat-by-key-domain families -------------------------------
+        ("running_tally", "votes", S.running_tally, "update",
+         n_types, 1.05,
+         "one (votes, weight) row per candidate — O(candidates)"),
+        ("funnel_tracker", "votes", S.funnel_tracker, "update",
+         N_USERS, 1.05,
+         "three numbers per voter IN the funnel — O(live voters)"),
+        ("voter_sessions_with_timeout", "votes",
+         # short processing-time gap: availableNow only terminates
+         # after pending timeouts fire (see the operator docstring)
+         lambda v: S.voter_sessions_with_timeout(v, gap_ms=3000),
+         "update", N_USERS, 1.05,
+         "one open-session row per active voter — O(active voters); "
+         "peak is the honest footprint (the final batch may have "
+         "closed sessions via the processing-time timeout)"),
+        ("stream_one_vote_per_voter", "votes", P.stream_one_vote_per_voter,
+         "append", N_USERS, 1.05,
+         "one dedup row per voter EVER seen — O(electorate), the "
+         "documented bounded-job contract (election night)"),
+        ("stream_one_vote_per_voter_ttl", "votes",
+         P.stream_one_vote_per_voter_ttl, "append",
+         N_USERS, 1.6,
+         "dedup rows only for voters inside the watermark horizon — "
+         "O(voters active per horizon); 1x touches ~78% of the domain "
+         "in its final horizon, 10x saturates it, hence the 1.6 cap"),
+        ("stream_votes_per_candidate", "votes", P.stream_votes_per_candidate,
+         "complete", n_types, 1.05,
+         "global tally — O(candidates)"),
+        # --- windowed-aggregation families -----------------------------
+        # growth cap 2.0, not ~1: the ABSOLUTE candidates-x-windows
+        # bound is the contract here.  The 1x feed delivers one funnel
+        # round (so ~one event type) per 10-min slice, which makes the
+        # second window's cells materialize one candidate per slice
+        # and the 1x peak UNDERSHOOT the formula (measured 6 vs 10 /
+        # 11 vs 15); 10x covers every type in every slice and lands on
+        # the formula exactly.  Coverage discretization, not
+        # rate-linear state -- both peaks sit far under the bound.
+        ("stream_votes_per_candidate_hourly", "votes",
+         P.stream_votes_per_candidate_hourly, "append",
+         n_types * (span_h + 2), 2.0,
+         "candidates x in-flight tumbling windows (span + watermark "
+         "lag); 1x peak undershoots the formula (type-sparse slices), "
+         "10x saturates it -- the absolute bound is the contract"),
+        ("stream_votes_sliding_window", "votes", P.stream_votes_sliding_window,
+         "append", n_types * (2 * span_h + 4), 2.0,
+         "candidates x in-flight sliding windows (2 per hour of lag); "
+         "same 1x type-sparsity undershoot as the tumbling family"),
+        ("stream_votes_sessionized", "votes", P.stream_votes_sessionized,
+         "append", 2 * N_USERS, 1.3,
+         "in-flight session windows — O(active voters) while gaps stay "
+         "under the session gap"),
+        # --- sketch family ---------------------------------------------
+        ("stream_token_cms", "docs", P.stream_token_cms, "update",
+         CMS_DEPTH * CMS_WIDTH, 1.05,
+         "CMS_DEPTH x CMS_WIDTH counter rows regardless of stream length"),
+        # --- the documented linear-in-rate exception -------------------
+        ("stream_repeat_vote_pairs", "votes", P.stream_repeat_vote_pairs,
+         "append", int(2 * 1.3 * (V_BASE * 10 // 2)), 13.0,
+         "stream-stream self-join: state is O(rate x join-horizon) by "
+         "contract (both sides buffer the last `within`+delay of "
+         "events).  10x RATE -> ~10x state is the correct shape; "
+         "boundedness is eviction over TIME (4-horizon soak pinned in "
+         "tests/test_state_audit.py)"),
+    ]
+
+
+def main() -> None:
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    from de_realtime_voting_spark.session import (
+        enable_rocksdb_state_store, get_spark,
+    )
+
+    spark = get_spark("state-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    enable_rocksdb_state_store(spark)
+
+    vote_schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    doc_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+
+    base = tempfile.mkdtemp(prefix="state_soak_data_")
+    feeds = {}
+    for scale, v_votes, v_docs in ((1, V_BASE, D_BASE), (10, V_BASE * 10, D_BASE * 10)):
+        vd = os.path.join(base, f"votes_{scale}x")
+        dd = os.path.join(base, f"docs_{scale}x")
+        write_vote_slices(vd, v_votes)
+        write_doc_slices(dd, v_docs)
+        feeds[scale] = {"votes": (vd, vote_schema, v_votes),
+                        "docs": (dd, doc_schema, v_docs)}
+
+    only = set(sys.argv[1:])
+    specs = _pipelines()
+    if only:
+        unknown = only - {s[0] for s in specs}
+        assert not unknown, f"unknown pipelines: {sorted(unknown)}"
+        specs = [s for s in specs if s[0] in only]
+
+    results = []
+    try:
+        for name, domain, build, mode, bound, growth_cap, contract in specs:
+            row = {"pipeline": name, "domain": domain, "bound_rows": bound,
+                   "growth_cap": growth_cap, "contract": contract}
+            for scale in (1, 10):
+                src, schema, vol = feeds[scale][domain]
+                m = run_stateful(spark, src, schema, build, mode)
+                row[f"rows_{scale}x"] = m["state_rows"]
+                row[f"peak_{scale}x"] = m["peak_rows"]
+                row[f"mem_{scale}x"] = m["memory_bytes"]
+                row[f"sst_{scale}x"] = m["sst_bytes"]
+                row[f"input_{scale}x"] = vol
+                row["operators"] = m["operators"]
+                print(f"{name} @{scale}x: rows={m['state_rows']} "
+                      f"peak={m['peak_rows']} mem={m['memory_bytes']} "
+                      f"sst={m['sst_bytes']} batches={m['batches']}", flush=True)
+            # the PEAK footprint is what sizing cares about (the final
+            # batch may sit post-eviction); growth compares peaks
+            row["growth"] = (
+                (row["peak_10x"] / row["peak_1x"]) if row["peak_1x"] else 0.0
+            )
+            row["within_bound"] = row["peak_10x"] <= bound
+            row["within_growth"] = row["growth"] <= growth_cap
+            results.append(row)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    # merge chunk rows into any existing audit (keyed by pipeline,
+    # preserving the canonical _pipelines() order in the artifact)
+    path = os.path.join(_REPO, "STATE_AUDIT.json")
+    merged = {}
+    if only and os.path.exists(path):
+        with open(path) as f:
+            merged = {r["pipeline"]: r for r in json.load(f)}
+    merged.update({r["pipeline"]: r for r in results})
+    ordered = [merged[s[0]] for s in _pipelines() if s[0] in merged]
+    with open(path, "w") as f:
+        json.dump(ordered, f, indent=1)
+    _write_md(ordered)
+    bad = [r["pipeline"] for r in ordered
+           if not (r["within_bound"] and r["within_growth"])]
+    print(f"\n{len(ordered) - len(bad)}/{len(ordered)} within documented bounds"
+          + (f"; VIOLATIONS: {bad}" if bad else ""))
+    sys.exit(1 if bad else 0)
+
+
+def _write_md(results: list[dict]) -> None:
+    lines = [
+        "# STATE_AUDIT — streaming state-store soak (RocksDB)",
+        "",
+        "Generated by `tools/state_soak.py`: each stateful pipeline family",
+        f"runs over a deterministic feed at 1x ({V_BASE:,} votes / {D_BASE:,} docs",
+        f"across {SPAN_MIN} min, {N_USERS:,} voters, {len(EVENT_TYPES)} event types)",
+        "and 10x THE RATE (same span, same key domains), under",
+        "`RocksDBStateStoreProvider` with changelog checkpointing, one",
+        "micro-batch per 10-minute slice so the watermark advances like a",
+        "live feed.  `peak state rows` is the maximum `numRowsTotal` over",
+        "the run (the footprint sizing cares about); `final rows` is the",
+        "last batch's — the post-eviction number.  `bound` is the",
+        "documented formula evaluated for this feed; `growth` is",
+        "peak(10x)/peak(1x) — a bounded pipeline must stay ~flat when",
+        "only the RATE grows.",
+        "",
+        "| pipeline | input 1x→10x | peak state rows 1x→10x | final rows 10x | growth | bound | ok |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in results:
+        ok = "yes" if (r["within_bound"] and r["within_growth"]) else "**NO**"
+        lines.append(
+            f"| `{r['pipeline']}` | {r['input_1x']:,}→{r['input_10x']:,} "
+            f"| {r['peak_1x']:,}→{r['peak_10x']:,} | {r['rows_10x']:,} "
+            f"| {r['growth']:.2f} (cap {r['growth_cap']}) "
+            f"| ≤{r['bound_rows']:,} | {ok} |"
+        )
+    lines += ["", "## Contracts measured", ""]
+    for r in results:
+        lines.append(f"- **`{r['pipeline']}`** — {r['contract']}.")
+    lines += [
+        "",
+        "The stream-stream join is the one family whose state is linear in",
+        "RATE by contract; its no-unbounded-growth-in-TIME property (state",
+        "≈ one join-horizon of events regardless of how long the stream has",
+        "run) is executed and asserted by",
+        "`tests/test_state_audit.py::test_join_state_evicts_over_time`.",
+    ]
+    with open(os.path.join(_REPO, "STATE_AUDIT.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()
