@@ -297,6 +297,13 @@ BLOOM_M_BITS = 1 << 20
 # on (count desc, left asc, right asc) so the merge table is
 # engine-exact.
 BPE_MERGE_STEPS = 6
+# Batched BPE trainer (bpe_train_merges_batched): ceil(STEPS/BATCH)
+# passes, each selecting up to BATCH symbol-disjoint pairs from ONE
+# pair count (stale within the pass -- the standard batched-BPE
+# approximation) and applying them in a single rewrite fold.  Cuts
+# the per-merge driver round-trip + vocab rewrite to one per BATCH
+# merges -- the shape a real 100k-merge tokenizer run needs.
+BPE_BATCH = 3
 # Sorted-neighborhood dedup (Hernandez & Stolfo 1995): two passes
 # (normalized text prefix, reversed-text prefix = suffix key), each
 # comparing a doc to its SNM_WINDOW successors in sort order within a

@@ -1037,7 +1037,7 @@ def _entropy_fold_column():
     return F.aggregate(st, zero, merge, finish)
 
 
-def _bpe_train(documents: DataFrame):
+def _bpe_train(documents: DataFrame, n_merges=None):
     """Distributed BPE tokenizer TRAINING: run BPE_MERGE_STEPS greedy
     merge steps over the corpus and return (merge table rows, final
     vocab frame) -- the merge table is the artifact
@@ -1073,6 +1073,7 @@ def _bpe_train(documents: DataFrame):
     from ..constants import BPE_MERGE_STEPS
     from .dedup import _lineage_cut
 
+    n_merges = BPE_MERGE_STEPS if n_merges is None else n_merges
     spark = documents.sparkSession
     sep = "\x1f"
     chars = F.transform(
@@ -1086,21 +1087,9 @@ def _bpe_train(documents: DataFrame):
         .select("w", "freq", chars.alias("syms"))
     )
     merges = []
-    for step in range(1, BPE_MERGE_STEPS + 1):
+    for step in range(1, n_merges + 1):
         best = (
-            vocab.where(F.size("syms") >= 2)
-            .select(
-                "freq",
-                F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("i"),
-                "syms",
-            )
-            .select(
-                F.element_at("syms", F.col("i")).alias("left"),
-                F.element_at("syms", F.col("i") + 1).alias("right"),
-                "freq",
-            )
-            .groupBy("left", "right")
-            .agg(F.sum("freq").alias("pair_count"))
+            _bpe_pair_counts(vocab)
             .orderBy(
                 F.col("pair_count").desc(),
                 F.col("left").asc(),
@@ -1127,6 +1116,149 @@ def _bpe_train(documents: DataFrame):
             vocab.select("w", "freq", F.split(merged, sep).alias("syms"))
         )
     return merges, vocab
+
+
+def _bpe_pair_counts(vocab: DataFrame) -> DataFrame:
+    """(left, right, pair_count) adjacent-symbol pair counts weighted
+    by word frequency -- ONE definition shared by the sequential and
+    batched trainers so the two can never count apart."""
+    return (
+        vocab.where(F.size("syms") >= 2)
+        .select(
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("i"),
+            "syms",
+        )
+        .select(
+            F.element_at("syms", F.col("i")).alias("left"),
+            F.element_at("syms", F.col("i") + 1).alias("right"),
+            "freq",
+        )
+        .groupBy("left", "right")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def _bpe_train_batched(documents: DataFrame, n_merges=None, batch=None):
+    """Batched BPE trainer: ceil(n_merges/batch) passes; each pass
+    counts pairs ONCE, greedily selects up to ``batch`` pairs in
+    (count desc, left, right) order subject to SYMBOL-DISJOINTNESS
+    ({left, right, left||right} of every selected pair disjoint from
+    every other selected pair's triple), and applies all of them in a
+    single rewrite fold.
+
+    Why disjointness makes the single fold exact: a merge in the
+    batch can neither create nor destroy an occurrence of another
+    selected pair (no shared boundary symbol, and a batch-mate's new
+    symbol is excluded from selection), so the one-pass CASE chain
+    rewrites exactly what sequential application of the batch would.
+    The approximation relative to the classic sequential trainer
+    (Sennrich et al. 2016) is only that selections 2..batch within a
+    pass rank on PASS-START counts -- counts are not refreshed after
+    each merge -- which is the standard batched-BPE trade
+    (pair_count in the merge table is likewise the pass-start count).
+    A pass that under-fills because every remaining pair conflicts
+    simply yields fewer merges; there are no compensating passes, so
+    the pass structure is static and the DuckDB oracle unrolls it
+    into plain chained CTEs (selection k is an argmax with NOT EXISTS
+    conflict filters against selections 1..k-1).
+
+    Scale shape vs the sequential trainer: one vocab-bounded pair
+    count + ONE vocab rewrite per ``batch`` merges instead of per
+    merge; the per-selection argmaxes within a pass are driver
+    round-trips over the CACHED pass count frame (a
+    TakeOrderedAndProject over a small materialized frame, not a
+    recount).  For a real 100k-merge tokenizer run this divides the
+    dominant cost -- corpus-derived recounts and lineage-cut
+    rewrites -- by the batch width.  Measured A/B in PLANS.md.
+    """
+    from ..constants import BPE_BATCH, BPE_MERGE_STEPS
+    from .dedup import _lineage_cut
+
+    n_merges = BPE_MERGE_STEPS if n_merges is None else n_merges
+    batch = BPE_BATCH if batch is None else batch
+    sep = "\x1f"
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.substring(F.col("w"), i, F.lit(1)),
+    )
+    vocab = _lineage_cut(
+        documents.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("w", "freq", chars.alias("syms"))
+    )
+    merges = []
+    n_passes = -(-n_merges // batch)
+    for p in range(n_passes):
+        take = min(batch, n_merges - p * batch)
+        counts = _bpe_pair_counts(vocab).persist()
+        try:
+            selected, used = [], []
+            for _ in range(take):
+                cand = counts
+                if used:
+                    cand = cand.where(
+                        ~F.col("left").isin(used)
+                        & ~F.col("right").isin(used)
+                        & ~F.concat("left", "right").isin(used)
+                    )
+                best = (
+                    cand.orderBy(
+                        F.col("pair_count").desc(),
+                        F.col("left").asc(),
+                        F.col("right").asc(),
+                    )
+                    .limit(1)
+                    .collect()
+                )
+                if not best:
+                    break
+                left, right = best[0]["left"], best[0]["right"]
+                selected.append((left, right, int(best[0]["pair_count"])))
+                used.extend([left, right, left + right])
+        finally:
+            counts.unpersist()
+        if not selected:
+            break
+        for left, right, cnt in selected:
+            merges.append((len(merges) + 1, left, right, cnt, left + right))
+
+        # NB: the fold lambda must take exactly (acc, s) -- PySpark's
+        # lambda factory binds one Column per parameter, defaults
+        # included -- so the batch is captured via closure.
+        sel = tuple(selected)
+
+        def chain(acc, s):
+            expr = F.concat(acc, F.lit(sep), s)
+            for left, right, _cnt in reversed(sel):
+                expr = F.when(
+                    (s == F.lit(right))
+                    & ((acc == F.lit(left)) | F.endswith(acc, F.lit(sep + left))),
+                    F.concat(acc, F.lit(right)),
+                ).otherwise(expr)
+            return expr
+
+        merged = F.aggregate(
+            F.slice(F.col("syms"), 2, F.greatest(F.size("syms") - 1, F.lit(0))),
+            F.element_at("syms", 1),
+            chain,
+        )
+        vocab = _lineage_cut(
+            vocab.select("w", "freq", F.split(merged, sep).alias("syms"))
+        )
+    return merges, vocab
+
+
+def bpe_train_merges_batched(documents: DataFrame) -> DataFrame:
+    """The learned merge table of the BATCHED BPE trainer (see
+    _bpe_train_batched for semantics and the scale argument; the
+    sequential twin is bpe_train_merges)."""
+    merges, _ = _bpe_train_batched(documents)
+    return documents.sparkSession.createDataFrame(
+        merges,
+        "step int, left string, right string, pair_count bigint, new_symbol string",
+    )
 
 
 def bpe_fertility_stats(documents: DataFrame) -> DataFrame:

@@ -3049,6 +3049,111 @@ FROM merges ORDER BY step
 """
 )
 
+from .constants import BPE_BATCH  # noqa: E402
+
+
+def _bpe_batched_pass_ctes(p: int, take: int) -> str:
+    """One unrolled BATCHED BPE pass (operators/text.py
+    _bpe_train_batched): pair counts from bvocab{p-1}, ``take``
+    greedy symbol-disjoint selections (selection k is an argmax with
+    NOT-EXISTS conflict filters against selections 1..k-1 -- the
+    exact driver-side filter chain), and ONE rewrite fold applying
+    every selection (disjointness makes the single CASE chain exact;
+    at most one arm can match a given (acc, s))."""
+    ctes = [
+        f"""
+bpairs{p} AS (
+    SELECT q['l'] AS l, q['r'] AS r, SUM(freq) AS cnt
+    FROM (
+        SELECT freq,
+               unnest(list_transform(
+                   range(1, len(syms)),
+                   j -> {{'l': syms[j], 'r': syms[j+1]}})) AS q
+        FROM bvocab{p - 1} WHERE len(syms) >= 2
+    ) GROUP BY 1, 2
+)"""
+    ]
+    for k in range(1, take + 1):
+        if k == 1:
+            ctes.append(
+                f"""
+bsel{p}_1 AS (
+    SELECT l, r, cnt FROM bpairs{p} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+)"""
+            )
+        else:
+            conflicts = " OR ".join(
+                f"""EXISTS (SELECT 1 FROM bsel{p}_{j} s
+        WHERE c.l IN (s.l, s.r, s.l || s.r)
+           OR c.r IN (s.l, s.r, s.l || s.r)
+           OR (c.l || c.r) IN (s.l, s.r, s.l || s.r))"""
+                for j in range(1, k)
+            )
+            ctes.append(
+                f"""
+bsel{p}_{k} AS (
+    SELECT l, r, cnt FROM bpairs{p} c
+    WHERE NOT ({conflicts})
+    ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+)"""
+            )
+    cases = "\n                   ".join(
+        f"WHEN b{k}.r IS NOT NULL AND s = b{k}.r "
+        f"AND (acc = b{k}.l OR ends_with(acc, chr(31) || b{k}.l)) "
+        f"THEN acc || b{k}.r"
+        for k in range(1, take + 1)
+    )
+    joins = "\n    ".join(
+        f"LEFT JOIN bsel{p}_{k} b{k} ON TRUE" for k in range(1, take + 1)
+    )
+    ctes.append(
+        f"""
+bvocab{p} AS (
+    SELECT w, freq,
+           string_split(
+               list_reduce(syms, (acc, s) -> CASE
+                   {cases}
+                   ELSE acc || chr(31) || s END),
+               chr(31)) AS syms
+    FROM bvocab{p - 1}
+    {joins}
+)"""
+    )
+    return ",".join(ctes)
+
+
+def _bpe_batched_sql() -> str:
+    n_passes = -(-BPE_MERGE_STEPS // BPE_BATCH)
+    takes = [
+        min(BPE_BATCH, BPE_MERGE_STEPS - p * BPE_BATCH) for p in range(n_passes)
+    ]
+    union = " UNION ALL ".join(
+        f"SELECT {p + 1} AS pass, {k} AS k, l, r, cnt FROM bsel{p + 1}_{k}"
+        for p in range(n_passes)
+        for k in range(1, takes[p] + 1)
+    )
+    return (
+        f"""
+WITH btoks AS (SELECT unnest({_TOKS}) AS w FROM documents),
+bvocab0 AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, string_split(w, '') AS syms
+    FROM btoks GROUP BY w
+),"""
+        + ",".join(
+            _bpe_batched_pass_ctes(p + 1, takes[p]) for p in range(n_passes)
+        )
+        + f""",
+bmerges AS ({union})
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY pass, k) AS INT) AS step,
+       l AS "left", r AS "right", CAST(cnt AS BIGINT) AS pair_count,
+       l || r AS new_symbol
+FROM bmerges ORDER BY step
+"""
+    )
+
+
+SQL["bpe_train_merges_batched"] = _bpe_batched_sql()
+
 from .constants import (  # noqa: E402
     CMS_DEPTH,
     CMS_WIDTH,

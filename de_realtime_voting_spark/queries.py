@@ -408,6 +408,9 @@ _DEFS: dict[str, QueryFn] = {
     ),
     "bloom_decontam": lambda s, d: pipeline.bloom_decontam(_t(s, d, "documents")),
     "bpe_train_merges": lambda s, d: text.bpe_train_merges(_t(s, d, "documents")),
+    "bpe_train_merges_batched": lambda s, d: text.bpe_train_merges_batched(
+        _t(s, d, "documents")
+    ),
     "dedup_soft_weights": lambda s, d: dedup.dedup_soft_weights(
         _t(s, d, "documents")
     ),
@@ -449,7 +452,8 @@ _DEFS: dict[str, QueryFn] = {
 # r4/r5 sections rotate behind (the round-close PARITY_r6 sweep
 # still covers all 157).
 _PRIORITY: list[str] = [
-    "dedup_ngram_jaccard_scaled", "ann_ivf_topk", "ann_recall_report",
+    "dedup_ngram_jaccard_scaled", "bpe_train_merges_batched",
+    "ann_ivf_topk", "ann_recall_report",
     "ivf_cell_balance", "semantic_dedup", "embedding_kmeans_iter",
     "dedup_embedding_cosine", "doc_length_percentile_filter_approx", "votes_approx_stats",
     "ann_lsh_topk", "corpus_stratified_sample", "corpus_train_split",

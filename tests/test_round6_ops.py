@@ -84,3 +84,82 @@ def test_scaled_threshold_filters(spark):
 
     for r in out:
         assert r.jaccard >= NGRAM_JACCARD_THRESHOLD
+
+
+# ---------------------------------------------------------------- #
+# Batched BPE trainer (r6 item: per-merge driver loop -> per-pass)  #
+# ---------------------------------------------------------------- #
+
+def test_bpe_batched_batch1_equals_sequential(spark, sf_dir):
+    """With batch=1 the batched trainer degenerates to the classic
+    sequential trainer exactly: one selection per pass on fresh
+    counts is Sennrich greedy BPE.  Pins the refactor (shared
+    _bpe_pair_counts) and the single-merge fold against the
+    oracle-gated sequential implementation."""
+    from de_realtime_voting_spark.operators.text import (
+        _bpe_train,
+        _bpe_train_batched,
+    )
+
+    docs = _docs(spark, sf_dir)
+    seq_merges, _ = _bpe_train(docs)
+    bat_merges, _ = _bpe_train_batched(docs, batch=1)
+    assert bat_merges == seq_merges
+
+
+def test_bpe_batched_selection_is_symbol_disjoint(spark, sf_dir):
+    """Within each pass the selected pairs' symbol triples
+    {left, right, left||right} are pairwise disjoint -- the property
+    that makes the one-pass rewrite fold exact."""
+    from de_realtime_voting_spark.constants import BPE_BATCH
+    from de_realtime_voting_spark.operators.text import _bpe_train_batched
+
+    merges, _ = _bpe_train_batched(_docs(spark, sf_dir))
+    assert merges, "corpus trains at least one merge"
+    by_pass: dict[int, list] = {}
+    for step, left, right, _cnt, new in merges:
+        by_pass.setdefault((step - 1) // BPE_BATCH, []).append(
+            {left, right, new}
+        )
+    for syms in by_pass.values():
+        for i in range(len(syms)):
+            for j in range(i + 1, len(syms)):
+                assert not (syms[i] & syms[j])
+
+
+def test_bpe_batched_fold_matches_sequential_application(spark):
+    """Applying a batch of disjoint merges in ONE fold equals
+    applying them one at a time: hand corpus where both merges fire
+    inside the same word, including the greedy-overlap case."""
+    from de_realtime_voting_spark.operators.text import _bpe_train_batched
+
+    # 'aaacd cd cd': counts (c,d)=12 > (a,a)=8 > (a,c)=4, so both
+    # trainers pick (c,d) then (a,a) -- (a,c) conflicts in the batch
+    # and loses the count race sequentially -- and both merges fire
+    # inside the word 'aaacd'; (a,a) over 'aaa' exercises greedy
+    # left-to-right overlap ("aaa" -> ["aa", "a"]).
+    docs = spark.createDataFrame(
+        [("d%d" % i, "aaacd cd cd", "en") for i in range(4)],
+        "doc_id string, text string, lang string",
+    )
+    merges2, vocab2 = _bpe_train_batched(docs, n_merges=2, batch=2)
+    merges1, vocab1 = _bpe_train_batched(docs, n_merges=2, batch=1)
+    assert [(m[1], m[2]) for m in merges2] == [(m[1], m[2]) for m in merges1]
+    rows2 = {r["w"]: r["syms"] for r in vocab2.collect()}
+    rows1 = {r["w"]: r["syms"] for r in vocab1.collect()}
+    assert rows2 == rows1
+    assert rows2["aaacd"] == ["aa", "a", "cd"]
+
+
+def test_bpe_batched_merge_count_and_schema(spark, sf_dir):
+    """The shipped query returns <= BPE_MERGE_STEPS rows with dense
+    1..n step numbering and new_symbol = left || right."""
+    from de_realtime_voting_spark.constants import BPE_MERGE_STEPS
+    from de_realtime_voting_spark.operators.text import bpe_train_merges_batched
+
+    rows = bpe_train_merges_batched(_docs(spark, sf_dir)).collect()
+    assert 0 < len(rows) <= BPE_MERGE_STEPS
+    assert [r.step for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.new_symbol == r.left + r.right
+        assert r.pair_count > 0

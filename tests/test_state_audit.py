@@ -18,7 +18,27 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+import pytest
+
 from tools.state_soak import run_stateful, write_vote_slices
+
+
+@pytest.fixture
+def rocksdb_spark(spark):
+    """Enable the RocksDB state store for one test and RESTORE the
+    session default afterwards -- the session fixture is shared, and
+    test_streaming.py::test_stateful_pipelines_under_rocksdb asserts
+    the default provider really is HDFS-backed before its A/B."""
+    from de_realtime_voting_spark.session import enable_rocksdb_state_store
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    enable_rocksdb_state_store(spark)
+    yield spark
+    if prev is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, prev)
 
 
 def _vote_schema():
@@ -37,16 +57,15 @@ def _vote_schema():
     ])
 
 
-def test_join_state_evicts_over_time(spark, tmp_path):
+def test_join_state_evicts_over_time(rocksdb_spark, tmp_path):
     """4 join-horizons of stream at fixed rate: the join buffers must
     hold ~one horizon at the end, not the whole history — the
     eviction that makes O(rate x horizon) an honest bound."""
-    from de_realtime_voting_spark.session import enable_rocksdb_state_store
+    spark = rocksdb_spark
     from de_realtime_voting_spark.streaming.pipelines import (
         stream_repeat_vote_pairs,
     )
 
-    enable_rocksdb_state_store(spark)
     within, span_min, n_slices, volume = "30 minutes", 240, 16, 16_000
     src = str(tmp_path / "votes")
     write_vote_slices(src, volume, span_min=span_min, n_slices=n_slices)
@@ -66,16 +85,15 @@ def test_join_state_evicts_over_time(spark, tmp_path):
     assert m["state_rows"] <= 2 * 2 * horizon_rows, m
 
 
-def test_ttl_dedup_state_is_horizon_bounded(spark, tmp_path):
+def test_ttl_dedup_state_is_horizon_bounded(rocksdb_spark, tmp_path):
     """dropDuplicatesWithinWatermark: after a 4-hour feed the dedup
     state holds only voters whose ts is inside the watermark horizon,
     not every (voter, vote) ever seen."""
-    from de_realtime_voting_spark.session import enable_rocksdb_state_store
+    spark = rocksdb_spark
     from de_realtime_voting_spark.streaming.pipelines import (
         stream_one_vote_per_voter_ttl,
     )
 
-    enable_rocksdb_state_store(spark)
     volume = 16_000
     src = str(tmp_path / "votes_ttl")
     write_vote_slices(src, volume, span_min=240, n_slices=16)
