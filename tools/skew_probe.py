@@ -44,18 +44,45 @@ HOT_KEY = 1
 
 
 def build_frames(spark, sf_dir):
+    """Fact: sf1 events with 90% of rows remapped onto ONE customer
+    key.  Dim: the customer table (events.user_id draws from the
+    custkey domain) -- a PLAIN scan, deliberately: OptimizeSkewedJoin
+    pattern-matches SMJ(Sort(ShuffleStage), Sort(ShuffleStage)), and
+    any operator between the Sort and the shuffle stage (e.g. the
+    final HashAggregate of a distinct()) suppresses the skew split
+    entirely.  Measured here first-hand: an events.user_id.distinct()
+    dim produced 0 skew marks at 14 MB hot-partition size; the plain
+    customer scan splits it.  At 100 TB this is a real plan rule:
+    materialize/denormalize the dim BEFORE the skewed join rather
+    than aggregating it inline under the join."""
     events = load_table(spark, sf_dir, "events")
-    fact = events.select(
-        F.when(F.col("event_id") % 10 < 9, F.lit(HOT_KEY))
-        .otherwise(F.col("user_id"))
-        .alias("k"),
-        "event_id",
-        "value",
+    # Stage the fact as a MULTI-FILE parquet table first.  The probe
+    # dataset is one pyarrow-written file with one row group, so the
+    # whole scan is ONE real map task -- and AQE's skew split works
+    # at map-output granularity (PartialReducerPartitionSpec groups
+    # MAPPER ranges), so a hot reduce partition fed by a single
+    # mapper is UNSPLITTABLE no matter the thresholds.  Measured
+    # here: 4.6 MB hot partition vs 27 KB median, 64 KB threshold,
+    # zero splits until the fact was staged as 32 files.  At 100 TB
+    # the lesson inverts: ingest writers must emit many files/row
+    # groups per table or downstream skew handling is castrated.
+    staged = os.path.join(_REPO, ".scaledata", "skew_fact")
+    (
+        events.select(
+            F.when(F.col("event_id") % 10 < 9, F.lit(HOT_KEY))
+            .otherwise(F.col("user_id"))
+            .alias("k"),
+            "event_id",
+            "value",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(staged)
     )
-    dim = (
-        events.select(F.col("user_id").alias("k2"))
-        .distinct()
-        .withColumn("attr", F.col("k2") * 2)
+    fact = spark.read.parquet(staged)
+    customer = load_table(spark, sf_dir, "customer")
+    dim = customer.select(
+        F.col("c_custkey").alias("k2"), F.length("c_name").alias("attr")
     )
     return fact, dim
 
@@ -107,6 +134,8 @@ def main():
     )
     spark = get_spark()
     fact, dim = build_frames(spark, sf_dir)
+    # scan warmup so the first timed arm doesn't absorb cold parquet IO
+    fact.count(), dim.count()
     no_bcast = {"spark.sql.autoBroadcastJoinThreshold": "-1"}
     rows = {}
     rows["plain"], _ = run_arm(
@@ -119,9 +148,14 @@ def main():
         {
             **no_bcast,
             "spark.sql.adaptive.skewJoin.enabled": "true",
+            # thresholds scaled to the sf1 shuffle sizes (hot
+            # partition ~5-12 MB compressed vs 27 KB median; the
+            # cluster defaults 256MB/64MB assume cluster-sized
+            # partitions -- the FACTOR>=2 ratio test is the part
+            # that carries to 100 TB unchanged)
             "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8MB",
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4MB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512KB",
             "spark.sql.adaptive.coalescePartitions.enabled": "false",
         },
         salted=False,
@@ -133,8 +167,8 @@ def main():
     evidence = [
         ln.strip()
         for ln in aqe_plan.splitlines()
-        if "skew=true" in ln
-    ][:4]
+        if "skew=true" in ln or "AQEShuffleRead" in ln
+    ][:6]
     print(json.dumps({"aqe_plan_evidence": evidence}), flush=True)
 
 
