@@ -94,6 +94,17 @@ def schema_guard(spark, sf_dir: str) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # optional subset filter (comma-separated query names): lets long
+    # benches (sf1) run in <10 min chunks that are merged afterwards;
+    # the driver's default invocation runs the full registry
+    only = os.environ.get("SPARK_GRAFT_QUERIES")
+    registry = dict(QUERY_REGISTRY)
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in registry]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        registry = {n: registry[n] for n in names}
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     schema_guard(spark, sf_dir)
@@ -104,7 +115,7 @@ def main() -> None:
     # shapes pay multi-second one-time compiles; the codegen cache is
     # keyed on generated source, which is data-size independent).
     warm = "/root/testdata/sf0.001"
-    for name, fn in QUERY_REGISTRY.items():
+    for name, fn in registry.items():
         try:
             force(fn(spark, warm))
         except Exception:
@@ -112,7 +123,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
-    for name, fn in QUERY_REGISTRY.items():
+    for name, fn in registry.items():
         t0 = time.perf_counter()
         force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -128,28 +139,52 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
     with open(detail_path, "w") as f:
         json.dump(full, f, indent=1)
     # full dump first (humans / generous captures) ...
     print(json.dumps(full))
     # ... compact summary LAST: slowest queries only, keeps the line
     # well under the ~2 KB stdout tail window
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
-    print(
-        json.dumps(
-            {
-                "metric": full["metric"],
-                "value": full["value"],
-                "unit": "sec",
-                "sf": sf_val,
-                "n_queries": len(timings),
-                "queries": {k: round(v, 2) for k, v in slowest.items()},
-                "detail": "BENCH_DETAIL.json",
-            },
-            separators=(",", ":"),
-        )
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
+    summary = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "queries": {k: round(v, 2) for k, v in slowest.items()},
+        "detail": "BENCH_DETAIL.json",
+    }
+    # attach the committed sf1 (10x) full-registry numbers so the
+    # per-round artifact carries the scale point WITHOUT re-running
+    # the 10x pass inside the driver's timed window (the sf1 pass is
+    # run chunked via SPARK_GRAFT_QUERIES and merged into
+    # BENCH_SF1.json; provenance records when/at which commit)
+    sf1_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1.json"
     )
+    if sf_val != 1.0 and os.path.exists(sf1_path):
+        try:
+            with open(sf1_path) as f:
+                s1 = json.load(f)
+            qs = s1.get("queries", {})
+            summary["sf1"] = {
+                "total_sec": s1.get("value"),
+                "n_queries": len(qs),
+                "slowest": {
+                    k: round(v, 2)
+                    for k, v in sorted(qs.items(), key=lambda kv: -kv[1])[:5]
+                },
+                "detail": "BENCH_SF1.json",
+                "provenance": s1.get("provenance"),
+            }
+        except Exception:
+            pass  # a malformed artifact must never break the bench line
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -70,6 +70,16 @@ PII_PHONE_RE = "[0-9][0-9][0-9][-.][0-9][0-9][0-9][-.][0-9][0-9][0-9][0-9]"
 # --- embeddings ----------------------------------------------------
 EMBEDDING_DIM = 64
 COSINE_THRESHOLD = 0.30   # near-dup threshold (synthetic data tops out ~0.4)
+# SemDeDup cell-occupancy budget: a coarse-quantizer cell whose
+# member count exceeds this splits by hyperplane LSH bucket before
+# the intra-cell pair expansion, capping the quadratic term at
+# ~(budget/64)^2 per sub-block regardless of corpus size.  The real
+# production knob is MORE CENTROIDS (SemDeDup uses 50k clusters);
+# the budget split is the guard that keeps a toy/locally-trained K
+# from ever going quadratic in corpus growth.  512 keeps every
+# driver-SF cell unsplit (exact SemDeDup geometry there) and fires
+# at the 10x probe (sf1 cells ~3.7k members).
+SEMDEDUP_CELL_BUDGET = 512
 ANN_QUERY_IDS = list(range(10))
 ANN_K = 5
 LSH_NUM_PLANES = 6        # 64 hyperplane buckets

@@ -391,15 +391,51 @@ def dedup_edit_distance(documents: DataFrame) -> DataFrame:
 
     Both engines implement classic unit-cost edit distance, so the
     integer distances and their length-relative ratio match exactly.
+
+    Two measured sf1 optimizations (bit-identical results, r6):
+    length-gap pre-prune before the DP (|len_a-len_b| alone bounds
+    the distance from below -- prunes 14% of candidate pairs here,
+    more on length-heterogeneous corpora), and an EXPLICIT
+    repartition of the surviving pairs before the DP projection: AQE
+    coalesces the few-thousand-row candidate join down to ~2
+    partitions, which serializes the O(len^2) per-pair DP onto 2
+    tasks -- a compute-heavy-narrow-rows shape size-based coalescing
+    cannot see.  Spreading 5.6k pairs back over the shuffle width
+    measured 17.1 s -> 5.0-11.4 s at sf1 (same pathology class as
+    the explode-after-small-join note in SURVEY §6).
     """
     cand = _band_candidate_pairs(_doc_bands(documents))
     ta = documents.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     tb = documents.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     dist = F.levenshtein("text_a", "text_b")
-    rel = dist / F.greatest(F.length("text_a"), F.length("text_b"))
+    len_a, len_b = F.length("text_a"), F.length("text_b")
+    max_len = F.greatest(len_a, len_b)
+    rel = dist / max_len
+    # Exact pre-prune BEFORE the O(len^2) DP: Levenshtein >= |len_a -
+    # len_b| (every length change is >= one edit), so a pair whose
+    # length gap alone exceeds EDIT_REL_THRESHOLD * max_len can never
+    # pass the rel filter -- skip its DP entirely.  The .where sits
+    # under the levenshtein projection in the optimized plan, so the
+    # DP runs only on surviving rows; results are bit-identical (the
+    # oracle is unchanged).
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
+        .where(
+            # +1e-6 margin: the kept-set test is on rnd(rel, 6), so a
+            # raw rel in (t, t+5e-7] still rounds into the result --
+            # the prune bound must be strictly wider than the rounded
+            # filter, never tighter
+            F.abs(len_a - len_b).cast("double")
+            <= F.lit(float(EDIT_REL_THRESHOLD) + 1e-6) * max_len
+        )
+        # explicit partition count: a column-only repartition would be
+        # re-coalesced by AQE, recreating the 2-task DP serialization
+        .repartition(
+            int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            "doc_a",
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -903,8 +939,21 @@ def semantic_dedup(embeddings: DataFrame) -> DataFrame:
     chosen so the expected cell size stays bounded (SemDeDup uses 50k
     clusters for LAION-scale corpora; here K=16 fits the test corpus),
     making the quadratic term O(n * target_cell_size) -- linear in the
-    corpus at fixed occupancy.  A cell that outgrows its budget splits
-    by lsh_bucket (composing the two geometries) before pairing.
+    corpus at fixed occupancy.  A cell that outgrows
+    SEMDEDUP_CELL_BUDGET members splits by lsh_bucket (composing the
+    two blocking geometries) before pairing -- SHIPPED since r6, not
+    just documented: the sub-key is 0 for cells within budget (exact
+    SemDeDup geometry, all driver SFs) and the 64-bucket hyperplane
+    id for oversized cells, so the quadratic term is capped at
+    ~(budget/64)^2 per sub-block however the corpus grows.  The
+    split also fixes the parallelism cliff: a 16-key pair join runs
+    at most 16 tasks wide, and the oversized-cell expansion
+    serialized onto single tasks (measured sf1: 21.2 s -> see
+    PLANS.md; pair count 112M -> bounded).  Recall trade: cosine
+    twins straddling a sub-bucket inside an oversized cell are
+    missed, the same trade the LSH geometry (dedup_embedding_cosine)
+    makes globally -- and the budget only engages where exact
+    intra-cell pairing is already infeasible.
     """
     from .similarity import _assign_cells, _collect_centroids
 
@@ -915,20 +964,35 @@ def semantic_dedup(embeddings: DataFrame) -> DataFrame:
             "cell bigint, n_vecs bigint, n_dup_pairs bigint, "
             "n_dropped bigint, n_kept bigint",
         )
+    from ..constants import SEMDEDUP_CELL_BUDGET
+    from ..functions import lsh_bucket
+
     cells = _assign_cells(embeddings, cents).select("vec_id", "embedding", "cell")
+    # cell-budget split: K rows, broadcast back onto the members; the
+    # sub-key only diverges from 0 inside oversized cells
+    sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
+    sub = F.when(
+        F.col("cell_n") > SEMDEDUP_CELL_BUDGET, lsh_bucket(F.col("embedding"))
+    ).otherwise(F.lit(0))
     # norm once per vector, map-side; the oracle's inline sqrt(dot(x,x))
     # is the identical double (same fold order), when-computed is free
-    normed = cells.select(
-        "vec_id", "cell", "embedding", l2_norm(F.col("embedding")).alias("norm")
+    normed = cells.join(F.broadcast(sizes), "cell").select(
+        "vec_id",
+        "cell",
+        sub.alias("sub"),
+        "embedding",
+        l2_norm(F.col("embedding")).alias("norm"),
     )
     a = normed.select(
         F.col("cell"),
+        F.col("sub"),
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
         F.col("norm").alias("norm_a"),
     )
     b = normed.select(
         F.col("cell").alias("cell_b"),
+        F.col("sub").alias("sub_b"),
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
         F.col("norm").alias("norm_b"),
@@ -937,7 +1001,12 @@ def semantic_dedup(embeddings: DataFrame) -> DataFrame:
         F.col("norm_a") * F.col("norm_b")
     )
     pairs = (
-        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")))
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("sub") == F.col("sub_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
         .select("cell", "vec_b", rnd(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= COSINE_THRESHOLD)
     )

@@ -1544,14 +1544,26 @@ ORDER BY acctbal DESC, suppkey ASC, partkey ASC
 LIMIT {Q2_TOP_N}
 """
 
+from .constants import SEMDEDUP_CELL_BUDGET  # noqa: E402
+
+# cell-budget split mirrors the operator exactly: sub = 0 within
+# budget (exact SemDeDup geometry), hyperplane bucket for oversized
+# cells -- pairs only within (cell, sub)
 SQL["semantic_dedup"] = f"""
 WITH {_IVF_ASG_CTES},
 cells AS (SELECT vec_id, embedding, cent_id AS cell FROM asg WHERE rn = 1),
+csizes AS (SELECT cell, COUNT(*) AS cell_n FROM cells GROUP BY 1),
+subbed AS (
+    SELECT c.vec_id, c.embedding, c.cell,
+           CASE WHEN s.cell_n > {SEMDEDUP_CELL_BUDGET}
+                THEN {_bucket_expr('c.embedding')} ELSE 0 END AS sub
+    FROM cells c JOIN csizes s USING (cell)
+),
 pairs AS (
     SELECT a.cell, b.vec_id AS vec_b,
            ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS cosine
-    FROM cells a JOIN cells b
-      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    FROM subbed a JOIN subbed b
+      ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
 ),
 kept_pairs AS (SELECT * FROM pairs WHERE cosine >= {COSINE_THRESHOLD}),
 tot AS (
