@@ -163,3 +163,49 @@ def test_bpe_batched_merge_count_and_schema(spark, sf_dir):
     for r in rows:
         assert r.new_symbol == r.left + r.right
         assert r.pair_count > 0
+
+
+# ---------------------------------------------------------------- #
+# semantic_dedup cell-budget split (r6)                             #
+# ---------------------------------------------------------------- #
+
+def test_semantic_dedup_budget_split_engages(spark):
+    """A cell over SEMDEDUP_CELL_BUDGET members must pair within
+    (cell, lsh_bucket) sub-blocks, not across the whole cell.
+
+    Construction: 600 vectors all assigned to centroid 0's cell --
+    300 copies of c0 + eps*plane0 and 300 of c0 - eps*plane0, with
+    eps sized from the constants so the two halves differ in exactly
+    the plane-0 sign bit (and eps stays far below the inter-centroid
+    distance).  Every intra-half cosine is exactly 1; cross-half
+    cosine is also ~1 -- so WITHOUT the split the report would read
+    pairs=C(600,2)=179700, dropped=599, and WITH the split it must
+    read pairs=2*C(300,2)=89700, dropped=598, kept=2."""
+    import numpy as np
+
+    from de_realtime_voting_spark.constants import (
+        LSH_PLANES,
+        SEMDEDUP_CELL_BUDGET,
+    )
+    from de_realtime_voting_spark.ivf_model import IVF_TRAINED_CENTROIDS
+    from de_realtime_voting_spark.operators.dedup import semantic_dedup
+
+    assert SEMDEDUP_CELL_BUDGET < 600
+    c0 = np.array(IVF_TRAINED_CENTROIDS[0][1], dtype=np.float64)
+    p0 = np.array(LSH_PLANES[0], dtype=np.float64)
+    # eps flips plane-0's sign between the halves with 3x margin
+    eps = 3.0 * abs(float(c0 @ p0)) / float(p0 @ p0) + 1e-3
+    va = (c0 + eps * p0).astype(np.float32)
+    vb = (c0 - eps * p0).astype(np.float32)
+    assert float(va.astype(np.float64) @ p0) > 0 > float(
+        vb.astype(np.float64) @ p0
+    )
+    rows = [(i, [float(x) for x in (va if i < 300 else vb)]) for i in range(600)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = semantic_dedup(emb).collect()
+    assert len(out) == 1, out  # eps << centroid separation: one cell
+    r = out[0]
+    assert r.n_vecs == 600
+    assert r.n_dup_pairs == 2 * (300 * 299) // 2
+    assert r.n_dropped == 598
+    assert r.n_kept == 2
