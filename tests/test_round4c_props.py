@@ -114,3 +114,62 @@ def test_gaps_and_islands_identity(pos):
     if cur:
         runs.append(cur)
     assert sorted(map(tuple, groups.values())) == sorted(map(tuple, runs))
+
+
+# ---------------------------------------------------------------- #
+# Batched BPE (r6): multi-merge fold vs sequential application      #
+# ---------------------------------------------------------------- #
+
+def _multi_fold_merge(syms: list[str], merges: list[tuple[str, str]]) -> list[str]:
+    """Python mirror of the batched Catalyst fold in
+    operators.text._bpe_train_batched: ONE pass, first matching merge
+    arm wins (at most one can match under symbol-disjointness)."""
+    if not syms:
+        return []
+    acc = syms[0]
+    for s in syms[1:]:
+        for left, right in merges:
+            if s == right and (acc == left or acc.endswith(SEP + left)):
+                acc += right
+                break
+        else:
+            acc += SEP + s
+    return acc.split(SEP)
+
+
+def _disjoint(merges: list[tuple[str, str]]) -> bool:
+    tri = [{l, r, l + r} for l, r in merges]
+    return all(
+        not (tri[i] & tri[j])
+        for i in range(len(tri))
+        for j in range(i + 1, len(tri))
+    )
+
+
+@given(
+    st.lists(st.sampled_from("abcdef"), min_size=0, max_size=24),
+    st.lists(
+        st.tuples(st.sampled_from("abcdef"), st.sampled_from("abcdef")),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+@settings(max_examples=400, deadline=None)
+def test_batched_fold_equals_sequential_when_disjoint(syms, merges):
+    """For SYMBOL-DISJOINT merge batches, applying all merges in one
+    fold pass equals applying them one at a time in any order (each
+    via the proven single-merge greedy scan) -- the exactness claim
+    _bpe_train_batched's rewrite rests on."""
+    if not _disjoint(merges):
+        return  # the trainer's selection filter guarantees disjointness
+    got = _multi_fold_merge(syms, merges)
+    seq = list(syms)
+    for left, right in merges:
+        seq = _scan_merge(seq, left, right)
+    assert got == seq
+    # order-independence: disjoint merges commute
+    seq_rev = list(syms)
+    for left, right in reversed(merges):
+        seq_rev = _scan_merge(seq_rev, left, right)
+    assert got == seq_rev
