@@ -114,3 +114,37 @@ def test_explain_audit_distinct_caches_sharing_first_child():
     a = audit(dedup_cached_subtrees(plan))
     assert a["scans"] == 2
     assert a["exchanges"] == 2
+
+
+def test_merge_bench_sf1_sums_and_rejects_duplicates(tmp_path, monkeypatch):
+    """The chunk merger must stitch disjoint chunk files into one
+    artifact whose value is the exact sum, and refuse chunk sets that
+    timed the same query twice (which would silently overwrite a
+    timing)."""
+    import json
+    import subprocess
+
+    import tools.merge_bench_sf1 as m
+
+    a = tmp_path / "a.json"
+    b = tmp_path / "b.json"
+    a.write_text(json.dumps({"queries": {"q1": 1.5, "q2": 2.25}}))
+    b.write_text(json.dumps({"queries": {"q3": 3.0}}))
+
+    monkeypatch.setattr(sys, "argv", ["merge", str(a), str(b)])
+    monkeypatch.setattr(m, "_REPO", str(tmp_path))
+    m.main()
+    out = json.loads((tmp_path / "BENCH_SF1.json").read_text())
+    assert out["value"] == 6.75
+    assert out["sf"] == 1.0
+    assert sorted(out["queries"]) == ["q1", "q2", "q3"]
+    assert out["provenance"]["n_chunks"] == 2
+
+    dup = tmp_path / "dup.json"
+    dup.write_text(json.dumps({"queries": {"q2": 9.0}}))
+    monkeypatch.setattr(sys, "argv", ["merge", str(a), str(dup)])
+    try:
+        m.main()
+        raise AssertionError("duplicate chunk accepted")
+    except SystemExit as e:
+        assert "q2" in str(e)
