@@ -1277,6 +1277,13 @@ def bpe_fertility_stats(documents: DataFrame) -> DataFrame:
     itself never carries symbol arrays.  The oracle replays the same
     unrolled merge chain and joins vocab{N} identically."""
     _, vocab = _bpe_train(documents)
+    return _fertility_report(documents, vocab)
+
+
+def _fertility_report(documents: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Per-lang fertility/compression report for a trained vocab
+    frame (w, freq, syms) -- shared by the sequential and batched
+    tokenizer-build stories so the metric definition exists once."""
     per_word = vocab.select("w", F.size("syms").alias("n_syms"))
     lang_words = (
         documents.select("lang", F.explode(tokens(F.col("text"))).alias("w"))
@@ -1295,6 +1302,17 @@ def bpe_fertility_stats(documents: DataFrame) -> DataFrame:
             6,
         ).alias("chars_per_symbol"),
     )
+
+
+def bpe_fertility_stats_batched(documents: DataFrame) -> DataFrame:
+    """Fertility/compression report for the BATCHED trainer's vocab --
+    completes the batched tokenizer-build story (train
+    bpe_train_merges_batched -> apply -> measure) with the same
+    metric definitions as the sequential twin (#bpe_fertility_stats);
+    the oracle replays the batched merge chain and joins the final
+    bvocab identically."""
+    _, vocab = _bpe_train_batched(documents)
+    return _fertility_report(documents, vocab)
 
 
 def bpe_train_merges(documents: DataFrame) -> DataFrame:

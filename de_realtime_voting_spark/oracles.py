@@ -3134,26 +3134,37 @@ bvocab{p} AS (
     return ",".join(ctes)
 
 
-def _bpe_batched_sql() -> str:
-    n_passes = -(-BPE_MERGE_STEPS // BPE_BATCH)
-    takes = [
-        min(BPE_BATCH, BPE_MERGE_STEPS - p * BPE_BATCH) for p in range(n_passes)
-    ]
-    union = " UNION ALL ".join(
-        f"SELECT {p + 1} AS pass, {k} AS k, l, r, cnt FROM bsel{p + 1}_{k}"
-        for p in range(n_passes)
-        for k in range(1, takes[p] + 1)
-    )
-    return (
-        f"""
-WITH btoks AS (SELECT unnest({_TOKS}) AS w FROM documents),
+_BPE_BATCHED_N_PASSES = -(-BPE_MERGE_STEPS // BPE_BATCH)
+_BPE_BATCHED_TAKES = [
+    min(BPE_BATCH, BPE_MERGE_STEPS - p * BPE_BATCH)
+    for p in range(_BPE_BATCHED_N_PASSES)
+]
+
+# the shared WITH-body for the batched trainer's merge chain --
+# bvocab{_BPE_BATCHED_N_PASSES} is the final trained vocab both the
+# merge-table query and the batched fertility report consume
+_BPE_BATCHED_CHAIN = (
+    f"""btoks AS (SELECT unnest({_TOKS}) AS w FROM documents),
 bvocab0 AS (
     SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, string_split(w, '') AS syms
     FROM btoks GROUP BY w
 ),"""
-        + ",".join(
-            _bpe_batched_pass_ctes(p + 1, takes[p]) for p in range(n_passes)
-        )
+    + ",".join(
+        _bpe_batched_pass_ctes(p + 1, _BPE_BATCHED_TAKES[p])
+        for p in range(_BPE_BATCHED_N_PASSES)
+    )
+)
+
+
+def _bpe_batched_sql() -> str:
+    union = " UNION ALL ".join(
+        f"SELECT {p + 1} AS pass, {k} AS k, l, r, cnt FROM bsel{p + 1}_{k}"
+        for p in range(_BPE_BATCHED_N_PASSES)
+        for k in range(1, _BPE_BATCHED_TAKES[p] + 1)
+    )
+    return (
+        "\nWITH "
+        + _BPE_BATCHED_CHAIN
         + f""",
 bmerges AS ({union})
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY pass, k) AS INT) AS step,
@@ -3165,6 +3176,27 @@ FROM bmerges ORDER BY step
 
 
 SQL["bpe_train_merges_batched"] = _bpe_batched_sql()
+
+SQL["bpe_fertility_stats_batched"] = (
+    "\nWITH "
+    + _BPE_BATCHED_CHAIN
+    + f""",
+blw AS (
+    SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT lang, unnest({_TOKS}) AS w FROM documents) GROUP BY 1, 2
+),
+bj AS (
+    SELECT blw.lang, blw.n, length(blw.w) AS wlen, len(v.syms) AS n_syms
+    FROM blw JOIN bvocab{_BPE_BATCHED_N_PASSES} v ON blw.w = v.w
+)
+SELECT lang, CAST(SUM(n) AS BIGINT) AS n_words,
+       CAST(SUM(n * wlen) AS BIGINT) AS total_chars,
+       CAST(SUM(n * n_syms) AS BIGINT) AS total_symbols,
+       ROUND(SUM(n * n_syms) / SUM(n), 6) AS fertility,
+       ROUND(SUM(n * wlen) / SUM(n * n_syms), 6) AS chars_per_symbol
+FROM bj GROUP BY 1
+"""
+)
 
 from .constants import (  # noqa: E402
     CMS_DEPTH,

@@ -411,6 +411,9 @@ _DEFS: dict[str, QueryFn] = {
     "bpe_train_merges_batched": lambda s, d: text.bpe_train_merges_batched(
         _t(s, d, "documents")
     ),
+    "bpe_fertility_stats_batched": lambda s, d: text.bpe_fertility_stats_batched(
+        _t(s, d, "documents")
+    ),
     "dedup_soft_weights": lambda s, d: dedup.dedup_soft_weights(
         _t(s, d, "documents")
     ),
@@ -453,6 +456,7 @@ _DEFS: dict[str, QueryFn] = {
 # still covers all 157).
 _PRIORITY: list[str] = [
     "dedup_ngram_jaccard_scaled", "bpe_train_merges_batched",
+    "bpe_fertility_stats_batched",
     "ann_ivf_topk", "ann_recall_report",
     "ivf_cell_balance", "semantic_dedup", "embedding_kmeans_iter",
     "dedup_embedding_cosine", "doc_length_percentile_filter_approx", "votes_approx_stats",
