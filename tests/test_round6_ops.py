@@ -209,3 +209,21 @@ def test_semantic_dedup_budget_split_engages(spark):
     assert r.n_dup_pairs == 2 * (300 * 299) // 2
     assert r.n_dropped == 598
     assert r.n_kept == 2
+
+
+def test_bpe_fertility_batched_invariants(spark, sf_dir):
+    """Fertility report sanity for the batched build: merges only
+    ever shrink the symbol stream, so per-lang total_symbols is
+    bounded by total_chars (the unmerged stream) from above and by
+    n_words from below; fertility = symbols/words >= 1."""
+    from de_realtime_voting_spark.operators.text import (
+        bpe_fertility_stats_batched,
+    )
+
+    rows = bpe_fertility_stats_batched(_docs(spark, sf_dir)).collect()
+    assert rows
+    for r in rows:
+        assert r.n_words > 0
+        assert r.n_words <= r.total_symbols <= r.total_chars
+        assert r.fertility >= 1.0
+        assert r.chars_per_symbol >= 1.0
