@@ -139,10 +139,20 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
-    detail_path = os.environ.get(
-        "SPARK_GRAFT_DETAIL",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-    )
+    detail_path = os.environ.get("SPARK_GRAFT_DETAIL")
+    if detail_path is None:
+        if only:
+            # a chunked run must NOT clobber the committed full-registry
+            # detail artifact with a partial one; chunk runs set
+            # SPARK_GRAFT_DETAIL explicitly (see tools/merge_bench_sf1.py)
+            detail_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_DETAIL.partial.json",
+            )
+        else:
+            detail_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+            )
     with open(detail_path, "w") as f:
         json.dump(full, f, indent=1)
     # full dump first (humans / generous captures) ...

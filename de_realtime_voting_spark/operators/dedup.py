@@ -483,10 +483,14 @@ def dedup_ngram_jaccard_scaled(documents: DataFrame) -> DataFrame:
     ids = cand.select(F.col("doc_a").alias("doc_id")).union(
         cand.select(F.col("doc_b").alias("doc_id"))
     ).distinct()
+    # persist: g feeds BOTH verify-join sides -- without it the
+    # documents scan + semi-join + gram build run twice per action
+    # (released by the same per-query clearCache as cand)
     g = (
         documents.join(ids, "doc_id", "left_semi")
         .where(F.length("text") >= 3)
         .select("doc_id", "lang", char_ngrams(F.col("text")).alias("grams"))
+        .persist()
     )
     ga = g.select(
         F.col("doc_id").alias("doc_a"),
@@ -967,7 +971,13 @@ def semantic_dedup(embeddings: DataFrame) -> DataFrame:
     from ..constants import SEMDEDUP_CELL_BUDGET
     from ..functions import lsh_bucket
 
-    cells = _assign_cells(embeddings, cents).select("vec_id", "embedding", "cell")
+    # one cached cell-assignment scan feeds sizes + the pair join
+    # (released by the repo's per-query clearCache convention)
+    cells = (
+        _assign_cells(embeddings, cents)
+        .select("vec_id", "embedding", "cell")
+        .persist()
+    )
     # cell-budget split: K rows, broadcast back onto the members; the
     # sub-key only diverges from 0 inside oversized cells
     sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
@@ -1010,7 +1020,9 @@ def semantic_dedup(embeddings: DataFrame) -> DataFrame:
         .select("cell", "vec_b", rnd(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= COSINE_THRESHOLD)
     )
-    totals = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    # per-cell totals are exactly the split-sizes aggregate -- reuse it
+    # instead of a third cell-assignment scan
+    totals = sizes.select("cell", F.col("cell_n").alias("n_vecs"))
     dup = pairs.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_dup_pairs"),
         F.count_distinct("vec_b").alias("n_dropped"),

@@ -412,7 +412,10 @@ def parse_mp3_meta(payload: bytes) -> list[float]:
                 # not garbage -- report it like decode_auto does
                 # (NotImplementedError naming the format) so callers
                 # can tell "unsupported" from "corrupt"
-                if version != 1 and sr_idx != 3 and layer in (2, 3):
+                # br_idx 15 is forbidden in EVERY layer -- a header
+                # carrying it is corrupt, not an unsupported codec
+                if version != 1 and sr_idx != 3 and layer in (2, 3) \
+                        and br_idx != 15:
                     raise NotImplementedError(
                         "mp2/mp1 codec not available (valid MPEG Layer "
                         f"{'I' if layer == 3 else 'II'} sync frame)"

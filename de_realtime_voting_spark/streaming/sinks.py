@@ -180,8 +180,11 @@ def foreach_batch_jdbc_upsert(
     primary key (reference main.py:56-66 creates the PK;
     voting.py:98-105 inserts).  Executed for real against embedded
     Derby in tests/test_jdbc_derby.py -- the same builder targets
-    Postgres/MySQL by swapping url/driver (both ship MERGE /
-    INSERT..ON CONFLICT; Derby's ANSI MERGE is the portable form).
+    Postgres 15+ by swapping url/driver (both ship ANSI MERGE;
+    table-existence is probed with a zero-row SELECT rather than by
+    matching dialect-specific SQLStates, so the create-once path is
+    portable too).  MySQL has no MERGE statement -- targeting it
+    needs the INSERT .. ON DUPLICATE KEY UPDATE rewrite of step 3.
 
     Per micro-batch:
 
@@ -194,8 +197,10 @@ def foreach_batch_jdbc_upsert(
        replays are absorbed);
     3. one driver-side ANSI ``MERGE`` folds staging into the target:
        ``WHEN NOT MATCHED INSERT`` only for first-write-wins (replay
-       inserts 0 rows), plus ``WHEN MATCHED UPDATE`` for
-       latest-wins (replay re-applies identical values).  The MERGE
+       inserts 0 rows), plus ``WHEN MATCHED AND s.order > t.order
+       UPDATE`` for latest-wins (replay matches with equal order and
+       updates 0 rows; a late older record in a later batch cannot
+       clobber newer target data).  The MERGE
        is a set operation executed BY THE DATABASE -- no driver-side
        row loops; the driver ships one statement.
 
@@ -236,14 +241,20 @@ def foreach_batch_jdbc_upsert(
         conn = jvm.java.sql.DriverManager.getConnection(url)
         try:
             st = conn.createStatement()
-            ddl = create_ddl or (
-                f"CREATE TABLE {table} AS SELECT * FROM {stage} WITH NO DATA"
-            )
+            # Portable table-exists probe: a zero-row SELECT succeeds iff
+            # the target exists, with no dialect SQLState matching
+            # (Derby says X0Y32, Postgres 42P07, ... -- don't parse them).
             try:
-                st.executeUpdate(ddl)
-            except Exception as exc:  # noqa: BLE001 - py4j wraps SQLException
-                if "X0Y32" not in str(exc):  # anything but "already exists"
-                    raise
+                st.executeQuery(f"SELECT 1 FROM {table} WHERE 1=0").close()
+                exists = True
+            except Exception:  # noqa: BLE001 - py4j wraps SQLException
+                exists = False
+            if not exists:
+                st.executeUpdate(
+                    create_ddl
+                    or f"CREATE TABLE {table} AS SELECT * FROM {stage} "
+                    "WITH NO DATA"
+                )
             on = " AND ".join(f"t.{q(c)} = s.{q(c)}" for c in key_cols)
             collist = ", ".join(q(c) for c in cols)
             vals = ", ".join(f"s.{q(c)}" for c in cols)
@@ -252,7 +263,14 @@ def foreach_batch_jdbc_upsert(
                 upd = ", ".join(
                     f"{q(c)} = s.{q(c)}" for c in cols if c not in key_cols
                 )
-                matched = f"WHEN MATCHED THEN UPDATE SET {upd} "
+                # Guard on order_col so latest-wins holds ACROSS batches:
+                # a late-arriving older record in a later micro-batch must
+                # not overwrite newer target data (within-batch dedup alone
+                # would make it last-batch-wins).
+                matched = (
+                    f"WHEN MATCHED AND s.{q(order_col)} > t.{q(order_col)} "
+                    f"THEN UPDATE SET {upd} "
+                )
             st.executeUpdate(
                 f"MERGE INTO {table} t USING {stage} s ON ({on}) "
                 f"{matched}"

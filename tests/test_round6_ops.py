@@ -169,28 +169,16 @@ def test_bpe_batched_merge_count_and_schema(spark, sf_dir):
 # semantic_dedup cell-budget split (r6)                             #
 # ---------------------------------------------------------------- #
 
-def test_semantic_dedup_budget_split_engages(spark):
-    """A cell over SEMDEDUP_CELL_BUDGET members must pair within
-    (cell, lsh_bucket) sub-blocks, not across the whole cell.
-
-    Construction: 600 vectors all assigned to centroid 0's cell --
-    300 copies of c0 + eps*plane0 and 300 of c0 - eps*plane0, with
-    eps sized from the constants so the two halves differ in exactly
-    the plane-0 sign bit (and eps stays far below the inter-centroid
-    distance).  Every intra-half cosine is exactly 1; cross-half
-    cosine is also ~1 -- so WITHOUT the split the report would read
-    pairs=C(600,2)=179700, dropped=599, and WITH the split it must
-    read pairs=2*C(300,2)=89700, dropped=598, kept=2."""
+def _split_corpus_rows():
+    """600 vectors all in centroid 0's cell: 300 copies of
+    c0 + eps*plane0 and 300 of c0 - eps*plane0, eps sized from the
+    constants so the halves differ in exactly the plane-0 sign bit
+    (and eps stays far below the inter-centroid distance)."""
     import numpy as np
 
-    from de_realtime_voting_spark.constants import (
-        LSH_PLANES,
-        SEMDEDUP_CELL_BUDGET,
-    )
+    from de_realtime_voting_spark.constants import LSH_PLANES
     from de_realtime_voting_spark.ivf_model import IVF_TRAINED_CENTROIDS
-    from de_realtime_voting_spark.operators.dedup import semantic_dedup
 
-    assert SEMDEDUP_CELL_BUDGET < 600
     c0 = np.array(IVF_TRAINED_CENTROIDS[0][1], dtype=np.float64)
     p0 = np.array(LSH_PLANES[0], dtype=np.float64)
     # eps flips plane-0's sign between the halves with 3x margin
@@ -200,8 +188,24 @@ def test_semantic_dedup_budget_split_engages(spark):
     assert float(va.astype(np.float64) @ p0) > 0 > float(
         vb.astype(np.float64) @ p0
     )
-    rows = [(i, [float(x) for x in (va if i < 300 else vb)]) for i in range(600)]
-    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    return [(i, [float(x) for x in (va if i < 300 else vb)]) for i in range(600)]
+
+
+def test_semantic_dedup_budget_split_engages(spark):
+    """A cell over SEMDEDUP_CELL_BUDGET members must pair within
+    (cell, lsh_bucket) sub-blocks, not across the whole cell.
+
+    Every intra-half cosine is exactly 1; cross-half cosine is also
+    ~1 -- so WITHOUT the split the report would read
+    pairs=C(600,2)=179700, dropped=599, and WITH the split it must
+    read pairs=2*C(300,2)=89700, dropped=598, kept=2."""
+    from de_realtime_voting_spark.constants import SEMDEDUP_CELL_BUDGET
+    from de_realtime_voting_spark.operators.dedup import semantic_dedup
+
+    assert SEMDEDUP_CELL_BUDGET < 600
+    emb = spark.createDataFrame(
+        _split_corpus_rows(), "vec_id bigint, embedding array<float>"
+    )
     out = semantic_dedup(emb).collect()
     assert len(out) == 1, out  # eps << centroid separation: one cell
     r = out[0]
@@ -209,6 +213,35 @@ def test_semantic_dedup_budget_split_engages(spark):
     assert r.n_dup_pairs == 2 * (300 * 299) // 2
     assert r.n_dropped == 598
     assert r.n_kept == 2
+
+
+def test_semantic_dedup_split_path_matches_duckdb_oracle(spark, tmp_path):
+    """Cross-engine check of the OVERSIZED-cell branch: the parity
+    sweep's SFs never exceed SEMDEDUP_CELL_BUDGET (cells are ~31-144
+    members there), so the sub = lsh_bucket arm of both the operator
+    and SQL['semantic_dedup'] would otherwise ship unexercised against
+    the oracle.  Run both engines on the synthetic oversized-cell
+    corpus and compare the full report."""
+    import duckdb
+
+    from de_realtime_voting_spark.operators.dedup import semantic_dedup
+    from de_realtime_voting_spark.oracles import SQL
+
+    emb = spark.createDataFrame(
+        _split_corpus_rows(), "vec_id bigint, embedding array<float>"
+    )
+    out = str(tmp_path / "emb")
+    emb.write.parquet(out)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{out}/*.parquet'")
+    want = sorted(
+        map(tuple, con.sql(SQL["semantic_dedup"]).fetchall())
+    )
+    got = sorted(
+        (r.cell, r.n_vecs, r.n_dup_pairs, r.n_dropped, r.n_kept)
+        for r in semantic_dedup(emb).collect()
+    )
+    assert got == want and len(got) == 1
 
 
 def test_bpe_fertility_batched_invariants(spark, sf_dir):

@@ -95,7 +95,11 @@ def write_doc_slices(out_dir: str, volume: int) -> None:
     os.makedirs(out_dir, exist_ok=True)
     per_slice = volume // 6
     for s in range(6):
-        idx = range(s * per_slice, (s + 1) * per_slice)
+        # fold volume % 6 into the last slice so the feed carries
+        # EXACTLY `volume` rows (the count recorded as input_Nx in
+        # STATE_AUDIT.json) and the 10x/1x input ratio is exact
+        hi = (s + 1) * per_slice if s < 5 else volume
+        idx = range(s * per_slice, hi)
         tab = pa.table(
             {
                 "doc_id": pa.array(list(idx), pa.int64()),
