@@ -167,7 +167,7 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "queries": {k: round(v, 2) for k, v in slowest.items()},
-        "detail": "BENCH_DETAIL.json",
+        "detail": os.path.basename(detail_path),
     }
     # attach the committed sf1 (10x) full-registry numbers so the
     # per-round artifact carries the scale point WITHOUT re-running
