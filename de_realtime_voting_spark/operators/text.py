@@ -382,6 +382,89 @@ def repeated_ngram_spans(documents: DataFrame) -> DataFrame:
     )
 
 
+def repeated_span_excision(documents: DataFrame) -> DataFrame:
+    """Exact-substring dedup EXCISION LIST (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    where ``repeated_ngram_spans`` only audits how much cross-corpus
+    repetition exists, this emits the actual per-document token spans
+    to cut.  A word SPAN_NGRAM_K-gram occurrence is removable when
+    the gram occurs more than once in the corpus (across OR within
+    documents) and this occurrence is not the canonical first one
+    (lexicographic min (doc_id, pos) keeps one copy corpus-wide);
+    overlapping/adjacent removable K-gram windows then merge into
+    maximal spans (gaps-and-islands), so each output row is one
+    contiguous cut: (doc_id, span_start, span_end, n_tokens) in
+    1-based token positions, inclusive.
+
+    Scale shape: the gram build is the positional-explode pattern
+    (one pass, grams md5'd before any exchange so the wide shuffle
+    never carries raw text).  First-occurrence selection is a
+    groupBy(gram_hash) min(struct(doc_id, pos)) -- map-side partial
+    agg, NO per-gram window, so a stop-phrase gram with millions of
+    occurrences costs a partial-agg cell, not a single-task sort.
+    Removable occurrences (a small fraction of positions) then sort
+    per doc for the island merge -- the window partitions by doc_id,
+    bounded by doc length.  (No reference analog -- training-data
+    mandate.)
+    """
+    from pyspark.sql import Window
+
+    from ..constants import SPAN_NGRAM_K
+
+    k = SPAN_NGRAM_K
+    toks_d = (
+        documents.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= k)
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+    )
+    grams = toks_d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (k - 1))).alias("pos"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), k))).alias(
+            "gram_hash"
+        ),
+    )
+    per_gram = grams.groupBy("gram_hash").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+    )
+    removable = (
+        grams.join(per_gram.where(F.col("n_occ") > 1), "gram_hash")
+        .where(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = removable.withColumn(
+        "brk",
+        F.when(F.col("pos") <= F.lag("pos").over(w) + k, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    isl = flagged.withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("mn"), F.max("pos").alias("mx"))
+        .select(
+            "doc_id",
+            F.col("mn").cast("bigint").alias("span_start"),
+            (F.col("mx") + (k - 1)).cast("bigint").alias("span_end"),
+            (F.col("mx") + (k - 1) - F.col("mn") + 1)
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
+
+
 def text_c4_filters(documents: DataFrame) -> DataFrame:
     """C4-style quality-gate report per source: how many docs fail
     the token-count floor, the mean-word-length band, and the

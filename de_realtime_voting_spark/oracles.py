@@ -1804,6 +1804,46 @@ ORDER BY n_docs DESC, n_occurrences DESC, gram_hash ASC
 LIMIT {SPAN_TOP_N}
 """
 
+# excision list: keep the lexicographic-first occurrence of every
+# repeated K-gram, merge the other occurrences' windows into maximal
+# per-doc spans (gaps-and-islands); mirrors the operator exactly
+SQL["repeated_span_excision"] = f"""
+WITH toksed AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos, md5({_SPAN_CAT}) AS gram_hash
+    FROM toksed, unnest(range(1, len(toks) - {SPAN_NGRAM_K - 2})) AS u(i)
+    WHERE len(toks) >= {SPAN_NGRAM_K}
+),
+ranked AS (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (
+               PARTITION BY gram_hash ORDER BY doc_id, pos
+           ) AS rn
+    FROM g
+),
+rm AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+flagged AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos <= LAG(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                ) + {SPAN_NGRAM_K}
+                THEN 0 ELSE 1 END AS brk
+    FROM rm
+),
+isl AS (
+    SELECT doc_id, pos,
+           SUM(brk) OVER (
+               PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING
+           ) AS island
+    FROM flagged
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {SPAN_NGRAM_K - 1} AS BIGINT) AS span_end,
+       CAST(MAX(pos) + {SPAN_NGRAM_K - 1} - MIN(pos) + 1 AS BIGINT) AS n_tokens
+FROM isl GROUP BY doc_id, island
+"""
+
 # same clusters by construction (both compute connected components of
 # the same verified near-dup graph) -- the recursive-CTE twin is shared
 SQL["dedup_clusters_bigstar"] = SQL["dedup_clusters"]

@@ -253,6 +253,9 @@ _DEFS: dict[str, QueryFn] = {
     "repeated_ngram_spans": lambda s, d: text.repeated_ngram_spans(
         _t(s, d, "documents")
     ),
+    "repeated_span_excision": lambda s, d: text.repeated_span_excision(
+        _t(s, d, "documents")
+    ),
     "dedup_clusters_bigstar": lambda s, d: dedup.dedup_clusters_bigstar(
         _t(s, d, "documents")
     ),
@@ -457,6 +460,7 @@ _DEFS: dict[str, QueryFn] = {
 # predate bpe_fertility_stats_batched, whose rows were appended
 # separately afterwards.
 _PRIORITY: list[str] = [
+    "repeated_span_excision",
     "dedup_ngram_jaccard_scaled", "bpe_train_merges_batched",
     "bpe_fertility_stats_batched",
     "ann_ivf_topk", "ann_recall_report",

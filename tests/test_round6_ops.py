@@ -244,6 +244,70 @@ def test_semantic_dedup_split_path_matches_duckdb_oracle(spark, tmp_path):
     assert got == want and len(got) == 1
 
 
+# ---------------------------------------------------------------- #
+# repeated_span_excision (Lee et al. exact-substring cut list)      #
+# ---------------------------------------------------------------- #
+
+def _span_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_span_excision_keeps_first_occurrence(spark):
+    """Two identical 10-token docs: every K-gram repeats, the
+    lexicographic-first doc keeps all of them, the second doc gets
+    one merged span covering the whole text."""
+    from de_realtime_voting_spark.constants import SPAN_NGRAM_K
+    from de_realtime_voting_spark.operators.text import repeated_span_excision
+
+    assert SPAN_NGRAM_K == 8  # the hand corpora below assume K=8
+    text = " ".join(f"w{i}" for i in range(10))
+    out = repeated_span_excision(
+        _span_docs(spark, [(1, text), (2, text)])
+    ).collect()
+    assert [(r.doc_id, r.span_start, r.span_end, r.n_tokens) for r in out] == [
+        (2, 1, 10, 10)
+    ]
+
+
+def test_span_excision_within_doc_repeat(spark):
+    """A doc that repeats its own opening 8-gram later in the same
+    text: the second occurrence is cut even with no other doc."""
+    from de_realtime_voting_spark.operators.text import repeated_span_excision
+
+    text = " ".join([f"x{i}" for i in range(8)] * 2)  # 16 tokens
+    out = repeated_span_excision(_span_docs(spark, [(3, text)])).collect()
+    assert [(r.doc_id, r.span_start, r.span_end, r.n_tokens) for r in out] == [
+        (3, 9, 16, 8)
+    ]
+
+
+def test_span_excision_island_gap_splits(spark):
+    """Shared prefix and shared suffix separated by a differing
+    middle token: removable windows at pos 1 and pos 10 do NOT merge
+    (10 > 1 + K), yielding two distinct spans."""
+    from de_realtime_voting_spark.operators.text import repeated_span_excision
+
+    a = [f"a{i}" for i in range(8)]
+    c = [f"c{i}" for i in range(8)]
+    d4 = " ".join(a + ["b"] + c)
+    d5 = " ".join(a + ["d"] + c)
+    out = repeated_span_excision(
+        _span_docs(spark, [(4, d4), (5, d5)])
+    ).collect()
+    got = sorted((r.doc_id, r.span_start, r.span_end, r.n_tokens) for r in out)
+    assert got == [(5, 1, 8, 8), (5, 10, 17, 8)]
+
+
+def test_span_excision_no_repeats_empty(spark):
+    """All-unique corpus -> empty cut list."""
+    from de_realtime_voting_spark.operators.text import repeated_span_excision
+
+    out = repeated_span_excision(
+        _span_docs(spark, [(1, " ".join(f"u{i}" for i in range(12)))])
+    ).collect()
+    assert out == []
+
+
 def test_bpe_fertility_batched_invariants(spark, sf_dir):
     """Fertility report sanity for the batched build: merges only
     ever shrink the symbol stream, so per-lang total_symbols is
