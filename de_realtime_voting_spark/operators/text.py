@@ -465,6 +465,102 @@ def repeated_span_excision(documents: DataFrame) -> DataFrame:
     )
 
 
+def span_excision_stats(documents: DataFrame) -> DataFrame:
+    """Corpus impact report for exact-substring excision: per
+    (lang, source), how many docs lose at least one span, how many
+    spans are cut, how many tokens those spans cover, and the share
+    of the group's tokens removed -- the accounting a pipeline reads
+    before committing the cut list (`repeated_span_excision`).
+
+    Scale shape: the span list is sparse (only repeated-gram docs),
+    the meta join keys on doc_id, and the report aggregates to
+    |langs| x |sources| rows -- everything after the excision
+    pipeline is map-side partials into a dimension-sized groupBy.
+    """
+    spans = repeated_span_excision(documents)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("n_tokens").alias("cut_tokens"),
+    )
+    meta = documents.select(
+        "doc_id", "lang", "source", F.size(tokens(F.col("text"))).alias("n_toks")
+    )
+    joined = meta.join(per_doc, "doc_id", "left")
+    total = F.sum("n_toks").cast("bigint")
+    removed = F.sum(F.coalesce(F.col("cut_tokens"), F.lit(0))).cast("bigint")
+    return joined.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_spans") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_cut"),
+        F.sum(F.coalesce(F.col("n_spans"), F.lit(0))).cast("bigint").alias(
+            "n_spans"
+        ),
+        total.alias("total_tokens"),
+        removed.alias("tokens_removed"),
+        F.when(total == 0, F.lit(0.0))
+        .otherwise(rnd(removed / total, 6))
+        .alias("removed_share"),
+    )
+
+
+def token_distribution_drift(documents: DataFrame) -> DataFrame:
+    """Per-source distribution drift: exact KL divergence
+    KL(source || corpus) over whitespace-token unigram distributions
+    -- the curation signal for "this source's language is unlike the
+    rest of the mix" (domain skew, spam injections, template floods).
+    Zero-probability terms vanish analytically (p_s = 0 contributes
+    0; p_c > 0 for every token the source contains, since the corpus
+    includes the source), so the sum is exact, no smoothing.
+
+    Scale shape: one tokenize pass into a (source, token) count --
+    map-side partials, the only corpus-wide shuffle; corpus counts
+    fold from that frame (vocab-sized, never re-reads the corpus);
+    per-source totals ride a broadcast.  The KL fold sums in
+    ascending sorted order (the pagerank idiom) so the double matches
+    the oracle bit-for-bit; group size is per-source vocabulary.
+    """
+    st = (
+        documents.select(
+            "source", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        .persist()
+    )
+    corpus = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    totals = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    grand = F.broadcast(totals.agg(F.sum("n_s").alias("n_corpus")))
+    terms = (
+        st.join(corpus, "tok")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(grand)
+        .select(
+            "source",
+            "n_s",
+            (
+                (F.col("c_st") / F.col("n_s"))
+                * F.log(
+                    (F.col("c_st") / F.col("n_s"))
+                    / (F.col("c_t") / F.col("n_corpus"))
+                )
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.max("n_s").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        rnd(
+            F.aggregate(
+                F.array_sort(F.collect_list("term")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("kl_drift"),
+    )
+
+
 def text_c4_filters(documents: DataFrame) -> DataFrame:
     """C4-style quality-gate report per source: how many docs fail
     the token-count floor, the mean-word-length band, and the

@@ -1804,11 +1804,11 @@ ORDER BY n_docs DESC, n_occurrences DESC, gram_hash ASC
 LIMIT {SPAN_TOP_N}
 """
 
-# excision list: keep the lexicographic-first occurrence of every
+# excision CTEs: keep the lexicographic-first occurrence of every
 # repeated K-gram, merge the other occurrences' windows into maximal
-# per-doc spans (gaps-and-islands); mirrors the operator exactly
-SQL["repeated_span_excision"] = f"""
-WITH toksed AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+# per-doc spans (gaps-and-islands); mirror the operator exactly and
+# feed both the cut-list query and the impact report
+_EXCISION_CTES = f"""toksed AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 g AS (
     SELECT doc_id, CAST(i AS BIGINT) AS pos, md5({_SPAN_CAT}) AS gram_hash
     FROM toksed, unnest(range(1, len(toks) - {SPAN_NGRAM_K - 2})) AS u(i)
@@ -1836,12 +1836,68 @@ isl AS (
                PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING
            ) AS island
     FROM flagged
+),
+spans AS (
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {SPAN_NGRAM_K - 1} AS BIGINT) AS span_end,
+           CAST(MAX(pos) + {SPAN_NGRAM_K - 1} - MIN(pos) + 1 AS BIGINT)
+               AS n_tokens
+    FROM isl GROUP BY doc_id, island
+)"""
+
+SQL["repeated_span_excision"] = f"""
+WITH {_EXCISION_CTES}
+SELECT doc_id, span_start, span_end, n_tokens FROM spans
+"""
+
+SQL["span_excision_stats"] = f"""
+WITH {_EXCISION_CTES},
+per_doc AS (
+    SELECT doc_id, COUNT(*) AS n_spans, SUM(n_tokens) AS cut_tokens
+    FROM spans GROUP BY 1
+),
+meta AS (
+    SELECT doc_id, lang, source, len({_TOKS}) AS n_toks FROM documents
 )
-SELECT doc_id,
-       CAST(MIN(pos) AS BIGINT) AS span_start,
-       CAST(MAX(pos) + {SPAN_NGRAM_K - 1} AS BIGINT) AS span_end,
-       CAST(MAX(pos) + {SPAN_NGRAM_K - 1} - MIN(pos) + 1 AS BIGINT) AS n_tokens
-FROM isl GROUP BY doc_id, island
+SELECT m.lang, m.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN p.n_spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_cut,
+       CAST(SUM(COALESCE(p.n_spans, 0)) AS BIGINT) AS n_spans,
+       CAST(SUM(m.n_toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(COALESCE(p.cut_tokens, 0)) AS BIGINT) AS tokens_removed,
+       CASE WHEN SUM(m.n_toks) = 0 THEN 0.0
+            ELSE ROUND(SUM(COALESCE(p.cut_tokens, 0)) / SUM(m.n_toks), 6)
+       END AS removed_share
+FROM meta m LEFT JOIN per_doc p USING (doc_id)
+GROUP BY 1, 2
+"""
+
+# exact KL(source || corpus) over unigram distributions; p_s = 0 terms
+# vanish analytically, p_c > 0 for every token the source contains, so
+# no smoothing; the fold sums in ascending sorted order (the pagerank
+# idiom) to bit-match the Spark aggregate
+SQL["token_distribution_drift"] = f"""
+WITH st AS (
+    SELECT source, tok, COUNT(*) AS c_st FROM (
+        SELECT source, unnest({_TOKS}) AS tok FROM documents
+    ) GROUP BY 1, 2
+),
+corpus AS (SELECT tok, SUM(c_st) AS c_t FROM st GROUP BY 1),
+totals AS (SELECT source, SUM(c_st) AS n_s FROM st GROUP BY 1),
+grand AS (SELECT SUM(n_s) AS n_corpus FROM totals),
+terms AS (
+    SELECT st.source, t.n_s,
+           (st.c_st / t.n_s)
+           * ln((st.c_st / t.n_s) / (c.c_t / g.n_corpus)) AS term
+    FROM st JOIN corpus c USING (tok) JOIN totals t USING (source), grand g
+)
+SELECT source,
+       CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       ROUND(list_aggregate(list_sort(list(term)), 'sum'), 6) AS kl_drift
+FROM terms GROUP BY 1
 """
 
 # same clusters by construction (both compute connected components of

@@ -256,6 +256,12 @@ _DEFS: dict[str, QueryFn] = {
     "repeated_span_excision": lambda s, d: text.repeated_span_excision(
         _t(s, d, "documents")
     ),
+    "span_excision_stats": lambda s, d: text.span_excision_stats(
+        _t(s, d, "documents")
+    ),
+    "token_distribution_drift": lambda s, d: text.token_distribution_drift(
+        _t(s, d, "documents")
+    ),
     "dedup_clusters_bigstar": lambda s, d: dedup.dedup_clusters_bigstar(
         _t(s, d, "documents")
     ),
@@ -460,7 +466,8 @@ _DEFS: dict[str, QueryFn] = {
 # predate bpe_fertility_stats_batched, whose rows were appended
 # separately afterwards.
 _PRIORITY: list[str] = [
-    "repeated_span_excision",
+    "repeated_span_excision", "span_excision_stats",
+    "token_distribution_drift",
     "dedup_ngram_jaccard_scaled", "bpe_train_merges_batched",
     "bpe_fertility_stats_batched",
     "ann_ivf_topk", "ann_recall_report",

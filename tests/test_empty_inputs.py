@@ -89,6 +89,15 @@ CASES = {
     ),
     "bpe_pair_counts": lambda s, d: text.bpe_pair_counts(_empty(s, d, "documents")),
     "vocab_coverage": lambda s, d: text.vocab_coverage(_empty(s, d, "documents")),
+    "repeated_span_excision": lambda s, d: text.repeated_span_excision(
+        _empty(s, d, "documents")
+    ),
+    "span_excision_stats": lambda s, d: text.span_excision_stats(
+        _empty(s, d, "documents")
+    ),
+    "token_distribution_drift": lambda s, d: text.token_distribution_drift(
+        _empty(s, d, "documents")
+    ),
     "repeated_ngram_spans": lambda s, d: text.repeated_ngram_spans(
         _empty(s, d, "documents")
     ),

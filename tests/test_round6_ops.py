@@ -308,6 +308,68 @@ def test_span_excision_no_repeats_empty(spark):
     assert out == []
 
 
+def test_span_excision_stats_accounting(spark):
+    """Two identical 10-token docs in one (lang, source) group: one
+    doc keeps everything, the other loses its whole text -- the
+    report must show exactly half the group's tokens removed."""
+    from de_realtime_voting_spark.operators.text import span_excision_stats
+
+    text = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, text, "en", "srcA"), (2, text, "en", "srcA")],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    rows = span_excision_stats(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.lang, r.source) == ("en", "srcA")
+    assert r.n_docs == 2 and r.n_docs_cut == 1 and r.n_spans == 1
+    assert r.total_tokens == 20 and r.tokens_removed == 10
+    assert r.removed_share == 0.5
+
+
+def test_token_distribution_drift_hand_values(spark):
+    """Two 3-token sources with mirrored skews: KL is symmetric here
+    by construction and matches the hand-computed value; a source
+    identical to the corpus mix would read 0."""
+    import math
+
+    from de_realtime_voting_spark.operators.text import (
+        token_distribution_drift,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b", "en", "srcA"), (2, "a b b", "en", "srcB")],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    rows = {r.source: r for r in token_distribution_drift(docs).collect()}
+    assert set(rows) == {"srcA", "srcB"}
+    # corpus: a=3, b=3 of 6 -> p_c = 1/2 each; srcA: p(a)=2/3, p(b)=1/3
+    want = round(
+        (2 / 3) * math.log((2 / 3) / 0.5) + (1 / 3) * math.log((1 / 3) / 0.5),
+        6,
+    )
+    for r in rows.values():
+        assert r.n_tokens == 3 and r.vocab_size == 2
+        assert r.kl_drift == want
+
+
+def test_token_distribution_drift_uniform_source_zero(spark):
+    """A corpus with one source IS the corpus distribution: KL must
+    be exactly 0 (not epsilon) -- the p_s == p_c terms cancel inside
+    ln, no float residue survives the rounding."""
+    from de_realtime_voting_spark.operators.text import (
+        token_distribution_drift,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x y z x", "en", "only")],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    rows = token_distribution_drift(docs).collect()
+    assert len(rows) == 1 and rows[0].kl_drift == 0.0
+
+
 def test_bpe_fertility_batched_invariants(spark, sf_dir):
     """Fertility report sanity for the batched build: merges only
     ever shrink the symbol stream, so per-lang total_symbols is
