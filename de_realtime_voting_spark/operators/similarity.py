@@ -49,6 +49,53 @@ def ann_bruteforce_topk(embeddings: DataFrame) -> DataFrame:
     return _topk(joined)
 
 
+def knn_label_purity(embeddings: DataFrame) -> DataFrame:
+    """Embedding-quality eval: for each probe vector (the fixed
+    ANN_QUERY_IDS set, the same probe discipline as the recall
+    scoreboard), what share of its exact top-k cosine neighbors
+    carries the probe's own label.  Low purity = the embedding space
+    does not separate the label structure -- the standard k-NN
+    sanity eval run before trusting embeddings for semantic dedup or
+    clustering.
+
+    Scale shape: identical to ann_bruteforce_topk -- the probe set
+    broadcasts, the corpus streams map-side, the only shuffle is the
+    per-probe top-k window over |probes| partitions.  Corpus-wide
+    purity at 100 TB swaps the probe set for an IVF-cell-restricted
+    neighbor list (the ann_ivf_topk shape), the documented knob.
+    """
+    q = embeddings.where(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("query_label"),
+    )
+    joined = embeddings.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    )
+    cos = cosine_similarity(F.col("q_emb"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    top = (
+        joined.select(
+            "query_id",
+            "query_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+    )
+    same = F.sum(
+        F.when(F.col("neighbor_label") == F.col("query_label"), 1).otherwise(0)
+    )
+    return top.groupBy("query_id", "query_label").agg(
+        same.cast("bigint").alias("n_same_label"),
+        rnd(same / F.count(F.lit(1)), 6).alias("purity"),
+    )
+
+
 def embedding_lsh_buckets(embeddings: DataFrame) -> DataFrame:
     """LSH bucket histogram: the operational check that hyperplane
     bucketing spreads the corpus (skewed buckets = bad recall AND a

@@ -538,6 +538,35 @@ SELECT query_id, neighbor_id, "rank", ROUND(cosine, 6) AS cosine
 FROM r WHERE "rank" <= {ANN_K}
 """
 
+# exact top-k label agreement per probe; ranks on the unrounded
+# cosine exactly like ann_bruteforce_topk
+SQL["knn_label_purity"] = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS q_emb, label AS query_label
+    FROM embeddings WHERE vec_id IN {_ANN_IDS}
+),
+j AS (
+    SELECT q.query_id, q.query_label, e.vec_id AS neighbor_id,
+           e.label AS neighbor_label,
+           {_cos('q.q_emb', 'e.embedding')} AS cosine
+    FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+),
+r AS (
+    SELECT query_id, query_label, neighbor_label,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS rn
+    FROM j
+)
+SELECT query_id, query_label,
+       CAST(SUM(CASE WHEN neighbor_label = query_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_same_label,
+       ROUND(SUM(CASE WHEN neighbor_label = query_label THEN 1 ELSE 0 END)
+             / COUNT(*), 6) AS purity
+FROM r WHERE rn <= {ANN_K}
+GROUP BY 1, 2
+"""
+
 SQL["ann_lsh_topk"] = f"""
 WITH b AS (
     SELECT vec_id, embedding, {_bucket_expr('embedding')} AS bucket

@@ -205,6 +205,9 @@ _DEFS: dict[str, QueryFn] = {
     "ann_bruteforce_topk": lambda s, d: similarity.ann_bruteforce_topk(
         _t(s, d, "embeddings")
     ),
+    "knn_label_purity": lambda s, d: similarity.knn_label_purity(
+        _t(s, d, "embeddings")
+    ),
     "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(_t(s, d, "embeddings")),
     "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(_t(s, d, "embeddings")),
     "embedding_kmeans_iter": lambda s, d: similarity.embedding_kmeans_iter(
@@ -467,7 +470,7 @@ _DEFS: dict[str, QueryFn] = {
 # separately afterwards.
 _PRIORITY: list[str] = [
     "repeated_span_excision", "span_excision_stats",
-    "token_distribution_drift",
+    "token_distribution_drift", "knn_label_purity",
     "dedup_ngram_jaccard_scaled", "bpe_train_merges_batched",
     "bpe_fertility_stats_batched",
     "ann_ivf_topk", "ann_recall_report",

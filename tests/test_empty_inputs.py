@@ -95,6 +95,9 @@ CASES = {
     "span_excision_stats": lambda s, d: text.span_excision_stats(
         _empty(s, d, "documents")
     ),
+    "knn_label_purity": lambda s, d: similarity.knn_label_purity(
+        _empty(s, d, "embeddings")
+    ),
     "token_distribution_drift": lambda s, d: text.token_distribution_drift(
         _empty(s, d, "documents")
     ),

@@ -370,6 +370,64 @@ def test_token_distribution_drift_uniform_source_zero(spark):
     assert len(rows) == 1 and rows[0].kl_drift == 0.0
 
 
+def test_knn_label_purity_matches_bruteforce_composition(spark, sf_dir):
+    """Purity must equal what you get by labeling ann_bruteforce_topk's
+    neighbor lists by hand -- same probes, same top-k, same
+    tie-breaks."""
+    from de_realtime_voting_spark.queries import QUERY_REGISTRY
+    from de_realtime_voting_spark.sources import load_table
+
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    topk: dict[int, list[int]] = {}
+    for r in QUERY_REGISTRY["ann_bruteforce_topk"](spark, sf_dir).collect():
+        topk.setdefault(r.query_id, []).append(r.neighbor_id)
+    got = {
+        r.query_id: (r.query_label, r.n_same_label, r.purity)
+        for r in QUERY_REGISTRY["knn_label_purity"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(topk) and len(got) > 0
+    for q, nbrs in topk.items():
+        same = sum(1 for n in nbrs if labels[n] == labels[q])
+        assert got[q] == (labels[q], same, round(same / len(nbrs), 6))
+
+
+def test_knn_label_purity_perfect_cluster(spark):
+    """A probe whose 5 nearest vectors all share its label reads
+    purity 1.0; a probe surrounded by the other label reads 0.0."""
+    import numpy as np
+
+    from de_realtime_voting_spark.constants import ANN_K, EMBEDDING_DIM
+    from de_realtime_voting_spark.operators.similarity import knn_label_purity
+
+    rng_a = np.zeros(EMBEDDING_DIM, dtype=np.float32)
+    rng_a[0] = 1.0
+    rng_b = np.zeros(EMBEDDING_DIM, dtype=np.float32)
+    rng_b[1] = 1.0
+    rows = []
+    # probe 0 (label 1) + ANN_K same-label twins near axis 0
+    rows.append((0, [float(x) for x in rng_a], 1))
+    for i in range(1, ANN_K + 1):
+        v = rng_a.copy()
+        v[2] = 0.01 * i
+        rows.append((i, [float(x) for x in v], 1))
+    # probe 5? no -- fill the other cluster far away on axis 1 with
+    # label 2 so probe 0's top-k stays inside its own cluster
+    for i in range(ANN_K + 1, 2 * ANN_K + 2):
+        v = rng_b.copy()
+        v[3] = 0.01 * i
+        rows.append((i, [float(x) for x in v], 2))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = {r.query_id: r for r in knn_label_purity(emb).collect()}
+    assert out[0].purity == 1.0 and out[0].n_same_label == ANN_K
+
+
 def test_bpe_fertility_batched_invariants(spark, sf_dir):
     """Fertility report sanity for the batched build: merges only
     ever shrink the symbol stream, so per-lang total_symbols is
