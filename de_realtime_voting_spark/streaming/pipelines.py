@@ -477,6 +477,105 @@ def stream_decontam_gate(documents: DataFrame, eval_grams: list[str]) -> DataFra
     return documents.where(~F.coalesce(contaminated, F.lit(False)))
 
 
+def reference_gram_set(corpus: DataFrame) -> list[str]:
+    """Collect the committed corpus's distinct word SPAN_NGRAM_K-grams
+    -- the static reference stream_span_excision ships to executors.
+    An index-artifact collect (the eval_gram_set pattern), valid for
+    BOUNDED reference sets (a curated benchmark, a licence-block
+    library, a hot-boilerplate list); a full 100 TB corpus gram set
+    does not fit a closure -- that regime routes through the Bloom
+    split documented on stream_span_excision."""
+    from ..constants import SPAN_NGRAM_K
+    from ..functions import tokens
+
+    k = SPAN_NGRAM_K
+    toks_d = (
+        corpus.select(tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= k)
+    )
+    grams = toks_d.select(
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (k - 1))).alias("pos"),
+        "toks",
+    ).select(F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), k)).alias("gram"))
+    return [r["gram"] for r in grams.distinct().collect()]
+
+
+def stream_span_excision(documents: DataFrame, ref_grams: list[str]) -> DataFrame:
+    """Ingest-time exact-substring excision: for each arriving doc,
+    the token spans whose word SPAN_NGRAM_K-grams already exist in a
+    STATIC reference gram set (the committed corpus), merged into
+    maximal cut intervals -- the streaming face of batch
+    repeated_span_excision (#47b).  The batch op's keep-first rule
+    needs a corpus-wide ranking; at ingest the reference corpus is
+    already committed, so every matching window in an arriving doc is
+    removable by definition (the retained copy lives in the corpus).
+
+    COMPLETELY STATELESS: the reference grams ship as an in-closure
+    array literal (the stream_decontam_gate pattern), matching is
+    O(grams) hash probes map-side, and the gaps-and-islands merge
+    folds over the doc's own (ascending) match positions with an
+    array aggregate -- no explode, no window, no state store, append
+    mode.  Output keeps EVERY doc with its (possibly empty) cut
+    list, so a downstream writer applies cuts without a join.  At
+    100 TB-scale reference sets, swap the closure literal for the
+    Bloom-prefilter + batch-verify split (stream_bloom_quarantine's
+    architecture); the span algebra here is unchanged.
+    """
+    from ..constants import SPAN_NGRAM_K
+    from ..functions import tokens
+
+    k = SPAN_NGRAM_K
+    toks = tokens(F.col("text"))
+    npos = F.size(toks) - (k - 1)
+    seq = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    ref = F.lit(ref_grams).cast("array<string>")
+    match_pos = F.filter(
+        seq,
+        lambda p: F.array_contains(ref, F.concat_ws(" ", F.slice(toks, p, k))),
+    )
+    empty = F.array().cast("array<struct<s:int,m:int>>")
+
+    def _fold(acc, p):
+        last = F.element_at(acc, -1)
+        merged = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(F.struct(last["s"].alias("s"), p.alias("m"))),
+        )
+        appended = F.concat(acc, F.array(F.struct(p.alias("s"), p.alias("m"))))
+        return F.when(
+            (F.size(acc) > 0) & (p <= last["m"] + k), merged
+        ).otherwise(appended)
+
+    islands = F.aggregate(match_pos, empty, _fold)
+    spans = F.transform(
+        islands,
+        lambda s: F.struct(
+            s["s"].cast("bigint").alias("span_start"),
+            (s["m"] + (k - 1)).cast("bigint").alias("span_end"),
+            (s["m"] + (k - 1) - s["s"] + 1).cast("bigint").alias("n_tokens"),
+        ),
+    )
+    return documents.select(
+        "doc_id",
+        F.coalesce(F.size(spans), F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce(
+            F.aggregate(
+                islands,
+                F.lit(0).cast("bigint"),
+                lambda a, s: a + (s["m"] + (k - 1) - s["s"] + 1),
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("tokens_removed"),
+        F.coalesce(spans, F.array().cast(
+            "array<struct<span_start:bigint,span_end:bigint,n_tokens:bigint>>"
+        )).alias("spans"),
+    )
+
+
 def stream_bloom_quarantine(documents: DataFrame, corpus: DataFrame) -> DataFrame:
     """Ingest-time contamination TRIAGE for eval suites too big to
     ship as a closure array: route each arriving doc to ``admit`` or

@@ -1012,6 +1012,93 @@ def test_stream_semantic_dedup_matches_batch(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_stream_span_excision_matches_python_reference(spark, sf_dir):
+    """Ingest-time excision against a static reference gram set: the
+    streamed cut lists must match a python reference that finds every
+    matching window and merges overlapping/adjacent intervals."""
+    from de_realtime_voting_spark.constants import SPAN_NGRAM_K
+    from de_realtime_voting_spark.streaming import (
+        reference_gram_set,
+        stream_span_excision,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # reference = the even-doc half of the corpus; stream the odd half
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    incoming = docs.where(F.col("doc_id") % 2 == 1)
+    ref_grams = reference_gram_set(ref)
+    assert ref_grams
+
+    k = SPAN_NGRAM_K
+    eset = set(ref_grams)
+
+    def spans_of(text):
+        toks = [t for t in (text or "").split(" ") if t]
+        ps = [
+            i + 1
+            for i in range(len(toks) - k + 1)
+            if " ".join(toks[i : i + k]) in eset
+        ]
+        out = []
+        for p in ps:
+            if out and p <= out[-1][1] + k:
+                out[-1] = (out[-1][0], p)
+            else:
+                out.append((p, p))
+        return [(s, m + k - 1, m + k - 1 - s + 1) for s, m in out]
+
+    want = {
+        r["doc_id"]: spans_of(r["text"])
+        for r in incoming.select("doc_id", "text").collect()
+    }
+    assert any(want.values())  # dup classes straddle the halves
+
+    d = tempfile.mkdtemp(prefix="docs_span_exc_")
+    try:
+        incoming.repartition(2).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(docs.schema).parquet(d)
+        got_df = _run_stream_to_memory(
+            spark, stream_span_excision(stream, ref_grams), "span_exc", "append"
+        )
+        got = {
+            r["doc_id"]: [tuple(s) for s in r["spans"]] for r in got_df.collect()
+        }
+        assert set(got) == set(want)
+        for doc_id, spans in want.items():
+            assert got[doc_id] == spans, doc_id
+        # scalar columns agree with the span arrays
+        for r in got_df.collect():
+            assert r["n_spans"] == len(r["spans"])
+            assert r["tokens_removed"] == sum(s["n_tokens"] for s in r["spans"])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_span_excision_short_null_and_clean_docs(spark):
+    """Null/short/clean docs flow through with empty cut lists; a doc
+    repeating a reference gram twice with a gap gets two spans."""
+    from de_realtime_voting_spark.streaming import stream_span_excision
+
+    ref_text = " ".join(f"r{i}" for i in range(8))
+    gap_doc = ref_text + " zzz " + ref_text
+    df = spark.createDataFrame(
+        [
+            (1, None, "en", "s", 0),
+            (2, "tiny doc", "en", "s", 8),
+            (3, " ".join(f"u{i}" for i in range(12)), "en", "s", 40),
+            (4, gap_doc, "en", "s", len(gap_doc)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in stream_span_excision(df, [ref_text]).collect()}
+    for i in (1, 2, 3):
+        assert got[i]["n_spans"] == 0 and got[i]["tokens_removed"] == 0
+        assert list(got[i]["spans"]) == []
+    # gap doc: windows at pos 1 and pos 10; 10 > 1 + 8 -> two spans
+    assert [tuple(s) for s in got[4]["spans"]] == [(1, 8, 8), (10, 17, 8)]
+    assert got[4]["n_spans"] == 2 and got[4]["tokens_removed"] == 16
+
+
 def test_stream_decontam_gate_matches_python_reference(spark, sf_dir):
     """Ingest-time decontamination: the stateless gate must admit
     exactly the docs whose word-8-gram set is disjoint from the eval
