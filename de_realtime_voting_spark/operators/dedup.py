@@ -1675,3 +1675,131 @@ def dedup_sorted_neighborhood(documents: DataFrame) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
     )
+
+
+def cross_source_dup_matrix(documents: DataFrame) -> DataFrame:
+    """Source-pair duplication matrix: for every unordered pair of
+    sources (diagonal included), how many VERIFIED near-dup pairs
+    (dedup_minhash_pairs' bound) straddle them, and each cell's share
+    of all verified pairs -- the curation report that tells you WHICH
+    feeds mirror each other (site scrapes vs their CDN copies, forum
+    dumps vs aggregators) before deciding what to drop wholesale.
+    near_dup_rate_by_source answers "how redundant is each source";
+    this answers "redundant AGAINST WHAT".  (No reference analog --
+    training-data mandate.)
+
+    Scale shape: the pair set is bucket-bounded (never all-pairs);
+    labeling is two joins against a 2-column doc projection (AQE
+    broadcasts the sparse side); least/greatest canonicalizes the
+    unordered cell; final agg groups by a source-pair key, dim^2
+    rows at most.  The share denominator rides a broadcast 1-row
+    aggregate (the Q22 scalar-subquery idiom).
+    """
+    pairs = dedup_minhash_pairs(documents).select("doc_a", "doc_b")
+    src = documents.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    # cells feeds BOTH the share denominator and the output: persist
+    # the (dim^2-bounded) frame so the minhash verify pipeline above
+    # it runs once, not twice (measured 11.5s -> ~2s at sf0.001)
+    cells = labeled.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    ).persist()
+    total = F.broadcast(
+        cells.agg(F.sum("n_pairs").cast("bigint").alias("n_total"))
+    )
+    return cells.crossJoin(total).select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        rnd(F.col("n_pairs") / F.col("n_total"), 6).alias("pair_share"),
+    )
+
+
+def minhash_band_collision_stats(documents: DataFrame) -> DataFrame:
+    """LSH tuning report: per band index, bucket occupancy and the
+    exact candidate-pair workload sum(k*(k-1)/2) the band join will
+    generate -- the number you read BEFORE running a 100 TB dedup to
+    size the verify stage (and the signal to widen bands when one
+    hot bucket would dominate: max_bucket^2 is the worst single-key
+    join task).  (No reference analog -- training-data mandate.)
+
+    Scale shape: one groupBy(band_idx, band_hash) count -- map-side
+    partials over the already-banded frame -- then a 4-row (N_BANDS)
+    rollup; no pair is ever materialized, which is the point: the
+    report costs O(docs x bands), the dedup it predicts costs
+    O(sum k^2).
+    """
+    per_bucket = _doc_bands(documents).groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return per_bucket.groupBy("band_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("k").cast("bigint").alias("n_docs"),
+        F.sum((F.col("k") > 1).cast("int")).cast("bigint").alias("n_colliding_buckets"),
+        F.sum((F.col("k") * (F.col("k") - 1) / 2).cast("bigint")).alias(
+            "candidate_pairs"
+        ),
+        F.max("k").cast("bigint").alias("max_bucket"),
+    )
+
+
+def dup_quality_report(documents: DataFrame) -> DataFrame:
+    """Quality x duplication interaction per source: the composite
+    quality score (text._doc_quality) averaged separately over docs
+    that participate in a verified near-dup pair vs docs that don't
+    -- the empirical check of the "duplicates are boilerplate"
+    assumption that justifies aggressive dedup.  If dup quality ~
+    clean quality for a source, its duplication is mirroring, not
+    junk, and dedup should keep-canonical rather than down-weight.
+    (No reference analog -- training-data mandate.)
+
+    Scale shape: flagged ids reduce to a sparse distinct set (left
+    join, AQE broadcast); quality is a map-side expression over one
+    tokenize pass; one per-source agg.  Averages of empty sides stay
+    NULL (a source with no dups has no dup average), matching SQL
+    semantics cross-engine.
+    """
+    from .text import _doc_quality
+
+    pairs = dedup_minhash_pairs(documents).select("doc_a", "doc_b")
+    dup_docs = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    toks = F.col("toks")
+    scored = documents.select(
+        "doc_id", "source", tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        "source",
+        F.when(F.size(toks) > 0, _doc_quality(toks)).otherwise(F.lit(0.0)).alias(
+            "quality"
+        ),
+    )
+    flagged = scored.join(dup_docs, "doc_id", "left").select(
+        "source", "quality", F.coalesce("is_dup", F.lit(0)).alias("is_dup")
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_docs"),
+        rnd(F.avg(F.when(F.col("is_dup") == 1, F.col("quality"))), 4).alias(
+            "avg_dup_quality"
+        ),
+        rnd(F.avg(F.when(F.col("is_dup") == 0, F.col("quality"))), 4).alias(
+            "avg_clean_quality"
+        ),
+    )

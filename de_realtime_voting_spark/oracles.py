@@ -3657,6 +3657,96 @@ SELECT doc_id, source,
 FROM r2 GROUP BY 1, 2
 """
 
+SQL["cross_source_dup_matrix"] = f"""{_MINHASH_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+ver AS (
+    SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               len(list_intersect(sa.shingles, sb.shingles))
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b
+    ) WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+lab AS (
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b
+    FROM ver
+    JOIN documents da ON da.doc_id = ver.doc_a
+    JOIN documents db ON db.doc_id = ver.doc_b
+),
+cells AS (
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM lab GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_pairs,
+       ROUND(n_pairs / (SELECT SUM(n_pairs) FROM cells), 6) AS pair_share
+FROM cells
+"""
+
+SQL["minhash_band_collision_stats"] = f"""{_MINHASH_CTES},
+pb AS (
+    SELECT band_idx, band_hash, COUNT(*) AS k FROM bands GROUP BY 1, 2
+)
+SELECT band_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(k) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_colliding_buckets,
+       CAST(SUM(CAST(k * (k - 1) / 2 AS BIGINT)) AS BIGINT) AS candidate_pairs,
+       CAST(MAX(k) AS BIGINT) AS max_bucket
+FROM pb GROUP BY 1
+"""
+
+SQL["dup_quality_report"] = f"""{_MINHASH_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+ver AS (
+    SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               len(list_intersect(sa.shingles, sb.shingles))
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b
+    ) WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+dup AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM ver
+        UNION ALL SELECT doc_b AS doc_id FROM ver
+    )
+),
+q AS (
+    SELECT doc_id, source,
+           CASE WHEN len(toks) > 0 THEN ROUND(
+               LEAST(len(toks) / 200.0, 1.0) * 0.5
+               + (len(list_filter(toks, w -> list_contains({_STOPLIST}, w)))
+                  / len(toks)) * 0.3
+               + LEAST((list_aggregate(list_transform(toks, w -> length(w)), 'sum')
+                        / len(toks)) / 10.0, 1.0) * 0.2,
+               6)
+           ELSE 0.0 END AS quality,
+           CASE WHEN doc_id IN (SELECT doc_id FROM dup) THEN 1 ELSE 0 END AS is_dup
+    FROM (SELECT doc_id, source, {_TOKS} AS toks FROM documents)
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+       ROUND(AVG(CASE WHEN is_dup = 1 THEN quality END), 4) AS avg_dup_quality,
+       ROUND(AVG(CASE WHEN is_dup = 0 THEN quality END), 4) AS avg_clean_quality
+FROM q GROUP BY 1
+"""
+
 # Applied LAST so every entry above -- including late additions -- gets
 # the engine-exact half-up rounding rewrite.
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

@@ -359,6 +359,15 @@ _DEFS: dict[str, QueryFn] = {
     "near_dup_rate_by_source": lambda s, d: dedup.near_dup_rate_by_source(
         _t(s, d, "documents")
     ),
+    "cross_source_dup_matrix": lambda s, d: dedup.cross_source_dup_matrix(
+        _t(s, d, "documents")
+    ),
+    "minhash_band_collision_stats": lambda s, d: dedup.minhash_band_collision_stats(
+        _t(s, d, "documents")
+    ),
+    "dup_quality_report": lambda s, d: dedup.dup_quality_report(
+        _t(s, d, "documents")
+    ),
     "voter_retention_cohort": lambda s, d: voting.voter_retention_cohort(
         _t(s, d, "events")
     ),
@@ -469,6 +478,8 @@ _DEFS: dict[str, QueryFn] = {
 # predate bpe_fertility_stats_batched, whose rows were appended
 # separately afterwards.
 _PRIORITY: list[str] = [
+    "cross_source_dup_matrix", "minhash_band_collision_stats",
+    "dup_quality_report",
     "repeated_span_excision", "span_excision_stats",
     "token_distribution_drift", "knn_label_purity",
     "dedup_ngram_jaccard_scaled", "bpe_train_merges_batched",

@@ -1,0 +1,120 @@
+"""Round-6b operator tests: source-pair dup matrix, LSH collision
+stats, and the quality x duplication interaction report.
+
+Each op is pinned against the frames it derives from (the verified
+minhash pair set / the band frame), so the tests fail if the derived
+report ever drifts from its ground truth rather than merely checking
+shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from de_realtime_voting_spark.operators import dedup
+from de_realtime_voting_spark.sources.tables import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_cross_source_dup_matrix_accounts_every_pair(spark, sf_dir):
+    """Cell counts must partition the verified pair set exactly:
+    summing n_pairs over cells reproduces |pairs|, shares sum to 1,
+    and each cell equals a hand-labeled recount of the pair frame."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.dedup_minhash_pairs(docs).collect()
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    want: dict[tuple[str, str], int] = {}
+    for p in pairs:
+        a, b = sorted((src[p.doc_a], src[p.doc_b]))
+        want[(a, b)] = want.get((a, b), 0) + 1
+    spark.catalog.clearCache()
+
+    got = dedup.cross_source_dup_matrix(docs).collect()
+    assert {(r.source_a, r.source_b): r.n_pairs for r in got} == want
+    assert sum(r.n_pairs for r in got) == len(pairs)
+    assert abs(sum(r.pair_share for r in got) - 1.0) < 1e-4
+    for r in got:
+        assert r.source_a <= r.source_b
+    spark.catalog.clearCache()
+
+
+def test_minhash_band_collision_stats_match_band_frame(spark, sf_dir):
+    """Per-band stats must recount the band frame exactly, and the
+    candidate_pairs column must equal the exact number of unordered
+    in-bucket pairs (the verify-stage workload it predicts)."""
+    docs = _docs(spark, sf_dir)
+    bands = dedup._doc_bands(docs).collect()
+    buckets: dict[tuple[int, str], int] = {}
+    for r in bands:
+        buckets[(r.band_idx, r.band_hash)] = buckets.get((r.band_idx, r.band_hash), 0) + 1
+    want = {}
+    for (bi, _), k in buckets.items():
+        w = want.setdefault(bi, [0, 0, 0, 0, 0])  # buckets, docs, colliding, pairs, max
+        w[0] += 1
+        w[1] += k
+        w[2] += 1 if k > 1 else 0
+        w[3] += k * (k - 1) // 2
+        w[4] = max(w[4], k)
+    spark.catalog.clearCache()
+
+    got = dedup.minhash_band_collision_stats(docs).collect()
+    assert len(got) == len(want)
+    for r in got:
+        b, d, c, p, m = want[r.band_idx]
+        assert (r.n_buckets, r.n_docs, r.n_colliding_buckets) == (b, d, c)
+        assert (r.candidate_pairs, r.max_bucket) == (p, m)
+
+
+def test_dup_quality_report_splits_flagged_vs_clean(spark, sf_dir):
+    """n_docs covers every doc of the source, n_dup_docs counts the
+    distinct docs in verified pairs, and the two averages are taken
+    over disjoint doc sets that union to the source."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.dedup_minhash_pairs(docs).collect()
+    flagged = {d for p in pairs for d in (p.doc_a, p.doc_b)}
+    totals = {
+        r.source: r.cnt
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    dup_by_src = {}
+    for r in docs.select("doc_id", "source").collect():
+        if r.doc_id in flagged:
+            dup_by_src[r.source] = dup_by_src.get(r.source, 0) + 1
+    spark.catalog.clearCache()
+
+    got = {r.source: r for r in dedup.dup_quality_report(docs).collect()}
+    assert set(got) == set(totals)
+    for source, r in got.items():
+        assert r.n_docs == totals[source]
+        assert r.n_dup_docs == dup_by_src.get(source, 0)
+        # a source with no dups has no dup average (and vice versa)
+        if r.n_dup_docs == 0:
+            assert r.avg_dup_quality is None
+        else:
+            assert 0.0 <= r.avg_dup_quality <= 1.0
+        if r.n_dup_docs == r.n_docs:
+            assert r.avg_clean_quality is None
+        else:
+            assert 0.0 <= r.avg_clean_quality <= 1.0
+    spark.catalog.clearCache()
+
+
+def test_dup_quality_report_null_dup_average_on_clean_corpus(spark):
+    """A corpus with no near-dups yields n_dup_docs = 0 everywhere
+    and a NULL dup-side average -- the report must not invent 0.0."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s1", 35),
+        (2, "one two three four five six seven", "en", "s1", 33),
+        (3, "totally different words here now ok", "en", "s2", 35),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r.source: r for r in dedup.dup_quality_report(docs).collect()}
+    assert got["s1"].n_dup_docs == 0 and got["s2"].n_dup_docs == 0
+    assert got["s1"].avg_dup_quality is None
+    assert got["s1"].avg_clean_quality is not None
+    spark.catalog.clearCache()
