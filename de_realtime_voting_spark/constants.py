@@ -333,6 +333,14 @@ SNM_WINDOW = 2
 CMS_DEPTH = 3
 CMS_WIDTH = 1024
 HH_TOPK = 20
+# Hashed-histogram drift monitor: tokens fold onto DRIFT_BUCKETS
+# md5-mod counters, so a distribution comparison (total-variation
+# distance) costs one wide row per source regardless of vocabulary --
+# the bounded-state shape a streaming aggregation needs.  Hashing is
+# contractive for TV (each bucket sums non-negative probability
+# mass), so hashed-TV <= true token-level TV: a clean "no drift"
+# reading is trustworthy, a high reading localizes to buckets.
+DRIFT_BUCKETS = 64
 # Two-stage retrieval: the PQ-ADC scan shortlists 3*ANN_K candidates
 # per query; raw vectors are fetched ONLY for the shortlist and exact
 # cosine fixes the quantization error in the final order -- the

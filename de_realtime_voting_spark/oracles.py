@@ -3747,6 +3747,32 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM q GROUP BY 1
 """
 
+from .constants import DRIFT_BUCKETS  # noqa: E402
+
+SQL["token_bucket_drift"] = f"""
+WITH bt AS (
+    SELECT source, {_duck_md5_mod('tok', DRIFT_BUCKETS)} AS b
+    FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+),
+sc AS (
+    SELECT s.source, r.range AS b, COALESCE(c.k, 0) AS k, s.n_tokens
+    FROM (SELECT source, COUNT(*) AS n_tokens FROM bt GROUP BY 1) s
+    CROSS JOIN range({DRIFT_BUCKETS}) r
+    LEFT JOIN (SELECT source, b, COUNT(*) AS k FROM bt GROUP BY 1, 2) c
+      ON c.source = s.source AND c.b = r.range
+),
+corp AS (
+    SELECT b, SUM(k) AS ck FROM sc GROUP BY 1
+),
+tot AS (SELECT SUM(ck) AS n FROM corp)
+SELECT source,
+       CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(0.5 * list_aggregate(
+           list(ABS(k / n_tokens - ck / n) ORDER BY b), 'sum'), 6) AS tv_drift
+FROM sc JOIN corp USING (b) CROSS JOIN tot
+GROUP BY 1
+"""
+
 # Applied LAST so every entry above -- including late additions -- gets
 # the engine-exact half-up rounding rewrite.
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

@@ -368,6 +368,9 @@ _DEFS: dict[str, QueryFn] = {
     "dup_quality_report": lambda s, d: dedup.dup_quality_report(
         _t(s, d, "documents")
     ),
+    "token_bucket_drift": lambda s, d: text.token_bucket_drift(
+        _t(s, d, "documents")
+    ),
     "voter_retention_cohort": lambda s, d: voting.voter_retention_cohort(
         _t(s, d, "events")
     ),
@@ -479,7 +482,7 @@ _DEFS: dict[str, QueryFn] = {
 # separately afterwards.
 _PRIORITY: list[str] = [
     "cross_source_dup_matrix", "minhash_band_collision_stats",
-    "dup_quality_report",
+    "dup_quality_report", "token_bucket_drift",
     "repeated_span_excision", "span_excision_stats",
     "token_distribution_drift", "knn_label_purity",
     "dedup_ngram_jaccard_scaled", "bpe_train_merges_batched",

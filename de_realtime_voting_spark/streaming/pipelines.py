@@ -776,3 +776,46 @@ def stream_votes_sliding_window(votes: DataFrame, delay: str = "1 minute") -> Da
     candidates x in-flight windows (at most 2 overlapping per hour
     of watermark lag)."""
     return voting.votes_sliding_window(watermark_votes(votes, delay))
+
+
+def reference_bucket_distribution(corpus: DataFrame) -> list[float]:
+    """The committed corpus's DRIFT_BUCKETS-bucket token distribution
+    -- the static reference stream_token_drift ships to executors.
+    An H-float model artifact (H = DRIFT_BUCKETS, fixed), so the
+    collect is bounded by construction -- the same contract as the
+    unigram-LM and IVF-centroid artifacts."""
+    from ..constants import DRIFT_BUCKETS
+    from ..operators.text import token_bucket_counts
+
+    row = (
+        token_bucket_counts(corpus)
+        .agg(
+            F.sum("n_tokens").alias("n"),
+            *[F.sum(f"c{i}").alias(f"t{i}") for i in range(DRIFT_BUCKETS)],
+        )
+        .collect()[0]
+    )
+    n = row["n"] or 0
+    return [(row[f"t{i}"] / n) if n else 0.0 for i in range(DRIFT_BUCKETS)]
+
+
+def stream_token_drift(documents: DataFrame, ref_dist: list[float]) -> DataFrame:
+    """Live distribution-drift monitor: per source, the running
+    total-variation distance between the arriving feed's hashed
+    token-bucket distribution and a static reference (the committed
+    corpus) -- the ingest-time alarm for "this feed's language
+    shifted" (spam floods, template injections, encoding breakage)
+    that fires long before a nightly exact-KL batch job would.
+    Hashed-bucket twin of batch operators.text.token_bucket_drift
+    (same token_bucket_counts transform, same md5 bucket hash).
+
+    THE bounded-state drift shape: ONE streaming aggregation whose
+    state is sources x (DRIFT_BUCKETS+1) counters -- independent of
+    vocabulary and stream length (per-token exact counts would grow
+    with vocab; that is what this replaces) -- then a stateless
+    map-side TV fold against the in-closure reference.  Update mode:
+    each micro-batch re-emits the sources whose histogram moved.
+    """
+    from ..operators.text import bucket_tv_drift, token_bucket_counts
+
+    return bucket_tv_drift(token_bucket_counts(documents, streamable=True), ref_dist)

@@ -118,3 +118,19 @@ def test_dup_quality_report_null_dup_average_on_clean_corpus(spark):
     assert got["s1"].avg_dup_quality is None
     assert got["s1"].avg_clean_quality is not None
     spark.catalog.clearCache()
+
+
+def test_token_bucket_counts_two_plans_agree(spark, sf_dir):
+    """The batch (two-stage) and streamable (one-agg) plans of
+    token_bucket_counts must produce identical wide rows -- the
+    cms_sketch_from_counts-style twin pin that lets the batch face
+    keep the cheaper plan without the faces drifting apart."""
+    from de_realtime_voting_spark.operators.text import token_bucket_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["source"]: r.asDict() for r in token_bucket_counts(docs).collect()}
+    b = {
+        r["source"]: r.asDict()
+        for r in token_bucket_counts(docs, streamable=True).collect()
+    }
+    assert a == b and a

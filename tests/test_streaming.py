@@ -1514,3 +1514,72 @@ def test_kafka_end_to_end_tally(spark, tmp_path):
         for r in votes_per_candidate(votes_batch).collect()
     }
     assert got == want
+
+
+def test_stream_token_drift_matches_batch_and_python(spark, sf_dir):
+    """Ingest-time drift vs a static reference: the streamed per-
+    source TV drift must equal (a) the shared-transform batch path on
+    the same docs and (b) an independent python recount of the md5
+    bucket histogram.  Update mode: the memory sink's final row per
+    source is the full-stream histogram (availableNow drains all)."""
+    from de_realtime_voting_spark.constants import DRIFT_BUCKETS
+    from de_realtime_voting_spark.operators.text import (
+        bucket_tv_drift,
+        token_bucket_counts,
+    )
+    from de_realtime_voting_spark.streaming import (
+        reference_bucket_distribution,
+        stream_token_drift,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref_docs = docs.where(F.col("doc_id") % 2 == 0)
+    incoming = docs.where(F.col("doc_id") % 2 == 1)
+    ref = reference_bucket_distribution(ref_docs)
+    assert len(ref) == DRIFT_BUCKETS and abs(sum(ref) - 1.0) < 1e-9
+
+    # python recount: same md5 bucket hash, same fold order
+    import hashlib
+
+    hist: dict[str, list[int]] = {}
+    for r in incoming.select("source", "text").collect():
+        for tok in (r["text"] or "").split(" "):
+            if not tok:
+                continue
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % DRIFT_BUCKETS
+            hist.setdefault(r["source"], [0] * DRIFT_BUCKETS)[b] += 1
+    want = {}
+    for source, counts in hist.items():
+        n = sum(counts)
+        tv = 0.0
+        for i in range(DRIFT_BUCKETS):
+            tv += abs(counts[i] / n - ref[i])
+        want[source] = (n, 0.5 * tv)
+
+    batch = {
+        r["source"]: (r["n_tokens"], r["tv_drift"])
+        for r in bucket_tv_drift(token_bucket_counts(incoming), ref).collect()
+    }
+
+    d = tempfile.mkdtemp(prefix="docs_drift_")
+    try:
+        incoming.repartition(3).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(docs.schema).parquet(d)
+        got_df = _run_stream_to_memory(
+            spark, stream_token_drift(stream, ref), "tok_drift", "update"
+        )
+        # update mode re-emits rows per micro-batch; availableNow with
+        # one batch means one row per source, but guard by taking the
+        # max-n_tokens (latest) row per source
+        rows = {}
+        for r in got_df.collect():
+            cur = rows.get(r["source"])
+            if cur is None or r["n_tokens"] > cur[0]:
+                rows[r["source"]] = (r["n_tokens"], r["tv_drift"])
+        assert set(rows) == set(want)
+        for source, (n, tv) in want.items():
+            assert rows[source][0] == n
+            assert abs(rows[source][1] - tv) < 2e-6, source
+            assert rows[source] == batch[source]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
