@@ -89,6 +89,7 @@ def write_vote_slices(
 DOC_VOCAB = 800
 DOC_TOKENS = 30
 D_BASE = 1_000
+DOC_SOURCES = 8
 
 
 def write_doc_slices(out_dir: str, volume: int) -> None:
@@ -103,6 +104,7 @@ def write_doc_slices(out_dir: str, volume: int) -> None:
         tab = pa.table(
             {
                 "doc_id": pa.array(list(idx), pa.int64()),
+                "source": pa.array([f"s{i % DOC_SOURCES}" for i in idx]),
                 "text": pa.array(
                     [
                         " ".join(
@@ -203,7 +205,7 @@ def run_stateful(spark, src_dir: str, schema, build, output_mode: str) -> dict:
 
 def _pipelines():
     """(name, domain, build, mode, bound_rows, growth_cap, contract)."""
-    from de_realtime_voting_spark.constants import CMS_DEPTH, CMS_WIDTH
+    from de_realtime_voting_spark.constants import CMS_DEPTH, CMS_WIDTH, DRIFT_BUCKETS
     from de_realtime_voting_spark.streaming import pipelines as P
     from de_realtime_voting_spark.streaming import state as S
 
@@ -265,6 +267,11 @@ def _pipelines():
         ("stream_token_cms", "docs", P.stream_token_cms, "update",
          CMS_DEPTH * CMS_WIDTH, 1.05,
          "CMS_DEPTH x CMS_WIDTH counter rows regardless of stream length"),
+        ("stream_token_drift", "docs",
+         lambda d: P.stream_token_drift(d, [1.0 / DRIFT_BUCKETS] * DRIFT_BUCKETS),
+         "update", DOC_SOURCES, 1.05,
+         "one wide row per source (DRIFT_BUCKETS+1 counters inside the "
+         "row) regardless of vocabulary and stream length"),
         # --- the documented linear-in-rate exception -------------------
         ("stream_repeat_vote_pairs", "votes", P.stream_repeat_vote_pairs,
          "append", int(2 * 1.3 * (V_BASE * 10 // 2)), 13.0,
@@ -300,6 +307,7 @@ def main() -> None:
     ])
     doc_schema = StructType([
         StructField("doc_id", LongType()),
+        StructField("source", StringType()),
         StructField("text", StringType()),
     ])
 
