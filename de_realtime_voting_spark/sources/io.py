@@ -11,6 +11,7 @@ partition columns that prune at the scan, and no driver-side I/O.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -164,3 +165,58 @@ def jdbc_writer(
     for k, v in options.items():
         writer = writer.option(k, v)
     return writer
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """ORC reader (the other columnar lake format Spark ships a
+    vectorized native reader for).  Same scan-level behavior as the
+    parquet path: predicate pushdown, column pruning, partition
+    pruning; pass a schema to skip footer-merging across a very wide
+    file listing."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink, optionally hive-partitioned (same pruning rationale
+    as write_partitioned)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Directory-of-blobs reader (Spark's `binaryFile` source): one
+    row per file with (path, modificationTime, length, content) --
+    the ingestion face of the multimodal pipeline (operators/
+    multimodal.py decodes the `content` column).
+
+    Scale notes: files are the parallelism unit (one task per file
+    up to maxPartitionBytes), so millions of small blobs want a
+    compaction pass into parquet binary columns (multimodal_chunk
+    pattern) rather than living as loose files; `glob` prunes the
+    listing (e.g. '*.jpg') BEFORE any read, and `max_bytes` guards
+    executors against a rogue multi-GiB blob entering a row.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= max_bytes)
+    return df

@@ -141,3 +141,59 @@ def test_jdbc_reader_is_lazy_and_validates(spark):
     assert reader is not None
     with pytest.raises(ValueError, match="lower_bound"):
         jdbc_reader(spark, "jdbc:x", "t", partition_column="id")
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_out):
+    """ORC write -> read round trip preserves rows, and a filter on a
+    scan column reaches the ORC reader as a pushed filter (the same
+    scan-level contract the parquet loader has)."""
+    from de_realtime_voting_spark.sources import read_orc, write_orc
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = f"{tmp_out}/orders_orc"
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    assert back.schema == orders.schema
+
+    filtered = back.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderstatus" in plan
+    assert filtered.count() == orders.where("o_orderstatus = 'F'").count()
+
+
+def test_orc_partitioned_prunes(spark, sf_dir, tmp_out):
+    from de_realtime_voting_spark.sources import read_orc, write_orc
+
+    events = load_table(spark, sf_dir, "events")
+    path = f"{tmp_out}/events_orc_by_type"
+    write_orc(events, path, partition_by=["event_type"])
+    back = read_orc(spark, path)
+    pruned = back.where(F.col("event_type") == "click")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert pruned.count() == events.where("event_type = 'click'").count()
+
+
+def test_read_binary_dir_glob_and_size_guard(spark, tmp_out):
+    """binaryFile ingestion: one row per file with content bytes;
+    pathGlobFilter prunes the listing, max_bytes guards rogue blobs."""
+    import os
+
+    from de_realtime_voting_spark.sources import read_binary_dir
+
+    d = f"{tmp_out}/blobs"
+    os.makedirs(d, exist_ok=True)
+    payloads = {"a.bin": b"\x01\x02\x03", "b.bin": b"\xff" * 1000, "c.txt": b"nope"}
+    for name, data in payloads.items():
+        with open(f"{d}/{name}", "wb") as f:
+            f.write(data)
+
+    df = read_binary_dir(spark, d, glob="*.bin")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert bytes(rows["a.bin"]["content"]) == b"\x01\x02\x03"
+    assert rows["b.bin"]["length"] == 1000
+
+    small = read_binary_dir(spark, d, glob="*.bin", max_bytes=10)
+    assert [r["path"].rsplit("/", 1)[-1] for r in small.collect()] == ["a.bin"]
