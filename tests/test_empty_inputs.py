@@ -101,6 +101,18 @@ CASES = {
     "token_distribution_drift": lambda s, d: text.token_distribution_drift(
         _empty(s, d, "documents")
     ),
+    "token_bucket_drift": lambda s, d: text.token_bucket_drift(
+        _empty(s, d, "documents")
+    ),
+    "cross_source_dup_matrix": lambda s, d: dedup.cross_source_dup_matrix(
+        _empty(s, d, "documents")
+    ),
+    "minhash_band_collision_stats": lambda s, d: dedup.minhash_band_collision_stats(
+        _empty(s, d, "documents")
+    ),
+    "dup_quality_report": lambda s, d: dedup.dup_quality_report(
+        _empty(s, d, "documents")
+    ),
     "repeated_ngram_spans": lambda s, d: text.repeated_ngram_spans(
         _empty(s, d, "documents")
     ),
