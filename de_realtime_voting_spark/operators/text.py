@@ -1742,3 +1742,56 @@ def token_bucket_drift(documents: DataFrame) -> DataFrame:
     return counts.crossJoin(corpus).select(
         "source", "n_tokens", rnd(tv, 6).alias("tv_drift")
     )
+
+
+def corpus_span_excised(documents: DataFrame) -> DataFrame:
+    """MATERIALIZE the exact-substring excision -- the writer that
+    repeated_span_excision's cut list (#47b) feeds: every doc with
+    its token counts before/after the cuts and the md5 of the
+    excised token stream, so the report -> transform chain is closed
+    by an executable op (the curate.py manifest discipline: the
+    accounting and the bytes cannot drift apart).  Docs with no cuts
+    pass through (hash of their own token stream); join-spaced token
+    text is the canonical form both engines hash.
+
+    Scale shape: the cut list is sparse (docs with >= 1 removable
+    span), grouped to one spans-array row per cut doc and LEFT-joined
+    back (AQE broadcasts the sparse side); the keep-filter is one
+    map-side array pass per doc -- O(tokens x spans-per-doc), spans
+    bounded by doc length / K; nothing new shuffles beyond the
+    excision pipeline itself.
+    """
+    from .text import repeated_span_excision  # self-module, explicit
+
+    cuts = repeated_span_excision(documents).groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    toks_d = (
+        documents.select(
+            "doc_id",
+            F.coalesce(
+                tokens(F.col("text")), F.array().cast("array<string>")
+            ).alias("toks"),
+        )
+        # barrier: materialize toks once (the _doc_shingles rationale)
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+    )
+    j = toks_d.join(cuts, "doc_id", "left")
+    toks = F.col("toks")
+    spans = F.coalesce(
+        F.col("spans"),
+        F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"),
+    )
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            spans,
+            lambda s: ((i + 1) >= s["span_start"]) & ((i + 1) <= s["span_end"]),
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens_before"),
+        F.size(kept).cast("bigint").alias("n_tokens_after"),
+        F.md5(F.concat_ws(" ", kept)).alias("excised_md5"),
+    )

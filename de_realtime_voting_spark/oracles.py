@@ -3773,6 +3773,32 @@ FROM sc JOIN corp USING (b) CROSS JOIN tot
 GROUP BY 1
 """
 
+SQL["corpus_span_excised"] = f"""
+WITH {_EXCISION_CTES},
+cut_pos AS (
+    SELECT DISTINCT doc_id, unnest(range(span_start, span_end + 1)) AS tp
+    FROM spans
+),
+cutl AS (SELECT doc_id, list(tp) AS cuts FROM cut_pos GROUP BY 1),
+alltoks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+j AS (
+    SELECT a.doc_id, a.toks, COALESCE(c.cuts, CAST([] AS BIGINT[])) AS cuts
+    FROM alltoks a LEFT JOIN cutl c USING (doc_id)
+),
+k AS (
+    SELECT doc_id, toks,
+           list_filter(list_transform(toks, (x, i) ->
+               CASE WHEN list_contains(cuts, i) THEN NULL ELSE x END),
+               x -> x IS NOT NULL) AS kept
+    FROM j
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens_before,
+       CAST(len(kept) AS BIGINT) AS n_tokens_after,
+       md5(COALESCE(array_to_string(kept, ' '), '')) AS excised_md5
+FROM k
+"""
+
 # Applied LAST so every entry above -- including late additions -- gets
 # the engine-exact half-up rounding rewrite.
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

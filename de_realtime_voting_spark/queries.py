@@ -371,6 +371,9 @@ _DEFS: dict[str, QueryFn] = {
     "token_bucket_drift": lambda s, d: text.token_bucket_drift(
         _t(s, d, "documents")
     ),
+    "corpus_span_excised": lambda s, d: text.corpus_span_excised(
+        _t(s, d, "documents")
+    ),
     "voter_retention_cohort": lambda s, d: voting.voter_retention_cohort(
         _t(s, d, "events")
     ),
@@ -482,7 +485,7 @@ _DEFS: dict[str, QueryFn] = {
 # separately afterwards.
 _PRIORITY: list[str] = [
     "cross_source_dup_matrix", "minhash_band_collision_stats",
-    "dup_quality_report", "token_bucket_drift",
+    "dup_quality_report", "token_bucket_drift", "corpus_span_excised",
     "repeated_span_excision", "span_excision_stats",
     "token_distribution_drift", "knn_label_purity",
     "dedup_ngram_jaccard_scaled", "bpe_train_merges_batched",

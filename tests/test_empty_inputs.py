@@ -104,6 +104,9 @@ CASES = {
     "token_bucket_drift": lambda s, d: text.token_bucket_drift(
         _empty(s, d, "documents")
     ),
+    "corpus_span_excised": lambda s, d: text.corpus_span_excised(
+        _empty(s, d, "documents")
+    ),
     "cross_source_dup_matrix": lambda s, d: dedup.cross_source_dup_matrix(
         _empty(s, d, "documents")
     ),

@@ -134,3 +134,38 @@ def test_token_bucket_counts_two_plans_agree(spark, sf_dir):
         for r in token_bucket_counts(docs, streamable=True).collect()
     }
     assert a == b and a
+
+
+def test_corpus_span_excised_matches_cut_list(spark, sf_dir):
+    """The materializer must agree with its own report: per doc,
+    tokens_removed == n_before - n_after, uncut docs hash their own
+    token stream, and a cut doc's kept tokens equal a python replay
+    of the span list."""
+    import hashlib
+
+    from de_realtime_voting_spark.operators.text import (
+        corpus_span_excised,
+        repeated_span_excision,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = {}
+    for r in repeated_span_excision(docs).collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    spark.catalog.clearCache()
+
+    got = {r.doc_id: r for r in corpus_span_excised(docs).collect()}
+    assert set(got) == set(texts)
+    assert any(spans.values())
+    for doc_id, r in got.items():
+        toks = [t for t in (texts[doc_id] or "").split(" ") if t]
+        cut = set()
+        for s, e in spans.get(doc_id, []):
+            cut.update(range(s, e + 1))
+        kept = [t for i, t in enumerate(toks, start=1) if i not in cut]
+        assert r.n_tokens_before == len(toks)
+        assert r.n_tokens_after == len(kept)
+        want_md5 = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert r.excised_md5 == want_md5, doc_id
+    spark.catalog.clearCache()
