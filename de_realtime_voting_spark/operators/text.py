@@ -1642,11 +1642,16 @@ def token_bucket_counts(documents: DataFrame, streamable: bool = False) -> DataF
     impose different constraints (the cms_sketch_from_counts
     precedent):
 
-    * batch (default): groupBy(source, b).count() -- ONE comparison
-      per token row, map-side partials onto sources x H cells -- then
-      a second sources-bounded agg folds conditional sums into the
-      wide row.  Measured 7.7 -> 4.8 s at sf1 vs the one-agg form
-      (the 64 predicate evaluations per token row were the map cost).
+    * batch (default): a (source, tok) vocab-sized count first, the
+      md5 bucket hash over |source-vocab| rows instead of every token
+      occurrence, then a sources-bounded fold into the wide row (the
+      cms_sketch_from_counts trick: sum over occurrences of 1 == sum
+      over tokens of count).  Measured: 2.9 -> 2.2 s at sf0.1 vs the
+      per-occurrence hash; at sf1 it reads 5.4 vs 4.8 s ONLY because
+      tools/make_sf1.py's digest-perturbed tokens inflate per-source
+      vocabulary toward occurrence count (documented generator
+      artifact) -- on a Zipf-real corpus vocab << occurrences and the
+      fold wins outright, so it stays.
     * streamable=True: the H conditional sums fold in ONE aggregation
       -- a second grouping after a streaming aggregation is illegal
       in update mode, and the wide row IS the bounded state: sources
@@ -1655,10 +1660,13 @@ def token_bucket_counts(documents: DataFrame, streamable: bool = False) -> DataF
     from ..constants import DRIFT_BUCKETS
     from ..functions.columns import md5_mod_bucket
 
-    bt = documents.select(
+    st = documents.select(
         "source", F.explode(tokens(F.col("text"))).alias("tok")
-    ).select("source", md5_mod_bucket(F.col("tok"), DRIFT_BUCKETS).alias("b"))
+    )
     if streamable:
+        bt = st.select(
+            "source", md5_mod_bucket(F.col("tok"), DRIFT_BUCKETS).alias("b")
+        )
         return bt.groupBy("source").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
             *[
@@ -1666,7 +1674,14 @@ def token_bucket_counts(documents: DataFrame, streamable: bool = False) -> DataF
                 for i in range(DRIFT_BUCKETS)
             ],
         )
-    cells = bt.groupBy("source", "b").agg(F.count(F.lit(1)).alias("k"))
+    # fold from a (source, tok) vocab-sized count first (the
+    # cms_sketch_from_counts trick): the md5 bucket hash then runs
+    # over |source-vocab| rows instead of every token occurrence
+    # (sum over occurrences of 1 == sum over tokens of count)
+    vocab = st.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("k"))
+    cells = vocab.select(
+        "source", md5_mod_bucket(F.col("tok"), DRIFT_BUCKETS).alias("b"), "k"
+    )
     return cells.groupBy("source").agg(
         F.sum("k").cast("bigint").alias("n_tokens"),
         *[
