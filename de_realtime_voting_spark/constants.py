@@ -352,3 +352,7 @@ PQ_RERANK_SHORTLIST = 15
 # TOKEN_BUDGET.  800 truncates most synthetic sources (~1.4k tokens
 # each) mid-distribution at every SF.
 SOURCE_TOKEN_CAP = 800
+
+# Whitening regularizer: keeps a zero-variance dimension from
+# dividing by zero; added INSIDE the sqrt, shared with the oracle.
+WHITEN_EPS = 1e-6

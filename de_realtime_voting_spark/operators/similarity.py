@@ -796,3 +796,55 @@ def ivf_cell_balance(embeddings: DataFrame) -> DataFrame:
             "ratio_to_mean"
         ),
     )
+
+
+def embedding_whitened_norms(embeddings: DataFrame) -> DataFrame:
+    """MATERIALIZE the whitening transform embedding_pca_stats (#57)
+    reports the inputs for: per vector, the L2 norm before and after
+    per-dimension standardization w_i = (x_i - mean_i)/sqrt(var_i +
+    WHITEN_EPS) -- the report -> transform closure (the
+    corpus_span_excised pattern) for the embedding-prep side.
+    Whitening uses the PUBLISHED stats table (means/variances rounded
+    to 6, exactly what #57 emits), so both engines transform against
+    bit-identical constants instead of racing double summation order;
+    norms fold in ascending dimension order (deterministic IEEE).
+
+    Scale shape: the stats row is ONE corpus pass of 2*EMBEDDING_DIM
+    column aggregates riding a broadcast 1-row frame; the transform
+    is a map-side array fold per vector -- zero row expansion, one
+    scan each for stats and transform.
+    """
+    from ..constants import EMBEDDING_DIM, WHITEN_EPS
+
+    el = lambda i: F.element_at("embedding", i + 1).cast("double")  # noqa: E731
+    stats = F.broadcast(
+        embeddings.agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.array(
+                *[rnd(F.avg(el(i)), 6) for i in range(EMBEDDING_DIM)]
+            ).alias("mu"),
+            F.array(
+                *[
+                    rnd(
+                        F.avg(el(i) * el(i)) - F.avg(el(i)) * F.avg(el(i)), 6
+                    )
+                    for i in range(EMBEDDING_DIM)
+                ]
+            ).alias("va"),
+        )
+    )
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    sq_sum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda a, v: a + v * v
+    )
+    w = F.zip_with(
+        x,
+        F.sequence(F.lit(0), F.lit(EMBEDDING_DIM - 1)),
+        lambda v, i: (v - F.element_at(F.col("mu"), i + 1))
+        / F.sqrt(F.element_at(F.col("va"), i + 1) + F.lit(WHITEN_EPS)),
+    )
+    return embeddings.crossJoin(stats).select(
+        "vec_id",
+        rnd(F.sqrt(sq_sum(x)), 6).alias("norm_before"),
+        rnd(F.sqrt(sq_sum(w)), 6).alias("norm_after"),
+    )

@@ -3799,6 +3799,34 @@ SELECT doc_id,
 FROM k
 """
 
+from .constants import WHITEN_EPS  # noqa: E402
+
+SQL["embedding_whitened_norms"] = f"""
+WITH x AS (
+    SELECT unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+),
+stats AS (
+    SELECT i,
+           ROUND(avg(CAST(v AS DOUBLE)), 6) AS m,
+           ROUND(avg(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))
+                 - avg(CAST(v AS DOUBLE)) * avg(CAST(v AS DOUBLE)), 6) AS va
+    FROM x GROUP BY i
+),
+sl AS (
+    SELECT list(m ORDER BY i) AS mu, list(va ORDER BY i) AS vv FROM stats
+)
+SELECT vec_id,
+       ROUND(sqrt(list_aggregate(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6)
+           AS norm_before,
+       ROUND(sqrt(list_aggregate(list_transform(
+           list_transform(embedding, (x, i) ->
+               (CAST(x AS DOUBLE) - mu[i]) / sqrt(vv[i] + {WHITEN_EPS})),
+           w -> w * w), 'sum')), 6) AS norm_after
+FROM embeddings, sl
+"""
+
 # Applied LAST so every entry above -- including late additions -- gets
 # the engine-exact half-up rounding rewrite.
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

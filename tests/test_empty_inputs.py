@@ -107,6 +107,9 @@ CASES = {
     "corpus_span_excised": lambda s, d: text.corpus_span_excised(
         _empty(s, d, "documents")
     ),
+    "embedding_whitened_norms": lambda s, d: similarity.embedding_whitened_norms(
+        _empty(s, d, "embeddings")
+    ),
     "cross_source_dup_matrix": lambda s, d: dedup.cross_source_dup_matrix(
         _empty(s, d, "documents")
     ),

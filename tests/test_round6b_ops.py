@@ -169,3 +169,44 @@ def test_corpus_span_excised_matches_cut_list(spark, sf_dir):
         want_md5 = hashlib.md5(" ".join(kept).encode()).hexdigest()
         assert r.excised_md5 == want_md5, doc_id
     spark.catalog.clearCache()
+
+
+def test_embedding_whitened_norms_python_reference(spark, sf_dir):
+    """Whitening against the published (rounded) stats: norms match a
+    python replay, and the whitened per-dimension variance is ~1
+    (the point of the transform)."""
+    import math
+
+    from de_realtime_voting_spark.constants import EMBEDDING_DIM, WHITEN_EPS
+    from de_realtime_voting_spark.operators.similarity import (
+        embedding_whitened_norms,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    n = len(vecs)
+    mu, va = [], []
+    for i in range(EMBEDDING_DIM):
+        xs = [v[i] for v in vecs.values()]
+        m = sum(xs) / n
+        mu.append(round(m, 6))
+        va.append(round(sum(x * x for x in xs) / n - m * m, 6))
+
+    got = {r.vec_id: r for r in embedding_whitened_norms(emb).collect()}
+    assert set(got) == set(vecs)
+    whitened_sq_by_dim = [0.0] * EMBEDDING_DIM
+    for vec_id, v in vecs.items():
+        nb = math.sqrt(sum(x * x for x in v))
+        w = [
+            (x - mu[i]) / math.sqrt(va[i] + WHITEN_EPS)
+            for i, x in enumerate(v)
+        ]
+        na = math.sqrt(sum(y * y for y in w))
+        assert abs(got[vec_id].norm_before - nb) < 2e-5, vec_id
+        assert abs(got[vec_id].norm_after - na) < 2e-5, vec_id
+        for i, y in enumerate(w):
+            whitened_sq_by_dim[i] += y * y
+    # whitened second moment per dim ~ 1 (mean removed, var scaled)
+    for i in range(EMBEDDING_DIM):
+        ratio = whitened_sq_by_dim[i] / n
+        assert 0.9 < ratio < 1.15, (i, ratio)
