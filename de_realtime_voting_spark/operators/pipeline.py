@@ -890,3 +890,66 @@ def source_capped_selection(documents: DataFrame) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.min(F.when(F.col("kept"), F.col("quality"))).alias("cutoff_quality"),
     )
+
+
+def corpus_temperature_sample(documents: DataFrame) -> DataFrame:
+    """MATERIALIZE the temperature mix source_temperature_weights
+    (#source_temperature_weights) reports: a deterministic per-doc
+    keep/drop whose per-source keep rate is boost_s / max(boost) --
+    the largest-boost (most up-weighted tail) source keeps 100% and
+    every other source keeps proportionally less, preserving the
+    temp_prob relative mix in ONE sampling pass without replacement
+    (the way a real epoch builder downsamples; oversampling beyond 1x
+    is the loader's repeat factor, out of sampling's reach).  The
+    report -> transform closure (the corpus_span_excised pattern) for
+    the data-mix side.
+
+    Determinism discipline: rates derive from the PUBLISHED
+    (4-rounded) mix_boost column, the integer threshold is
+    floor(rate * 10000), and membership is the md5('temp:'||doc_id)
+    bucket -- bit-identical constants and pure integer comparisons in
+    both engines, stable across reruns and cluster sizes.
+
+    Scale shape: the weights frame is |sources| rows riding a
+    broadcast join; sampling is a map-side predicate; one per-source
+    agg ends the plan.  Two corpus scans total (one builds the
+    weights, one samples) -- the honest cost of a self-normalizing
+    sample.
+    """
+    from ..functions.columns import md5_mod_bucket
+
+    w = Window.partitionBy()
+    weights = source_temperature_weights(documents).select(
+        "source",
+        "n_docs",
+        F.col("mix_boost"),
+        F.max("mix_boost").over(w).alias("max_boost"),
+    )
+    rate = F.when(F.col("max_boost") > 0, F.col("mix_boost") / F.col("max_boost")).otherwise(F.lit(0.0))
+    # |sources| rows feeding BOTH the sample predicate and the final
+    # report: persist so the weights corpus scan runs once
+    thresholds = weights.select(
+        "source",
+        "n_docs",
+        rate.alias("rate"),
+        F.floor(rate * 10000).cast("int").alias("threshold"),
+    ).persist()
+    docs = documents.select(
+        "source",
+        md5_mod_bucket(
+            F.concat(F.lit("temp:"), F.col("doc_id").cast("string")), 10000
+        ).alias("bucket"),
+    )
+    kept = (
+        docs.join(F.broadcast(thresholds), "source")
+        .where(F.col("bucket") < F.col("threshold"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    )
+    return thresholds.join(kept, "source", "left").select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        rnd(F.col("rate"), 6).alias("keep_rate_target"),
+        rnd(F.coalesce("n_kept", F.lit(0)) / F.col("n_docs"), 6).alias("kept_share"),
+    )

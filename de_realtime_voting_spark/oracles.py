@@ -3827,6 +3827,51 @@ SELECT vec_id,
 FROM embeddings, sl
 """
 
+SQL["corpus_temperature_sample"] = f"""
+WITH s AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY 1
+),
+t AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS tt FROM s),
+q AS (
+    SELECT source, n_docs, total_tokens,
+           CAST(total_tokens AS DOUBLE) / tt AS share,
+           sqrt(CAST(total_tokens AS DOUBLE) / tt) AS sq
+    FROM s, t
+),
+d AS (SELECT list_aggregate(list_sort(list(sq)), 'sum') AS denom FROM q),
+wts AS (
+    SELECT source, n_docs,
+           ROUND(CASE WHEN total_tokens = 0 THEN 0.0
+                 ELSE (sq / denom) / share END, 4) AS boost
+    FROM q, d
+),
+mx AS (SELECT MAX(boost) AS mb FROM wts),
+thr AS (
+    SELECT source, n_docs,
+           CASE WHEN mb > 0 THEN boost / mb ELSE 0.0 END AS rate,
+           CAST(FLOOR((CASE WHEN mb > 0 THEN boost / mb ELSE 0.0 END) * 10000)
+                AS INT) AS threshold
+    FROM wts, mx
+),
+db AS (
+    SELECT source,
+           {_duck_md5_mod("'temp:' || CAST(doc_id AS VARCHAR)", 10000)} AS bucket
+    FROM documents
+),
+k AS (
+    SELECT db.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM db JOIN thr USING (source) WHERE bucket < threshold GROUP BY 1
+)
+SELECT thr.source,
+       CAST(thr.n_docs AS BIGINT) AS n_docs,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       ROUND(rate, 6) AS keep_rate_target,
+       ROUND(COALESCE(k.n_kept, 0) / thr.n_docs, 6) AS kept_share
+FROM thr LEFT JOIN k ON thr.source = k.source
+"""
+
 # Applied LAST so every entry above -- including late additions -- gets
 # the engine-exact half-up rounding rewrite.
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

@@ -377,6 +377,9 @@ _DEFS: dict[str, QueryFn] = {
     "embedding_whitened_norms": lambda s, d: similarity.embedding_whitened_norms(
         _t(s, d, "embeddings")
     ),
+    "corpus_temperature_sample": lambda s, d: pipeline.corpus_temperature_sample(
+        _t(s, d, "documents")
+    ),
     "voter_retention_cohort": lambda s, d: voting.voter_retention_cohort(
         _t(s, d, "events")
     ),
@@ -489,7 +492,7 @@ _DEFS: dict[str, QueryFn] = {
 _PRIORITY: list[str] = [
     "cross_source_dup_matrix", "minhash_band_collision_stats",
     "dup_quality_report", "token_bucket_drift", "corpus_span_excised",
-    "embedding_whitened_norms",
+    "embedding_whitened_norms", "corpus_temperature_sample",
     "repeated_span_excision", "span_excision_stats",
     "token_distribution_drift", "knn_label_purity",
     "dedup_ngram_jaccard_scaled", "bpe_train_merges_batched",

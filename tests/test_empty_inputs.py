@@ -110,6 +110,9 @@ CASES = {
     "embedding_whitened_norms": lambda s, d: similarity.embedding_whitened_norms(
         _empty(s, d, "embeddings")
     ),
+    "corpus_temperature_sample": lambda s, d: pipeline.corpus_temperature_sample(
+        _empty(s, d, "documents")
+    ),
     "cross_source_dup_matrix": lambda s, d: dedup.cross_source_dup_matrix(
         _empty(s, d, "documents")
     ),

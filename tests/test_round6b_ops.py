@@ -210,3 +210,47 @@ def test_embedding_whitened_norms_python_reference(spark, sf_dir):
     for i in range(EMBEDDING_DIM):
         ratio = whitened_sq_by_dim[i] / n
         assert 0.9 < ratio < 1.15, (i, ratio)
+
+
+def test_corpus_temperature_sample_preserves_mix_and_determinism(spark, sf_dir):
+    """The sampler must (a) keep exactly the docs whose md5 bucket
+    clears the source threshold (python replay), (b) keep 100% of the
+    max-boost source, and (c) produce kept shares ordered like the
+    target rates (the mix actually shifts toward the tail)."""
+    import hashlib
+
+    from de_realtime_voting_spark.operators.pipeline import (
+        corpus_temperature_sample,
+        source_temperature_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    boosts = {
+        r.source: r.mix_boost for r in source_temperature_weights(docs).collect()
+    }
+    mb = max(boosts.values())
+    thresholds = {s: int((b / mb) * 10000) for s, b in boosts.items()}
+
+    def bucket(doc_id):
+        h = hashlib.md5(f"temp:{doc_id}".encode()).hexdigest()[:4]
+        return int(h, 16) % 10000
+
+    want = {}
+    totals = {}
+    for r in docs.select("doc_id", "source").collect():
+        totals[r.source] = totals.get(r.source, 0) + 1
+        if bucket(r.doc_id) < thresholds[r.source]:
+            want[r.source] = want.get(r.source, 0) + 1
+    spark.catalog.clearCache()
+
+    got = {r.source: r for r in corpus_temperature_sample(docs).collect()}
+    assert set(got) == set(totals)
+    for source, r in got.items():
+        assert r.n_docs == totals[source]
+        assert r.n_kept == want.get(source, 0), source
+    top = max(boosts, key=boosts.get)
+    assert got[top].n_kept == got[top].n_docs  # max-boost source keeps all
+    # deterministic: a second run returns identical rows
+    again = {r.source: r.n_kept for r in corpus_temperature_sample(docs).collect()}
+    assert again == {s: r.n_kept for s, r in got.items()}
+    spark.catalog.clearCache()
