@@ -819,3 +819,58 @@ def stream_token_drift(documents: DataFrame, ref_dist: list[float]) -> DataFrame
     from ..operators.text import bucket_tv_drift, token_bucket_counts
 
     return bucket_tv_drift(token_bucket_counts(documents, streamable=True), ref_dist)
+
+
+def reference_whitening_stats(corpus: DataFrame) -> tuple[list[float], list[float]]:
+    """The committed corpus's PUBLISHED per-dimension whitening stats
+    (means and variances rounded to 6 -- exactly what
+    operators.similarity.embedding_pca_stats emits): 2*EMBEDDING_DIM
+    floats, a bounded model artifact (the IVF-centroid contract)."""
+    from ..constants import EMBEDDING_DIM
+
+    el = lambda i: F.element_at("embedding", i + 1).cast("double")  # noqa: E731
+    row = corpus.agg(
+        *[F.round(F.avg(el(i)), 6).alias(f"m{i}") for i in range(EMBEDDING_DIM)],
+        *[
+            F.round(F.avg(el(i) * el(i)) - F.avg(el(i)) * F.avg(el(i)), 6).alias(
+                f"v{i}"
+            )
+            for i in range(EMBEDDING_DIM)
+        ],
+    ).collect()[0]
+    mu = [row[f"m{i}"] for i in range(EMBEDDING_DIM)]
+    va = [row[f"v{i}"] for i in range(EMBEDDING_DIM)]
+    return mu, va
+
+
+def stream_whiten(
+    embeddings: DataFrame, mu: list[float], va: list[float]
+) -> DataFrame:
+    """Whiten-on-ingest: arriving vectors standardized per dimension
+    against the committed corpus's published stats (in-closure array
+    literals -- the stream_pq_encode model-artifact pattern) so a
+    live vector index stores whitened geometry without a nightly
+    re-projection.  Batch twin: operators.similarity.
+    embedding_whitened_norms (same constants, same fold order; norm
+    equality pytest-pinned).  Stateless, append mode, state = 0: one
+    map-side array expression per row, nothing crosses the Python
+    boundary."""
+    from ..constants import EMBEDDING_DIM, WHITEN_EPS
+    from ..functions.columns import round_half_up as rnd
+
+    mu_c = F.lit(mu).cast("array<double>")
+    va_c = F.lit(va).cast("array<double>")
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    w = F.zip_with(
+        x,
+        F.sequence(F.lit(0), F.lit(EMBEDDING_DIM - 1)),
+        lambda v, i: (v - F.element_at(mu_c, i + 1))
+        / F.sqrt(F.element_at(va_c, i + 1) + F.lit(WHITEN_EPS)),
+    )
+    norm = F.sqrt(F.aggregate(w, F.lit(0.0), lambda a, v: a + v * v))
+    return embeddings.select(
+        "vec_id",
+        "label",
+        w.alias("whitened"),
+        rnd(norm, 6).alias("norm_after"),
+    )

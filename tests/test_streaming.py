@@ -1583,3 +1583,44 @@ def test_stream_token_drift_matches_batch_and_python(spark, sf_dir):
             assert rows[source] == batch[source]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_whiten_matches_batch(spark, sf_dir):
+    """Whiten-on-ingest vs the batch materializer: identical norms
+    for every vector when the stats artifact comes from the same
+    corpus, and the whitened arrays match a python replay."""
+    import math
+
+    from de_realtime_voting_spark.constants import WHITEN_EPS
+    from de_realtime_voting_spark.operators.similarity import (
+        embedding_whitened_norms,
+    )
+    from de_realtime_voting_spark.streaming import (
+        reference_whitening_stats,
+        stream_whiten,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mu, va = reference_whitening_stats(emb)
+    batch = {r.vec_id: r.norm_after for r in embedding_whitened_norms(emb).collect()}
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+
+    d = tempfile.mkdtemp(prefix="emb_whiten_")
+    try:
+        emb.repartition(2).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(emb.schema).parquet(d)
+        got_df = _run_stream_to_memory(
+            spark, stream_whiten(stream, mu, va), "whiten_stream", "append"
+        )
+        got = {r.vec_id: r for r in got_df.collect()}
+        assert set(got) == set(batch)
+        for vec_id, r in got.items():
+            assert r.norm_after == batch[vec_id], vec_id
+            w = [
+                (x - mu[i]) / math.sqrt(va[i] + WHITEN_EPS)
+                for i, x in enumerate(vecs[vec_id])
+            ]
+            assert len(r.whitened) == len(w)
+            assert all(abs(a - b) < 1e-9 for a, b in zip(r.whitened, w))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
