@@ -874,3 +874,47 @@ def stream_whiten(
         w.alias("whitened"),
         rnd(norm, 6).alias("norm_after"),
     )
+
+
+def reference_temperature_thresholds(corpus: DataFrame) -> dict[str, int]:
+    """Per-source integer sampling thresholds (0..10000) derived from
+    the committed corpus's PUBLISHED temperature weights -- the
+    |sources|-row model artifact stream_temperature_sample ships in
+    its closure (rate = boost/max(boost), threshold = floor(rate *
+    10000) -- exactly the batch corpus_temperature_sample contract)."""
+    from ..operators.pipeline import source_temperature_weights
+
+    rows = source_temperature_weights(corpus).collect()
+    mb = max((r["mix_boost"] for r in rows), default=0.0)
+    if mb <= 0:
+        return {r["source"]: 0 for r in rows}
+    return {r["source"]: int((r["mix_boost"] / mb) * 10000) for r in rows}
+
+
+def stream_temperature_sample(
+    documents: DataFrame, thresholds: dict[str, int]
+) -> DataFrame:
+    """Temperature-mix sampling at INGEST: each arriving doc passes
+    iff its deterministic md5('temp:'||doc_id) bucket clears its
+    source's threshold -- the same keep/drop rule batch
+    corpus_temperature_sample materializes, applied to the feed so
+    the landed corpus already HAS the target mix (no nightly
+    re-sample).  Stateless, append mode, state = 0: thresholds are a
+    |sources|-entry closure literal (map_from_arrays), membership is
+    one md5 + integer compare per row.  Unknown sources (not in the
+    committed mix) are dropped -- the conservative quarantine
+    default; re-derive thresholds when the mix is re-published.
+    Batch/stream keep-set equality is pytest-pinned."""
+    from ..functions.columns import md5_mod_bucket
+
+    src = list(thresholds)
+    thr = F.map_from_arrays(
+        F.lit(src).cast("array<string>"),
+        F.lit([thresholds[s] for s in src]).cast("array<int>"),
+    )
+    bucket = md5_mod_bucket(
+        F.concat(F.lit("temp:"), F.col("doc_id").cast("string")), 10000
+    )
+    return documents.where(
+        bucket < F.coalesce(F.element_at(thr, F.col("source")), F.lit(0))
+    )

@@ -1624,3 +1624,43 @@ def test_stream_whiten_matches_batch(spark, sf_dir):
             assert all(abs(a - b) < 1e-9 for a, b in zip(r.whitened, w))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_temperature_sample_matches_batch_keep_set(spark, sf_dir):
+    """The ingest-time sampler must admit exactly the doc ids the
+    batch materializer counts as kept, and drop unknown sources."""
+    from de_realtime_voting_spark.operators.pipeline import (
+        corpus_temperature_sample,
+    )
+    from de_realtime_voting_spark.streaming import (
+        reference_temperature_thresholds,
+        stream_temperature_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    thr = reference_temperature_thresholds(docs)
+    want_counts = {
+        r["source"]: r["n_kept"] for r in corpus_temperature_sample(docs).collect()
+    }
+    spark.catalog.clearCache()
+
+    d = tempfile.mkdtemp(prefix="docs_temp_sample_")
+    try:
+        docs.repartition(2).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(docs.schema).parquet(d)
+        got_df = _run_stream_to_memory(
+            spark, stream_temperature_sample(stream, thr), "temp_sample", "append"
+        )
+        got_counts = {
+            r["source"]: r["n"]
+            for r in got_df.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        # sources with zero kept docs simply don't appear
+        assert got_counts == {s: n for s, n in want_counts.items() if n > 0}
+        # unknown source -> dropped
+        alien = spark.createDataFrame(
+            [(999_999, "some text here", "en", "src_unknown", 14)], docs.schema
+        )
+        assert stream_temperature_sample(alien, thr).count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
