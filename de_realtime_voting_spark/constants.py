@@ -356,3 +356,10 @@ SOURCE_TOKEN_CAP = 800
 # Whitening regularizer: keeps a zero-variance dimension from
 # dividing by zero; added INSIDE the sqrt, shared with the oracle.
 WHITEN_EPS = 1e-6
+
+# IVF tuning sweep: recall is measured at nprobe = 1..MAX in one
+# assignment pass (probe lists are proximity-ordered, so nprobe = p
+# is a prefix of the MAX-probe list).  MAX = half the coarse cells --
+# past that, IVF degenerates toward brute force and the curve says
+# nothing new.
+IVF_PROBE_SWEEP_MAX = 4

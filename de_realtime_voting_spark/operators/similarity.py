@@ -848,3 +848,89 @@ def embedding_whitened_norms(embeddings: DataFrame) -> DataFrame:
         rnd(F.sqrt(sq_sum(x)), 6).alias("norm_before"),
         rnd(F.sqrt(sq_sum(w)), 6).alias("norm_after"),
     )
+
+
+def ann_ivf_probe_sweep(embeddings: DataFrame) -> DataFrame:
+    """IVF tuning curve: recall@k vs nprobe (1..IVF_PROBE_SWEEP_MAX)
+    against the exact brute-force truth -- the dedup_threshold_sweep
+    of the vector-index world: the report read to pick the
+    recall/latency point BEFORE an index serves traffic, instead of
+    discovering a bad nprobe in production.  (No reference analog --
+    training-data mandate.)
+
+    Scale shape: cell assignment runs ONCE at the maximum probe depth
+    (probe lists are proximity-ordered, so each sweep arm is a prefix
+    slice -- no re-assignment); ground truth is the brute-force op
+    computed once and persisted, feeding one semi-join per arm; each
+    arm's probe join broadcasts the |queries| x p probe rows.  Output
+    is IVF_PROBE_SWEEP_MAX rows.  Numeric determinism: per-query
+    recalls are exact rationals; the average folds in ascending
+    sorted order (the pagerank idiom).
+    """
+    from functools import reduce
+
+    from ..constants import IVF_PROBE_SWEEP_MAX
+    from ..functions.pandas_udfs import make_cell_assigner
+
+    cents = _collect_centroids(embeddings)
+    if not cents:
+        return embeddings.sparkSession.createDataFrame(
+            [], "nprobe int, n_queries bigint, avg_recall double, min_recall double"
+        )
+    assign = make_cell_assigner(cents, IVF_PROBE_SWEEP_MAX)
+    assigned = (
+        embeddings.repartition(
+            embeddings.sparkSession.sparkContext.defaultParallelism
+        )
+        .select("vec_id", "embedding", assign(F.col("embedding")).alias("a"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("a.cell").alias("cell"),
+            F.col("a.probes").alias("probes"),
+        )
+        .persist()
+    )
+    bf = ann_bruteforce_topk(embeddings).select("query_id", "neighbor_id").persist()
+    truth_k = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    arms = []
+    for p in range(1, IVF_PROBE_SWEEP_MAX + 1):
+        q = assigned.where(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(F.slice("probes", 1, p)).alias("probe_cell"),
+        )
+        joined = assigned.join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("probe_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        hits = (
+            _topk(joined)
+            .select("query_id", "neighbor_id")
+            .join(bf, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        arms.append(
+            truth_k.join(hits, "query_id", "left").select(
+                F.lit(p).alias("nprobe"),
+                (
+                    F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("k")
+                ).alias("recall"),
+            )
+        )
+    union = reduce(lambda a, b: a.unionByName(b), arms)
+    return union.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        rnd(
+            F.aggregate(
+                F.array_sort(F.collect_list("recall")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_recall"),
+        rnd(F.min("recall"), 6).alias("min_recall"),
+    )

@@ -3872,6 +3872,54 @@ SELECT thr.source,
 FROM thr LEFT JOIN k ON thr.source = k.source
 """
 
+from .constants import IVF_PROBE_SWEEP_MAX  # noqa: E402
+
+_PS_HIT_CTES = ",\n".join(
+    f"""j{p} AS (
+    SELECT q.query_id, cells.vec_id AS neighbor_id,
+           {_cos('q.q_emb', 'cells.embedding')} AS cosine
+    FROM cells JOIN (
+        SELECT vec_id AS query_id, embedding AS q_emb, cent_id AS probe_cell
+        FROM asg WHERE vec_id IN {_ANN_IDS} AND rn <= {p}
+    ) q ON cells.cell = q.probe_cell AND cells.vec_id <> q.query_id
+),
+r{p} AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS rnk
+        FROM j{p}
+    ) WHERE rnk <= {ANN_K}
+),
+h{p} AS (
+    SELECT r{p}.query_id, CAST(count(*) AS BIGINT) AS n_hit
+    FROM r{p} JOIN bf USING (query_id, neighbor_id) GROUP BY 1
+)"""
+    for p in range(1, IVF_PROBE_SWEEP_MAX + 1)
+)
+
+_PS_ARMS = "\nUNION ALL\n".join(
+    f"""SELECT {p} AS nprobe, t.query_id,
+       CAST(COALESCE(h{p}.n_hit, 0) AS DOUBLE) / t.k AS recall
+FROM truth_k t LEFT JOIN h{p} ON t.query_id = h{p}.query_id"""
+    for p in range(1, IVF_PROBE_SWEEP_MAX + 1)
+)
+
+SQL["ann_ivf_probe_sweep"] = f"""
+WITH {_IVF_ASG_CTES},
+cells AS (SELECT vec_id, embedding, cent_id AS cell FROM asg WHERE rn = 1),
+bf AS (SELECT query_id, neighbor_id FROM ({SQL["ann_bruteforce_topk"]})),
+truth_k AS (SELECT query_id, CAST(count(*) AS BIGINT) AS k FROM bf GROUP BY 1),
+{_PS_HIT_CTES},
+arms AS ({_PS_ARMS})
+SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(list_aggregate(list_sort(list(recall)), 'sum') / COUNT(*), 6)
+           AS avg_recall,
+       ROUND(MIN(recall), 6) AS min_recall
+FROM arms GROUP BY 1
+"""
+
 # Applied LAST so every entry above -- including late additions -- gets
 # the engine-exact half-up rounding rewrite.
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

@@ -380,6 +380,9 @@ _DEFS: dict[str, QueryFn] = {
     "corpus_temperature_sample": lambda s, d: pipeline.corpus_temperature_sample(
         _t(s, d, "documents")
     ),
+    "ann_ivf_probe_sweep": lambda s, d: similarity.ann_ivf_probe_sweep(
+        _t(s, d, "embeddings")
+    ),
     "voter_retention_cohort": lambda s, d: voting.voter_retention_cohort(
         _t(s, d, "events")
     ),
@@ -493,6 +496,7 @@ _PRIORITY: list[str] = [
     "cross_source_dup_matrix", "minhash_band_collision_stats",
     "dup_quality_report", "token_bucket_drift", "corpus_span_excised",
     "embedding_whitened_norms", "corpus_temperature_sample",
+    "ann_ivf_probe_sweep",
     "repeated_span_excision", "span_excision_stats",
     "token_distribution_drift", "knn_label_purity",
     "dedup_ngram_jaccard_scaled", "bpe_train_merges_batched",

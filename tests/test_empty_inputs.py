@@ -113,6 +113,9 @@ CASES = {
     "corpus_temperature_sample": lambda s, d: pipeline.corpus_temperature_sample(
         _empty(s, d, "documents")
     ),
+    "ann_ivf_probe_sweep": lambda s, d: similarity.ann_ivf_probe_sweep(
+        _empty(s, d, "embeddings")
+    ),
     "cross_source_dup_matrix": lambda s, d: dedup.cross_source_dup_matrix(
         _empty(s, d, "documents")
     ),

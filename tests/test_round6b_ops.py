@@ -254,3 +254,32 @@ def test_corpus_temperature_sample_preserves_mix_and_determinism(spark, sf_dir):
     again = {r.source: r.n_kept for r in corpus_temperature_sample(docs).collect()}
     assert again == {s: r.n_kept for s, r in got.items()}
     spark.catalog.clearCache()
+
+
+def test_ann_ivf_probe_sweep_monotone_and_consistent(spark, sf_dir):
+    """Recall must be non-decreasing in nprobe (probing more cells
+    can only add candidates), the nprobe=IVF_NPROBE row must agree
+    with ann_recall_report's ivf arm, and every recall is in [0,1]."""
+    from de_realtime_voting_spark.constants import IVF_NPROBE, IVF_PROBE_SWEEP_MAX
+    from de_realtime_voting_spark.operators.similarity import (
+        ann_ivf_probe_sweep,
+        ann_recall_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = {r.nprobe: r for r in ann_ivf_probe_sweep(emb).collect()}
+    spark.catalog.clearCache()
+    assert sorted(rows) == list(range(1, IVF_PROBE_SWEEP_MAX + 1))
+    prev = -1.0
+    for p in sorted(rows):
+        r = rows[p]
+        assert 0.0 <= r.min_recall <= r.avg_recall <= 1.0
+        assert r.avg_recall >= prev - 1e-9, p
+        prev = r.avg_recall
+
+    report = ann_recall_report(emb).where(F.col("method") == "ivf").collect()
+    spark.catalog.clearCache()
+    # ann_recall_report averages per query with the same exact
+    # rationals: its mean recall must equal the sweep's IVF_NPROBE row
+    mean = sum(sorted(r.recall for r in report)) / len(report)
+    assert abs(rows[IVF_NPROBE].avg_recall - round(mean, 6)) < 2e-6
