@@ -953,3 +953,86 @@ def corpus_temperature_sample(documents: DataFrame) -> DataFrame:
         rnd(F.col("rate"), 6).alias("keep_rate_target"),
         rnd(F.coalesce("n_kept", F.lit(0)) / F.col("n_docs"), 6).alias("kept_share"),
     )
+
+
+def seq_pack_bestfit(documents: DataFrame) -> DataFrame:
+    """Whole-document sequence packing, first-fit-decreasing: where
+    seq_pack_stats (#40) measures the concat-and-chop layout (docs
+    split across window boundaries), this packs WHOLE docs into
+    PACK_WINDOW_TOKENS windows -- the layout used when crossing a doc
+    boundary mid-sequence is unacceptable (instruction tuning,
+    long-context eval) -- and reports how many windows FFD needs vs
+    the naive next-fit baseline, per (lang, shard).  Docs longer than
+    the window truncate to a full window of their own (the standard
+    rule).  (No reference analog -- training-data mandate; no oracle:
+    bin packing is an ordered iterative algorithm outside SQL's
+    reach, so the driver records the rows-only check and the python
+    reference lives in pytest.)
+
+    Spark shape: packing is inherently sequential WITHIN a key, so it
+    runs per (lang, shard) group through Arrow-batched applyInPandas
+    -- the documented escape hatch for per-group imperative logic --
+    while groups pack in parallel across executors; group size is
+    bounded by the shard fan-out exactly like #40's running sum.
+    Deterministic: FFD order is (tokens desc, doc_id), next-fit order
+    is doc_id, both sorted inside the group before packing.
+    """
+    import pandas as pd
+
+    win = int(PACK_WINDOW_TOKENS)
+
+    per_doc = documents.select(
+        "lang",
+        (F.col("doc_id") % PACK_SHARDS).cast("bigint").alias("shard"),
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        lang = pdf["lang"].iloc[0]
+        shard = int(pdf["shard"].iloc[0])
+        docs = sorted(
+            (min(int(t), win), int(d))
+            for d, t in zip(pdf["doc_id"], pdf["n_tokens"])
+        )
+        total = int(sum(t for t, _ in docs))
+        # next-fit, doc_id order: close the window when the doc
+        # doesn't fit (the one-pass streaming writer baseline)
+        by_id = sorted(docs, key=lambda x: x[1])
+        nf_bins, cur = 0, win  # cur = used space in the open bin
+        for t, _ in by_id:
+            if cur + t > win:
+                nf_bins += 1
+                cur = t
+            else:
+                cur += t
+        # first-fit-decreasing: (tokens desc, doc_id asc)
+        bins: list[int] = []
+        for t, _ in sorted(docs, key=lambda x: (-x[0], x[1])):
+            for i, used in enumerate(bins):
+                if used + t <= win:
+                    bins[i] = used + t
+                    break
+            else:
+                bins.append(t)
+        n_ffd = len(bins)
+        fill = round(total / (n_ffd * float(win)), 6) if n_ffd else 0.0
+        return pd.DataFrame(
+            [
+                {
+                    "lang": lang,
+                    "shard": shard,
+                    "n_docs": len(docs),
+                    "total_tokens": total,
+                    "n_windows_nextfit": nf_bins,
+                    "n_windows_ffd": n_ffd,
+                    "avg_fill_ffd": fill,
+                }
+            ]
+        )
+
+    schema = (
+        "lang string, shard bigint, n_docs bigint, total_tokens bigint, "
+        "n_windows_nextfit bigint, n_windows_ffd bigint, avg_fill_ffd double"
+    )
+    return per_doc.groupBy("lang", "shard").applyInPandas(pack, schema)

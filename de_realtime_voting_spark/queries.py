@@ -383,6 +383,12 @@ _DEFS: dict[str, QueryFn] = {
     "ann_ivf_probe_sweep": lambda s, d: similarity.ann_ivf_probe_sweep(
         _t(s, d, "embeddings")
     ),
+    # no oracle_sql: bin packing is an ordered iterative algorithm
+    # outside SQL's reach (the driver records the rows-only check;
+    # the python reference lives in tests/test_round6b_ops.py)
+    "seq_pack_bestfit": lambda s, d: pipeline.seq_pack_bestfit(
+        _t(s, d, "documents")
+    ),
     "voter_retention_cohort": lambda s, d: voting.voter_retention_cohort(
         _t(s, d, "events")
     ),
@@ -496,7 +502,7 @@ _PRIORITY: list[str] = [
     "cross_source_dup_matrix", "minhash_band_collision_stats",
     "dup_quality_report", "token_bucket_drift", "corpus_span_excised",
     "embedding_whitened_norms", "corpus_temperature_sample",
-    "ann_ivf_probe_sweep",
+    "ann_ivf_probe_sweep", "seq_pack_bestfit",
     "repeated_span_excision", "span_excision_stats",
     "token_distribution_drift", "knn_label_purity",
     "dedup_ngram_jaccard_scaled", "bpe_train_merges_batched",
@@ -574,4 +580,11 @@ assert len(QUERY_REGISTRY) == len(_DEFS)
 # votes_approx_stats: HLL++ / approximate-percentile sketch internals
 # are engine-specific -- no cross-engine bit parity exists by design.
 # Its pytest asserts <5% error against the exact answers instead.
-NO_ORACLE: set[str] = {"votes_approx_stats", "doc_length_percentile_filter_approx"}
+# seq_pack_bestfit: bin packing is an ordered iterative algorithm
+# outside SQL's reach; its pytest replays FFD/next-fit in python and
+# pins the packing invariants.
+NO_ORACLE: set[str] = {
+    "votes_approx_stats",
+    "doc_length_percentile_filter_approx",
+    "seq_pack_bestfit",
+}

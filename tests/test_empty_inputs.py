@@ -116,6 +116,9 @@ CASES = {
     "ann_ivf_probe_sweep": lambda s, d: similarity.ann_ivf_probe_sweep(
         _empty(s, d, "embeddings")
     ),
+    "seq_pack_bestfit": lambda s, d: pipeline.seq_pack_bestfit(
+        _empty(s, d, "documents")
+    ),
     "cross_source_dup_matrix": lambda s, d: dedup.cross_source_dup_matrix(
         _empty(s, d, "documents")
     ),

@@ -283,3 +283,49 @@ def test_ann_ivf_probe_sweep_monotone_and_consistent(spark, sf_dir):
     # rationals: its mean recall must equal the sweep's IVF_NPROBE row
     mean = sum(sorted(r.recall for r in report)) / len(report)
     assert abs(rows[IVF_NPROBE].avg_recall - round(mean, 6)) < 2e-6
+
+
+def test_seq_pack_bestfit_matches_python_and_invariants(spark, sf_dir):
+    """The FFD packer must reproduce an independent python replay per
+    (lang, shard) and satisfy the packing invariants: FFD never needs
+    more windows than next-fit, and every layout respects capacity
+    (total <= windows * capacity)."""
+    from de_realtime_voting_spark.constants import PACK_SHARDS, PACK_WINDOW_TOKENS
+    from de_realtime_voting_spark.operators.pipeline import seq_pack_bestfit
+
+    docs = load_table(spark, sf_dir, "documents")
+    win = PACK_WINDOW_TOKENS
+    groups = {}
+    for r in docs.select("doc_id", "lang", "text").collect():
+        toks = [t for t in (r.text or "").split(" ") if t]
+        key = (r.lang, r.doc_id % PACK_SHARDS)
+        groups.setdefault(key, []).append((min(len(toks), win), r.doc_id))
+
+    def replay(items):
+        by_id = sorted(items, key=lambda x: x[1])
+        nf, cur = 0, win
+        for t, _ in by_id:
+            if cur + t > win:
+                nf, cur = nf + 1, t
+            else:
+                cur += t
+        bins = []
+        for t, _ in sorted(items, key=lambda x: (-x[0], x[1])):
+            for i, used in enumerate(bins):
+                if used + t <= win:
+                    bins[i] = used + t
+                    break
+            else:
+                bins.append(t)
+        return nf, len(bins)
+
+    got = {(r.lang, r.shard): r for r in seq_pack_bestfit(docs).collect()}
+    assert set(got) == set(groups)
+    for key, items in groups.items():
+        nf, ffd = replay(items)
+        r = got[key]
+        assert (r.n_windows_nextfit, r.n_windows_ffd) == (nf, ffd), key
+        assert r.n_docs == len(items)
+        assert r.total_tokens == sum(t for t, _ in items)
+        assert r.n_windows_ffd <= r.n_windows_nextfit
+        assert r.total_tokens <= r.n_windows_ffd * win
