@@ -238,3 +238,107 @@ def funnel_tracker(votes: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+DRIFT_ALARM_OUTPUT = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("event", StringType()),
+        StructField("tv", DoubleType()),
+        StructField("n_tokens", LongType()),
+    ]
+)
+
+
+def _drift_alarm_state_type():
+    from pyspark.sql.types import ArrayType
+
+    return StructType(
+        [
+            StructField("counts", ArrayType(LongType())),
+            StructField("n", LongType()),
+            StructField("alarmed", LongType()),
+        ]
+    )
+
+
+def _make_update_drift_alarm(ref: list[float], threshold: float, clear_factor: float):
+    """Closure factory (the session-tracker rule: captured values ship
+    in the pickled function; default args change the arity)."""
+    import hashlib
+
+    from ..constants import DRIFT_BUCKETS
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        counts, n, alarmed = (
+            state.get if state.exists else ([0] * DRIFT_BUCKETS, 0, 0)
+        )
+        counts = list(counts)
+        for pdf in pdfs:
+            for text in pdf["text"]:
+                for tok in (text or "").split(" "):
+                    if not tok:
+                        continue
+                    b = (
+                        int(hashlib.md5(tok.encode()).hexdigest()[:4], 16)
+                        % DRIFT_BUCKETS
+                    )
+                    counts[b] += 1
+                    n += 1
+        if n == 0:
+            state.update((counts, n, alarmed))
+            return
+        tv = 0.5 * sum(
+            abs(counts[i] / n - ref[i]) for i in range(DRIFT_BUCKETS)
+        )
+        event = None
+        if alarmed == 0 and tv >= threshold:
+            alarmed, event = 1, "raise"
+        elif alarmed == 1 and tv < threshold * clear_factor:
+            alarmed, event = 0, "clear"
+        state.update((counts, n, alarmed))
+        if event is not None:
+            yield pd.DataFrame(
+                {
+                    "source": [key[0]],
+                    "event": [event],
+                    "tv": [round(tv, 6)],
+                    "n_tokens": [n],
+                }
+            )
+
+    return _update
+
+
+def drift_alarm_tracker(
+    documents: DataFrame,
+    ref: list[float],
+    threshold: float,
+    clear_factor: float = 0.8,
+) -> DataFrame:
+    """EDGE-TRIGGERED drift alarm: per source, maintain the cumulative
+    DRIFT_BUCKETS token histogram in state and emit a row ONLY when
+    the total-variation distance vs the static reference CROSSES the
+    threshold -- ``raise`` on the way up, ``clear`` when it falls back
+    under threshold * clear_factor (hysteresis, so a source sitting
+    on the line doesn't flap).  stream_token_drift is the LEVEL
+    monitor (re-emits the current tv every batch a source moves);
+    this is the ALERT feed a pager wants -- transition semantics an
+    update-mode aggregation cannot express, hence
+    applyInPandasWithState.
+
+    State per source: DRIFT_BUCKETS+2 numbers (counts, n, alarm flag)
+    -- rate- and vocabulary-independent, the same bound the soak
+    pins for stream_token_drift.  The md5 bucket hash matches
+    operators.text.token_bucket_counts exactly, so the tv this alarm
+    acts on is the one the batch/level monitors report.
+    """
+    return documents.groupBy("source").applyInPandasWithState(
+        _make_update_drift_alarm(ref, threshold, clear_factor),
+        outputStructType=DRIFT_ALARM_OUTPUT,
+        stateStructType=_drift_alarm_state_type(),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

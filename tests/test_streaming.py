@@ -1664,3 +1664,53 @@ def test_stream_temperature_sample_matches_batch_keep_set(spark, sf_dir):
         assert stream_temperature_sample(alien, thr).count() == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_drift_alarm_tracker_edge_semantics(spark):
+    """The alarm must fire exactly on threshold CROSSINGS: clean feed
+    -> silence, drift past the threshold -> one 'raise', enough clean
+    data to fall under threshold*clear_factor -> one 'clear' -- never
+    a re-emit while the level holds (the hysteresis contract)."""
+    import hashlib
+
+    from de_realtime_voting_spark.constants import DRIFT_BUCKETS
+    from de_realtime_voting_spark.streaming import drift_alarm_tracker
+
+    bucket = lambda t: int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % DRIFT_BUCKETS
+    a, b = "alpha", "bravo"
+    assert bucket(a) != bucket(b)
+    ref = [0.0] * DRIFT_BUCKETS
+    ref[bucket(a)] = 1.0  # reference speaks pure 'alpha'
+
+    d = tempfile.mkdtemp(prefix="drift_alarm_")
+    try:
+        schema = "doc_id long, source string, text string"
+        # slice 0: 10 clean docs (tv 0) | slice 1: 10 drift docs
+        # (b-share 0.5 >= 0.3 -> raise) | slice 2: 30 clean docs
+        # (b-share 0.2 < 0.24 -> clear)
+        slices = [
+            [(i, "s1", " ".join([a] * 10)) for i in range(10)],
+            [(100 + i, "s1", " ".join([b] * 10)) for i in range(10)],
+            [(200 + i, "s1", " ".join([a] * 10)) for i in range(30)],
+        ]
+        for idx, rows in enumerate(slices):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/slice_{idx}")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/slice_*")
+        )
+        out = _run_stream_to_memory(
+            spark,
+            drift_alarm_tracker(stream, ref, threshold=0.3),
+            "drift_alarm",
+            "update",
+        ).collect()
+        events = [(r["event"], r["n_tokens"]) for r in sorted(out, key=lambda r: r["n_tokens"])]
+        assert events == [("raise", 200), ("clear", 500)], events
+        tvs = {r["event"]: r["tv"] for r in out}
+        assert tvs["raise"] == 0.5 and tvs["clear"] == 0.2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
