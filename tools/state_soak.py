@@ -272,6 +272,12 @@ def _pipelines():
          "update", DOC_SOURCES, 1.05,
          "one wide row per source (DRIFT_BUCKETS+1 counters inside the "
          "row) regardless of vocabulary and stream length"),
+        ("drift_alarm_tracker", "docs",
+         lambda d: S.drift_alarm_tracker(
+             d, [1.0 / DRIFT_BUCKETS] * DRIFT_BUCKETS, 0.3),
+         "update", DOC_SOURCES, 1.05,
+         "DRIFT_BUCKETS+2 numbers per source (cumulative histogram + "
+         "alarm flag) regardless of rate and vocabulary"),
         # --- the documented linear-in-rate exception -------------------
         ("stream_repeat_vote_pairs", "votes", P.stream_repeat_vote_pairs,
          "append", int(2 * 1.3 * (V_BASE * 10 // 2)), 13.0,
