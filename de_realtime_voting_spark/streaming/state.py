@@ -342,3 +342,92 @@ def drift_alarm_tracker(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PACK_OUTPUT = StructType(
+    [
+        StructField("lang", StringType()),
+        StructField("shard", LongType()),
+        StructField("docs_packed", LongType()),
+        StructField("windows_closed", LongType()),
+        StructField("open_fill", LongType()),
+    ]
+)
+
+PACK_STATE = StructType(
+    [
+        StructField("docs", LongType()),
+        StructField("closed", LongType()),
+        StructField("fill", LongType()),
+    ]
+)
+
+
+def _update_pack(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    from ..constants import PACK_WINDOW_TOKENS as WIN
+
+    docs, closed, fill = state.get if state.exists else (0, 0, 0)
+    batch = []
+    for pdf in pdfs:
+        batch.extend(zip(pdf["doc_id"].tolist(), pdf["n_tokens"].tolist()))
+    # arrival order within a micro-batch is not defined; doc_id order
+    # inside the batch is (the documented per-batch contract)
+    for _, t in sorted(batch):
+        t = min(int(t), WIN)
+        if t == 0:
+            continue
+        if fill + t > WIN:
+            closed += 1
+            fill = t
+        else:
+            fill += t
+        docs += 1
+    state.update((docs, closed, fill))
+    yield pd.DataFrame(
+        {
+            "lang": [key[0]],
+            "shard": [int(key[1])],
+            "docs_packed": [docs],
+            "windows_closed": [closed],
+            "open_fill": [fill],
+        }
+    )
+
+
+def stream_pack_nextfit(documents: DataFrame) -> DataFrame:
+    """ONLINE sequence packing: the streaming training-shard writer.
+    Per (lang, shard), one open window lives in state; each arriving
+    doc (whole, never split -- the seq_pack_bestfit regime) either
+    extends it or closes it and starts the next.  This IS next-fit in
+    arrival order -- the only packing discipline an online writer can
+    implement (FFD needs the whole set; that is the batch op's job)
+    -- so the batch seq_pack_bestfit report's n_windows_nextfit
+    column is this pipeline's exact ground truth when arrival order
+    is doc_id order (parity pytest-pinned).
+
+    State per key: THREE numbers (docs, closed windows, open fill) --
+    rate/corpus-independent, the funnel_tracker bound.  Update mode:
+    each batch re-emits the keys it advanced with cumulative layout
+    counters; a downstream writer rotates output files on
+    windows_closed increments.
+    """
+    from pyspark.sql import functions as F  # noqa: F401 (doc parity)
+
+    from ..constants import PACK_SHARDS
+    from ..functions import tokens
+
+    per_doc = documents.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % PACK_SHARDS).cast("bigint").alias("shard"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+    return per_doc.groupBy("lang", "shard").applyInPandasWithState(
+        _update_pack,
+        outputStructType=PACK_OUTPUT,
+        stateStructType=PACK_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1714,3 +1714,53 @@ def test_drift_alarm_tracker_edge_semantics(spark):
         assert tvs["raise"] == 0.5 and tvs["clear"] == 0.2
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_pack_nextfit_matches_batch_baseline(spark, sf_dir):
+    """The online packer's final layout must equal the batch
+    seq_pack_bestfit report's next-fit column: closed windows + the
+    still-open one == n_windows_nextfit, when arrival order is doc_id
+    order (two doc_id-ranged single-partition slices)."""
+    from de_realtime_voting_spark.constants import PACK_WINDOW_TOKENS
+    from de_realtime_voting_spark.operators.pipeline import seq_pack_bestfit
+    from de_realtime_voting_spark.streaming import stream_pack_nextfit
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = {(r.lang, r.shard): r for r in seq_pack_bestfit(docs).collect()}
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    nonzero = {
+        (r.lang, r.doc_id % 8): 1
+        for r in docs.where(F.size(F.split("text", " ")) >= 0).collect()
+    }
+    spark.catalog.clearCache()
+
+    d = tempfile.mkdtemp(prefix="stream_pack_")
+    try:
+        docs.where(F.col("doc_id") <= mid).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/slice_0")
+        docs.where(F.col("doc_id") > mid).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/slice_1")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/slice_*")
+        )
+        out = _run_stream_to_memory(
+            spark, stream_pack_nextfit(stream), "pack_stream", "update"
+        ).collect()
+        # update mode: keep the last emitted row per key (max docs_packed)
+        final = {}
+        for r in out:
+            key = (r["lang"], r["shard"])
+            if key not in final or r["docs_packed"] > final[key]["docs_packed"]:
+                final[key] = r
+        assert set(final) <= set(batch)
+        for key, r in final.items():
+            want = batch[key]
+            got_windows = r["windows_closed"] + (1 if r["open_fill"] > 0 else 0)
+            assert got_windows == want.n_windows_nextfit, key
+            assert r["open_fill"] <= PACK_WINDOW_TOKENS  # never overfull
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
