@@ -272,6 +272,13 @@ def _pipelines():
          "update", DOC_SOURCES, 1.05,
          "one wide row per source (DRIFT_BUCKETS+1 counters inside the "
          "row) regardless of vocabulary and stream length"),
+        ("stream_pack_nextfit", "docs",
+         # the soak feed has no lang column: source stands in for it
+         lambda d: S.stream_pack_nextfit(
+             d.withColumnRenamed("source", "lang")),
+         "update", 8 * DOC_SOURCES, 1.05,
+         "three numbers per (lang, shard) key -- rate- and "
+         "corpus-independent (key domain: langs x shards of the feed)"),
         ("drift_alarm_tracker", "docs",
          lambda d: S.drift_alarm_tracker(
              d, [1.0 / DRIFT_BUCKETS] * DRIFT_BUCKETS, 0.3),
