@@ -359,7 +359,8 @@ WHITEN_EPS = 1e-6
 
 # IVF tuning sweep: recall is measured at nprobe = 1..MAX in one
 # assignment pass (probe lists are proximity-ordered, so nprobe = p
-# is a prefix of the MAX-probe list).  MAX = half the coarse cells --
-# past that, IVF degenerates toward brute force and the curve says
-# nothing new.
+# is a prefix of the MAX-probe list).  MAX = a quarter of the 16
+# coarse cells: the knee of the recall curve sits in the first few
+# probes; past that IVF degenerates toward brute force and the curve
+# says nothing new.
 IVF_PROBE_SWEEP_MAX = 4

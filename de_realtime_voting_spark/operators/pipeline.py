@@ -985,22 +985,28 @@ def seq_pack_bestfit(documents: DataFrame) -> DataFrame:
         "lang",
         (F.col("doc_id") % PACK_SHARDS).cast("bigint").alias("shard"),
         "doc_id",
-        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        # greatest(.., 0): size(NULL) is -1 under non-ANSI defaults
+        F.greatest(F.size(tokens(F.col("text"))), F.lit(0)).alias("n_tokens"),
     )
 
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
         lang = pdf["lang"].iloc[0]
         shard = int(pdf["shard"].iloc[0])
         docs = sorted(
-            (min(int(t), win), int(d))
+            (max(0, min(int(t), win)), int(d))
             for d, t in zip(pdf["doc_id"], pdf["n_tokens"])
         )
         total = int(sum(t for t, _ in docs))
         # next-fit, doc_id order: close the window when the doc
-        # doesn't fit (the one-pass streaming writer baseline)
+        # doesn't fit (the one-pass streaming writer baseline).
+        # Zero-token docs pack nothing and must not touch a window
+        # (an unguarded t=0 would rotate an exactly-full bin here and
+        # open a phantom empty bin in FFD below).
         by_id = sorted(docs, key=lambda x: x[1])
         nf_bins, cur = 0, win  # cur = used space in the open bin
         for t, _ in by_id:
+            if t == 0:
+                continue
             if cur + t > win:
                 nf_bins += 1
                 cur = t
@@ -1009,6 +1015,8 @@ def seq_pack_bestfit(documents: DataFrame) -> DataFrame:
         # first-fit-decreasing: (tokens desc, doc_id asc)
         bins: list[int] = []
         for t, _ in sorted(docs, key=lambda x: (-x[0], x[1])):
+            if t == 0:
+                continue
             for i, used in enumerate(bins):
                 if used + t <= win:
                     bins[i] = used + t

@@ -494,7 +494,7 @@ _DEFS: dict[str, QueryFn] = {
 # must vouch for), then the two declared rows-only sketch ops, the
 # 15 ops whose freshest row is r2, and the first 26 of the 45
 # r3-vintage ops.  The remaining 19 r3 ops head the next window;
-# r4/r5 sections rotate behind.  The registry is 159 strong; the
+# r4/r5 sections rotate behind.  The registry is 172 strong; the
 # 531a147 round-close artifacts (PARITY_r6/BENCH_SF1/SHUFFLE_AUDIT)
 # predate bpe_fertility_stats_batched, whose rows were appended
 # separately afterwards.

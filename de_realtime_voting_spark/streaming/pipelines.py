@@ -827,12 +827,16 @@ def reference_whitening_stats(corpus: DataFrame) -> tuple[list[float], list[floa
     operators.similarity.embedding_pca_stats emits): 2*EMBEDDING_DIM
     floats, a bounded model artifact (the IVF-centroid contract)."""
     from ..constants import EMBEDDING_DIM
+    from ..functions.columns import round_half_up as rnd
 
     el = lambda i: F.element_at("embedding", i + 1).cast("double")  # noqa: E731
+    # round_half_up, NOT F.round: the batch twin publishes its stats
+    # through rnd(), and the two rules split on exact .5 landings --
+    # the constants must be bit-identical or the parity pin is a lie
     row = corpus.agg(
-        *[F.round(F.avg(el(i)), 6).alias(f"m{i}") for i in range(EMBEDDING_DIM)],
+        *[rnd(F.avg(el(i)), 6).alias(f"m{i}") for i in range(EMBEDDING_DIM)],
         *[
-            F.round(F.avg(el(i) * el(i)) - F.avg(el(i)) * F.avg(el(i)), 6).alias(
+            rnd(F.avg(el(i) * el(i)) - F.avg(el(i)) * F.avg(el(i)), 6).alias(
                 f"v{i}"
             )
             for i in range(EMBEDDING_DIM)

@@ -422,7 +422,8 @@ def stream_pack_nextfit(documents: DataFrame) -> DataFrame:
         "doc_id",
         "lang",
         (F.col("doc_id") % PACK_SHARDS).cast("bigint").alias("shard"),
-        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        # greatest(.., 0): size(NULL) is -1 under non-ANSI defaults
+        F.greatest(F.size(tokens(F.col("text"))), F.lit(0)).alias("n_tokens"),
     )
     return per_doc.groupBy("lang", "shard").applyInPandasWithState(
         _update_pack,

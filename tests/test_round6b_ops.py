@@ -305,12 +305,16 @@ def test_seq_pack_bestfit_matches_python_and_invariants(spark, sf_dir):
         by_id = sorted(items, key=lambda x: x[1])
         nf, cur = 0, win
         for t, _ in by_id:
+            if t == 0:
+                continue
             if cur + t > win:
                 nf, cur = nf + 1, t
             else:
                 cur += t
         bins = []
         for t, _ in sorted(items, key=lambda x: (-x[0], x[1])):
+            if t == 0:
+                continue
             for i, used in enumerate(bins):
                 if used + t <= win:
                     bins[i] = used + t

@@ -1728,10 +1728,6 @@ def test_stream_pack_nextfit_matches_batch_baseline(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     batch = {(r.lang, r.shard): r for r in seq_pack_bestfit(docs).collect()}
     mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
-    nonzero = {
-        (r.lang, r.doc_id % 8): 1
-        for r in docs.where(F.size(F.split("text", " ")) >= 0).collect()
-    }
     spark.catalog.clearCache()
 
     d = tempfile.mkdtemp(prefix="stream_pack_")

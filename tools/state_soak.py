@@ -205,7 +205,9 @@ def run_stateful(spark, src_dir: str, schema, build, output_mode: str) -> dict:
 
 def _pipelines():
     """(name, domain, build, mode, bound_rows, growth_cap, contract)."""
-    from de_realtime_voting_spark.constants import CMS_DEPTH, CMS_WIDTH, DRIFT_BUCKETS
+    from de_realtime_voting_spark.constants import (
+        CMS_DEPTH, CMS_WIDTH, DRIFT_BUCKETS, PACK_SHARDS,
+    )
     from de_realtime_voting_spark.streaming import pipelines as P
     from de_realtime_voting_spark.streaming import state as S
 
@@ -276,7 +278,7 @@ def _pipelines():
          # the soak feed has no lang column: source stands in for it
          lambda d: S.stream_pack_nextfit(
              d.withColumnRenamed("source", "lang")),
-         "update", 8 * DOC_SOURCES, 1.05,
+         "update", PACK_SHARDS * DOC_SOURCES, 1.05,
          "three numbers per (lang, shard) key -- rate- and "
          "corpus-independent (key domain: langs x shards of the feed)"),
         ("drift_alarm_tracker", "docs",
