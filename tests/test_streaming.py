@@ -1760,3 +1760,71 @@ def test_stream_pack_nextfit_matches_batch_baseline(spark, sf_dir):
             assert r["open_fill"] <= PACK_WINDOW_TOKENS  # never overfull
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_drift_alarm_checkpoint_no_duplicate_raise(spark):
+    """Alarm-state recovery: raise fires before the kill; after a
+    restart from the same checkpoint the arriving clean data must
+    produce ONLY a 'clear' -- a second 'raise' would mean the alarm
+    flag (and histogram) did not survive the restart."""
+    import hashlib
+
+    from de_realtime_voting_spark.constants import DRIFT_BUCKETS
+    from de_realtime_voting_spark.streaming import drift_alarm_tracker
+
+    bucket = lambda t: int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % DRIFT_BUCKETS
+    a, b = "alpha", "bravo"
+    assert bucket(a) != bucket(b)
+    ref = [0.0] * DRIFT_BUCKETS
+    ref[bucket(a)] = 1.0
+
+    root = tempfile.mkdtemp(prefix="alarm_cp_")
+    src, ckpt = f"{root}/src", f"{root}/ckpt"
+    schema = "doc_id long, source string, text string"
+
+    def write_slice(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/{name}")
+
+    emitted: list[tuple] = []
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/slice_*")
+        )
+        # foreachBatch sink: the memory sink cannot recover an
+        # update-mode query from a checkpoint; foreachBatch can
+        return (
+            drift_alarm_tracker(stream, ref, threshold=0.3)
+            .writeStream.foreachBatch(
+                lambda df, _id: emitted.extend(
+                    (r["n_tokens"], r["event"]) for r in df.collect()
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    try:
+        # run 1: clean then drifted -> exactly one 'raise'
+        write_slice("slice_0", [(i, "s1", " ".join([a] * 10)) for i in range(10)])
+        write_slice("slice_1", [(100 + i, "s1", " ".join([b] * 10)) for i in range(10)])
+        q = start()
+        q.awaitTermination(120)
+        assert [e for _, e in emitted] == ["raise"]
+
+        # down; a flood of clean data lands; restart from the SAME
+        # checkpoint -> the recovered histogram + flag yield 'clear'
+        write_slice("slice_2", [(200 + i, "s1", " ".join([a] * 10)) for i in range(30)])
+        q2 = start()
+        q2.awaitTermination(120)
+        run2 = sorted(emitted)
+        assert [e for _, e in run2] == ["raise", "clear"]
+        assert run2[-1] == (500, "clear")  # cumulative counts recovered
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
