@@ -364,3 +364,8 @@ WHITEN_EPS = 1e-6
 # probes; past that IVF degenerates toward brute force and the curve
 # says nothing new.
 IVF_PROBE_SWEEP_MAX = 4
+
+# Fuzzy decontamination: NEAR-duplicate eval overlap (MinHash bands +
+# exact-Jaccard verify) at a LOWER bar than the dup threshold --
+# contamination cares about weaker overlap than "same document".
+FUZZY_DECONTAM_THRESHOLD = 0.5

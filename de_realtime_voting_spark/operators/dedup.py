@@ -1803,3 +1803,59 @@ def dup_quality_report(documents: DataFrame) -> DataFrame:
             "avg_clean_quality"
         ),
     )
+
+
+def fuzzy_decontam(documents: DataFrame) -> DataFrame:
+    """FUZZY benchmark decontamination: corpus docs that are MinHash
+    NEAR-duplicates of an eval-source doc (banded candidates + exact
+    shingle-Jaccard verify at FUZZY_DECONTAM_THRESHOLD, a lower bar
+    than the dup threshold) -- the Llama-style complement of the
+    exact word-8-gram gate in pipeline.benchmark_decontam, catching
+    paraphrased / lightly-edited eval leakage that exact n-grams
+    miss.  (No reference analog -- training-data mandate.)
+
+    Scale shape: the dedup_incremental asymmetry with the eval set as
+    the 'existing' side -- candidates are corpus-band x eval-band
+    collisions only, so the band join's build side is the (small)
+    eval suite and cost scales with the corpus scan, never
+    corpus x corpus; the verify join touches candidate rows only.
+    """
+    from ..constants import EVAL_SOURCE, FUZZY_DECONTAM_THRESHOLD
+
+    sh = _doc_shingles(documents).persist()
+    src = documents.select("doc_id", (F.col("source") == EVAL_SOURCE).alias("is_eval"))
+    bands = _doc_bands_from(sh).join(src, "doc_id")
+    ev = bands.where(F.col("is_eval")).select(
+        F.col("doc_id").alias("eval_doc_id"), "band_idx", "band_hash"
+    )
+    corpus = bands.where(~F.col("is_eval")).select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.col("band_idx").alias("band_idx_c"),
+        F.col("band_hash").alias("band_hash_c"),
+    )
+    cand = (
+        corpus.join(
+            ev,
+            (F.col("band_idx") == F.col("band_idx_c"))
+            & (F.col("band_hash") == F.col("band_hash_c")),
+        )
+        .select("corpus_doc", "eval_doc_id")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("corpus_doc"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(
+        F.col("doc_id").alias("eval_doc_id"), F.col("shingles").alias("sh_b")
+    )
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(sa, "corpus_doc")
+        .join(sb, "eval_doc_id")
+        .select(
+            F.col("corpus_doc").alias("doc_id"),
+            "eval_doc_id",
+            jaccard.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= FUZZY_DECONTAM_THRESHOLD)
+    )

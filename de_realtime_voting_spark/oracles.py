@@ -3920,6 +3920,31 @@ SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_queries,
 FROM arms GROUP BY 1
 """
 
+from .constants import FUZZY_DECONTAM_THRESHOLD  # noqa: E402
+
+SQL["fuzzy_decontam"] = f"""{_MINHASH_CTES},
+sb AS (
+    SELECT b.doc_id, b.band_idx, b.band_hash,
+           d.source = '{EVAL_SOURCE}' AS is_eval
+    FROM bands b JOIN documents d USING (doc_id)
+),
+cand AS (
+    SELECT DISTINCT c.doc_id AS doc_id, e.doc_id AS eval_doc_id
+    FROM sb c JOIN sb e
+      ON c.band_idx = e.band_idx AND c.band_hash = e.band_hash
+    WHERE NOT c.is_eval AND e.is_eval
+)
+SELECT doc_id, eval_doc_id, jaccard FROM (
+    SELECT cand.doc_id, cand.eval_doc_id,
+           len(list_intersect(a.shingles, b.shingles))
+           / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                  AS DOUBLE) AS jaccard
+    FROM cand
+    JOIN sh a ON a.doc_id = cand.doc_id
+    JOIN sh b ON b.doc_id = cand.eval_doc_id
+) WHERE jaccard >= {FUZZY_DECONTAM_THRESHOLD}
+"""
+
 # Applied LAST so every entry above -- including late additions -- gets
 # the engine-exact half-up rounding rewrite.
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

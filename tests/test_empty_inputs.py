@@ -119,6 +119,9 @@ CASES = {
     "seq_pack_bestfit": lambda s, d: pipeline.seq_pack_bestfit(
         _empty(s, d, "documents")
     ),
+    "fuzzy_decontam": lambda s, d: dedup.fuzzy_decontam(
+        _empty(s, d, "documents")
+    ),
     "cross_source_dup_matrix": lambda s, d: dedup.cross_source_dup_matrix(
         _empty(s, d, "documents")
     ),

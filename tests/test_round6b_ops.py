@@ -402,3 +402,49 @@ def test_token_bucket_drift_zero_for_uniform_source(spark):
     got = {r.source: r.tv_drift for r in token_bucket_drift(docs).collect()}
     assert got == {"s1": 0.0, "s2": 0.0}
     spark.catalog.clearCache()
+
+
+def test_fuzzy_decontam_subset_of_pairs_and_catches_weak_overlap(spark, sf_dir):
+    """Fuzzy decontam must (a) involve only corpus x eval pairs, (b)
+    contain every VERIFIED dup pair that straddles the eval boundary
+    (its threshold is lower), and (c) agree with a python Jaccard
+    recount on every emitted pair."""
+    from de_realtime_voting_spark.constants import (
+        EVAL_SOURCE,
+        FUZZY_DECONTAM_THRESHOLD,
+        SHINGLE_K,
+    )
+    from de_realtime_voting_spark.operators.dedup import (
+        dedup_minhash_pairs,
+        fuzzy_decontam,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    dup_pairs = dedup_minhash_pairs(docs).collect()
+    spark.catalog.clearCache()
+
+    got = {(r.doc_id, r.eval_doc_id): r.jaccard for r in fuzzy_decontam(docs).collect()}
+    assert got, "sf corpora have dup classes straddling the eval source"
+    for (c, e), jac in got.items():
+        assert src[c] != EVAL_SOURCE and src[e] == EVAL_SOURCE
+
+        def shingles(t):
+            toks = [w for w in (t or "").split(" ") if w]
+            return {
+                " ".join(toks[i : i + SHINGLE_K])
+                for i in range(len(toks) - SHINGLE_K + 1)
+            }
+
+        sa, sb = shingles(texts[c]), shingles(texts[e])
+        want = len(sa & sb) / len(sa | sb)
+        assert abs(jac - want) < 1e-12
+        assert jac >= FUZZY_DECONTAM_THRESHOLD
+    # every dup-threshold pair across the eval boundary is contained
+    for p in dup_pairs:
+        a_eval, b_eval = src[p.doc_a] == EVAL_SOURCE, src[p.doc_b] == EVAL_SOURCE
+        if a_eval != b_eval:
+            key = (p.doc_b, p.doc_a) if a_eval else (p.doc_a, p.doc_b)
+            assert key in got, key
+    spark.catalog.clearCache()
