@@ -922,3 +922,101 @@ def stream_temperature_sample(
     return documents.where(
         bucket < F.coalesce(F.element_at(thr, F.col("source")), F.lit(0))
     )
+
+
+def stream_fuzzy_decontam_hits(
+    documents: DataFrame, eval_corpus: DataFrame
+) -> DataFrame:
+    """Ingest-time FUZZY decontamination feed: every (arriving doc,
+    eval doc) pair that is MinHash-near at FUZZY_DECONTAM_THRESHOLD
+    -- the streaming face of batch dedup.fuzzy_decontam (same bands,
+    same exact-Jaccard verify, same output schema), catching
+    paraphrased eval leakage the exact-8-gram gate
+    (stream_decontam_gate) misses.
+
+    COMPLETELY STATELESS, append mode: the eval suite's band index
+    ships as an in-closure map literal (band-key -> eval ids; an eval
+    suite is a bounded model artifact -- the eval_gram_set contract),
+    so candidate generation is map-side lookups with per-row
+    array_distinct dedup (no stream-side dropDuplicates state); the
+    exact-Jaccard verify is ONE stream-static equi-join carrying the
+    eval shingle arrays (static side persisted here, broadcast per
+    micro-batch).  Emits the HIT LIST rather than gating in-line --
+    deciding "no hit for this doc" needs a per-doc aggregation
+    (stateful on a stream), so the admit/quarantine split happens in
+    the writer's foreachBatch anti-join, exactly how
+    stream_bloom_quarantine documents its batch-verifier rendezvous.
+    """
+    from ..constants import FUZZY_DECONTAM_THRESHOLD
+    from ..functions import tokens, word_shingles
+    from ..functions.pandas_udfs import minhash_signature_pandas
+    from ..operators.dedup import (
+        MINHASH_BAND_ROWS,
+        N_BANDS,
+        _doc_bands_from,
+        _doc_shingles,
+    )
+
+    ev_sh = _doc_shingles(eval_corpus).persist()
+    # bounded-index collect (the eval_gram_set / Bloom-image pattern):
+    # band-key -> list of eval doc ids sharing that band
+    index: dict[str, list[int]] = {}
+    for r in _doc_bands_from(ev_sh).collect():
+        index.setdefault(f"{r['band_idx']}|{r['band_hash']}", []).append(
+            r["doc_id"]
+        )
+    keys = list(index)
+    idx_map = F.map_from_arrays(
+        F.lit(keys).cast("array<string>"),
+        F.lit([index[k] for k in keys]).cast("array<array<bigint>>"),
+    )
+    ev_shingles = ev_sh.select(
+        F.col("doc_id").alias("eval_doc_id"), F.col("shingles").alias("sh_e")
+    )
+
+    toks_d = documents.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).where(F.size("toks") >= 3)
+    sh = toks_d.select("doc_id", word_shingles(F.col("toks")).alias("shingles"))
+    sig = minhash_signature_pandas(F.col("shingles"))
+    band_keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}|"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.element_at(
+                                F.col("sig"), b * MINHASH_BAND_ROWS + r + 1
+                            )
+                            for r in range(MINHASH_BAND_ROWS)
+                        ],
+                    )
+                ),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    cands = F.array_distinct(
+        F.flatten(
+            F.filter(
+                F.transform(band_keys, lambda k: F.element_at(idx_map, k)),
+                lambda v: v.isNotNull(),
+            )
+        )
+    )
+    hit_rows = (
+        sh.select("doc_id", "shingles", sig.alias("sig"))
+        .select("doc_id", "shingles", cands.alias("cands"))
+        .where(F.size("cands") > 0)
+        .select("doc_id", "shingles", F.explode("cands").alias("eval_doc_id"))
+    )
+    jaccard = F.size(F.array_intersect("shingles", "sh_e")) / F.size(
+        F.array_union("shingles", "sh_e")
+    )
+    return (
+        hit_rows.join(ev_shingles, "eval_doc_id")
+        .select("doc_id", "eval_doc_id", jaccard.alias("jaccard"))
+        .where(F.col("jaccard") >= FUZZY_DECONTAM_THRESHOLD)
+    )

@@ -1828,3 +1828,41 @@ def test_drift_alarm_checkpoint_no_duplicate_raise(spark):
         assert run2[-1] == (500, "clear")  # cumulative counts recovered
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stream_fuzzy_decontam_hits_match_batch(spark, sf_dir):
+    """The ingest-time fuzzy hit feed must emit exactly the batch
+    fuzzy_decontam pair set (same bands, verify, threshold) when the
+    stream carries the corpus side and the static side is the eval
+    suite."""
+    from de_realtime_voting_spark.constants import EVAL_SOURCE
+    from de_realtime_voting_spark.operators.dedup import fuzzy_decontam
+    from de_realtime_voting_spark.streaming import stream_fuzzy_decontam_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        (r.doc_id, r.eval_doc_id): r.jaccard
+        for r in fuzzy_decontam(docs).collect()
+    }
+    assert want
+    spark.catalog.clearCache()
+
+    eval_docs = docs.where(F.col("source") == EVAL_SOURCE)
+    incoming = docs.where(F.col("source") != EVAL_SOURCE)
+    d = tempfile.mkdtemp(prefix="fuzzy_stream_")
+    try:
+        incoming.repartition(2).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(docs.schema).parquet(d)
+        got_df = _run_stream_to_memory(
+            spark,
+            stream_fuzzy_decontam_hits(stream, eval_docs),
+            "fuzzy_hits",
+            "append",
+        )
+        got = {
+            (r.doc_id, r.eval_doc_id): r.jaccard for r in got_df.collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.catalog.clearCache()
