@@ -1866,3 +1866,19 @@ def test_stream_fuzzy_decontam_hits_match_batch(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         spark.catalog.clearCache()
+
+
+def test_stream_fuzzy_decontam_hits_empty_sides(spark):
+    """Degenerate sides must yield empty feeds, not errors: an empty
+    eval suite (empty in-closure band index) and an incoming doc too
+    short to shingle both produce zero hits."""
+    from de_realtime_voting_spark.streaming import stream_fuzzy_decontam_hits
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    empty_eval = spark.createDataFrame([], schema)
+    docs = spark.createDataFrame([(1, "a b c d e f", "en", "s1", 11)], schema)
+    assert stream_fuzzy_decontam_hits(docs, empty_eval).collect() == []
+    short = spark.createDataFrame([(2, "a b", "en", "s1", 3)], schema)
+    eval_docs = spark.createDataFrame([(9, "a b c d e f", "en", "src0", 11)], schema)
+    assert stream_fuzzy_decontam_hits(short, eval_docs).collect() == []
+    spark.catalog.clearCache()
