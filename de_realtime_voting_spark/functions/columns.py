@@ -227,3 +227,16 @@ def candidate_party(candidate: Column) -> Column:
         cond = candidate == F.lit(cand)
         expr = F.when(cond, F.lit(party)) if expr is None else expr.when(cond, F.lit(party))
     return expr.otherwise(mapping)
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text normalization for fuzzy-exact dedup: lowercase,
+    strip everything outside [a-z0-9 ], collapse whitespace runs,
+    trim.  Deliberately portable constructs only (ASCII lower, simple
+    character classes -- identical semantics in Java regex and RE2,
+    the PII-pattern discipline) so the Spark hash and the DuckDB
+    oracle hash can never disagree."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[^a-z0-9 ]", "")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)

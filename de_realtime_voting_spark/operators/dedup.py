@@ -1859,3 +1859,36 @@ def fuzzy_decontam(documents: DataFrame) -> DataFrame:
         )
         .where(F.col("jaccard") >= FUZZY_DECONTAM_THRESHOLD)
     )
+
+
+def normalized_dedup_gain(documents: DataFrame) -> DataFrame:
+    """Fuzzy-EXACT dedup calibration: per source, how many duplicate
+    classes raw md5(text) hashing finds vs md5(normalize(text)) --
+    lowercase, punctuation stripped, whitespace collapsed -- the
+    standard pre-hash normalization that catches trivially
+    reformatted copies (case changes, pasted punctuation, double
+    spaces) byte-exact hashing misses.  extra_dups is the count of
+    additional removable docs normalization unlocks: the number that
+    says whether the normalized pass is worth scheduling on a
+    corpus.  (No reference analog -- training-data mandate.)
+
+    Scale shape: both hashes are map-side expressions over one scan;
+    the two distinct-counts per source run in one aggregation
+    (Spark's Expand for multi-COUNT DISTINCT -- bounded by 2x the
+    scan, no joins, no windows).
+    """
+    from ..functions.columns import normalize_text
+
+    hashed = documents.select(
+        "source",
+        F.md5("text").alias("raw_hash"),
+        F.md5(normalize_text(F.col("text"))).alias("norm_hash"),
+    )
+    return hashed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("raw_hash").cast("bigint").alias("raw_classes"),
+        F.countDistinct("norm_hash").cast("bigint").alias("norm_classes"),
+        (F.countDistinct("raw_hash") - F.countDistinct("norm_hash"))
+        .cast("bigint")
+        .alias("extra_dups"),
+    )

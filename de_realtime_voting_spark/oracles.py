@@ -3945,6 +3945,25 @@ SELECT doc_id, eval_doc_id, jaccard FROM (
 ) WHERE jaccard >= {FUZZY_DECONTAM_THRESHOLD}
 """
 
+_NORM_TEXT = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+SQL["normalized_dedup_gain"] = f"""
+WITH h AS (
+    SELECT source, md5(text) AS raw_hash, md5({_NORM_TEXT}) AS norm_hash
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT raw_hash) AS BIGINT) AS raw_classes,
+       CAST(COUNT(DISTINCT norm_hash) AS BIGINT) AS norm_classes,
+       CAST(COUNT(DISTINCT raw_hash) - COUNT(DISTINCT norm_hash) AS BIGINT)
+           AS extra_dups
+FROM h GROUP BY 1
+"""
+
 # Applied LAST so every entry above -- including late additions -- gets
 # the engine-exact half-up rounding rewrite.
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

@@ -386,6 +386,9 @@ _DEFS: dict[str, QueryFn] = {
     "fuzzy_decontam": lambda s, d: dedup.fuzzy_decontam(
         _t(s, d, "documents")
     ),
+    "normalized_dedup_gain": lambda s, d: dedup.normalized_dedup_gain(
+        _t(s, d, "documents")
+    ),
     # no oracle_sql: bin packing is an ordered iterative algorithm
     # outside SQL's reach (the driver records the rows-only check;
     # the python reference lives in tests/test_round6b_ops.py)
@@ -497,7 +500,7 @@ _DEFS: dict[str, QueryFn] = {
 # must vouch for), then the two declared rows-only sketch ops, the
 # 15 ops whose freshest row is r2, and the first 26 of the 45
 # r3-vintage ops.  The remaining 19 r3 ops head the next window;
-# r4/r5 sections rotate behind.  The registry is 173 strong; the
+# r4/r5 sections rotate behind.  The registry is 174 strong; the
 # 531a147 round-close artifacts (PARITY_r6/BENCH_SF1/SHUFFLE_AUDIT)
 # predate bpe_fertility_stats_batched, whose rows were appended
 # separately afterwards.
@@ -506,6 +509,7 @@ _PRIORITY: list[str] = [
     "dup_quality_report", "token_bucket_drift", "corpus_span_excised",
     "embedding_whitened_norms", "corpus_temperature_sample",
     "ann_ivf_probe_sweep", "seq_pack_bestfit", "fuzzy_decontam",
+    "normalized_dedup_gain",
     "repeated_span_excision", "span_excision_stats",
     "token_distribution_drift", "knn_label_purity",
     "dedup_ngram_jaccard_scaled", "bpe_train_merges_batched",

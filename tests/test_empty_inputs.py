@@ -122,6 +122,9 @@ CASES = {
     "fuzzy_decontam": lambda s, d: dedup.fuzzy_decontam(
         _empty(s, d, "documents")
     ),
+    "normalized_dedup_gain": lambda s, d: dedup.normalized_dedup_gain(
+        _empty(s, d, "documents")
+    ),
     "cross_source_dup_matrix": lambda s, d: dedup.cross_source_dup_matrix(
         _empty(s, d, "documents")
     ),

@@ -448,3 +448,32 @@ def test_fuzzy_decontam_subset_of_pairs_and_catches_weak_overlap(spark, sf_dir):
             key = (p.doc_b, p.doc_a) if a_eval else (p.doc_a, p.doc_b)
             assert key in got, key
     spark.catalog.clearCache()
+
+
+def test_normalized_dedup_gain_finds_reformatted_copies(spark):
+    """Normalization must collapse case/punct/whitespace variants of
+    one text into one class while raw hashing keeps them apart, and
+    must NEVER split classes raw hashing merged (norm_classes <=
+    raw_classes always)."""
+    from de_realtime_voting_spark.operators.dedup import normalized_dedup_gain
+
+    rows = [
+        (1, "Hello, World!  How are you?", "en", "s1", 27),
+        (2, "hello world how are you", "en", "s1", 23),
+        (3, "HELLO   WORLD -- how are you", "en", "s1", 28),
+        (4, "a completely different text", "en", "s1", 27),
+        (5, "same bytes", "en", "s2", 10),
+        (6, "same bytes", "en", "s2", 10),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r.source: r for r in normalized_dedup_gain(docs).collect()}
+    s1 = got["s1"]
+    assert (s1.n_docs, s1.raw_classes, s1.norm_classes) == (4, 4, 2)
+    assert s1.extra_dups == 2  # docs 2 and 3 fold into doc 1's class
+    s2 = got["s2"]  # raw-exact dups: normalization adds nothing
+    assert (s2.raw_classes, s2.norm_classes, s2.extra_dups) == (1, 1, 0)
+    for r in got.values():
+        assert r.norm_classes <= r.raw_classes
+    spark.catalog.clearCache()
