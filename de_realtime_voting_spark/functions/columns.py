@@ -231,12 +231,16 @@ def candidate_party(candidate: Column) -> Column:
 
 def normalize_text(text: Column) -> Column:
     """Canonical text normalization for fuzzy-exact dedup: lowercase,
-    strip everything outside [a-z0-9 ], collapse whitespace runs,
-    trim.  Deliberately portable constructs only (ASCII lower, simple
-    character classes -- identical semantics in Java regex and RE2,
-    the PII-pattern discipline) so the Spark hash and the DuckDB
-    oracle hash can never disagree."""
+    ASCII whitespace runs (tab/newline/formfeed/CR/space) -> one
+    space, strip everything outside [a-z0-9 ], re-collapse the spaces
+    punctuation removal opens up, trim.  Whitespace converts BEFORE
+    the punctuation strip so a newline separates words instead of
+    fusing them.  Deliberately portable constructs only (ASCII lower,
+    explicit character classes -- identical semantics in Java regex
+    and RE2, the PII-pattern discipline) so the Spark hash and the
+    DuckDB oracle hash can never disagree."""
     t = F.lower(text)
+    t = F.regexp_replace(t, "[\t\n\f\r ]+", " ")
     t = F.regexp_replace(t, "[^a-z0-9 ]", "")
     t = F.regexp_replace(t, " +", " ")
     return F.trim(t)

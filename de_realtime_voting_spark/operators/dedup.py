@@ -102,6 +102,27 @@ def _doc_shingles(documents: DataFrame) -> DataFrame:
     )
 
 
+def _band_hash_exprs(sig) -> list:
+    """The N_BANDS band-hash expressions over a signature column --
+    ONE definition shared by the batch band frame (_doc_bands_from)
+    and the streaming fuzzy-decontam feed, so a banding change can
+    never silently split the two (a mismatch would make the stream's
+    in-closure index miss every key and emit zero hits instead of
+    erroring)."""
+    return [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.element_at(sig, b * MINHASH_BAND_ROWS + r + 1)
+                    for r in range(MINHASH_BAND_ROWS)
+                ],
+            )
+        )
+        for b in range(N_BANDS)
+    ]
+
+
 def _doc_bands(documents: DataFrame) -> DataFrame:
     """(doc_id, band_idx, band_hash): LSH bands over the MinHash
     signature; docs sharing any band are near-dup candidates."""
@@ -121,20 +142,7 @@ def _doc_bands_from(sh: DataFrame) -> DataFrame:
     from ..functions.pandas_udfs import minhash_signature_pandas
 
     sig = minhash_signature_pandas(F.col("shingles"))
-    bands = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.element_at(F.col("sig"), b * MINHASH_BAND_ROWS + r + 1)
-                        for r in range(MINHASH_BAND_ROWS)
-                    ],
-                )
-            )
-            for b in range(N_BANDS)
-        ]
-    )
+    bands = F.array(*_band_hash_exprs(F.col("sig")))
     return (
         sh.select("doc_id", sig.alias("sig"))
         .select("doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))

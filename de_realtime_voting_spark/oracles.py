@@ -10,6 +10,7 @@ both engines evaluate the same fold order.
 from __future__ import annotations
 
 from .constants import (
+    FUZZY_DECONTAM_THRESHOLD,
     ANN_K,
     MAD_OUTLIER_K,
     THRESHOLD_SWEEP_BINS,
@@ -3920,8 +3921,6 @@ SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_queries,
 FROM arms GROUP BY 1
 """
 
-from .constants import FUZZY_DECONTAM_THRESHOLD  # noqa: E402
-
 SQL["fuzzy_decontam"] = f"""{_MINHASH_CTES},
 sb AS (
     SELECT b.doc_id, b.band_idx, b.band_hash,
@@ -3946,8 +3945,9 @@ SELECT doc_id, eval_doc_id, jaccard FROM (
 """
 
 _NORM_TEXT = (
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
-    " ' +', ' ', 'g'))"
+    "trim(regexp_replace(regexp_replace(regexp_replace("
+    "lower(text), '[\\t\\n\\f\\r ]+', ' ', 'g'),"
+    " '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 )
 
 SQL["normalized_dedup_gain"] = f"""

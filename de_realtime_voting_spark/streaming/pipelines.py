@@ -948,11 +948,9 @@ def stream_fuzzy_decontam_hits(
     stream_bloom_quarantine documents its batch-verifier rendezvous.
     """
     from ..constants import FUZZY_DECONTAM_THRESHOLD
-    from ..functions import tokens, word_shingles
     from ..functions.pandas_udfs import minhash_signature_pandas
     from ..operators.dedup import (
-        MINHASH_BAND_ROWS,
-        N_BANDS,
+        _band_hash_exprs,
         _doc_bands_from,
         _doc_shingles,
     )
@@ -974,28 +972,16 @@ def stream_fuzzy_decontam_hits(
         F.col("doc_id").alias("eval_doc_id"), F.col("shingles").alias("sh_e")
     )
 
-    toks_d = documents.select(
-        "doc_id", tokens(F.col("text")).alias("toks")
-    ).where(F.size("toks") >= 3)
-    sh = toks_d.select("doc_id", word_shingles(F.col("toks")).alias("shingles"))
+    # the barriered batch shingle helper works unchanged on a stream
+    # (repartition is stateless): without its CollapseProject barrier
+    # tokens(text) re-inlines into every shingle lambda -- measured
+    # 11 split(text) sites in the optimized plan vs 2 barriered
+    sh = _doc_shingles(documents)
     sig = minhash_signature_pandas(F.col("shingles"))
     band_keys = F.array(
         *[
-            F.concat(
-                F.lit(f"{b}|"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.element_at(
-                                F.col("sig"), b * MINHASH_BAND_ROWS + r + 1
-                            )
-                            for r in range(MINHASH_BAND_ROWS)
-                        ],
-                    )
-                ),
-            )
-            for b in range(N_BANDS)
+            F.concat(F.lit(f"{b}|"), h)
+            for b, h in enumerate(_band_hash_exprs(F.col("sig")))
         ]
     )
     cands = F.array_distinct(
