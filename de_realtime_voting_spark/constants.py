@@ -52,6 +52,14 @@ REP_DUP_BIGRAM_MAX = 0.08
 CHAR_NGRAM_K = 3           # character trigram width
 NGRAM_JACCARD_THRESHOLD = 0.65
 NGRAM_LEN_BUCKET = 32      # length-bucket blocking key width (chars)
+# dedup_ngram_jaccard self-routing cutover: at or below this corpus
+# size the exhaustive block-co-occurrence plan runs (exact recall,
+# quadratic in block occupancy -- measured 49.6 s at sf1); above it
+# the op routes to the banded-LSH candidate plan
+# (dedup_ngram_jaccard_scaled's shape, alpha 0.22).  20k sits between
+# sf0.1 (5k docs, exhaustive -- bench/oracle continuity) and sf1
+# (50k docs, banded).
+NGRAM_EXHAUSTIVE_MAX_DOCS = 20_000
 
 # --- BPE-ish regex tokenizer --------------------------------------
 # letter runs | digit runs | single non-alnum-non-space (the classic

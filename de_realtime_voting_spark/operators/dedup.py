@@ -39,6 +39,18 @@ from ..functions import (
 N_BANDS = MINHASH_SIGS // MINHASH_BAND_ROWS
 
 
+def _shuffle_width(spark) -> int:
+    """The session's shuffle width as an int, tolerating non-numeric
+    conf values: some platforms set spark.sql.shuffle.partitions to
+    "auto", and a repartition count must not turn a tuning setting
+    into a query failure (ADVICE r6).  Falls back to
+    defaultParallelism, the same width the conf defaults to."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Documents/embeddings arrive as few parquet splits (small files,
     heavy rows).  Per-row signature work is CPU-bound, so spread it
@@ -227,17 +239,30 @@ def dedup_ngram_jaccard(documents: DataFrame) -> DataFrame:
       families are tiny, so the famkey window that ships gram
       arrays costs more than the collapse saves.
 
-    The 100 TB contract is therefore: this operator is the EXACT
-    edit-level instrument for block-partitioned corpus slices (its
-    per-block cost is paid consciously); at full-corpus scale, use
-    dedup_ngram_jaccard_scaled below -- SHIPPED in r6 -- where
-    candidate pairs come from dedup_minhash_pairs' banded LSH (O(1)
-    expected bucket occupancy) and char-trigram Jaccard verifies
-    inside candidates only, the dedup_edit_distance pattern
-    (measured at sf1: 7.9 s vs this op's 49.6 s, alpha 0.22 vs
-    the quadratic-in-occupancy curve).  SCALE.md carries the same
+    SELF-ROUTING (r7): above NGRAM_EXHAUSTIVE_MAX_DOCS the op
+    switches to the banded-LSH candidate plan
+    (dedup_ngram_jaccard_scaled's shape) -- the same
+    engages-at-scale/bit-identical-below-it contract as
+    semantic_dedup's cell-budget split.  The exhaustive
+    block-co-occurrence plan below the cutover is the EXACT
+    edit-level instrument (its per-block quadratic cost is paid
+    consciously on bounded slices); past the cutover, candidate
+    pairs come from banded LSH (O(1) expected bucket occupancy) and
+    char-trigram Jaccard verifies inside candidates only, the
+    dedup_edit_distance pattern (measured at sf1: 7.9 s vs the
+    exhaustive plan's 49.6 s, alpha 0.22 vs the
+    quadratic-in-occupancy curve).  The documented recall trade past
+    the cutover: candidates come from word-shingle MinHash bands, so
+    edit-level dups sharing no word shingle are out of recall --
+    acceptable at corpus scale (the _scaled docstring carries the
+    measurement).  The one count() action that picks the route reads
+    parquet footers only (no columns).  SCALE.md carries the same
     guidance.
     """
+    from ..constants import NGRAM_EXHAUSTIVE_MAX_DOCS
+
+    if documents.count() > NGRAM_EXHAUSTIVE_MAX_DOCS:
+        return dedup_ngram_jaccard_scaled(documents)
     g = (
         documents.select(
             "doc_id",
@@ -440,7 +465,7 @@ def dedup_edit_distance(documents: DataFrame) -> DataFrame:
         # explicit partition count: a column-only repartition would be
         # re-coalesced by AQE, recreating the 2-task DP serialization
         .repartition(
-            int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            _shuffle_width(documents.sparkSession),
             "doc_a",
             "doc_b",
         )

@@ -972,11 +972,20 @@ def stream_fuzzy_decontam_hits(
         F.col("doc_id").alias("eval_doc_id"), F.col("shingles").alias("sh_e")
     )
 
+    # Eval-side exclusion INSIDE the operator (r7, ADVICE): the batch
+    # twin fuzzy_decontam filters is_eval on the corpus side, so an
+    # eval doc re-arriving on the feed must not emit a self-hit pair
+    # (jaccard 1.0) -- filter here rather than relying on callers to
+    # pre-filter the stream.
+    from ..constants import EVAL_SOURCE
+
+    arriving = documents.where(F.col("source") != F.lit(EVAL_SOURCE))
+
     # the barriered batch shingle helper works unchanged on a stream
     # (repartition is stateless): without its CollapseProject barrier
     # tokens(text) re-inlines into every shingle lambda -- measured
     # 11 split(text) sites in the optimized plan vs 2 barriered
-    sh = _doc_shingles(documents)
+    sh = _doc_shingles(arriving)
     sig = minhash_signature_pandas(F.col("shingles"))
     band_keys = F.array(
         *[

@@ -244,17 +244,33 @@ def foreach_batch_jdbc_upsert(
             # Portable table-exists probe: a zero-row SELECT succeeds iff
             # the target exists, with no dialect SQLState matching
             # (Derby says X0Y32, Postgres 42P07, ... -- don't parse them).
+            # A probe failure is only trusted as "missing" if the CREATE
+            # then succeeds; if the CREATE also fails (e.g. the probe hit
+            # a transient connection/permission error and the table DOES
+            # exist, so CREATE reports already-exists), both exceptions
+            # surface chained so the root cause is never masked (ADVICE
+            # r6).
+            probe_err: Exception | None = None
             try:
                 st.executeQuery(f"SELECT 1 FROM {table} WHERE 1=0").close()
                 exists = True
-            except Exception:  # noqa: BLE001 - py4j wraps SQLException
+            except Exception as e:  # noqa: BLE001 - py4j wraps SQLException
                 exists = False
+                probe_err = e
             if not exists:
-                st.executeUpdate(
-                    create_ddl
-                    or f"CREATE TABLE {table} AS SELECT * FROM {stage} "
-                    "WITH NO DATA"
-                )
+                try:
+                    st.executeUpdate(
+                        create_ddl
+                        or f"CREATE TABLE {table} AS SELECT * FROM {stage} "
+                        "WITH NO DATA"
+                    )
+                except Exception as create_err:  # noqa: BLE001
+                    raise RuntimeError(
+                        f"table-exists probe for {table} failed AND the "
+                        "subsequent CREATE failed -- the probe failure was "
+                        "likely transient (connection/permissions), not a "
+                        f"missing table; probe error: {probe_err}"
+                    ) from create_err
             on = " AND ".join(f"t.{q(c)} = s.{q(c)}" for c in key_cols)
             collist = ", ".join(q(c) for c in cols)
             vals = ", ".join(f"s.{q(c)}" for c in cols)

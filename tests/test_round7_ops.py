@@ -1,0 +1,117 @@
+"""Round-7 operator tests.
+
+dedup_ngram_jaccard is now SELF-ROUTING: at or below
+NGRAM_EXHAUSTIVE_MAX_DOCS it runs the exact exhaustive
+block-co-occurrence plan (bit-identical to every prior round's
+oracle); above it, the banded-LSH candidate plan
+(dedup_ngram_jaccard_scaled's shape) engages -- the semantic_dedup
+cell-budget precedent.  These tests pin both sides of the cutover.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from de_realtime_voting_spark import constants
+from de_realtime_voting_spark.operators import dedup
+
+
+def test_shuffle_width_tolerates_non_numeric_conf(spark):
+    """spark.sql.shuffle.partitions may hold "auto" on some vendor
+    platforms; the repartition width helper must fall back to
+    defaultParallelism instead of raising ValueError (ADVICE r6).
+    Vanilla Spark type-checks conf.set, so the non-numeric value is
+    simulated with a stub session exposing the same surface."""
+
+    class _Conf:
+        def __init__(self, value):
+            self._value = value
+
+        def get(self, key):
+            assert key == "spark.sql.shuffle.partitions"
+            return self._value
+
+    class _Stub:
+        def __init__(self, value, parallelism):
+            self.conf = _Conf(value)
+            self.sparkContext = type(
+                "SC", (), {"defaultParallelism": parallelism}
+            )()
+
+    assert dedup._shuffle_width(_Stub("auto", 7)) == 7
+    assert dedup._shuffle_width(_Stub(None, 5)) == 5
+    assert dedup._shuffle_width(_Stub("48", 7)) == 48
+    # the real session resolves through the same helper
+    assert dedup._shuffle_width(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+
+def _two_doc_cross_bucket_corpus(spark):
+    """A near-dup pair whose lengths straddle a len_bucket boundary:
+    the exhaustive block join misses it, the banded route finds it --
+    the observable difference between the two plans."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 20
+    rows = [
+        ("d1", base, "en"),
+        ("d2", base + "the quick brown fox jumps over the lazy dog again and end", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string, lang string")
+
+
+def test_routing_below_cutover_is_exhaustive(spark):
+    """Default constants: a 2-doc corpus is far below the cutover, so
+    the op must execute the EXHAUSTIVE plan -- which misses the
+    cross-bucket pair (bit-identical to the pre-r7 behavior that the
+    sf0.001/0.01 oracles pin)."""
+    docs = _two_doc_cross_bucket_corpus(spark)
+    assert dedup.dedup_ngram_jaccard(docs).collect() == []
+
+
+def test_routing_above_cutover_is_banded(spark, monkeypatch):
+    """Force the cutover below the corpus size: the op must now
+    delegate to the banded plan and return exactly its rows."""
+    monkeypatch.setattr(constants, "NGRAM_EXHAUSTIVE_MAX_DOCS", 1)
+    docs = _two_doc_cross_bucket_corpus(spark)
+    routed = dedup.dedup_ngram_jaccard(docs).collect()
+    banded = dedup.dedup_ngram_jaccard_scaled(docs).collect()
+    assert routed == banded
+    assert [(r.doc_a, r.doc_b) for r in routed] == [("d1", "d2")]
+
+
+def test_routing_schema_identical_across_routes(spark, sf_dir, monkeypatch):
+    """Both routes expose the same (doc_a, doc_b, lang, jaccard)
+    schema, so callers (and the driver's column-sorted hash) never
+    see the cutover."""
+    from de_realtime_voting_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    lo = dedup.dedup_ngram_jaccard(docs)
+    monkeypatch.setattr(constants, "NGRAM_EXHAUSTIVE_MAX_DOCS", 1)
+    hi = dedup.dedup_ngram_jaccard(docs)
+    assert lo.columns == hi.columns == ["doc_a", "doc_b", "lang", "jaccard"]
+    assert [f.dataType for f in lo.schema.fields] == [
+        f.dataType for f in hi.schema.fields
+    ]
+
+
+def test_routing_agreement_where_blocks_align(spark, sf_dir, monkeypatch):
+    """On the sf0.001 corpus the two routes must agree exactly on
+    every pair the exhaustive plan emits from a shared band: the
+    cutover changes candidate GENERATION, never verification."""
+    from de_realtime_voting_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exhaustive = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.dedup_ngram_jaccard(docs).collect()
+    }
+    monkeypatch.setattr(constants, "NGRAM_EXHAUSTIVE_MAX_DOCS", 1)
+    banded = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.dedup_ngram_jaccard(docs).collect()
+    }
+    assert banded, "sf0.001 has dup classes; banded route must find some"
+    for pair, jac in banded.items():
+        if pair in exhaustive:
+            assert exhaustive[pair] == jac

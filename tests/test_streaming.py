@@ -1834,7 +1834,10 @@ def test_stream_fuzzy_decontam_hits_match_batch(spark, sf_dir):
     """The ingest-time fuzzy hit feed must emit exactly the batch
     fuzzy_decontam pair set (same bands, verify, threshold) when the
     stream carries the corpus side and the static side is the eval
-    suite."""
+    suite.  The stream is deliberately UNFILTERED -- eval docs
+    re-arrive on the feed -- pinning the r7 in-operator eval-source
+    exclusion (an eval self-hit pair at jaccard 1.0 would fail the
+    set equality below)."""
     from de_realtime_voting_spark.constants import EVAL_SOURCE
     from de_realtime_voting_spark.operators.dedup import fuzzy_decontam
     from de_realtime_voting_spark.streaming import stream_fuzzy_decontam_hits
@@ -1848,10 +1851,9 @@ def test_stream_fuzzy_decontam_hits_match_batch(spark, sf_dir):
     spark.catalog.clearCache()
 
     eval_docs = docs.where(F.col("source") == EVAL_SOURCE)
-    incoming = docs.where(F.col("source") != EVAL_SOURCE)
     d = tempfile.mkdtemp(prefix="fuzzy_stream_")
     try:
-        incoming.repartition(2).write.mode("overwrite").parquet(d)
+        docs.repartition(2).write.mode("overwrite").parquet(d)
         stream = spark.readStream.schema(docs.schema).parquet(d)
         got_df = _run_stream_to_memory(
             spark,
