@@ -92,15 +92,21 @@ ANN_QUERY_IDS = list(range(10))
 ANN_K = 5
 LSH_NUM_PLANES = 6        # 64 hyperplane buckets
 
-# IVF coarse quantizer: since r6 the centroids are TRAINED k-means
-# means (ivf_model.py, produced by tools/train_ivf.py -- distributed
-# Lloyd iterations over sf0.1, converged to the double noise floor;
-# ivf recall@5 0.38 -> 0.42 at sf0.1, cell balance 86..144 ->
-# 110..141).  These ids are the trainer's SEEDS (a deterministic
-# corpus sample that exists at every SF: vec_id <= 452 < 500) and
-# remain the stable cell labels.
-IVF_CENTROID_IDS = [17 + 29 * i for i in range(16)]
-IVF_NPROBE = 2
+# IVF coarse quantizer: the centroids are TRAINED k-means means
+# (ivf_model.py, produced by tools/train_ivf.py -- distributed Lloyd
+# iterations, converged to the double noise floor).  Since r7 the
+# model is PRODUCTION-SHAPED: K=64 cells trained at sf1 (20k
+# vectors; K=16 was a toy coarse quantizer -- SemDeDup's production
+# knob is more centroids).  These ids are the trainer's SEEDS (a
+# deterministic corpus sample that exists at every SF:
+# vec_id <= 444 < 500) and remain the stable cell labels.
+# NPROBE=8 probes 8/64 = the SAME corpus fraction the r6 model
+# scanned (2/16), but the finer cells lift measured recall@5 at sf1
+# from 0.42 to 0.56 at equal scan cost (the production IVF trade:
+# more centroids, proportionally more probes).
+IVF_K = 64
+IVF_CENTROID_IDS = [3 + 7 * i for i in range(IVF_K)]
+IVF_NPROBE = 8
 
 
 def lsh_plane_weight(p: int, i: int) -> float:
@@ -367,11 +373,12 @@ WHITEN_EPS = 1e-6
 
 # IVF tuning sweep: recall is measured at nprobe = 1..MAX in one
 # assignment pass (probe lists are proximity-ordered, so nprobe = p
-# is a prefix of the MAX-probe list).  MAX = a quarter of the 16
-# coarse cells: the knee of the recall curve sits in the first few
-# probes; past that IVF degenerates toward brute force and the curve
-# says nothing new.
-IVF_PROBE_SWEEP_MAX = 4
+# is a prefix of the MAX-probe list).  MAX = an eighth of the 64
+# coarse cells -- the same max scan fraction the K=16 sweep covered;
+# past that IVF degenerates toward brute force and the curve says
+# nothing new.  r7 sf1 curve (K=64): 0.22 / 0.30 / 0.34 / 0.40 /
+# 0.40 / 0.46 / 0.54 / 0.56 at nprobe 1..8.
+IVF_PROBE_SWEEP_MAX = 8
 
 # Fuzzy decontamination: NEAR-duplicate eval overlap (MinHash bands +
 # exact-Jaccard verify) at a LOWER bar than the dup threshold --

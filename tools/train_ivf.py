@@ -32,9 +32,13 @@ from pyspark.sql import functions as F
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _OUT = os.path.join(_REPO, "de_realtime_voting_spark", "ivf_model.py")
 
-MAX_ITERS = 50
+MAX_ITERS = 120
 # cosine convergence: stop when every centroid moved by < 1e-12 in
-# (1 - cos) -- double noise floor, i.e. a genuinely fixed point
+# (1 - cos) -- double noise floor, i.e. a genuinely fixed point.
+# Note cosine-assignment/mean-update Lloyd can 2-cycle near cell
+# boundaries instead of reaching a fixed point; the artifact is
+# deterministic either way (fixed seeds, fixed iteration count), and
+# the generated docstring says which stop fired.
 TOL = 1e-12
 
 
@@ -109,7 +113,7 @@ def main() -> None:
 Trained by tools/train_ivf.py: distributed Lloyd k-means over
 {train_dir} ({n_train} vectors), seeded from the historical fixed
 sample (constants.IVF_CENTROID_IDS -- the seed vec_ids remain the
-stable cell labels), converged in {iters} iterations
+stable cell labels), {"converged in" if max_move < TOL else "stopped at the iteration cap after"} {iters} iterations
 (final max centroid move = {max_move:.3e} in 1-cosine).
 
 Shared by BOTH engines: Spark literalizes these doubles in
