@@ -34,6 +34,9 @@ def curate_corpus(
     documents: DataFrame,
     out_dir: str,
     drop_contaminated: bool = True,
+    fuzzy_gate: bool = False,
+    excise_spans: bool = False,
+    temperature_sample: bool = False,
 ) -> dict:
     """Run the full curation chain over ``documents`` and write the
     surviving corpus to ``out_dir`` partitioned by (split, lang).
@@ -44,6 +47,24 @@ def curate_corpus(
     Idempotent: overwrite mode, deterministic hash split, so re-runs
     produce byte-equivalent partitions.  Returns the manifest dict
     (also written as _MANIFEST.json beside the data).
+
+    Optional stages (r7 -- each reuses the EXACT expression of its
+    standalone audit op, so report and bytes cannot drift):
+
+    - ``fuzzy_gate``: also drop docs that are MinHash-NEAR an
+      eval-source doc (dedup.fuzzy_decontam's pair set -- the
+      paraphrased-leakage complement of the exact n-gram gate).
+    - ``excise_spans``: rewrite each shipped doc's text to the
+      join-spaced kept-token stream after cutting
+      repeated_span_excision's spans (text._span_excised_tokens --
+      corpus_span_excised's exact arrays, so written md5(text) ==
+      the report's excised_md5); n_chars is recomputed.  The
+      manifest accounts the excised tokens.
+    - ``temperature_sample``: keep only docs whose deterministic
+      md5('temp:'||doc_id) bucket clears their source's published
+      threshold (pipeline._temperature_thresholds /_temp_bucket --
+      corpus_temperature_sample's exact model).  The manifest
+      records per-source target and realized keep rates.
     """
     tags = curation_tags(documents)
     keep = tags.where(F.col("kept")).select("doc_id", "split")
@@ -58,7 +79,53 @@ def curate_corpus(
             "doc_id",
             "left_anti",
         )
+    if fuzzy_gate:
+        from .operators.dedup import fuzzy_decontam
+
+        keep = keep.join(
+            fuzzy_decontam(documents).select("doc_id").distinct(),
+            "doc_id",
+            "left_anti",
+        )
     curated = documents.join(keep, "doc_id")
+    if temperature_sample:
+        from .operators.pipeline import _temp_bucket, _temperature_thresholds
+
+        thresholds = _temperature_thresholds(documents)
+        curated = (
+            curated.withColumn("_bucket", _temp_bucket())
+            .join(
+                F.broadcast(thresholds.select("source", "threshold")), "source"
+            )
+            .where(F.col("_bucket") < F.col("threshold"))
+            .drop("_bucket", "threshold")
+        )
+    excised_tokens_delta = None
+    if excise_spans:
+        from .operators.text import _span_excised_tokens
+
+        ex = _span_excised_tokens(documents)
+        # account excised tokens over the SHIPPED docs only (the
+        # manifest describes what a training job reads); one
+        # |written|-row agg, no corpus re-scan beyond the excision
+        # pipeline itself
+        shipped_ex = curated.select("doc_id").join(ex, "doc_id")
+        excised_tokens_delta = (
+            shipped_ex.agg(
+                F.coalesce(
+                    F.sum(F.size("toks") - F.size("kept")), F.lit(0)
+                ).cast("bigint")
+            ).collect()[0][0]
+        )
+        new_text = F.concat_ws(" ", F.col("kept"))
+        replaced = {"text": new_text}
+        if "n_chars" in curated.columns:
+            replaced["n_chars"] = F.length(new_text).cast("bigint")
+        curated = (
+            curated.join(ex.select("doc_id", "kept"), "doc_id")
+            .withColumns(replaced)
+            .drop("kept")
+        )
     curated.write.partitionBy("split", "lang").mode("overwrite").parquet(out_dir)
 
     # manifest from the WRITTEN data (not the plan): what a training
@@ -84,6 +151,11 @@ def curate_corpus(
         "n_input_docs": documents.count(),
         "n_written_docs": written.count(),
         "drop_contaminated": drop_contaminated,
+        "stages": {
+            "fuzzy_gate": fuzzy_gate,
+            "excise_spans": excise_spans,
+            "temperature_sample": temperature_sample,
+        },
         "partitions": sorted(
             (
                 {
@@ -97,6 +169,29 @@ def curate_corpus(
             key=lambda d: (d["split"], d["lang"]),
         ),
     }
+    if excise_spans:
+        manifest["n_tokens_excised"] = int(excised_tokens_delta)
+    if temperature_sample:
+        # per-source target vs realized keep rate over the WRITTEN
+        # docs: thresholds is |sources| rows (already persisted), the
+        # realized side is one agg over the written data
+        per_src = {
+            r["source"]: r["n"]
+            for r in written.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        manifest["temperature"] = sorted(
+            (
+                {
+                    "source": r["source"],
+                    "keep_rate_target": round(r["rate"], 6),
+                    "n_written": per_src.get(r["source"], 0),
+                }
+                for r in thresholds.collect()
+            ),
+            key=lambda d: d["source"],
+        )
     with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest

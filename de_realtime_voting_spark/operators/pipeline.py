@@ -892,6 +892,47 @@ def source_capped_selection(documents: DataFrame) -> DataFrame:
     )
 
 
+def _temp_bucket():
+    """The deterministic per-doc temperature-sampling bucket:
+    md5('temp:'||doc_id) mod 10000 -- ONE definition shared by
+    corpus_temperature_sample, curate.py's sampling stage, and
+    (string-identically) streaming.stream_temperature_sample, so the
+    keep/drop membership of a doc can never differ between the
+    report, the materializer, and the ingest gate."""
+    from ..functions.columns import md5_mod_bucket
+
+    return md5_mod_bucket(
+        F.concat(F.lit("temp:"), F.col("doc_id").cast("string")), 10000
+    )
+
+
+def _temperature_thresholds(documents: DataFrame) -> DataFrame:
+    """|sources|-row persisted thresholds frame (source, n_docs,
+    rate, threshold): per-source keep rate boost_s / max(boost) from
+    the PUBLISHED (4-rounded) mix_boost column, integer threshold
+    floor(rate*10000) -- the shared sampling model behind
+    corpus_temperature_sample's report and curate.py's materializing
+    stage (bit-identical constants in every consumer)."""
+    w = Window.partitionBy()
+    weights = source_temperature_weights(documents).select(
+        "source",
+        "n_docs",
+        F.col("mix_boost"),
+        F.max("mix_boost").over(w).alias("max_boost"),
+    )
+    rate = F.when(
+        F.col("max_boost") > 0, F.col("mix_boost") / F.col("max_boost")
+    ).otherwise(F.lit(0.0))
+    # |sources| rows feeding BOTH the sample predicate and the final
+    # report: persist so the weights corpus scan runs once
+    return weights.select(
+        "source",
+        "n_docs",
+        rate.alias("rate"),
+        F.floor(rate * 10000).cast("int").alias("threshold"),
+    ).persist()
+
+
 def corpus_temperature_sample(documents: DataFrame) -> DataFrame:
     """MATERIALIZE the temperature mix source_temperature_weights
     (#source_temperature_weights) reports: a deterministic per-doc
@@ -916,30 +957,8 @@ def corpus_temperature_sample(documents: DataFrame) -> DataFrame:
     weights, one samples) -- the honest cost of a self-normalizing
     sample.
     """
-    from ..functions.columns import md5_mod_bucket
-
-    w = Window.partitionBy()
-    weights = source_temperature_weights(documents).select(
-        "source",
-        "n_docs",
-        F.col("mix_boost"),
-        F.max("mix_boost").over(w).alias("max_boost"),
-    )
-    rate = F.when(F.col("max_boost") > 0, F.col("mix_boost") / F.col("max_boost")).otherwise(F.lit(0.0))
-    # |sources| rows feeding BOTH the sample predicate and the final
-    # report: persist so the weights corpus scan runs once
-    thresholds = weights.select(
-        "source",
-        "n_docs",
-        rate.alias("rate"),
-        F.floor(rate * 10000).cast("int").alias("threshold"),
-    ).persist()
-    docs = documents.select(
-        "source",
-        md5_mod_bucket(
-            F.concat(F.lit("temp:"), F.col("doc_id").cast("string")), 10000
-        ).alias("bucket"),
-    )
+    thresholds = _temperature_thresholds(documents)
+    docs = documents.select("source", _temp_bucket().alias("bucket"))
     kept = (
         docs.join(F.broadcast(thresholds), "source")
         .where(F.col("bucket") < F.col("threshold"))

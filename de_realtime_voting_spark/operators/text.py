@@ -1776,6 +1776,22 @@ def corpus_span_excised(documents: DataFrame) -> DataFrame:
     bounded by doc length / K; nothing new shuffles beyond the
     excision pipeline itself.
     """
+    x = _span_excised_tokens(documents)
+    return x.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens_before"),
+        F.size("kept").cast("bigint").alias("n_tokens_after"),
+        F.md5(F.concat_ws(" ", F.col("kept"))).alias("excised_md5"),
+    )
+
+
+def _span_excised_tokens(documents: DataFrame) -> DataFrame:
+    """(doc_id, toks, kept): each doc's token array and the array left
+    after cutting repeated_span_excision's spans -- the ONE excision
+    definition shared by the corpus_span_excised report above and
+    curate.py's materializing excision stage, so the accounting and
+    the written bytes cannot drift (join-spaced kept tokens are the
+    canonical excised text both consumers hash/write)."""
     from .text import repeated_span_excision  # self-module, explicit
 
     cuts = repeated_span_excision(documents).groupBy("doc_id").agg(
@@ -1804,9 +1820,4 @@ def corpus_span_excised(documents: DataFrame) -> DataFrame:
             lambda s: ((i + 1) >= s["span_start"]) & ((i + 1) <= s["span_end"]),
         ),
     )
-    return j.select(
-        "doc_id",
-        F.size(toks).cast("bigint").alias("n_tokens_before"),
-        F.size(kept).cast("bigint").alias("n_tokens_after"),
-        F.md5(F.concat_ws(" ", kept)).alias("excised_md5"),
-    )
+    return j.select("doc_id", toks.alias("toks"), kept.alias("kept"))

@@ -115,6 +115,147 @@ def test_cli_list_and_run(spark, sf_dir, capsys):
     assert main(["--sf-dir", sf_dir, "run", "nope"]) == 2
 
 
+def test_curate_fuzzy_gate_matches_standalone_op(spark, sf_dir):
+    """fuzzy_gate=True must drop exactly the docs the standalone
+    fuzzy_decontam op reports as MinHash-near an eval doc -- the
+    materializer and the audit share one candidate+verify path."""
+    from de_realtime_voting_spark.operators.dedup import fuzzy_decontam
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="curated_fuzzy_")
+    try:
+        curate_corpus(docs, d, drop_contaminated=True, fuzzy_gate=True)
+        got = {
+            r["doc_id"]
+            for r in spark.read.parquet(d).select("doc_id").collect()
+        }
+        kept = {
+            r["doc_id"]
+            for r in curation_tags(docs).where(F.col("kept")).collect()
+        }
+        _toks, hits = decontam_overlap(docs)
+        contaminated = {r["doc_id"] for r in hits.collect()}
+        eval_ids = {
+            r["doc_id"]
+            for r in docs.where(F.col("source") == EVAL_SOURCE).collect()
+        }
+        fuzzy_ids = {r["doc_id"] for r in fuzzy_decontam(docs).collect()}
+        assert got == kept - contaminated - eval_ids - fuzzy_ids
+        assert len(got) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.catalog.clearCache()
+
+
+def test_curate_excise_spans_matches_standalone_op(spark, sf_dir):
+    """excise_spans=True: every written doc's text must hash to the
+    corpus_span_excised report's excised_md5 and re-tokenize to
+    exactly n_tokens_after tokens; the manifest's n_tokens_excised
+    equals the report's before-after delta summed over shipped docs;
+    n_chars is recomputed to the excised text."""
+    from de_realtime_voting_spark.functions.columns import tokens
+    from de_realtime_voting_spark.operators.text import corpus_span_excised
+
+    docs = load_table(spark, sf_dir, "documents")
+    report = {
+        r["doc_id"]: r for r in corpus_span_excised(docs).collect()
+    }
+    spark.catalog.clearCache()
+    d = tempfile.mkdtemp(prefix="curated_excise_")
+    try:
+        manifest = curate_corpus(
+            docs, d, drop_contaminated=True, excise_spans=True
+        )
+        written = (
+            spark.read.parquet(d)
+            .select(
+                "doc_id",
+                F.md5("text").alias("got_md5"),
+                F.size(tokens(F.col("text"))).alias("got_tokens"),
+                "n_chars",
+                F.length("text").alias("got_chars"),
+            )
+            .collect()
+        )
+        assert written
+        delta = 0
+        for r in written:
+            rep = report[r["doc_id"]]
+            assert r["got_md5"] == rep["excised_md5"]
+            assert r["got_tokens"] == rep["n_tokens_after"]
+            assert r["n_chars"] == r["got_chars"]
+            delta += rep["n_tokens_before"] - rep["n_tokens_after"]
+        assert manifest["n_tokens_excised"] == delta
+        assert manifest["stages"]["excise_spans"] is True
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.catalog.clearCache()
+
+
+def test_curate_temperature_sample_matches_standalone_op(spark, sf_dir):
+    """temperature_sample=True: the written doc set must be exactly
+    the base keep set intersected with corpus_temperature_sample's
+    deterministic bucket<threshold membership, and the manifest's
+    per-source targets must equal the standalone report's."""
+    from de_realtime_voting_spark.operators.pipeline import (
+        _temp_bucket,
+        _temperature_thresholds,
+        corpus_temperature_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="curated_temp_")
+    try:
+        manifest = curate_corpus(
+            docs, d, drop_contaminated=True, temperature_sample=True
+        )
+        got = {
+            r["doc_id"]
+            for r in spark.read.parquet(d).select("doc_id").collect()
+        }
+        # base keep set (the drop_contaminated chain)
+        kept = {
+            r["doc_id"]
+            for r in curation_tags(docs).where(F.col("kept")).collect()
+        }
+        _toks, hits = decontam_overlap(docs)
+        base = (
+            kept
+            - {r["doc_id"] for r in hits.collect()}
+            - {
+                r["doc_id"]
+                for r in docs.where(F.col("source") == EVAL_SOURCE).collect()
+            }
+        )
+        # standalone membership rule, evaluated with the SAME exprs
+        thr = _temperature_thresholds(docs)
+        member = {
+            r["doc_id"]
+            for r in docs.select("doc_id", "source", _temp_bucket().alias("b"))
+            .join(F.broadcast(thr.select("source", "threshold")), "source")
+            .where(F.col("b") < F.col("threshold"))
+            .collect()
+        }
+        assert got == base & member
+        assert len(got) > 0
+        # manifest targets == the standalone report's targets
+        want_rates = {
+            r["source"]: r["keep_rate_target"]
+            for r in corpus_temperature_sample(docs).collect()
+        }
+        for row in manifest["temperature"]:
+            assert row["keep_rate_target"] == want_rates[row["source"]]
+        # realized written counts reconcile with the written data
+        per_src = {}
+        for r in spark.read.parquet(d).select("source").collect():
+            per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+        for row in manifest["temperature"]:
+            assert row["n_written"] == per_src.get(row["source"], 0)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.catalog.clearCache()
+
+
 def test_curate_manifest_matches_waterfall_sf01(spark):
     """Cross-artifact drift gate at sf0.1: the MATERIALIZED corpus
     (curate.py's written manifest) must agree doc-for-doc and
@@ -135,6 +276,20 @@ def test_curate_manifest_matches_waterfall_sf01(spark):
         assert sum(p["n_docs"] for p in manifest["partitions"]) == s4["n_docs"]
         assert (
             sum(p["approx_tokens"] for p in manifest["partitions"])
+            == s4["n_tokens"]
+        )
+        # r7 stage extension: with span excision on, the written set
+        # is unchanged (stage 4) and token conservation must hold --
+        # post-excision manifest tokens + the manifest's excised
+        # delta == the waterfall's pre-excision stage-4 tokens.
+        # (tokens() over join-spaced kept tokens re-tokenizes to
+        # exactly the kept array, so the identity is exact.)
+        spark.catalog.clearCache()
+        m2 = curate_corpus(docs, d, excise_spans=True)
+        assert m2["n_written_docs"] == s4["n_docs"]
+        assert (
+            sum(p["approx_tokens"] for p in m2["partitions"])
+            + m2["n_tokens_excised"]
             == s4["n_tokens"]
         )
     finally:
