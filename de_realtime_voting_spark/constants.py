@@ -327,7 +327,14 @@ BPE_MERGE_STEPS = 6
 # approximation) and applying them in a single rewrite fold.  Cuts
 # the per-merge driver round-trip + vocab rewrite to one per BATCH
 # merges -- the shape a real 100k-merge tokenizer run needs.
-BPE_BATCH = 3
+# Width tuned at production depth (r7, tools/bpe_ab.py at sf1 /
+# 500 merges -- PLANS.md): sequential 442 s; B=3 196 s (-0.33%
+# compression vs sequential); B=8 124 s (-1.30%, i.e. BETTER
+# compression -- greedy is not optimal); B=16 117 s (+0.41%).  B=8
+# is the knee: 3.6x over sequential, drift bounded ~1% and favorable
+# here; beyond it per-pass CASE-chain cost eats the round-trip
+# savings.
+BPE_BATCH = 8
 # Sorted-neighborhood dedup (Hernandez & Stolfo 1995): two passes
 # (normalized text prefix, reversed-text prefix = suffix key), each
 # comparing a doc to its SNM_WINDOW successors in sort order within a

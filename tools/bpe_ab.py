@@ -12,6 +12,9 @@ corpus symbol count after applying each trainer's final vocab (lower =
 better compression; equal merges => equal count).
 
 Usage: python tools/bpe_ab.py [sf_dir] [n_merges ...]
+Env:   SPARK_GRAFT_BPE_BATCHES=3,8,16  -- batch widths for the
+       batched arm (default: the shipped constants.BPE_BATCH), so
+       production-depth runs can tune the width in one sweep.
 """
 
 from __future__ import annotations
@@ -44,13 +47,29 @@ def corpus_symbols(vocab) -> int:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     merge_counts = [int(a) for a in sys.argv[2:]] or [6, 24, 48]
+    batches = [
+        int(b)
+        for b in os.environ.get("SPARK_GRAFT_BPE_BATCHES", "").split(",")
+        if b.strip()
+    ] or [None]  # None = the shipped constants.BPE_BATCH
     spark = get_spark()
     docs = load_table(spark, sf_dir, "documents")
+    skip_seq = os.environ.get("SPARK_GRAFT_BPE_SKIP_SEQ") == "1"
     for n in merge_counts:
-        for name, fn in (
-            ("sequential", lambda d, k: _bpe_train(d, n_merges=k)),
-            ("batched", lambda d, k: _bpe_train_batched(d, n_merges=k)),
-        ):
+        arms = (
+            []
+            if skip_seq
+            else [("sequential", lambda d, k: _bpe_train(d, n_merges=k), None)]
+        )
+        for b in batches:
+            arms.append(
+                (
+                    "batched" if b is None else f"batched_b{b}",
+                    lambda d, k, b=b: _bpe_train_batched(d, n_merges=k, batch=b),
+                    b,
+                )
+            )
+        for name, fn, b in arms:
             t0 = time.time()
             merges, vocab = fn(docs, n)
             syms = corpus_symbols(vocab)
