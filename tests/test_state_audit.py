@@ -85,6 +85,45 @@ def test_join_state_evicts_over_time(rocksdb_spark, tmp_path):
     assert m["state_rows"] <= 2 * 2 * horizon_rows, m
 
 
+def test_join_state_time_flat_across_horizons(rocksdb_spark, tmp_path):
+    """The horizon-SCALING assertion (r7): at FIXED rate, feeding the
+    stream-stream join for ~8 horizons instead of ~4 must leave the
+    buffered state ~flat in rows AND bytes -- eviction over time is
+    what makes O(rate x horizon) an honest bound, and this pins it at
+    the boundary rather than inferring it from one run."""
+    spark = rocksdb_spark
+    from de_realtime_voting_spark.streaming.pipelines import (
+        stream_repeat_vote_pairs,
+    )
+
+    rate_per_min = 100
+    arms = {}
+    for mult, n_slices in ((4, 12), (8, 24)):
+        span = round(mult * 46.0)  # within 30 + delay 1 + slice lag
+        volume = span * rate_per_min
+        src = str(tmp_path / f"votes_{mult}h")
+        write_vote_slices(src, volume, span_min=span, n_slices=n_slices)
+        arms[mult] = run_stateful(
+            spark, src, _vote_schema(),
+            lambda v: stream_repeat_vote_pairs(
+                v, within="30 minutes", delay="1 minute"
+            ),
+            "append",
+        )
+    four, eight = arms[4], arms[8]
+    assert four["peak_rows"] > 0
+    # rows: doubling feed LENGTH at fixed rate leaves the buffers
+    # holding ~one horizon -- peak within 25% across arms
+    assert eight["peak_rows"] <= 1.25 * four["peak_rows"], arms
+    # and never O(history): the 8-horizon arm's peak is far below its
+    # own total buffered input (2 sides x volume)
+    assert eight["peak_rows"] < 0.5 * 2 * (8 * 46 * rate_per_min), arms
+    # bytes: the physical footprint must be time-flat too (RocksDB
+    # compaction makes bytes noisier than rows -- 1.6x headroom)
+    if four["memory_bytes"] and eight["memory_bytes"]:
+        assert eight["memory_bytes"] <= 1.6 * four["memory_bytes"], arms
+
+
 def test_ttl_dedup_state_is_horizon_bounded(rocksdb_spark, tmp_path):
     """dropDuplicatesWithinWatermark: after a 4-hour feed the dedup
     state holds only voters whose ts is inside the watermark horizon,

@@ -298,6 +298,58 @@ def _pipelines():
     ]
 
 
+def run_horizon_soak(spark, vote_schema) -> list[dict]:
+    """Fixed-RATE soak of the stream-stream join over ~4x and ~8x the
+    join horizon (within 30 min + 1 min delay + one ~15.3-min slice of
+    watermark lag ~= 46 min): the TIME axis the rate soak cannot see.
+    Eviction-over-time means the buffered state is ~one horizon of
+    events however long the feed runs, so doubling the feed length at
+    fixed rate must leave state rows AND bytes ~flat -- the numbers
+    recorded here and asserted by tests/test_state_audit.py."""
+    from de_realtime_voting_spark.streaming.pipelines import (
+        stream_repeat_vote_pairs,
+    )
+
+    out = []
+    rate_per_min = V_BASE / SPAN_MIN  # the 1x feed rate
+    for mult, n_slices in ((4, 12), (8, 24)):
+        span = round(mult * 46.0)  # ~4 / ~8 join horizons
+        volume = int(rate_per_min * span)
+        d = tempfile.mkdtemp(prefix=f"horizon_{mult}x_")
+        try:
+            write_vote_slices(d, volume, span_min=span, n_slices=n_slices)
+            m = run_stateful(
+                spark, d, vote_schema,
+                lambda v: stream_repeat_vote_pairs(
+                    v, within="30 minutes", delay="1 minute"
+                ),
+                "append",
+            )
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        row = {
+            "pipeline": f"stream_repeat_vote_pairs@{mult}h",
+            "horizons": mult, "span_min": span, "input": volume,
+            "rows": m["state_rows"], "peak": m["peak_rows"],
+            "mem_bytes": m["memory_bytes"], "sst_bytes": m["sst_bytes"],
+        }
+        print(f"horizon {mult}x: input={volume} rows={row['rows']} "
+              f"peak={row['peak']} mem={row['mem_bytes']} "
+              f"sst={row['sst_bytes']}", flush=True)
+        out.append(row)
+    return out
+
+
+def _load_audit(path: str) -> dict:
+    """Read STATE_AUDIT.json in either shape (legacy list of pipeline
+    rows, or the {"pipelines": [...], "horizon_soak": [...]} dict)."""
+    with open(path) as f:
+        data = json.load(f)
+    if isinstance(data, list):
+        return {"pipelines": data, "horizon_soak": []}
+    return data
+
+
 def main() -> None:
     from pyspark.sql.types import (
         DoubleType, LongType, StringType, StructField, StructType,
@@ -336,9 +388,13 @@ def main() -> None:
         feeds[scale] = {"votes": (vd, vote_schema, v_votes),
                         "docs": (dd, doc_schema, v_docs)}
 
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    horizon_only = "--horizon" in args
+    only = set(a for a in args if a != "--horizon")
     specs = _pipelines()
-    if only:
+    if horizon_only:
+        specs = []
+    elif only:
         unknown = only - {s[0] for s in specs}
         assert not unknown, f"unknown pipelines: {sorted(unknown)}"
         specs = [s for s in specs if s[0] in only]
@@ -371,26 +427,46 @@ def main() -> None:
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
+    # the horizon soak (TIME axis) runs on a full run or on --horizon
+    horizon_rows = None
+    if horizon_only or not only:
+        horizon_rows = run_horizon_soak(spark, vote_schema)
+
     # merge chunk rows into any existing audit (keyed by pipeline,
     # preserving the canonical _pipelines() order in the artifact)
     path = os.path.join(_REPO, "STATE_AUDIT.json")
-    merged = {}
-    if only and os.path.exists(path):
-        with open(path) as f:
-            merged = {r["pipeline"]: r for r in json.load(f)}
+    prior = (
+        _load_audit(path)
+        if (only or horizon_only) and os.path.exists(path)
+        else {"pipelines": [], "horizon_soak": []}
+    )
+    merged = {r["pipeline"]: r for r in prior["pipelines"]}
     merged.update({r["pipeline"]: r for r in results})
     ordered = [merged[s[0]] for s in _pipelines() if s[0] in merged]
+    horizon = horizon_rows if horizon_rows is not None else prior["horizon_soak"]
     with open(path, "w") as f:
-        json.dump(ordered, f, indent=1)
-    _write_md(ordered)
+        json.dump({"pipelines": ordered, "horizon_soak": horizon}, f, indent=1)
+    _write_md(ordered, horizon)
     bad = [r["pipeline"] for r in ordered
            if not (r["within_bound"] and r["within_growth"])]
+    if len(horizon) == 2 and horizon[0]["peak"]:
+        flat = horizon[1]["peak"] / horizon[0]["peak"]
+        if flat > 1.25:
+            bad.append(f"horizon_soak (8h/4h peak ratio {flat:.2f} > 1.25)")
     print(f"\n{len(ordered) - len(bad)}/{len(ordered)} within documented bounds"
           + (f"; VIOLATIONS: {bad}" if bad else ""))
     sys.exit(1 if bad else 0)
 
 
-def _write_md(results: list[dict]) -> None:
+def _fmt_bytes(n: int) -> str:
+    if n >= 1 << 20:
+        return f"{n / (1 << 20):.1f} MiB"
+    if n >= 1 << 10:
+        return f"{n / (1 << 10):.1f} KiB"
+    return f"{n} B"
+
+
+def _write_md(results: list[dict], horizon: list[dict] | None = None) -> None:
     lines = [
         "# STATE_AUDIT — streaming state-store soak (RocksDB)",
         "",
@@ -407,17 +483,49 @@ def _write_md(results: list[dict]) -> None:
         "peak(10x)/peak(1x) — a bounded pipeline must stay ~flat when",
         "only the RATE grows.",
         "",
-        "| pipeline | input 1x→10x | peak state rows 1x→10x | final rows 10x | growth | bound | ok |",
-        "|---|---|---|---|---|---|---|",
+        "`state bytes 10x` is the final batch's memoryUsedBytes / RocksDB",
+        "SST file size — the physical footprint behind the row counts.",
+        "",
+        "| pipeline | input 1x→10x | peak state rows 1x→10x | final rows 10x | state bytes 10x (mem / sst) | growth | bound | ok |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in results:
         ok = "yes" if (r["within_bound"] and r["within_growth"]) else "**NO**"
         lines.append(
             f"| `{r['pipeline']}` | {r['input_1x']:,}→{r['input_10x']:,} "
             f"| {r['peak_1x']:,}→{r['peak_10x']:,} | {r['rows_10x']:,} "
+            f"| {_fmt_bytes(r.get('mem_10x', 0))} / {_fmt_bytes(r.get('sst_10x', 0))} "
             f"| {r['growth']:.2f} (cap {r['growth_cap']}) "
             f"| ≤{r['bound_rows']:,} | {ok} |"
         )
+    if horizon:
+        lines += [
+            "",
+            "## Horizon soak — the stream-stream join's TIME axis",
+            "",
+            "Fixed 1x rate, feed length ~4x and ~8x the join horizon",
+            "(within 30 min + 1 min delay + one ~15.3-min slice of",
+            "watermark lag ≈ 46 min).  Eviction over time means state",
+            "rows AND bytes stay ~flat when only the feed LENGTH grows —",
+            "the boundary claim behind the O(rate × horizon) contract,",
+            "asserted by tests/test_state_audit.py.",
+            "",
+            "| feed | span | input rows | final state rows | peak | state bytes (mem / sst) |",
+            "|---|---|---|---|---|---|",
+        ]
+        for h in horizon:
+            lines.append(
+                f"| `{h['pipeline']}` | {h['span_min']} min | {h['input']:,} "
+                f"| {h['rows']:,} | {h['peak']:,} "
+                f"| {_fmt_bytes(h['mem_bytes'])} / {_fmt_bytes(h['sst_bytes'])} |"
+            )
+        if len(horizon) == 2 and horizon[0]["peak"]:
+            ratio = horizon[1]["peak"] / horizon[0]["peak"]
+            lines.append(
+                f"\nPeak-state ratio 8h/4h = {ratio:.2f} — time-flat "
+                "(doubling feed length at fixed rate leaves the buffers "
+                "holding ~one horizon)."
+            )
     lines += ["", "## Contracts measured", ""]
     for r in results:
         lines.append(f"- **`{r['pipeline']}`** — {r['contract']}.")
