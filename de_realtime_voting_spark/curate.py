@@ -88,10 +88,18 @@ def curate_corpus(
             "left_anti",
         )
     curated = documents.join(keep, "doc_id")
+    # stage-scoped caches: unlike registry queries (where the harness
+    # clearCache()s between queries), this is the standalone
+    # entry point, so every frame persisted here is released in the
+    # finally below -- repeated curate_corpus calls in a long-lived
+    # service must not accumulate cache entries.
+    _stage_caches = []
+    thresholds = None
     if temperature_sample:
         from .operators.pipeline import _temp_bucket, _temperature_thresholds
 
         thresholds = _temperature_thresholds(documents)
+        _stage_caches.append(thresholds)
         curated = (
             curated.withColumn("_bucket", _temp_bucket())
             .join(
@@ -100,98 +108,114 @@ def curate_corpus(
             .where(F.col("_bucket") < F.col("threshold"))
             .drop("_bucket", "threshold")
         )
-    excised_tokens_delta = None
-    if excise_spans:
-        from .operators.text import _span_excised_tokens
+    try:
+        excised_tokens_delta = None
+        if excise_spans:
+            from .operators.text import _span_excised_tokens
 
-        ex = _span_excised_tokens(documents)
-        # account excised tokens over the SHIPPED docs only (the
-        # manifest describes what a training job reads); one
-        # |written|-row agg, no corpus re-scan beyond the excision
-        # pipeline itself
-        shipped_ex = curated.select("doc_id").join(ex, "doc_id")
-        excised_tokens_delta = (
-            shipped_ex.agg(
-                F.coalesce(
-                    F.sum(F.size("toks") - F.size("kept")), F.lit(0)
-                ).cast("bigint")
-            ).collect()[0][0]
-        )
-        new_text = F.concat_ws(" ", F.col("kept"))
-        replaced = {"text": new_text}
-        if "n_chars" in curated.columns:
-            replaced["n_chars"] = F.length(new_text).cast("bigint")
-        curated = (
-            curated.join(ex.select("doc_id", "kept"), "doc_id")
-            .withColumns(replaced)
-            .drop("kept")
-        )
-    curated.write.partitionBy("split", "lang").mode("overwrite").parquet(out_dir)
+            # persist: ex feeds BOTH the delta agg and the write below
+            # -- unpersisted, the excision pipeline (the heaviest
+            # shuffle in SHUFFLE_AUDIT.md) would execute end-to-end
+            # twice
+            ex = _span_excised_tokens(documents).persist()
+            _stage_caches.append(ex)
+            # account excised tokens over the SHIPPED docs only (the
+            # manifest describes what a training job reads); one
+            # |written|-row agg over the cached excision frame
+            shipped_ex = curated.select("doc_id").join(ex, "doc_id")
+            excised_tokens_delta = (
+                shipped_ex.agg(
+                    F.coalesce(
+                        F.sum(F.size("toks") - F.size("kept")), F.lit(0)
+                    ).cast("bigint")
+                ).collect()[0][0]
+            )
+            new_text = F.concat_ws(" ", F.col("kept"))
+            replaced = {"text": new_text}
+            if "n_chars" in curated.columns:
+                replaced["n_chars"] = F.length(new_text).cast("bigint")
+            curated = (
+                curated.join(ex.select("doc_id", "kept"), "doc_id")
+                .withColumns(replaced)
+                .drop("kept")
+            )
+        curated.write.partitionBy("split", "lang").mode("overwrite").parquet(out_dir)
 
-    # manifest from the WRITTEN data (not the plan): what a training
-    # job reads is what gets accounted
-    written = documents.sparkSession.read.parquet(out_dir)
-    from .functions.columns import tokens
+        # manifest from the WRITTEN data (not the plan): what a training
+        # job reads is what gets accounted
+        written = documents.sparkSession.read.parquet(out_dir)
+        from .functions.columns import tokens
 
-    per_part = (
-        written.groupBy("split", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            # the SAME tokens() definition as every audit query, so
-            # manifest totals are comparable to the waterfall's
-            # stage rows token-for-token (cross-artifact pytest)
-            F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias(
-                "approx_tokens"
-            ),
-        )
-        .collect()
-    )
-    manifest = {
-        "out_dir": out_dir,
-        "n_input_docs": documents.count(),
-        "n_written_docs": written.count(),
-        "drop_contaminated": drop_contaminated,
-        "stages": {
-            "fuzzy_gate": fuzzy_gate,
-            "excise_spans": excise_spans,
-            "temperature_sample": temperature_sample,
-        },
-        "partitions": sorted(
-            (
-                {
-                    "split": r["split"],
-                    "lang": r["lang"],
-                    "n_docs": r["n_docs"],
-                    "approx_tokens": r["approx_tokens"],
-                }
-                for r in per_part
-            ),
-            key=lambda d: (d["split"], d["lang"]),
-        ),
-    }
-    if excise_spans:
-        manifest["n_tokens_excised"] = int(excised_tokens_delta)
-    if temperature_sample:
-        # per-source target vs realized keep rate over the WRITTEN
-        # docs: thresholds is |sources| rows (already persisted), the
-        # realized side is one agg over the written data
-        per_src = {
-            r["source"]: r["n"]
-            for r in written.groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n"))
+        per_part = (
+            written.groupBy("split", "lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                # the SAME tokens() definition as every audit query, so
+                # manifest totals are comparable to the waterfall's
+                # stage rows token-for-token (cross-artifact pytest)
+                F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias(
+                    "approx_tokens"
+                ),
+            )
             .collect()
-        }
-        manifest["temperature"] = sorted(
-            (
-                {
-                    "source": r["source"],
-                    "keep_rate_target": round(r["rate"], 6),
-                    "n_written": per_src.get(r["source"], 0),
-                }
-                for r in thresholds.collect()
-            ),
-            key=lambda d: d["source"],
         )
-    with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
-        json.dump(manifest, f, indent=1)
-    return manifest
+        manifest = {
+            "out_dir": out_dir,
+            "n_input_docs": documents.count(),
+            "n_written_docs": written.count(),
+            "drop_contaminated": drop_contaminated,
+            "stages": {
+                "fuzzy_gate": fuzzy_gate,
+                "excise_spans": excise_spans,
+                "temperature_sample": temperature_sample,
+            },
+            "partitions": sorted(
+                (
+                    {
+                        "split": r["split"],
+                        "lang": r["lang"],
+                        "n_docs": r["n_docs"],
+                        "approx_tokens": r["approx_tokens"],
+                    }
+                    for r in per_part
+                ),
+                key=lambda d: (d["split"], d["lang"]),
+            ),
+        }
+        if excise_spans:
+            manifest["n_tokens_excised"] = int(excised_tokens_delta)
+        if temperature_sample:
+            # per-source target vs realized keep rate over the WRITTEN
+            # docs: thresholds is |sources| rows (already persisted), the
+            # realized side is one agg over the written data
+            per_src = {
+                r["source"]: r["n"]
+                for r in written.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            # HALF-UP to 6 places -- the same floor(x*1e6 + 0.5)/1e6
+            # rule as functions.columns.round_half_up, NOT python's
+            # banker's round(): the manifest target must equal
+            # corpus_temperature_sample's keep_rate_target bit-for-bit
+            # even on decimal ties
+            import math
+
+            manifest["temperature"] = sorted(
+                (
+                    {
+                        "source": r["source"],
+                        "keep_rate_target": math.floor(r["rate"] * 1e6 + 0.5)
+                        / 1e6,
+                        "n_written": per_src.get(r["source"], 0),
+                    }
+                    for r in thresholds.collect()
+                ),
+                key=lambda d: d["source"],
+            )
+        with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        return manifest
+    finally:
+        for c in _stage_caches:
+            c.unpersist()

@@ -255,13 +255,18 @@ def dedup_ngram_jaccard(documents: DataFrame) -> DataFrame:
     the cutover: candidates come from word-shingle MinHash bands, so
     edit-level dups sharing no word shingle are out of recall --
     acceptable at corpus scale (the _scaled docstring carries the
-    measurement).  The one count() action that picks the route reads
-    parquet footers only (no columns).  SCALE.md carries the same
-    guidance.
+    measurement).  The route-picking action is LIMIT cutover+1, then
+    count: the route needs only which SIDE of the cutover the corpus
+    falls on, never its exact size, so the probe job stops as soon as
+    cutover+1 rows exist -- bounded even when ``documents`` is a
+    filtered/derived frame whose full count() would replay the whole
+    upstream plan (on a bare parquet scan it is footer-cheap either
+    way).  SCALE.md carries the same guidance.
     """
     from ..constants import NGRAM_EXHAUSTIVE_MAX_DOCS
 
-    if documents.count() > NGRAM_EXHAUSTIVE_MAX_DOCS:
+    probe = documents.limit(NGRAM_EXHAUSTIVE_MAX_DOCS + 1).count()
+    if probe > NGRAM_EXHAUSTIVE_MAX_DOCS:
         return dedup_ngram_jaccard_scaled(documents)
     g = (
         documents.select(

@@ -267,9 +267,11 @@ def foreach_batch_jdbc_upsert(
                 except Exception as create_err:  # noqa: BLE001
                     raise RuntimeError(
                         f"table-exists probe for {table} failed AND the "
-                        "subsequent CREATE failed -- the probe failure was "
-                        "likely transient (connection/permissions), not a "
-                        f"missing table; probe error: {probe_err}"
+                        "subsequent CREATE failed. Either the table is "
+                        "missing and the CREATE DDL is at fault (see the "
+                        "chained cause), or the probe failure was transient "
+                        "(connection/permissions) and the table already "
+                        f"exists; probe error: {probe_err}"
                     ) from create_err
             on = " AND ".join(f"t.{q(c)} = s.{q(c)}" for c in key_cols)
             collist = ", ".join(q(c) for c in cols)

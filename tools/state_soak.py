@@ -391,6 +391,10 @@ def main() -> None:
     args = sys.argv[1:]
     horizon_only = "--horizon" in args
     only = set(a for a in args if a != "--horizon")
+    assert not (horizon_only and only), (
+        "--horizon runs ONLY the horizon soak; pipeline names are not "
+        "combinable with it (run a name-chunk soak separately)"
+    )
     specs = _pipelines()
     if horizon_only:
         specs = []
@@ -449,13 +453,17 @@ def main() -> None:
     _write_md(ordered, horizon)
     bad = [r["pipeline"] for r in ordered
            if not (r["within_bound"] and r["within_growth"])]
+    horizon_bad = []
     if len(horizon) == 2 and horizon[0]["peak"]:
         flat = horizon[1]["peak"] / horizon[0]["peak"]
         if flat > 1.25:
-            bad.append(f"horizon_soak (8h/4h peak ratio {flat:.2f} > 1.25)")
+            horizon_bad.append(
+                f"horizon_soak (8h/4h peak ratio {flat:.2f} > 1.25)"
+            )
+    all_bad = bad + horizon_bad
     print(f"\n{len(ordered) - len(bad)}/{len(ordered)} within documented bounds"
-          + (f"; VIOLATIONS: {bad}" if bad else ""))
-    sys.exit(1 if bad else 0)
+          + (f"; VIOLATIONS: {all_bad}" if all_bad else ""))
+    sys.exit(1 if all_bad else 0)
 
 
 def _fmt_bytes(n: int) -> str:
