@@ -140,6 +140,18 @@ PACK_SHARDS = 8
 # shares >= 1 word n-gram with the held-out eval source.
 EVAL_SOURCE = "src0"
 DECONTAM_NGRAM_K = 8
+# Cross-doc exact-substring span dedup (the Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better" shape,
+# re-expressed as a join instead of a suffix array): report maximal
+# runs of >= SUBSTR_RUN_MIN_TOKENS exactly-shared tokens between doc
+# pairs.  A run of L tokens is L-K+1 consecutive matching K-grams on
+# one (pos_a - pos_b) diagonal, K = DECONTAM_NGRAM_K (the shared gram
+# definition).  SUBSTR_GRAM_MAX_DF caps the gram join's fan-out:
+# grams in more docs than this are boilerplate whose pairs would be
+# quadratic; a run containing such a gram splits at it (documented
+# recall trade; both engines apply the identical cap).
+SUBSTR_RUN_MIN_TOKENS = 20
+SUBSTR_GRAM_MAX_DF = 20
 # SimHash near-dup pairs: candidates share >= 1 exact 16-bit band
 # (exact recall at this cutoff -- see the pigeonhole note above),
 # verified at hamming <= SIMHASH_HAM_MAX over the full 64 bits.

@@ -1637,6 +1637,96 @@ def dedup_soft_weights(documents: DataFrame) -> DataFrame:
     )
 
 
+def dedup_substring_spans(documents: DataFrame) -> DataFrame:
+    """Cross-doc EXACT-SUBSTRING span dedup: maximal runs of at least
+    SUBSTR_RUN_MIN_TOKENS tokens shared verbatim between two docs,
+    with each run's start position in both -- the span-granular
+    member of the dedup family (Lee et al. 2022, arXiv:2107.06499:
+    exact substring duplication is what their suffix-array pass
+    removes; full-doc hashing misses a copied paragraph inside an
+    otherwise-novel doc, and MinHash only says THAT docs overlap, not
+    WHERE).  Output: (doc_a, doc_b, a_start, b_start, run_tokens),
+    one row per maximal shared run, doc_a < doc_b, positions 1-based.
+    Complements repeated_ngram_spans (INTRA-doc runs) and
+    contam_span_report (corpus-vs-eval spans) with the corpusxcorpus
+    case.  (No reference analog -- training-data mandate.)
+
+    How runs materialize without a suffix array: a shared run of L
+    tokens is exactly L-K+1 consecutive matching K-grams (K =
+    DECONTAM_NGRAM_K, THE shared positional gram definition --
+    pipeline._gram_stream) on one pos_a - pos_b DIAGONAL of the match
+    matrix, so maximal runs are gaps-and-islands per (pair, diagonal):
+    island id = pos_a - row_number(), one window partitioned by the
+    pair+diagonal key (never a global sort).  pos_a is unique within
+    a partition (pos_a determines pos_b on a diagonal), so islands
+    are exact.
+
+    Scale shape: gram stream is O(tokens) map-side; the only fat join
+    is gram-equality, bounded by the SUBSTR_GRAM_MAX_DF document-
+    frequency cap computed first (one hash shuffle) -- grams above
+    the cap are boilerplate whose pair fan-out would be quadratic;
+    a run containing a capped gram splits at it, the documented
+    recall trade both engines apply identically (the suffix-array
+    equivalent at 100 TB is the same df screen).  Everything after
+    the gram join is O(matched gram pairs).  All-integer output, no
+    rounding.
+    """
+    from pyspark.sql import Window
+
+    from ..constants import SUBSTR_GRAM_MAX_DF, SUBSTR_RUN_MIN_TOKENS
+    from .pipeline import _gram_pairs
+
+    _toks, grams = _gram_pairs(documents)
+    g = grams.select("doc_id", "pos", "gram")
+    # document-frequency cap: one distinct + count shuffle on the
+    # gram; the surviving gram set joins back (hash join on gram)
+    rare = g.join(
+        g.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= SUBSTR_GRAM_MAX_DF)
+        .select("gram"),
+        "gram",
+    )
+    a = rare.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "gram"
+    )
+    b = rare.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "gram"
+    )
+    matches = a.join(b, "gram").where(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a",
+        "doc_b",
+        "pos_a",
+        "pos_b",
+        (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    islands = matches.select(
+        "doc_a",
+        "doc_b",
+        "diag",
+        "pos_a",
+        "pos_b",
+        (F.col("pos_a") - F.row_number().over(w)).alias("island"),
+    )
+    from ..constants import DECONTAM_NGRAM_K
+
+    return (
+        islands.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pos_a").cast("bigint").alias("a_start"),
+            F.min("pos_b").cast("bigint").alias("b_start"),
+            (F.count(F.lit(1)) + F.lit(DECONTAM_NGRAM_K - 1))
+            .cast("bigint")
+            .alias("run_tokens"),
+        )
+        .where(F.col("run_tokens") >= SUBSTR_RUN_MIN_TOKENS)
+        .select("doc_a", "doc_b", "a_start", "b_start", "run_tokens")
+    )
+
+
 def dedup_sorted_neighborhood(documents: DataFrame) -> DataFrame:
     """Multi-pass sorted-neighborhood near-dup pairs (Hernandez &
     Stolfo 1995, the classic record-linkage blocking): sort docs by a

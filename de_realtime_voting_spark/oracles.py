@@ -1303,6 +1303,51 @@ FROM per_doc GROUP BY 1
 """
 
 
+# Cross-doc exact-substring spans: positional K-grams (the identical
+# _DECONTAM_CAT concatenation, 1-based positions matching Spark's
+# F.sequence), df cap, diagonal gaps-and-islands -- all integers, so
+# the value hash is exact by construction.
+from .constants import SUBSTR_GRAM_MAX_DF, SUBSTR_RUN_MIN_TOKENS  # noqa: E402
+
+SQL["dedup_substring_spans"] = f"""
+WITH toksed AS (
+    SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+g AS (
+    SELECT doc_id, i AS pos, {_DECONTAM_CAT} AS gram
+    FROM toksed, UNNEST(range(1, len(toks) - {DECONTAM_NGRAM_K - 2})) AS t(i)
+    WHERE len(toks) >= {DECONTAM_NGRAM_K}
+),
+rare_g AS (
+    SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+    GROUP BY gram HAVING COUNT(*) <= {SUBSTR_GRAM_MAX_DF}
+),
+rare AS (SELECT g.* FROM g JOIN rare_g USING (gram)),
+m AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+    FROM rare a JOIN rare b
+      ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+isl AS (
+    SELECT doc_a, doc_b, diag, pos_a, pos_b,
+           pos_a - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+           ) AS island
+    FROM m
+),
+runs AS (
+    SELECT doc_a, doc_b,
+           CAST(MIN(pos_a) AS BIGINT) AS a_start,
+           CAST(MIN(pos_b) AS BIGINT) AS b_start,
+           CAST(COUNT(*) + {DECONTAM_NGRAM_K - 1} AS BIGINT) AS run_tokens
+    FROM isl GROUP BY doc_a, doc_b, diag, island
+)
+SELECT doc_a, doc_b, a_start, b_start, run_tokens
+FROM runs WHERE run_tokens >= {SUBSTR_RUN_MIN_TOKENS}
+"""
+
+
 def _rewrite_rounds(sql: str) -> str:
     """Replace ROUND(expr, n) with FLOOR((expr) * 10^n + 0.5) / 10^n.
 

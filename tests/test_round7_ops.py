@@ -95,6 +95,75 @@ def test_routing_schema_identical_across_routes(spark, sf_dir, monkeypatch):
     ]
 
 
+def _substr_docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "s1") for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string",
+    )
+
+
+def test_substring_spans_finds_known_run(spark):
+    """Two docs sharing an exact 25-token run at different offsets:
+    ONE maximal run row with both 1-based starts and the exact token
+    length -- the span-granular answer full-doc hashing cannot give."""
+    run = " ".join(f"r{i}" for i in range(25))
+    docs = _substr_docs(spark, [
+        "a1 a2 a3 a4 a5 " + run + " a6 a7",
+        run + " b1 b2 b3 b4 b5 b6 b7 b8 b9",
+    ])
+    out = dedup.dedup_substring_spans(docs).collect()
+    assert [
+        (r.doc_a, r.doc_b, r.a_start, r.b_start, r.run_tokens) for r in out
+    ] == [(0, 1, 6, 1, 25)]
+
+
+def test_substring_spans_min_run_filter(spark):
+    """A shared run below SUBSTR_RUN_MIN_TOKENS emits nothing, and a
+    doc never pairs with itself (intra-doc repetition belongs to
+    repeated_ngram_spans)."""
+    short_run = " ".join(f"s{i}" for i in range(15))  # < 20 tokens
+    docs = _substr_docs(spark, [
+        "a1 a2 " + short_run + " a3",
+        short_run + " b1 b2 b3 b4 b5",
+        # intra-doc repetition only
+        " ".join(f"q{i}" for i in range(25)) + " z1 z2 "
+        + " ".join(f"q{i}" for i in range(25)),
+    ])
+    assert dedup.dedup_substring_spans(docs).collect() == []
+
+
+def test_substring_spans_df_cap_blocks_boilerplate(spark):
+    """A run shared by MORE docs than SUBSTR_GRAM_MAX_DF is
+    boilerplate: its grams exceed the df cap and generate no pairs --
+    the bound that keeps the gram join from going quadratic."""
+    from de_realtime_voting_spark.constants import SUBSTR_GRAM_MAX_DF
+
+    run = " ".join(f"c{i}" for i in range(30))
+    docs = _substr_docs(
+        spark,
+        [f"u{i} " + run for i in range(SUBSTR_GRAM_MAX_DF + 5)],
+    )
+    assert dedup.dedup_substring_spans(docs).collect() == []
+
+
+def test_substring_spans_multiple_runs_split(spark):
+    """Two shared runs separated by divergent text are reported as
+    TWO maximal runs, not merged; each run's length is exact."""
+    run1 = " ".join(f"m{i}" for i in range(22))
+    run2 = " ".join(f"n{i}" for i in range(20))
+    docs = _substr_docs(spark, [
+        run1 + " x1 x2 x3 " + run2,
+        run1 + " y1 y2 y3 y4 y5 " + run2,
+    ])
+    out = sorted(
+        dedup.dedup_substring_spans(docs).collect(), key=lambda r: r.a_start
+    )
+    assert [(r.a_start, r.b_start, r.run_tokens) for r in out] == [
+        (1, 1, 22),
+        (26, 28, 20),
+    ]
+
+
 def test_routing_agreement_where_blocks_align(spark, sf_dir, monkeypatch):
     """On the sf0.001 corpus the two routes must agree exactly on
     every pair the exhaustive plan emits from a shared band: the
