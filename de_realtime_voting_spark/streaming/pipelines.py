@@ -477,6 +477,85 @@ def stream_decontam_gate(documents: DataFrame, eval_grams: list[str]) -> DataFra
     return documents.where(~F.coalesce(contaminated, F.lit(False)))
 
 
+def stream_contam_span_report(
+    documents: DataFrame, eval_grams: list[str]
+) -> DataFrame:
+    """Ingest-time contamination GEOMETRY: for every arriving doc
+    that shares >= 1 word DECONTAM_NGRAM_K-gram with the eval suite,
+    the island count, longest island, and total hit count -- the
+    streaming face of batch contam_span_report (#contam_span_report),
+    emitting the same (doc_id, source, n_spans, longest_span_grams,
+    n_contam_grams) row the batch audit computes, at ingest instead
+    of in a nightly sweep.  Where stream_decontam_gate answers
+    ADMIT/REJECT, this feeds the quarantine triage: one long verbatim
+    span (a quoted benchmark item, surgically excisable) reads very
+    differently from scattered single-gram hits.
+
+    COMPLETELY STATELESS (append mode, no watermark, no state store):
+    the eval gram set ships as the in-closure literal
+    (stream_decontam_gate's pattern; eval_gram_set is the bounded
+    model artifact), hit positions are one map-side filter over the
+    doc's own positional gram sequence, and the islands merge is the
+    ascending-positions array fold stream_span_excision uses -- here
+    with STRICT consecutiveness (p == last+1), the batch op's
+    pos - row_number() island definition, so the two engines' span
+    counts are definitionally identical.  Eval-source docs re-arriving
+    on the feed are excluded IN the operator (the batch op's
+    corpus-side filter; the stream_fuzzy_decontam_hits lesson).
+    Batch/stream row equality is pytest-pinned.
+    """
+    from ..constants import DECONTAM_NGRAM_K, EVAL_SOURCE
+    from ..functions import tokens
+
+    k = DECONTAM_NGRAM_K
+    toks = tokens(F.col("text"))
+    npos = F.size(toks) - (k - 1)
+    seq = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    ev = F.lit(eval_grams).cast("array<string>")
+    match_pos = F.filter(
+        seq,
+        lambda p: F.array_contains(ev, F.concat_ws(" ", F.slice(toks, p, k))),
+    )
+    # strict gaps-and-islands fold: a hit position extends the open
+    # island only when it is EXACTLY last+1 (the batch op's
+    # pos - row_number() grouping); each island row carries (start s,
+    # max m)
+    empty = F.array().cast("array<struct<s:int,m:int>>")
+
+    def _fold(acc, p):
+        last = F.element_at(acc, -1)
+        merged = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(F.struct(last["s"].alias("s"), p.alias("m"))),
+        )
+        appended = F.concat(acc, F.array(F.struct(p.alias("s"), p.alias("m"))))
+        return F.when(
+            (F.size(acc) > 0) & (p == last["m"] + 1), merged
+        ).otherwise(appended)
+
+    islands = F.aggregate(match_pos, empty, _fold)
+    run_lens = F.transform(islands, lambda s: s["m"] - s["s"] + 1)
+    return (
+        documents.where(F.col("source") != F.lit(EVAL_SOURCE))
+        .select(
+            "doc_id",
+            "source",
+            F.size(islands).cast("bigint").alias("n_spans"),
+            F.coalesce(F.array_max(run_lens), F.lit(0))
+            .cast("bigint")
+            .alias("longest_span_grams"),
+            F.coalesce(
+                F.aggregate(run_lens, F.lit(0), lambda a, x: a + x), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_contam_grams"),
+        )
+        .where(F.col("n_spans") > 0)
+    )
+
+
 def reference_gram_set(corpus: DataFrame) -> list[str]:
     """Collect the committed corpus's distinct word SPAN_NGRAM_K-grams
     -- the static reference stream_span_excision ships to executors.

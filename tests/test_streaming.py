@@ -1870,6 +1870,66 @@ def test_stream_fuzzy_decontam_hits_match_batch(spark, sf_dir):
         spark.catalog.clearCache()
 
 
+def test_stream_contam_span_report_matches_batch(spark, sf_dir):
+    """The ingest-time contamination-geometry feed must emit exactly
+    the batch contam_span_report rows (same grams, same strict
+    islands) over the same corpus.  The stream is UNFILTERED -- eval
+    docs re-arrive -- pinning the in-operator eval-source exclusion
+    (an eval doc is 100% self-contaminated and would otherwise emit)."""
+    from de_realtime_voting_spark.operators.pipeline import contam_span_report
+    from de_realtime_voting_spark.streaming import (
+        eval_gram_set,
+        stream_contam_span_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        (r.doc_id, r.source, r.n_spans, r.longest_span_grams, r.n_contam_grams)
+        for r in contam_span_report(docs).collect()
+    }
+    assert want
+    spark.catalog.clearCache()
+    eval_grams = eval_gram_set(docs)
+    d = tempfile.mkdtemp(prefix="contam_span_stream_")
+    try:
+        docs.repartition(2).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(docs.schema).parquet(d)
+        got_df = _run_stream_to_memory(
+            spark,
+            stream_contam_span_report(stream, eval_grams),
+            "contam_spans",
+            "append",
+        )
+        got = {
+            (r.doc_id, r.source, r.n_spans, r.longest_span_grams, r.n_contam_grams)
+            for r in got_df.collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.catalog.clearCache()
+
+
+def test_stream_contam_span_report_degenerate_sides(spark):
+    """Empty eval gram set and too-short docs both emit nothing (not
+    errors); a doc with two separated hits reports two islands."""
+    from de_realtime_voting_spark.streaming import stream_contam_span_report
+
+    schema = "doc_id long, text string, lang string, source string"
+    base = "w1 w2 w3 w4 w5 w6 w7 w8"  # one exact 8-gram
+    docs = spark.createDataFrame(
+        [(1, base + " x1 x2 x3 x4 x5 x6 x7 x8 " + base, "en", "s1")], schema
+    )
+    assert stream_contam_span_report(docs, []).collect() == []
+    short = spark.createDataFrame([(2, "a b c", "en", "s1")], schema)
+    assert stream_contam_span_report(short, [base]).collect() == []
+    rows = stream_contam_span_report(docs, [base]).collect()
+    assert [
+        (r.doc_id, r.n_spans, r.longest_span_grams, r.n_contam_grams)
+        for r in rows
+    ] == [(1, 2, 1, 2)]
+
+
 def test_stream_fuzzy_decontam_hits_empty_sides(spark):
     """Degenerate sides must yield empty feeds, not errors: an empty
     eval suite (empty in-closure band index) and an incoming doc too
