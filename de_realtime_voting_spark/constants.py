@@ -152,6 +152,13 @@ DECONTAM_NGRAM_K = 8
 # recall trade; both engines apply the identical cap).
 SUBSTR_RUN_MIN_TOKENS = 20
 SUBSTR_GRAM_MAX_DF = 20
+# DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+# per-doc importance = mean over the doc's hashed-BIGRAM buckets of
+# log p_target(bucket) - log p_raw(bucket), Laplace(+1)-smoothed.
+# Hashing is the load-bearing trick: the model is DSIR_BUCKETS
+# numbers regardless of vocabulary, so it broadcasts at any corpus
+# size.  The eval source stands in for the high-quality target set.
+DSIR_BUCKETS = 512
 # SimHash near-dup pairs: candidates share >= 1 exact 16-bit band
 # (exact recall at this cutoff -- see the pigeonhole note above),
 # verified at hamming <= SIMHASH_HAM_MAX over the full 64 bits.

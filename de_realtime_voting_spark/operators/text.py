@@ -1144,6 +1144,108 @@ def bigram_logprob_score(documents: DataFrame) -> DataFrame:
     )
 
 
+def dsir_importance_score(documents: DataFrame) -> DataFrame:
+    """DSIR-style importance scores (Xie et al. 2023,
+    arXiv:2302.03169 -- Data Selection via Importance Resampling):
+    every non-eval doc scored by the mean log-ratio of a TARGET
+    hashed-bigram distribution (the eval source standing in for the
+    high-quality target set) over the RAW corpus distribution,
+    Laplace(+1)-smoothed.  High scores = docs whose bigram profile
+    looks like the target -- the sampling weight a DSIR selection
+    pass resamples by; the selection itself composes via the
+    corpus_* ops (the report -> transform convention).
+
+    Scale shape -- hashing is the whole point: both distributions are
+    DSIR_BUCKETS (512) numbers however large the vocabulary, so the
+    log-ratio table is a bona-fide broadcast model at any corpus
+    size (the unigram-LM broadcast rationale without its top-K cap).
+    One corpus scan builds the bucket stream (tokenize once, persist,
+    the bigram_logprob fold); model building is two bounded groupBys;
+    scoring is a map-side broadcast join + one doc-keyed agg.
+    Determinism: integer bucket counts, the log-ratio expression is
+    mirrored token-for-token in the oracle, and the per-doc double
+    avg rounds to 4 (the logprob-family convention).
+    """
+    from ..constants import DSIR_BUCKETS, EVAL_SOURCE
+    from ..functions.columns import md5_mod_bucket
+
+    base = (
+        documents.select("doc_id", "lang", "source", "text")
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            "doc_id", "lang", "source", tokens(F.col("text")).alias("toks")
+        )
+        .persist()
+    )
+    toks = F.col("toks")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = base.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(bigrams).alias("bigram"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        md5_mod_bucket(F.col("bigram"), DSIR_BUCKETS).alias("b"),
+    )
+    t_cnt = (
+        bg.where(F.col("source") == EVAL_SOURCE)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t_cnt"))
+    )
+    r_cnt = (
+        bg.where(F.col("source") != EVAL_SOURCE)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("r_cnt"))
+    )
+    t_total = t_cnt.agg(F.coalesce(F.sum("t_cnt"), F.lit(0)).alias("tt"))
+    r_total = r_cnt.agg(F.coalesce(F.sum("r_cnt"), F.lit(0)).alias("rt"))
+    buckets = documents.sparkSession.range(DSIR_BUCKETS).select(
+        F.col("id").cast("int").alias("b")
+    )
+    # scalar-subquery idiom: 1-row totals broadcast onto the 512-row
+    # bucket table; the log-ratio expression is mirrored literally in
+    # the oracle (identical parenthesization, both operands cast to
+    # double before the division)
+    lr = (
+        buckets.join(t_cnt, "b", "left")
+        .join(r_cnt, "b", "left")
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(r_total))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce("t_cnt", F.lit(0)) + 1).cast("double")
+                    / (F.col("tt") + DSIR_BUCKETS).cast("double")
+                )
+                - F.log(
+                    (F.coalesce("r_cnt", F.lit(0)) + 1).cast("double")
+                    / (F.col("rt") + DSIR_BUCKETS).cast("double")
+                )
+            ).alias("lr"),
+        )
+    )
+    return (
+        bg.where(F.col("source") != EVAL_SOURCE)
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            rnd(F.avg("lr"), 4).alias("dsir_logratio"),
+        )
+    )
+
+
 def text_entropy_score(documents: DataFrame) -> DataFrame:
     """Shannon token-entropy quality screen: every document scored by
     the entropy of its within-doc token distribution (-sum p*ln p),

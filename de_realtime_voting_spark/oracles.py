@@ -4009,6 +4009,48 @@ SELECT source,
 FROM h GROUP BY 1
 """
 
+# DSIR importance scores: hashed-bigram buckets via the shared md5
+# digit extraction; the log-ratio expression mirrors the Spark
+# operator token-for-token (casts, parenthesization, natural log).
+from .constants import DSIR_BUCKETS  # noqa: E402
+
+SQL["dsir_importance_score"] = f"""
+WITH toksed AS (
+    SELECT doc_id, lang, source, {_TOKS} AS toks FROM documents
+),
+bg AS (
+    SELECT doc_id, lang, source,
+           {_duck_md5_mod("toks[i] || ' ' || toks[i+1]", DSIR_BUCKETS)} AS b
+    FROM toksed, UNNEST(range(1, len(toks))) AS t(i)
+    WHERE len(toks) >= 2
+),
+t_cnt AS (
+    SELECT b, COUNT(*) AS t_cnt FROM bg WHERE source = '{EVAL_SOURCE}' GROUP BY b
+),
+r_cnt AS (
+    SELECT b, COUNT(*) AS r_cnt FROM bg WHERE source <> '{EVAL_SOURCE}' GROUP BY b
+),
+tot AS (
+    SELECT (SELECT COALESCE(SUM(t_cnt), 0) FROM t_cnt) AS tt,
+           (SELECT COALESCE(SUM(r_cnt), 0) FROM r_cnt) AS rt
+),
+buckets AS (SELECT i AS b FROM UNNEST(range(0, {DSIR_BUCKETS})) AS t(i)),
+lr AS (
+    SELECT b,
+           ln(CAST(COALESCE(t_cnt, 0) + 1 AS DOUBLE)
+              / CAST(tt + {DSIR_BUCKETS} AS DOUBLE))
+         - ln(CAST(COALESCE(r_cnt, 0) + 1 AS DOUBLE)
+              / CAST(rt + {DSIR_BUCKETS} AS DOUBLE)) AS lr
+    FROM buckets LEFT JOIN t_cnt USING (b) LEFT JOIN r_cnt USING (b), tot
+)
+SELECT doc_id, lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(lr), 4) AS dsir_logratio
+FROM bg JOIN lr USING (b)
+WHERE source <> '{EVAL_SOURCE}'
+GROUP BY doc_id, lang, source
+"""
+
 # Applied LAST so every entry above -- including late additions -- gets
 # the engine-exact half-up rounding rewrite.
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

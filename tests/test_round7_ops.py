@@ -164,6 +164,44 @@ def test_substring_spans_multiple_runs_split(spark):
     ]
 
 
+def test_dsir_target_like_docs_score_higher(spark):
+    """A doc whose bigrams match the eval-source target must out-score
+    a doc drawn from a disjoint bigram distribution -- the ordering
+    DSIR resampling depends on."""
+    from de_realtime_voting_spark.operators.text import dsir_importance_score
+
+    target = "the quick brown fox jumps over the lazy dog " * 5
+    unlike = "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9 zz10 " * 5
+    docs = spark.createDataFrame(
+        [
+            (0, target, "en", "src0"),   # the eval/target source
+            (1, target, "en", "s1"),     # target-like corpus doc
+            (2, unlike, "en", "s1"),     # target-unlike corpus doc
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {r.doc_id: r for r in dsir_importance_score(docs).collect()}
+    assert set(rows) == {1, 2}  # eval docs are never scored
+    assert rows[1].dsir_logratio > rows[2].dsir_logratio
+    assert rows[1].n_bigrams == 44  # 45 tokens
+    assert rows[2].n_bigrams == 49  # 50 tokens
+
+
+def test_dsir_short_and_no_target_edges(spark):
+    """Docs with < 2 tokens have no bigrams and emit nothing; an
+    empty target set still scores (Laplace smoothing keeps the
+    target distribution proper -- uniform), never errors."""
+    from de_realtime_voting_spark.operators.text import dsir_importance_score
+
+    docs = spark.createDataFrame(
+        [(1, "single", "en", "s1"), (2, "a b c d e f g h", "en", "s1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = dsir_importance_score(docs).collect()
+    assert [r.doc_id for r in rows] == [2]
+    assert rows[0].n_bigrams == 7
+
+
 def test_routing_agreement_where_blocks_align(spark, sf_dir, monkeypatch):
     """On the sf0.001 corpus the two routes must agree exactly on
     every pair the exhaustive plan emits from a shared band: the
