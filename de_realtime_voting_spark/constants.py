@@ -146,12 +146,16 @@ DECONTAM_NGRAM_K = 8
 # runs of >= SUBSTR_RUN_MIN_TOKENS exactly-shared tokens between doc
 # pairs.  A run of L tokens is L-K+1 consecutive matching K-grams on
 # one (pos_a - pos_b) diagonal, K = DECONTAM_NGRAM_K (the shared gram
-# definition).  SUBSTR_GRAM_MAX_DF caps the gram join's fan-out:
-# grams in more docs than this are boilerplate whose pairs would be
-# quadratic; a run containing such a gram splits at it (documented
-# recall trade; both engines apply the identical cap).
+# definition).  SUBSTR_GRAM_MAX_OCC caps the gram join's fan-out by
+# TOTAL OCCURRENCES (not document frequency -- df alone leaves the
+# join quadratic in within-doc repetitions: two docs each repeating a
+# gram 1000x have df=2 but 10^6 match rows): a gram occurring more
+# than this many times corpus-wide is boilerplate/repetition, and the
+# per-gram join fan-out is hard-bounded at MAX_OCC^2.  A run
+# containing a capped gram splits at it (documented recall trade;
+# both engines apply the identical cap).
 SUBSTR_RUN_MIN_TOKENS = 20
-SUBSTR_GRAM_MAX_DF = 20
+SUBSTR_GRAM_MAX_OCC = 20
 # DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
 # per-doc importance = mean over the doc's hashed-BIGRAM buckets of
 # log p_target(bucket) - log p_raw(bucket), Laplace(+1)-smoothed.

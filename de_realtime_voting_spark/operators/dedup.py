@@ -1662,33 +1662,41 @@ def dedup_substring_spans(documents: DataFrame) -> DataFrame:
     are exact.
 
     Scale shape: gram stream is O(tokens) map-side; the only fat join
-    is gram-equality, bounded by the SUBSTR_GRAM_MAX_DF document-
-    frequency cap computed first (one hash shuffle) -- grams above
-    the cap are boilerplate whose pair fan-out would be quadratic;
-    a run containing a capped gram splits at it, the documented
-    recall trade both engines apply identically (the suffix-array
-    equivalent at 100 TB is the same df screen).  Everything after
-    the gram join is O(matched gram pairs).  All-integer output, no
-    rounding.
+    is gram-equality, HARD-bounded by the SUBSTR_GRAM_MAX_OCC
+    total-occurrence cap computed first (one hash shuffle on the
+    gram).  The cap is on occurrences, NOT document frequency: df
+    alone leaves the join quadratic in within-doc repetitions (two
+    docs each repeating one gram 1000x have df=2 but 10^6 match
+    rows), while the occurrence cap bounds per-gram fan-out at
+    MAX_OCC^2 regardless of how the occurrences distribute.  Capped
+    grams are boilerplate/repetition; a run containing one splits at
+    it, the documented recall trade both engines apply identically
+    (the suffix-array equivalent at 100 TB is the same frequency
+    screen).  Everything after the gram join is O(matched gram
+    pairs); a pair sharing the same text at several alignments emits
+    one row per (diagonal) alignment, the suffix-array-like output
+    shape.  All-integer output, no rounding.
     """
     from pyspark.sql import Window
 
-    from ..constants import SUBSTR_GRAM_MAX_DF, SUBSTR_RUN_MIN_TOKENS
+    from ..constants import SUBSTR_GRAM_MAX_OCC, SUBSTR_RUN_MIN_TOKENS
     from .pipeline import _gram_pairs
 
     _toks, grams = _gram_pairs(documents)
     g = grams.select("doc_id", "pos", "gram")
-    # document-frequency cap: one distinct + count shuffle on the
-    # gram; the surviving gram set joins back (hash join on gram)
+    # total-occurrence cap: one count shuffle on the gram; the
+    # surviving gram set joins back (hash join on gram).  persist:
+    # rare feeds BOTH self-join sides -- unpersisted, the tokenize +
+    # explode + cap pipeline executes once per side per action
+    # (released by the harnesses' per-query clearCache, the
+    # dedup_ngram_jaccard_scaled convention)
     rare = g.join(
-        g.select("doc_id", "gram")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= SUBSTR_GRAM_MAX_DF)
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") <= SUBSTR_GRAM_MAX_OCC)
         .select("gram"),
         "gram",
-    )
+    ).persist()
     a = rare.select(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "gram"
     )

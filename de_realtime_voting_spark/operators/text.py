@@ -1058,6 +1058,40 @@ def domain_quality_topk(documents: DataFrame) -> DataFrame:
     ).where(F.col("quality_rank") <= QUALITY_TOPK)
 
 
+def _doc_toks_base(documents: DataFrame) -> DataFrame:
+    """PERSISTED (doc_id, lang, source, toks) token frame -- one
+    corpus scan + tokenize behind a round-robin barrier, shared by
+    every op that consumes the positional bigram stream
+    (bigram_logprob_score, dsir_importance_score) so the tokenize
+    pass and its oracle-mirrored semantics live in one place.
+    Released by the harnesses' per-query clearCache."""
+    return (
+        documents.select("doc_id", "lang", "source", "text")
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            "doc_id", "lang", "source", tokens(F.col("text")).alias("toks")
+        )
+        .persist()
+    )
+
+
+def _bigrams_of(toks):
+    """Positional word-bigram array of a token-array column -- THE
+    single bigram definition (zip_with over two slices), mirrored in
+    every consumer's oracle.  Guard like word_shingles/char_ngrams: a
+    0/1-token doc has no bigrams; F.slice with a negative length
+    would throw INVALID_PARAMETER_VALUE.LENGTH and abort the whole
+    query."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def bigram_logprob_score(documents: DataFrame) -> DataFrame:
     """Interpolated bigram-LM quality screen -- the next rung above
     unigram_logprob_score on the CCNet-style perplexity ladder: every
@@ -1084,26 +1118,9 @@ def bigram_logprob_score(documents: DataFrame) -> DataFrame:
     # bigram stream (consumed by the bigram model AND the scoring
     # side) and the unigram stream -- previously each path re-scanned
     # and re-tokenized the corpus (3 tokenize passes; r5 fold).
-    base = (
-        documents.select("doc_id", "lang", "source", "text")
-        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
-        .select(
-            "doc_id", "lang", "source", tokens(F.col("text")).alias("toks")
-        )
-        .persist()
-    )
+    base = _doc_toks_base(documents)
     toks = F.col("toks")
-    # Guard like word_shingles/char_ngrams: a 0/1-token doc has no
-    # bigrams; F.slice with a negative length would throw
-    # INVALID_PARAMETER_VALUE.LENGTH and abort the whole query.
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.zip_with(
-            F.slice(toks, 1, F.size(toks) - 1),
-            F.slice(toks, 2, F.size(toks) - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = _bigrams_of(toks)
     pair = base.select(
         "doc_id", "lang", "source", bigrams.alias("bigrams")
     ).where(F.size("bigrams") >= 1).select(
@@ -1169,23 +1186,10 @@ def dsir_importance_score(documents: DataFrame) -> DataFrame:
     from ..constants import DSIR_BUCKETS, EVAL_SOURCE
     from ..functions.columns import md5_mod_bucket
 
-    base = (
-        documents.select("doc_id", "lang", "source", "text")
-        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
-        .select(
-            "doc_id", "lang", "source", tokens(F.col("text")).alias("toks")
-        )
-        .persist()
-    )
-    toks = F.col("toks")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.zip_with(
-            F.slice(toks, 1, F.size(toks) - 1),
-            F.slice(toks, 2, F.size(toks) - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # the SHARED tokenize pass + bigram definition (one place, one
+    # oracle mirror -- _doc_toks_base/_bigrams_of)
+    base = _doc_toks_base(documents)
+    bigrams = _bigrams_of(F.col("toks"))
     bg = base.select(
         "doc_id",
         "lang",

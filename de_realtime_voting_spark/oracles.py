@@ -1305,9 +1305,9 @@ FROM per_doc GROUP BY 1
 
 # Cross-doc exact-substring spans: positional K-grams (the identical
 # _DECONTAM_CAT concatenation, 1-based positions matching Spark's
-# F.sequence), df cap, diagonal gaps-and-islands -- all integers, so
-# the value hash is exact by construction.
-from .constants import SUBSTR_GRAM_MAX_DF, SUBSTR_RUN_MIN_TOKENS  # noqa: E402
+# F.sequence), total-occurrence cap, diagonal gaps-and-islands -- all
+# integers, so the value hash is exact by construction.
+from .constants import SUBSTR_GRAM_MAX_OCC, SUBSTR_RUN_MIN_TOKENS  # noqa: E402
 
 SQL["dedup_substring_spans"] = f"""
 WITH toksed AS (
@@ -1319,8 +1319,8 @@ g AS (
     WHERE len(toks) >= {DECONTAM_NGRAM_K}
 ),
 rare_g AS (
-    SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
-    GROUP BY gram HAVING COUNT(*) <= {SUBSTR_GRAM_MAX_DF}
+    SELECT gram FROM g
+    GROUP BY gram HAVING COUNT(*) <= {SUBSTR_GRAM_MAX_OCC}
 ),
 rare AS (SELECT g.* FROM g JOIN rare_g USING (gram)),
 m AS (

@@ -477,6 +477,32 @@ def stream_decontam_gate(documents: DataFrame, eval_grams: list[str]) -> DataFra
     return documents.where(~F.coalesce(contaminated, F.lit(False)))
 
 
+def _merge_islands(match_pos, max_gap: int):
+    """Gaps-and-islands over an ASCENDING position array with ONE
+    array fold -- no explode, no window, stream-safe.  A position p
+    extends the open island when p <= last.m + max_gap (max_gap=1 =
+    strictly consecutive hits, the batch pos - row_number() grouping;
+    max_gap=k merges overlapping k-token WINDOWS).  Returns
+    array<struct<s,m>> of (island start, island max).  The fold is
+    subtle (non-short-circuiting when, element_at(-1) on a possibly
+    empty accumulator), which is exactly why it lives in ONE place --
+    shared by stream_contam_span_report and stream_span_excision."""
+    empty = F.array().cast("array<struct<s:int,m:int>>")
+
+    def _fold(acc, p):
+        last = F.element_at(acc, -1)
+        merged = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(F.struct(last["s"].alias("s"), p.alias("m"))),
+        )
+        appended = F.concat(acc, F.array(F.struct(p.alias("s"), p.alias("m"))))
+        return F.when(
+            (F.size(acc) > 0) & (p <= last["m"] + max_gap), merged
+        ).otherwise(appended)
+
+    return F.aggregate(match_pos, empty, _fold)
+
+
 def stream_contam_span_report(
     documents: DataFrame, eval_grams: list[str]
 ) -> DataFrame:
@@ -518,24 +544,11 @@ def stream_contam_span_report(
         seq,
         lambda p: F.array_contains(ev, F.concat_ws(" ", F.slice(toks, p, k))),
     )
-    # strict gaps-and-islands fold: a hit position extends the open
-    # island only when it is EXACTLY last+1 (the batch op's
-    # pos - row_number() grouping); each island row carries (start s,
-    # max m)
-    empty = F.array().cast("array<struct<s:int,m:int>>")
-
-    def _fold(acc, p):
-        last = F.element_at(acc, -1)
-        merged = F.concat(
-            F.slice(acc, 1, F.size(acc) - 1),
-            F.array(F.struct(last["s"].alias("s"), p.alias("m"))),
-        )
-        appended = F.concat(acc, F.array(F.struct(p.alias("s"), p.alias("m"))))
-        return F.when(
-            (F.size(acc) > 0) & (p == last["m"] + 1), merged
-        ).otherwise(appended)
-
-    islands = F.aggregate(match_pos, empty, _fold)
+    # strict gaps-and-islands: a hit extends the open island only at
+    # EXACTLY last+1 (max_gap=1 -- the batch op's pos - row_number()
+    # grouping; stream_span_excision merges overlapping WINDOWS with
+    # max_gap=k, the only difference between the two consumers)
+    islands = _merge_islands(match_pos, max_gap=1)
     run_lens = F.transform(islands, lambda s: s["m"] - s["s"] + 1)
     return (
         documents.where(F.col("source") != F.lit(EVAL_SOURCE))
@@ -614,20 +627,11 @@ def stream_span_excision(documents: DataFrame, ref_grams: list[str]) -> DataFram
         seq,
         lambda p: F.array_contains(ref, F.concat_ws(" ", F.slice(toks, p, k))),
     )
-    empty = F.array().cast("array<struct<s:int,m:int>>")
-
-    def _fold(acc, p):
-        last = F.element_at(acc, -1)
-        merged = F.concat(
-            F.slice(acc, 1, F.size(acc) - 1),
-            F.array(F.struct(last["s"].alias("s"), p.alias("m"))),
-        )
-        appended = F.concat(acc, F.array(F.struct(p.alias("s"), p.alias("m"))))
-        return F.when(
-            (F.size(acc) > 0) & (p <= last["m"] + k), merged
-        ).otherwise(appended)
-
-    islands = F.aggregate(match_pos, empty, _fold)
+    # max_gap=k: two matching k-token WINDOWS overlap or abut whenever
+    # their starts are within k, so the islands are the maximal cut
+    # intervals (the shared fold; stream_contam_span_report uses
+    # max_gap=1 for strictly-consecutive hit runs)
+    islands = _merge_islands(match_pos, max_gap=k)
     spans = F.transform(
         islands,
         lambda s: F.struct(

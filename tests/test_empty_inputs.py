@@ -52,6 +52,9 @@ CASES = {
     "dedup_substring_spans": lambda s, d: dedup.dedup_substring_spans(
         _empty(s, d, "documents")
     ),
+    "dsir_importance_score": lambda s, d: text.dsir_importance_score(
+        _empty(s, d, "documents")
+    ),
     "dedup_clusters": lambda s, d: dedup.dedup_clusters(_empty(s, d, "documents")),
     "dedup_simhash": lambda s, d: dedup.dedup_simhash(_empty(s, d, "documents")),
     "ann_bruteforce_topk": lambda s, d: similarity.ann_bruteforce_topk(

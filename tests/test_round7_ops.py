@@ -132,18 +132,29 @@ def test_substring_spans_min_run_filter(spark):
     assert dedup.dedup_substring_spans(docs).collect() == []
 
 
-def test_substring_spans_df_cap_blocks_boilerplate(spark):
-    """A run shared by MORE docs than SUBSTR_GRAM_MAX_DF is
-    boilerplate: its grams exceed the df cap and generate no pairs --
-    the bound that keeps the gram join from going quadratic."""
-    from de_realtime_voting_spark.constants import SUBSTR_GRAM_MAX_DF
+def test_substring_spans_occurrence_cap_blocks_boilerplate(spark):
+    """A run shared by more docs than SUBSTR_GRAM_MAX_OCC occurrences
+    allow is boilerplate: its grams exceed the total-occurrence cap
+    and generate no pairs -- the hard bound (MAX_OCC^2 per gram) that
+    keeps the gram join from going quadratic.  The cap is on
+    OCCURRENCES, not df: a run repeated many times across two docs is
+    capped just the same."""
+    from de_realtime_voting_spark.constants import SUBSTR_GRAM_MAX_OCC
 
     run = " ".join(f"c{i}" for i in range(30))
     docs = _substr_docs(
         spark,
-        [f"u{i} " + run for i in range(SUBSTR_GRAM_MAX_DF + 5)],
+        [f"u{i} " + run for i in range(SUBSTR_GRAM_MAX_OCC + 5)],
     )
     assert dedup.dedup_substring_spans(docs).collect() == []
+    # within-doc repetition counts toward the cap too: 2 docs, each
+    # repeating the run ~13x -> occurrences > cap with df=2
+    reps = SUBSTR_GRAM_MAX_OCC // 2 + 3
+    docs2 = _substr_docs(
+        spark,
+        [(" zz%d " % i).join([run] * reps) for i in range(2)],
+    )
+    assert dedup.dedup_substring_spans(docs2).collect() == []
 
 
 def test_substring_spans_multiple_runs_split(spark):
