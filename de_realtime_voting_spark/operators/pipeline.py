@@ -974,6 +974,60 @@ def corpus_temperature_sample(documents: DataFrame) -> DataFrame:
     )
 
 
+def corpus_dsir_sample(documents: DataFrame) -> DataFrame:
+    """MATERIALIZE the DSIR selection text.dsir_importance_score
+    reports (the report -> transform closure, the
+    corpus_temperature_sample pattern): a deterministic per-doc
+    keep/drop whose keep probability is exp(w - w_max) -- importance
+    resampling normalized so the best-matching doc keeps with
+    probability 1 and every other doc proportionally to its
+    exponentiated weight, the Xie et al. 2023 sampling rule made
+    rerun-stable.  Reports per source: scored docs, kept docs, the
+    mean target keep rate and the realized kept share.
+
+    Determinism discipline: weights are the PUBLISHED (4-rounded)
+    dsir_logratio column, the integer threshold is
+    floor(exp(w - w_max) * 10000), and membership is the
+    md5('dsir:'||doc_id) bucket -- bit-identical constants and pure
+    integer comparisons in both engines.  Docs too short to score
+    (< 2 tokens, no bigrams) are outside the sample frame by
+    definition, exactly as they are absent from the report.
+
+    Scale shape: the weight frame is the DSIR op's own plan (bounded
+    512-number model, one corpus pass); w_max is a 1-row broadcast
+    (the scalar-subquery idiom); sampling is a map-side predicate and
+    one per-source agg ends the plan.
+    """
+    from ..functions.columns import md5_mod_bucket
+    from .text import dsir_importance_score
+
+    # persist: the scored frame feeds the 1-row max AND the sampling
+    # pass (released by the harnesses' per-query clearCache)
+    w = dsir_importance_score(documents).persist()
+    wmax = w.agg(F.max("dsir_logratio").alias("w_max"))
+    rate = F.exp(F.col("dsir_logratio") - F.col("w_max"))
+    bucket = md5_mod_bucket(
+        F.concat(F.lit("dsir:"), F.col("doc_id").cast("string")), 10000
+    )
+    tagged = w.crossJoin(F.broadcast(wmax)).select(
+        "source",
+        rate.alias("rate"),
+        (bucket < F.floor(rate * 10000).cast("int")).alias("kept"),
+    )
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        rnd(F.avg("rate"), 6).alias("avg_keep_rate"),
+        rnd(
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("kept_share"),
+    )
+
+
 def seq_pack_bestfit(documents: DataFrame) -> DataFrame:
     """Whole-document sequence packing, first-fit-decreasing: where
     seq_pack_stats (#40) measures the concat-and-chop layout (docs

@@ -4051,6 +4051,27 @@ WHERE source <> '{EVAL_SOURCE}'
 GROUP BY doc_id, lang, source
 """
 
+# DSIR resampling materializer: builds on the dsir_importance_score
+# CTE (published 4-rounded weights), exp-normalized keep rates, the
+# shared md5 bucket membership -- integer compares both engines.
+SQL["corpus_dsir_sample"] = f"""
+WITH w AS ({SQL["dsir_importance_score"]}),
+mx AS (SELECT MAX(dsir_logratio) AS w_max FROM w),
+tagged AS (
+    SELECT source,
+           exp(dsir_logratio - w_max) AS rate,
+           ({_duck_md5_mod("'dsir:' || CAST(doc_id AS VARCHAR)", 10000)}
+             < CAST(FLOOR(exp(dsir_logratio - w_max) * 10000) AS INTEGER))
+               AS kept
+    FROM w, mx
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(AVG(rate), 6) AS avg_keep_rate,
+       ROUND(SUM(CASE WHEN kept THEN 1 ELSE 0 END) / COUNT(*), 6) AS kept_share
+FROM tagged GROUP BY source
+"""
+
 # Applied LAST so every entry above -- including late additions -- gets
 # the engine-exact half-up rounding rewrite.
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

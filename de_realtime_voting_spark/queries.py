@@ -486,6 +486,9 @@ _DEFS: dict[str, QueryFn] = {
     "dsir_importance_score": lambda s, d: text.dsir_importance_score(
         _t(s, d, "documents")
     ),
+    "corpus_dsir_sample": lambda s, d: pipeline.corpus_dsir_sample(
+        _t(s, d, "documents")
+    ),
     "token_heavy_hitters_cms": lambda s, d: text.token_heavy_hitters_cms(
         _t(s, d, "documents")
     ),
@@ -513,7 +516,7 @@ _DEFS: dict[str, QueryFn] = {
 # predates r4.  r4/r5 blocks follow; last round's r6-fresh rows
 # rotate to the back (they hold the newest green rows).
 _PRIORITY: list[str] = [
-    "dedup_substring_spans", "dsir_importance_score", "dedup_ngram_jaccard",
+    "dedup_substring_spans", "dsir_importance_score", "corpus_dsir_sample", "dedup_ngram_jaccard",
     "dedup_edit_distance", "corpus_temperature_sample", "corpus_span_excised",
     "ann_ivf_topk", "ann_ivf_probe_sweep", "ann_recall_report",
     "ivf_cell_balance", "semantic_dedup", "embedding_kmeans_iter",

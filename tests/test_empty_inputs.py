@@ -55,6 +55,9 @@ CASES = {
     "dsir_importance_score": lambda s, d: text.dsir_importance_score(
         _empty(s, d, "documents")
     ),
+    "corpus_dsir_sample": lambda s, d: pipeline.corpus_dsir_sample(
+        _empty(s, d, "documents")
+    ),
     "dedup_clusters": lambda s, d: dedup.dedup_clusters(_empty(s, d, "documents")),
     "dedup_simhash": lambda s, d: dedup.dedup_simhash(_empty(s, d, "documents")),
     "ann_bruteforce_topk": lambda s, d: similarity.ann_bruteforce_topk(

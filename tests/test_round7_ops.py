@@ -213,6 +213,29 @@ def test_dsir_short_and_no_target_edges(spark):
     assert rows[0].n_bigrams == 7
 
 
+def test_corpus_dsir_sample_invariants(spark, sf_dir):
+    """The DSIR resampling materializer: every source's kept count is
+    within its scored count, the per-source scored totals equal the
+    DSIR report's doc counts, and the top-weight doc's rate-1 rule
+    means at least one doc survives overall."""
+    from de_realtime_voting_spark.operators.pipeline import corpus_dsir_sample
+    from de_realtime_voting_spark.operators.text import dsir_importance_score
+    from de_realtime_voting_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored_per_src = {}
+    for r in dsir_importance_score(docs).collect():
+        scored_per_src[r.source] = scored_per_src.get(r.source, 0) + 1
+    spark.catalog.clearCache()
+    rows = corpus_dsir_sample(docs).collect()
+    assert {r.source: r.n_scored for r in rows} == scored_per_src
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_scored
+        assert 0.0 < r.avg_keep_rate <= 1.0
+    assert sum(r.n_kept for r in rows) > 0
+    spark.catalog.clearCache()
+
+
 def test_routing_agreement_where_blocks_align(spark, sf_dir, monkeypatch):
     """On the sf0.001 corpus the two routes must agree exactly on
     every pair the exhaustive plan emits from a shared band: the
