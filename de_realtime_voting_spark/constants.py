@@ -189,6 +189,18 @@ BPE_PAIR_TOP_N = 20
 # windows (pseudo-sentences -- the corpus has no newline structure); a
 # segment is duplicated if its text occurs more than once corpus-wide.
 SEGMENT_W = 10
+# Segment-grain MinHash dedup: a segment's global id is
+# doc_id * SEGMENT_SID_MULT + seg_idx (one bigint, so candidate-pair
+# ordering and the keep-first rule need no struct comparisons across
+# engines).  Safe while seg_idx < 1e6, i.e. docs under 10M words.
+SEGMENT_SID_MULT = 1_000_000
+# Segment-grain Jaccard bar, calibrated to the segment geometry: a
+# SEGMENT_W=10-token segment has only 8 word-3-shingles, so ONE token
+# substitution already drops Jaccard to 5/11..7/9 (position-dependent)
+# -- the doc-grain 0.8 bar would match only identical shingle SETS.
+# 0.4 admits every single-token edit (min 5/11 = 0.4545) and rejects
+# two interior edits (max 4/12 = 0.333).
+SEGMENT_JACCARD_THRESHOLD = 0.4
 # Incremental dedup: corpus docs split into an "existing" (already
 # deduped) set and an "incoming" batch by doc_id hash bucket;
 # candidates are incoming x existing band collisions only.

@@ -2028,3 +2028,182 @@ def normalized_dedup_gain(documents: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("extra_dups"),
     )
+
+
+def segment_minhash_dedup(documents: DataFrame) -> DataFrame:
+    """Segment-grain NEAR-dup dedup report: MinHash-LSH composed at
+    SEGMENT_W-word-segment granularity, closing the gap between
+    ``segment_dedup`` (exact segment hashes -- misses lightly edited
+    boilerplate) and doc-level MinHash (misses paragraph-level
+    duplication inside otherwise-distinct docs).  Per (lang, source),
+    alongside the DOC-grain near-dup share from the same machinery,
+    so the report IS the both-grain dedup-rate comparison.
+    (No reference analog -- training-data mandate; segment-level
+    near-dedup is the C4/Lee-et-al. regime extended to fuzzy matches.)
+
+    Semantics, exactly mirrored by the oracle:
+
+    * Docs are cut into consecutive SEGMENT_W-word windows (the
+      ``doc_segments`` geometry); a segment's global id is
+      ``sid = doc_id * SEGMENT_SID_MULT + seg_idx``.
+    * EXACT-duplicate segments collapse FIRST (md5 classes; the
+      first occurrence by sid is the class representative) -- the
+      scale move that keeps banded LSH from generating k^2 candidate
+      pairs for a k-times-repeated boilerplate segment.
+    * MinHash (word 3-shingles, the shared MINHASH_SIGS /
+      MINHASH_BAND_ROWS banding) runs over class REPRESENTATIVES
+      only; banded candidates verify with exact shingle Jaccard at
+      SEGMENT_JACCARD_THRESHOLD -- a bar calibrated to the segment
+      geometry (10 tokens -> 8 shingles; one token edit lands at
+      J in [5/11, 7/9], so the doc-grain 0.8 would match nothing but
+      identical shingle sets).  Recall trade, documented: at J~0.45
+      the 4x2 banding surfaces ~60% of true single-edit pairs as
+      candidates -- the standard LSH probabilistic-candidate
+      semantics, identical in the oracle (same md5 banding), so
+      parity is exact even where recall is probabilistic.
+    * Keep-first rule: a representative is a near-dup DROP when it
+      has ANY verified earlier neighbor (smaller sid), kept or not
+      -- the same any-earlier-neighbor rule as the incremental path,
+      well-defined without sequential scan order.
+    * Occurrence accounting: a segment occurrence is an exact-dup
+      drop when it is not its class representative, a near-dup drop
+      when it IS the representative and the class was dropped.
+
+    Scale shape: one tokenize pass, positional explode over a cheap
+    int sequence; md5 class collapse shuffles on seg_hash (map-side
+    partial agg); signatures/bands are computed only for distinct
+    segment contents; the band self-join is bounded by band occupancy
+    over DISTINCT contents (exact dups already collapsed); the
+    verify join touches candidate rows only.  Doc-grain side reuses
+    dedup_minhash_pairs' persisted-shingle plan.
+    """
+    from ..constants import (
+        SEGMENT_JACCARD_THRESHOLD,
+        SEGMENT_SID_MULT,
+        SEGMENT_W,
+    )
+
+    # ---- segment grain -------------------------------------------------
+    toks_d = (
+        documents.select(
+            "doc_id", "lang", "source", tokens(F.col("text")).alias("toks")
+        )
+        .where(F.size("toks") >= SEGMENT_W)
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+    )
+    # slice/shingle AFTER the explode: runs once per OUTPUT row; `toks`
+    # is a materialized column behind the repartition barrier, so the
+    # re-evaluated subtree inside the shingle lambda is a cheap array
+    # slice, never a re-split of text (the _doc_shingles lesson).
+    seg_toks = F.slice("toks", F.col("k") * SEGMENT_W + 1, SEGMENT_W)
+    segs = (
+        toks_d.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(
+                F.sequence(F.lit(0), (F.size("toks") / SEGMENT_W).cast("int") - 1)
+            ).alias("k"),
+            "toks",
+        )
+        .select(
+            "lang",
+            "source",
+            (F.col("doc_id") * SEGMENT_SID_MULT + F.col("k")).alias("sid"),
+            F.md5(F.concat_ws(" ", seg_toks)).alias("seg_hash"),
+            word_shingles(seg_toks).alias("shingles"),
+        )
+        .persist()  # feeds the class collapse, the rep join, and the report
+    )
+    classes = segs.groupBy("seg_hash").agg(
+        F.min("sid").alias("rep_sid"), F.count(F.lit(1)).alias("n_occ")
+    )
+    reps = (
+        classes.join(
+            segs.select("sid", "seg_hash", "shingles"),
+            ["seg_hash"],
+        )
+        .where(F.col("sid") == F.col("rep_sid"))
+        .select(F.col("rep_sid").alias("doc_id"), "shingles")
+        .persist()  # feeds banding AND both sides of the verify join
+    )
+    # reuse the shared banding + candidate machinery verbatim (reps are
+    # keyed 'doc_id' for the duration; ids are sids)
+    cand = _band_candidate_pairs(_doc_bands_from(reps))
+    sa = reps.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = reps.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    dropped = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= SEGMENT_JACCARD_THRESHOLD)
+        .select(F.col("doc_b").alias("rep_sid"))
+        .distinct()
+        .withColumn("near_dropped", F.lit(1))
+    )
+    occ = (
+        segs.select("lang", "source", "sid", "seg_hash")
+        .join(classes, ["seg_hash"])
+        .join(dropped, ["rep_sid"], "left")
+        .select(
+            "lang",
+            "source",
+            (F.col("sid") != F.col("rep_sid")).cast("int").alias("exact_drop"),
+            (
+                (F.col("sid") == F.col("rep_sid"))
+                & F.col("near_dropped").isNotNull()
+            )
+            .cast("int")
+            .alias("near_drop"),
+        )
+    )
+    seg_stats = occ.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum("exact_drop").cast("bigint").alias("exact_dup_segments"),
+        F.sum("near_drop").cast("bigint").alias("near_dup_segments"),
+        rnd(
+            (F.sum("exact_drop") + F.sum("near_drop")) / F.count(F.lit(1)), 6
+        ).alias("seg_drop_share"),
+    )
+
+    # ---- doc grain (same machinery, whole-doc shingles) ----------------
+    pairs = dedup_minhash_pairs(documents).select("doc_a", "doc_b")
+    dup_docs = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    doc_stats = (
+        documents.select("doc_id", "lang", "source")
+        .join(dup_docs, ["doc_id"], "left")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).cast("bigint").alias(
+                "near_dup_docs"
+            ),
+            rnd(
+                F.sum(F.coalesce("is_dup", F.lit(0))) / F.count(F.lit(1)), 6
+            ).alias("doc_dup_share"),
+        )
+    )
+
+    # groups whose docs are all shorter than SEGMENT_W words have doc
+    # rows but no segments: seg counts 0, share NULL (0/0), matching SQL
+    return doc_stats.join(seg_stats, ["lang", "source"], "left").select(
+        "lang",
+        "source",
+        "n_docs",
+        "near_dup_docs",
+        "doc_dup_share",
+        F.coalesce("n_segments", F.lit(0)).cast("bigint").alias("n_segments"),
+        F.coalesce("exact_dup_segments", F.lit(0))
+        .cast("bigint")
+        .alias("exact_dup_segments"),
+        F.coalesce("near_dup_segments", F.lit(0))
+        .cast("bigint")
+        .alias("near_dup_segments"),
+        F.col("seg_drop_share"),
+    )

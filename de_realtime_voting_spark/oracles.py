@@ -65,6 +65,8 @@ from .constants import (
     SAMPLE_RATE_PCT,
     SIMHASH_BAND_BITS,
     SIMHASH_N_BANDS,
+    SEGMENT_JACCARD_THRESHOLD,
+    SEGMENT_SID_MULT,
     SEGMENT_W,
     SPAN_NGRAM_K,
     SPAN_TOP_N,
@@ -2005,6 +2007,132 @@ SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN n_dup_segs * 2 >= n_segs THEN 1 ELSE 0 END) AS BIGINT)
            AS n_boilerplate_docs
 FROM per_doc GROUP BY 1, 2
+"""
+
+# segment-grain MinHash: same signature/banding formulas as
+# _MINHASH_CTES but keyed by sid over segment-class representatives
+_SEG_BANDS_UNION = "\n    UNION ALL ".join(
+    "SELECT sid, {b} AS band_idx, md5({cat}) AS band_hash FROM rsigs".format(
+        b=b,
+        cat=" || '|' || ".join(
+            f"sig{b * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS)
+        ),
+    )
+    for b in range(_N_BANDS)
+)
+
+SQL["segment_minhash_dedup"] = f"""
+WITH toksed AS (
+    SELECT doc_id, lang, source, {_TOKS} AS toks FROM documents
+),
+dsh AS (
+    SELECT doc_id, {_SHINGLES} AS shingles FROM toksed WHERE len(toks) >= 3
+),
+dsigs AS (SELECT doc_id, {_SIG_COLS} FROM dsh),
+dbands AS (
+    {_BANDS_UNION.replace("FROM sigs", "FROM dsigs")}
+),
+dcand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM dbands a JOIN dbands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+dver AS (
+    SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               len(list_intersect(sa.shingles, sb.shingles))
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                   AS jaccard
+        FROM dcand
+        JOIN dsh sa ON sa.doc_id = doc_a
+        JOIN dsh sb ON sb.doc_id = doc_b
+    ) WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+dup_docs AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM dver
+        UNION ALL SELECT doc_b AS doc_id FROM dver
+    )
+),
+doc_stats AS (
+    SELECT t.lang, t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS near_dup_docs,
+           ROUND(SUM(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS doc_dup_share
+    FROM toksed t LEFT JOIN dup_docs dd ON dd.doc_id = t.doc_id
+    GROUP BY 1, 2
+),
+segs AS (
+    SELECT lang, source,
+           doc_id * {SEGMENT_SID_MULT} + k AS sid,
+           list_slice(toks, k * {SEGMENT_W} + 1, (k + 1) * {SEGMENT_W}) AS toks
+    FROM toksed, unnest(range(0, len(toks) // {SEGMENT_W})) AS u(k)
+    WHERE len(toks) >= {SEGMENT_W}
+),
+seghash AS (
+    SELECT lang, source, sid,
+           md5(array_to_string(toks, ' ')) AS seg_hash,
+           {_SHINGLES} AS shingles
+    FROM segs
+),
+classes AS (
+    SELECT seg_hash, MIN(sid) AS rep_sid, COUNT(*) AS n_occ
+    FROM seghash GROUP BY 1
+),
+reps AS (
+    SELECT c.rep_sid AS sid, s.shingles
+    FROM classes c
+    JOIN seghash s ON s.seg_hash = c.seg_hash AND s.sid = c.rep_sid
+),
+rsigs AS (SELECT sid, {_SIG_COLS} FROM reps),
+rbands AS (
+    {_SEG_BANDS_UNION}
+),
+rcand AS (
+    SELECT DISTINCT a.sid AS sid_a, b.sid AS sid_b
+    FROM rbands a JOIN rbands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.sid < b.sid
+),
+rdrop AS (
+    SELECT DISTINCT sid_b AS rep_sid FROM (
+        SELECT sid_b,
+               len(list_intersect(ra.shingles, rb.shingles))
+               / len(list_distinct(list_concat(ra.shingles, rb.shingles)))
+                   AS jaccard
+        FROM rcand
+        JOIN reps ra ON ra.sid = sid_a
+        JOIN reps rb ON rb.sid = sid_b
+    ) WHERE jaccard >= {SEGMENT_JACCARD_THRESHOLD}
+),
+occ AS (
+    SELECT s.lang, s.source,
+           CASE WHEN s.sid <> c.rep_sid THEN 1 ELSE 0 END AS exact_drop,
+           CASE WHEN s.sid = c.rep_sid AND rd.rep_sid IS NOT NULL
+                THEN 1 ELSE 0 END AS near_drop
+    FROM seghash s
+    JOIN classes c ON c.seg_hash = s.seg_hash
+    LEFT JOIN rdrop rd ON rd.rep_sid = c.rep_sid
+),
+seg_stats AS (
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(exact_drop) AS BIGINT) AS exact_dup_segments,
+           CAST(SUM(near_drop) AS BIGINT) AS near_dup_segments,
+           ROUND((SUM(exact_drop) + SUM(near_drop)) / COUNT(*), 6)
+               AS seg_drop_share
+    FROM occ GROUP BY 1, 2
+)
+SELECT d.lang, d.source, d.n_docs, d.near_dup_docs, d.doc_dup_share,
+       COALESCE(s.n_segments, 0) AS n_segments,
+       COALESCE(s.exact_dup_segments, 0) AS exact_dup_segments,
+       COALESCE(s.near_dup_segments, 0) AS near_dup_segments,
+       s.seg_drop_share
+FROM doc_stats d LEFT JOIN seg_stats s
+  ON s.lang = d.lang AND s.source = d.source
 """
 
 SQL["dedup_incremental"] = f"""{_MINHASH_CTES},

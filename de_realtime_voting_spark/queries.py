@@ -196,6 +196,9 @@ _DEFS: dict[str, QueryFn] = {
         _t(s, d, "documents")
     ),
     "segment_dedup": lambda s, d: dedup.segment_dedup(_t(s, d, "documents")),
+    "segment_minhash_dedup": lambda s, d: dedup.segment_minhash_dedup(
+        _t(s, d, "documents")
+    ),
     "dedup_edit_distance": lambda s, d: dedup.dedup_edit_distance(
         _t(s, d, "documents")
     ),
@@ -516,6 +519,7 @@ _DEFS: dict[str, QueryFn] = {
 # predates r4.  r4/r5 blocks follow; last round's r6-fresh rows
 # rotate to the back (they hold the newest green rows).
 _PRIORITY: list[str] = [
+    "segment_minhash_dedup",
     "dedup_substring_spans", "dsir_importance_score", "corpus_dsir_sample", "dedup_ngram_jaccard",
     "dedup_edit_distance", "corpus_temperature_sample", "corpus_span_excised",
     "ann_ivf_topk", "ann_ivf_probe_sweep", "ann_recall_report",

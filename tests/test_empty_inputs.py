@@ -52,6 +52,9 @@ CASES = {
     "dedup_substring_spans": lambda s, d: dedup.dedup_substring_spans(
         _empty(s, d, "documents")
     ),
+    "segment_minhash_dedup": lambda s, d: dedup.segment_minhash_dedup(
+        _empty(s, d, "documents")
+    ),
     "dsir_importance_score": lambda s, d: text.dsir_importance_score(
         _empty(s, d, "documents")
     ),
