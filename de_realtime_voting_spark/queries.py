@@ -505,28 +505,41 @@ _DEFS: dict[str, QueryFn] = {
 
 # Registry ORDER matters operationally: external checkers iterate in
 # insertion order and may cap how many entries they verify per run
-# (the driver checks ~50).  Round-7 rotation: the two NEW operators
-# (dedup_substring_spans, dsir_importance_score) and the 12 queries whose
-# code/model changed this round lead (dedup_ngram_jaccard now
-# self-routes; dedup_edit_distance's repartition-width helper;
-# the span-excision/temperature refactors onto curate-shared
-# helpers; the seven IVF-family queries on the NEW K=64 sf1-trained
-# model -- embedding_label_cohesion builds per-LABEL centroids from
-# data, not the IVF model, so it sits at position 51; the two
-# batched-BPE queries on BPE_BATCH=8), then the 36 ops whose
-# freshest driver row was r3-vintage -- 2+12+36 fills the 50-entry
-# window exactly, so after this round no query's latest green
-# predates r4.  r4/r5 blocks follow; last round's r6-fresh rows
-# rotate to the back (they hold the newest green rows).
+# (the driver checks ~50).  Round-8 rotation, stalest-first: the one
+# NEW operator (segment_minhash_dedup -- no other registry query's
+# code changed this round), then votes_sessionized (the single
+# r3-vintage driver row left), then all 43 r4-vintage rows, then the
+# 5 alphabetically-first r5 rows -- 1+1+43+5 fills the 50-entry
+# window exactly, so after this round no query's latest driver green
+# predates r5.  Remaining r5/r6/r7 blocks follow in their previous
+# relative order (they hold the newest green rows).
 _PRIORITY: list[str] = [
-    "segment_minhash_dedup",
-    "dedup_substring_spans", "dsir_importance_score", "corpus_dsir_sample", "dedup_ngram_jaccard",
-    "dedup_edit_distance", "corpus_temperature_sample", "corpus_span_excised",
-    "ann_ivf_topk", "ann_ivf_probe_sweep", "ann_recall_report",
-    "ivf_cell_balance", "semantic_dedup", "embedding_kmeans_iter",
-    "bpe_train_merges_batched", "bpe_fertility_stats_batched",
-    "funnel_conversion", "lapsed_voters", "leading_candidate_per_hour",
-    "market_basket_pairs", "minhash_jaccard_estimate", "near_dup_graph_degree",
+    "segment_minhash_dedup", "votes_sessionized", "ann_pq_rerank_topk",
+    "bloom_decontam", "bpe_fertility_stats", "bpe_train_merges",
+    "contam_span_report", "corpus_epoch_shuffle", "customer_spend_deciles",
+    "dedup_clusters", "dedup_clusters_bigstar", "dedup_keep_canonical",
+    "dedup_soft_weights", "dedup_sorted_neighborhood",
+    "dedup_threshold_sweep", "doc_embed_inference",
+    "doc_length_mad_outliers", "doc_winnowing_fingerprints",
+    "domain_quality_topk", "event_transition_matrix", "hot_key_join_salted",
+    "near_dup_pagerank", "q10_returned_items", "q12_ship_lag_priority",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_part_supplier_counts", "q19_disjunctive_revenue",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "segment_dedup", "source_capped_selection",
+    "source_temperature_weights", "text_entropy_score",
+    "token_budget_select", "top_brand_revenue", "voter_stickiness",
+    "votes_anomaly_zscore", "votes_sliding_window", "ann_bruteforce_topk",
+    "benchmark_decontam", "bigram_logprob_score", "bpe_pair_counts",
+    "corpus_quality_keep", "dedup_substring_spans", "dsir_importance_score",
+    "corpus_dsir_sample", "dedup_ngram_jaccard", "dedup_edit_distance",
+    "corpus_temperature_sample", "corpus_span_excised", "ann_ivf_topk",
+    "ann_ivf_probe_sweep", "ann_recall_report", "ivf_cell_balance",
+    "semantic_dedup", "embedding_kmeans_iter", "bpe_train_merges_batched",
+    "bpe_fertility_stats_batched", "funnel_conversion", "lapsed_voters",
+    "leading_candidate_per_hour", "market_basket_pairs",
+    "minhash_jaccard_estimate", "near_dup_graph_degree",
     "near_dup_rate_by_source", "ngram_containment", "one_vote_per_voter",
     "order_fill_rate", "party_vote_share", "referential_integrity_audit",
     "repeat_buyers_by_nation", "source_url_dedup", "supplier_concentration",
@@ -536,53 +549,37 @@ _PRIORITY: list[str] = [
     "vote_weight_percentiles", "voter_party_loyalty", "voter_profile",
     "voter_retention_cohort", "votes_asof_prior_click", "votes_cube",
     "votes_enriched", "votes_in_launch_windows", "votes_minute_rate",
-    "votes_per_candidate", "votes_per_candidate_hourly", "votes_sessionized",
-    "embedding_label_cohesion", "ann_pq_rerank_topk", "bloom_decontam",
-    "bpe_fertility_stats", "bpe_train_merges", "contam_span_report",
-    "corpus_epoch_shuffle", "customer_spend_deciles", "dedup_clusters",
-    "dedup_clusters_bigstar", "dedup_keep_canonical", "dedup_soft_weights",
-    "dedup_sorted_neighborhood", "dedup_threshold_sweep",
-    "doc_embed_inference", "doc_length_mad_outliers",
-    "doc_winnowing_fingerprints", "domain_quality_topk",
-    "event_transition_matrix", "hot_key_join_salted", "near_dup_pagerank",
-    "q10_returned_items", "q12_ship_lag_priority", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_counts",
-    "q19_disjunctive_revenue", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_regional_revenue", "q6_forecast_revenue", "q7_nation_volume",
-    "q8_market_share", "q9_product_profit", "segment_dedup",
-    "source_capped_selection", "source_temperature_weights",
-    "text_entropy_score", "token_budget_select", "top_brand_revenue",
-    "voter_stickiness", "votes_anomaly_zscore", "votes_sliding_window",
-    "ann_bruteforce_topk", "benchmark_decontam", "bigram_logprob_score",
-    "bpe_pair_counts", "corpus_quality_keep", "corpus_source_mix",
-    "curation_waterfall", "customer_top_orders", "dedup_exact",
-    "dedup_incremental", "dedup_minhash_bands", "dedup_simhash",
-    "dedup_simhash_pairs", "doc_embedding_stats", "doc_fingerprint",
-    "doc_length_percentile_filter", "embedding_lsh_buckets",
-    "embedding_norm_outliers", "embedding_quantization_stats",
-    "events_json_props", "invalid_vote_rate", "large_volume_orders",
-    "nation_acctbal", "near_dup_triangles", "ngram_top",
-    "order_priority_count", "registered_non_voters", "repeated_ngram_spans",
-    "small_quantity_revenue", "supplier_nation_revenue", "text_bpe_tokens",
-    "text_c4_filters", "text_lang_id", "text_redact_pii",
-    "text_repetition_score", "text_token_count", "tfidf_top_terms",
-    "token_heavy_hitters_cms", "unigram_logprob_score",
-    "unique_voters_per_candidate", "vocab_coverage",
-    "voter_registration_stats", "votes_value_stats", "cross_source_dup_matrix",
-    "minhash_band_collision_stats", "dup_quality_report", "token_bucket_drift",
-    "embedding_whitened_norms", "seq_pack_bestfit", "fuzzy_decontam",
-    "normalized_dedup_gain", "repeated_span_excision", "span_excision_stats",
+    "votes_per_candidate", "votes_per_candidate_hourly",
+    "embedding_label_cohesion", "corpus_source_mix", "curation_waterfall",
+    "customer_top_orders", "dedup_exact", "dedup_incremental",
+    "dedup_minhash_bands", "dedup_simhash", "dedup_simhash_pairs",
+    "doc_embedding_stats", "doc_fingerprint", "doc_length_percentile_filter",
+    "embedding_lsh_buckets", "embedding_norm_outliers",
+    "embedding_quantization_stats", "events_json_props", "invalid_vote_rate",
+    "large_volume_orders", "nation_acctbal", "near_dup_triangles",
+    "ngram_top", "order_priority_count", "registered_non_voters",
+    "repeated_ngram_spans", "small_quantity_revenue",
+    "supplier_nation_revenue", "text_bpe_tokens", "text_c4_filters",
+    "text_lang_id", "text_redact_pii", "text_repetition_score",
+    "text_token_count", "tfidf_top_terms", "token_heavy_hitters_cms",
+    "unigram_logprob_score", "unique_voters_per_candidate", "vocab_coverage",
+    "voter_registration_stats", "votes_value_stats",
+    "cross_source_dup_matrix", "minhash_band_collision_stats",
+    "dup_quality_report", "token_bucket_drift", "embedding_whitened_norms",
+    "seq_pack_bestfit", "fuzzy_decontam", "normalized_dedup_gain",
+    "repeated_span_excision", "span_excision_stats",
     "token_distribution_drift", "knn_label_purity",
     "dedup_ngram_jaccard_scaled", "dedup_embedding_cosine",
     "doc_length_percentile_filter_approx", "votes_approx_stats",
     "ann_lsh_topk", "corpus_stratified_sample", "corpus_train_split",
-    "dedup_minhash_pairs", "multimodal_binary_stats", "multimodal_chunk_stats",
-    "q11_important_stock", "q20_excess_suppliers", "q21_waiting_suppliers",
-    "q22_idle_rich_customers", "q2_min_cost_supplier", "seq_pack_stats",
-    "text_quality_score", "vote_key_skew", "voter_value_quartiles",
-    "ann_pq_topk", "brand_price_trend", "candidate_hourly_pivot",
-    "cumulative_daily_votes", "doc_chunk_windows", "doc_field_completeness",
-    "election_winner", "embedding_pca_stats",
+    "dedup_minhash_pairs", "multimodal_binary_stats",
+    "multimodal_chunk_stats", "q11_important_stock", "q20_excess_suppliers",
+    "q21_waiting_suppliers", "q22_idle_rich_customers",
+    "q2_min_cost_supplier", "seq_pack_stats", "text_quality_score",
+    "vote_key_skew", "voter_value_quartiles", "ann_pq_topk",
+    "brand_price_trend", "candidate_hourly_pivot", "cumulative_daily_votes",
+    "doc_chunk_windows", "doc_field_completeness", "election_winner",
+    "embedding_pca_stats",
 ]
 
 

@@ -30,7 +30,13 @@ Replication is timing-faithful, not statistics-blind:
 * Everything else (timestamps, values, categorical mixes) replicates
   unchanged: 10x density over the same domains.
 
-Usage:  python tools/make_sf1.py  [out_dir]
+Usage:  python tools/make_sf1.py  [out_dir]  [--copies N]
+
+``--copies 100`` builds the sf10 (100x sf0.1) probe point the same
+way -- same per-copy determinism, so copies 1..9 of sf10 are
+bit-identical to sf1's.  Text perturbation is the only python-loop
+stage, so it fans out over a process pool (copy-parallel; results
+are deterministic per copy regardless of schedule).
 """
 
 from __future__ import annotations
@@ -38,6 +44,7 @@ from __future__ import annotations
 import hashlib
 import os
 import sys
+from concurrent.futures import ProcessPoolExecutor
 
 import numpy as np
 import pyarrow as pa
@@ -88,7 +95,13 @@ def _perturb_texts(texts: list[str | None], copy: int) -> list[str | None]:
 
 
 def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    args = [a for a in sys.argv[1:]]
+    copies = COPIES
+    if "--copies" in args:
+        i = args.index("--copies")
+        copies = int(args[i + 1])
+        del args[i : i + 2]
+    out_dir = args[0] if args else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scaledata", "sf1")
     os.makedirs(out_dir, exist_ok=True)
@@ -101,13 +114,27 @@ def main() -> None:
     col_offset = {(t, c): offsets[dom] for dom, cols in DOMAINS.items()
                   for t, c in cols}
 
+    # documents.text perturbation is the one python-loop stage; at
+    # --copies 100 it dominates wall-clock single-threaded, so fan the
+    # per-copy calls (independent, deterministic) over a process pool
+    base_texts = tabs["documents"]["text"].to_pylist()
+    with ProcessPoolExecutor(max_workers=min(16, os.cpu_count() or 1)) as pool:
+        perturbed = dict(
+            zip(
+                range(1, copies),
+                pool.map(_perturb_texts, [base_texts] * (copies - 1),
+                         range(1, copies), chunksize=1),
+            )
+        )
+    perturbed[0] = base_texts
+
     for name, tab in tabs.items():
         if name in FIXED_TABLES:
             pq.write_table(tab, os.path.join(out_dir, f"{name}.parquet"))
             print(f"{name}: {tab.num_rows} rows (fixed dim)")
             continue
         parts = []
-        for i in range(COPIES):
+        for i in range(copies):
             cols = []
             for field in tab.schema:
                 col = tab[field.name]
@@ -115,8 +142,7 @@ def main() -> None:
                 if off is not None and i > 0:
                     col = pc.add(col, pa.scalar(off * i, type=field.type))
                 elif name == "documents" and field.name == "text":
-                    col = pa.array(_perturb_texts(col.to_pylist(), i),
-                                   type=pa.string())
+                    col = pa.array(perturbed[i], type=pa.string())
                 elif name == "documents" and field.name == "n_chars":
                     # recomputed after text perturbation below
                     col = None

@@ -31,20 +31,33 @@ from de_realtime_voting_spark.session import get_spark
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SF1_DIR = os.path.join(_REPO, ".scaledata", "sf1")
+_SF10_DIR = os.path.join(_REPO, ".scaledata", "sf10")
 
 
 def sf_dir(sf: float) -> str:
-    """Driver-shipped SFs live under /root/testdata; the 10x probe
-    point (tools/make_sf1.py) lives inside the repo."""
+    """Driver-shipped SFs live under /root/testdata; the 10x/100x
+    probe points (tools/make_sf1.py [--copies 100]) live in the repo."""
     if sf == 1.0:
         return _SF1_DIR
+    if sf == 10.0:
+        return _SF10_DIR
     return f"/root/testdata/sf{sf}"
 
 
-# include the sf1 point when the generated dataset exists -- at the
-# driver SFs alone most heavy ops are overhead-bound and alpha only
-# proves the absence of blow-ups; the 10x point makes it meaningful
-SFS = [0.001, 0.01, 0.1] + ([1.0] if os.path.isdir(_SF1_DIR) else [])
+# include the sf1/sf10 points when the generated datasets exist -- at
+# the driver SFs alone most heavy ops are overhead-bound and alpha
+# only proves the absence of blow-ups; the 10x point makes it
+# meaningful and the 100x point (opt-in via SPARK_GRAFT_SF10=1; it
+# multiplies probe wall-clock ~4-8x) extends the frontier a decade
+SFS = (
+    [0.001, 0.01, 0.1]
+    + ([1.0] if os.path.isdir(_SF1_DIR) else [])
+    + (
+        [10.0]
+        if os.path.isdir(_SF10_DIR) and os.environ.get("SPARK_GRAFT_SF10") == "1"
+        else []
+    )
+)
 
 # the ops whose scale shape matters most: dedup pairing, clustering,
 # ANN, span/gram machinery, and the widest voting aggregations
