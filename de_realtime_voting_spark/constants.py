@@ -426,3 +426,24 @@ IVF_PROBE_SWEEP_MAX = 8
 # exact-Jaccard verify) at a LOWER bar than the dup threshold --
 # contamination cares about weaker overlap than "same document".
 FUZZY_DECONTAM_THRESHOLD = 0.5
+
+# Quality classifier (logistic regression over hashed unigram
+# features -- the GPT-3/CCNet-style learned quality filter, Brown et
+# al. 2020 appendix A): the model is QC_BUCKETS+1 doubles however
+# large the vocabulary (the DSIR hashing argument applied to a
+# DISCRIMINATIVE model).  QC_ITERS full-batch gradient steps at
+# QC_LR; weights are published HALF-UP-rounded to QC_ROUND decimals
+# after every step so cross-engine float reassociation noise
+# (~1e-13 relative on the gradient sums) cannot compound across
+# iterations -- both engines compute iteration t+1 from the same
+# published iteration-t model.
+QC_BUCKETS = 128
+QC_ITERS = 3
+QC_LR = 0.5
+QC_ROUND = 6
+
+# Prototype scoring (D4-style, Tirumala et al. 2023): per-cell
+# percentile of cosine-to-assigned-centroid; the top/bottom deciles
+# are the prototype/outlier tiers a diversification pass keeps/drops.
+PROTO_TIER_LO = 0.1
+PROTO_TIER_HI = 0.9

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -66,6 +67,7 @@ def curate_corpus(
       corpus_temperature_sample's exact model).  The manifest
       records per-source target and realized keep rates.
     """
+    _t0 = time.perf_counter()
     tags = curation_tags(documents)
     keep = tags.where(F.col("kept")).select("doc_id", "split")
     if drop_contaminated:
@@ -159,10 +161,22 @@ def curate_corpus(
             )
             .collect()
         )
+        # written-bytes from the files on disk (what a training job
+        # pays to read), wall-clock from pipeline entry: both are
+        # operational facts a capacity plan needs beside the token
+        # accounting
+        written_bytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(out_dir)
+            for f in files
+            if f.endswith(".parquet")
+        )
         manifest = {
             "out_dir": out_dir,
             "n_input_docs": documents.count(),
             "n_written_docs": written.count(),
+            "written_bytes": written_bytes,
+            "wall_s": round(time.perf_counter() - _t0, 2),
             "drop_contaminated": drop_contaminated,
             "stages": {
                 "fuzzy_gate": fuzzy_gate,

@@ -955,3 +955,49 @@ def ann_ivf_probe_sweep(embeddings: DataFrame) -> DataFrame:
         ).alias("avg_recall"),
         rnd(F.min("recall"), 6).alias("min_recall"),
     )
+
+
+def embedding_prototype_score(embeddings: DataFrame) -> DataFrame:
+    """D4-style prototypicality scores (Tirumala et al. 2023,
+    arXiv:2308.12284): every vector's cosine to its ASSIGNED coarse
+    centroid, ranked as a percentile WITHIN its cell.  The top decile
+    (near-centroid "prototypes" -- semantically redundant cluster
+    cores D4 prunes alongside SemDeDup's near-dups) and the bottom
+    decile (far-from-centroid outliers, the noise tail) get tier
+    labels; a diversification pass keeps the middle.  Composes with
+    semantic_dedup (same cells, different criterion: that op drops
+    pairwise near-dups, this one drops cluster-density extremes).
+
+    Scale shape: assignment is the shared map-side _assign_cells (no
+    corpus shuffle); the percentile is ONE window sort partitioned by
+    cell -- K=64 cells means K sort groups, each ~corpus/K (the same
+    per-cell working set semantic_dedup already holds); ties broken
+    by vec_id so the rank is total and deterministic in both engines.
+    Output is |corpus| rows -- a report -> transform input, same as
+    dsir_importance_score.
+    """
+    from ..constants import PROTO_TIER_HI, PROTO_TIER_LO
+
+    cents = _collect_centroids(embeddings)
+    cent_df = embeddings.sparkSession.createDataFrame(
+        [(cid, emb) for cid, emb in cents], "cell bigint, c_emb array<double>"
+    )
+    asg = _assign_cells(embeddings, cents).select("vec_id", "embedding", "cell")
+    cos = cosine_similarity(F.col("embedding"), F.col("c_emb"))
+    scored = asg.join(F.broadcast(cent_df), "cell").select(
+        "vec_id", "cell", cos.alias("proto_cos")
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("proto_cos").asc(), F.col("vec_id").asc()
+    )
+    pct = F.percent_rank().over(w)
+    return scored.select(
+        "vec_id",
+        "cell",
+        rnd("proto_cos", 6).alias("proto_cos"),
+        rnd(pct, 6).alias("cell_pct"),
+        F.when(pct >= F.lit(PROTO_TIER_HI), F.lit("prototype"))
+        .when(pct < F.lit(PROTO_TIER_LO), F.lit("outlier"))
+        .otherwise(F.lit("typical"))
+        .alias("tier"),
+    )

@@ -1927,3 +1927,178 @@ def _span_excised_tokens(documents: DataFrame) -> DataFrame:
         ),
     )
     return j.select("doc_id", toks.alias("toks"), kept.alias("kept"))
+
+
+def _qc_features(documents: DataFrame) -> DataFrame:
+    """(doc_id, lang, source, y, b, x): hashed-unigram logistic-
+    regression features.  x = in-doc count of bucket b over the doc's
+    token count (length-normalized so feature scale is bounded by 1
+    whatever the doc length); y = 1 for the held-out quality target
+    (EVAL_SOURCE -- the same positive set DSIR's generative model
+    uses, here feeding a discriminative one).  Docs with no tokens
+    carry no signal and are excluded.
+
+    Scale shape: one tokenize pass (the shared _doc_toks_base), one
+    explode + (doc, bucket)-keyed count -- the feature frame is at
+    most QC_BUCKETS rows per doc regardless of vocabulary, and every
+    downstream training pass consumes THIS frame, never the corpus.
+    """
+    from ..constants import EVAL_SOURCE, QC_BUCKETS
+    from ..functions.columns import md5_mod_bucket
+
+    base = _doc_toks_base(documents)
+    return (
+        base.where(F.size("toks") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            (F.col("source") == EVAL_SOURCE).cast("int").alias("y"),
+            F.size("toks").alias("n_toks"),
+            F.explode("toks").alias("term"),
+        )
+        .select(
+            "doc_id", "lang", "source", "y", "n_toks",
+            md5_mod_bucket(F.col("term"), QC_BUCKETS).alias("b"),
+        )
+        .groupBy("doc_id", "lang", "source", "y", "n_toks", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "doc_id", "lang", "source", "y", "b",
+            (F.col("cnt") / F.col("n_toks")).cast("double").alias("x"),
+        )
+    )
+
+
+def _round_py(v: float, n: int) -> float:
+    """Python twin of functions.columns.round_half_up -- the SAME
+    floor(x*10^n + 0.5)/10^n double arithmetic, so driver-side model
+    publication and the oracle's SQL rounding agree bit-for-bit."""
+    import math
+
+    s = float(10**n)
+    return math.floor(v * s + 0.5) / s
+
+
+def _qc_train_weights(documents: DataFrame) -> tuple[list[float], float, DataFrame]:
+    """QC_ITERS full-batch gradient-descent steps of the hashed-
+    feature logistic regression; returns (weights, bias, feats).
+
+    The model is QC_BUCKETS+1 doubles at any corpus size, so the
+    per-iteration collect is a bounded model artifact (the repo's
+    BPE-argmax / k-means-centroid convention), and weights are
+    published HALF-UP at QC_ROUND decimals each step so both engines
+    compute step t+1 from the identical step-t model -- float
+    reassociation noise in the gradient sums (~1e-13 relative)
+    cannot compound across iterations.
+
+    Scale shape: the feature frame is built once and persisted; each
+    iteration is one doc-keyed agg (margins) + one bucket-keyed agg
+    (gradients, QC_BUCKETS rows) over that frame -- 2 passes per
+    step, T*2 total, never a re-tokenize.  The margin join
+    broadcasts the QC_BUCKETS-row model; the gradient join is
+    doc-keyed (both sides already doc-keyed).  Iteration 1 runs the
+    same generic expressions with the all-zero model: 0.0 * x sums
+    to exactly 0.0 and sigmoid(0) is exactly 0.5 in IEEE, which is
+    what the oracle's closed-form first step hardcodes.
+    """
+    from ..constants import QC_BUCKETS, QC_ITERS, QC_LR, QC_ROUND
+
+    spark = documents.sparkSession
+    # persist: every iteration's margin AND gradient pass re-reads the
+    # feature frame (released by the harnesses' per-query clearCache)
+    feats = _qc_features(documents).persist()
+    labels = feats.select("doc_id", "y").distinct()
+    n = labels.count()
+    w = [0.0] * QC_BUCKETS
+    bias = 0.0
+    for _ in range(QC_ITERS):
+        w_df = spark.createDataFrame(
+            [(i, wi) for i, wi in enumerate(w)], "b int, w double"
+        )
+        margins = (
+            feats.join(F.broadcast(w_df), "b")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(bias) + F.col("s"))))
+        resid = labels.join(margins, "doc_id").select(
+            "doc_id", (p - F.col("y")).alias("r")
+        )
+        # persist: feeds the bucket gradients AND the bias gradient
+        resid = resid.persist()
+        try:
+            grads = {
+                row["b"]: row["g"]
+                for row in feats.join(resid, "doc_id")
+                .groupBy("b")
+                .agg(F.sum(F.col("x") * F.col("r")).alias("g"))
+                .collect()
+            }
+            gb = resid.agg(F.sum("r")).collect()[0][0]
+        finally:
+            resid.unpersist()
+        w = [
+            _round_py(w[i] - QC_LR * grads.get(i, 0.0) / n, QC_ROUND)
+            for i in range(QC_BUCKETS)
+        ]
+        bias = _round_py(bias - QC_LR * gb / n, QC_ROUND)
+    return w, bias, feats
+
+
+def quality_classifier_train(documents: DataFrame) -> DataFrame:
+    """The GPT-3-style learned quality filter's TRAINING step (Brown
+    et al. 2020 appendix A; CCNet's fastText analogue): a logistic
+    regression over hashed unigram features separating the held-out
+    quality target (EVAL_SOURCE) from the raw corpus, trained by
+    QC_ITERS full-batch gradient steps.  Output is the published
+    model: QC_BUCKETS+1 rows of (feature_id, weight), feature_id -1
+    being the bias -- the discriminative complement of
+    dsir_importance_score's generative log-ratio model, and the model
+    quality_classifier_score applies.
+
+    Reference parity: the reference has no learned ops; this is the
+    curation-pipeline extension mandate (SURVEY §2 'beyond the
+    reference').  Scale: see _qc_train_weights -- the model is 129
+    doubles at any corpus size.
+    """
+    from ..constants import QC_BUCKETS
+
+    w, bias, _feats = _qc_train_weights(documents)
+    spark = documents.sparkSession
+    rows = [(-1, bias)] + [(i, w[i]) for i in range(QC_BUCKETS)]
+    return spark.createDataFrame(rows, "feature_id int, weight double")
+
+
+def quality_classifier_score(documents: DataFrame) -> DataFrame:
+    """Apply the trained quality classifier to every non-target doc:
+    quality_prob = sigmoid(bias + w . x) -- the probability the doc
+    looks like the held-out quality target, i.e. the keep-score a
+    GPT-3-style filtered corpus thresholds or importance-samples on
+    (they kept docs with noisy threshold np.random.pareto(9) >
+    1 - score; the deterministic analogue composes via the corpus_*
+    selection ops, the report -> transform convention).
+
+    Scale shape: training as in _qc_train_weights; scoring is ONE
+    map-side broadcast join of the 128-row model onto the persisted
+    feature frame + a doc-keyed agg.  Rounded at 6 (the published
+    model is exact by construction, the margin sum's reassociation
+    noise is ~1e-15 -- far under the rounding grain).
+    """
+    from ..constants import QC_BUCKETS
+
+    w, bias, feats = _qc_train_weights(documents)
+    spark = documents.sparkSession
+    w_df = spark.createDataFrame(
+        [(i, w[i]) for i in range(QC_BUCKETS)], "b int, w double"
+    )
+    margins = (
+        feats.where(F.col("y") == 0)
+        .join(F.broadcast(w_df), "b")
+        .groupBy("doc_id", "lang", "source")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(bias) + F.col("s"))))
+    return margins.select(
+        "doc_id", "lang", "source", rnd(prob, 6).alias("quality_prob")
+    )

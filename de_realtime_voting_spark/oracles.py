@@ -4200,6 +4200,126 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_scored,
 FROM tagged GROUP BY source
 """
 
+# Quality classifier (logreg over hashed unigram features): the
+# oracle replays the FULL training loop as a generated CTE chain,
+# one (margins, residuals, gradients, weights, bias) block per
+# gradient step -- both engines compute step t+1 from the identical
+# HALF-UP-published step-t model (text._qc_train_weights), so float
+# reassociation noise in the gradient sums cannot compound.  The
+# all-zero step-0 model makes iteration 1 exact in IEEE (0.0 sums,
+# sigmoid(0) = 0.5) with no special-casing.
+from .constants import QC_BUCKETS, QC_ITERS, QC_LR, QC_ROUND  # noqa: E402
+
+
+def _qc_ctes() -> str:
+    parts = [
+        f"""toksed AS (
+    SELECT doc_id, lang, source, {_TOKS} AS toks FROM documents
+),
+fx AS (
+    SELECT doc_id, lang, source,
+           CASE WHEN source = '{EVAL_SOURCE}' THEN 1 ELSE 0 END AS y,
+           len(toks) AS n_toks,
+           {_duck_md5_mod("t.term", QC_BUCKETS)} AS b
+    FROM toksed, UNNEST(toks) AS t(term)
+    WHERE len(toks) >= 1
+),
+feats AS (
+    SELECT doc_id, lang, source, y, b, COUNT(*) / n_toks AS x
+    FROM fx GROUP BY doc_id, lang, source, y, n_toks, b
+),
+lab AS (SELECT DISTINCT doc_id, y FROM feats),
+n AS (SELECT COUNT(*) AS n FROM lab),
+buckets AS (SELECT i AS b FROM UNNEST(range(0, {QC_BUCKETS})) AS t(i)),
+w0 AS (SELECT b, 0.0 AS w FROM buckets),
+b0 AS (SELECT 0.0 AS bias)"""
+    ]
+    for t in range(1, QC_ITERS + 1):
+        parts.append(
+            f"""m{t} AS (
+    SELECT doc_id, SUM(x * w) AS s
+    FROM feats JOIN w{t - 1} USING (b) GROUP BY doc_id
+),
+r{t} AS (
+    SELECT lab.doc_id,
+           1.0 / (1.0 + exp(-(b{t - 1}.bias + m{t}.s))) - lab.y AS r
+    FROM lab JOIN m{t} USING (doc_id), b{t - 1}
+),
+g{t} AS (
+    SELECT b, SUM(x * r) AS g
+    FROM feats JOIN r{t} USING (doc_id) GROUP BY b
+),
+w{t} AS (
+    SELECT b, ROUND(w - {QC_LR} * COALESCE(g, 0.0) / n.n, {QC_ROUND}) AS w
+    FROM w{t - 1} LEFT JOIN g{t} USING (b), n
+),
+b{t} AS (
+    SELECT ROUND(bias - {QC_LR} * (SELECT SUM(r) FROM r{t}) / n.n,
+                 {QC_ROUND}) AS bias
+    FROM b{t - 1}, n
+)"""
+        )
+    return ",\n".join(parts)
+
+
+_QC_CTES = _qc_ctes()
+_QC_T = QC_ITERS
+
+SQL["quality_classifier_train"] = f"""
+WITH {_QC_CTES}
+SELECT CAST(-1 AS INTEGER) AS feature_id, bias AS weight FROM b{_QC_T}
+UNION ALL
+SELECT CAST(b AS INTEGER) AS feature_id, w AS weight FROM w{_QC_T}
+"""
+
+SQL["quality_classifier_score"] = f"""
+WITH {_QC_CTES},
+sc AS (
+    SELECT doc_id, lang, source, SUM(x * w) AS s
+    FROM feats JOIN w{_QC_T} USING (b)
+    WHERE y = 0
+    GROUP BY doc_id, lang, source
+)
+SELECT doc_id, lang, source,
+       ROUND(1.0 / (1.0 + exp(-(b{_QC_T}.bias + s))), 6) AS quality_prob
+FROM sc, b{_QC_T}
+"""
+
+# D4-style prototypicality: cosine to the ASSIGNED coarse centroid
+# (the rn=1 row of the shared IVF assignment CTE already carries it)
+# percentile-ranked within the cell; raw doubles order the window,
+# rounding applies only to the published columns.
+from .constants import PROTO_TIER_HI, PROTO_TIER_LO  # noqa: E402
+
+SQL["embedding_prototype_score"] = f"""
+WITH {_IVF_ASG_CTES},
+asg_cos AS (
+    SELECT vec_id, cent_id, cos,
+           row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, cent_id
+           ) AS rn
+    FROM scored
+),
+cells AS (
+    SELECT vec_id, CAST(cent_id AS BIGINT) AS cell, cos
+    FROM asg_cos WHERE rn = 1
+),
+p AS (
+    SELECT vec_id, cell, cos,
+           percent_rank() OVER (
+               PARTITION BY cell ORDER BY cos ASC, vec_id ASC
+           ) AS pct
+    FROM cells
+)
+SELECT vec_id, cell,
+       ROUND(cos, 6) AS proto_cos,
+       ROUND(pct, 6) AS cell_pct,
+       CASE WHEN pct >= {PROTO_TIER_HI} THEN 'prototype'
+            WHEN pct < {PROTO_TIER_LO} THEN 'outlier'
+            ELSE 'typical' END AS tier
+FROM p
+"""
+
 # Applied LAST so every entry above -- including late additions -- gets
 # the engine-exact half-up rounding rewrite.
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

@@ -501,20 +501,32 @@ _DEFS: dict[str, QueryFn] = {
     "source_capped_selection": lambda s, d: pipeline.source_capped_selection(
         _t(s, d, "documents")
     ),
+    "quality_classifier_train": lambda s, d: text.quality_classifier_train(
+        _t(s, d, "documents")
+    ),
+    "quality_classifier_score": lambda s, d: text.quality_classifier_score(
+        _t(s, d, "documents")
+    ),
+    "embedding_prototype_score": lambda s, d: similarity.embedding_prototype_score(
+        _t(s, d, "embeddings")
+    ),
 }
 
 # Registry ORDER matters operationally: external checkers iterate in
 # insertion order and may cap how many entries they verify per run
-# (the driver checks ~50).  Round-8 rotation, stalest-first: the one
-# NEW operator (segment_minhash_dedup -- no other registry query's
-# code changed this round), then votes_sessionized (the single
-# r3-vintage driver row left), then all 43 r4-vintage rows, then the
-# 5 alphabetically-first r5 rows -- 1+1+43+5 fills the 50-entry
-# window exactly, so after this round no query's latest driver green
+# (the driver checks ~50).  Round-8 rotation, stalest-first: the four
+# NEW operators first (segment_minhash_dedup, the quality-classifier
+# pair, embedding_prototype_score -- no other registry query's code
+# changed this round), then votes_sessionized (the single r3-vintage
+# driver row left), then all 43 r4-vintage rows, then the two
+# alphabetically-first r5 rows -- 4+1+43+2 fills the 50-entry window
+# exactly, so after this round no query's latest driver green
 # predates r5.  Remaining r5/r6/r7 blocks follow in their previous
 # relative order (they hold the newest green rows).
 _PRIORITY: list[str] = [
-    "segment_minhash_dedup", "votes_sessionized", "ann_pq_rerank_topk",
+    "segment_minhash_dedup", "quality_classifier_train",
+    "quality_classifier_score", "embedding_prototype_score",
+    "votes_sessionized", "ann_pq_rerank_topk",
     "bloom_decontam", "bpe_fertility_stats", "bpe_train_merges",
     "contam_span_report", "corpus_epoch_shuffle", "customer_spend_deciles",
     "dedup_clusters", "dedup_clusters_bigstar", "dedup_keep_canonical",

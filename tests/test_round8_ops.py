@@ -211,3 +211,175 @@ def test_segment_minhash_dedup_keep_first_is_any_earlier_neighbor(spark):
     ver = _banded_verified_pairs(items, 0.9)
     dropped = {b for _, b in ver}
     assert dropped == {2, 3}
+
+
+# ---------------------------------------------------------------
+# quality_classifier_{train,score}: full PYTHON REPLAY of the
+# hashed-feature logistic regression (bucketing, length-normalized
+# features, 3 full-batch gradient steps, half-up weight publication)
+# on a constructed corpus -- the oracle proves cross-engine parity on
+# driver data; this proves the SEMANTICS bit-for-bit.
+# ---------------------------------------------------------------
+
+
+def _qc_bucket(term: str, m: int) -> int:
+    return int(_md5(term)[:4], 16) % m
+
+
+def _round6(v: float) -> float:
+    import math
+
+    return math.floor(v * 1e6 + 0.5) / 1e6
+
+
+def _qc_replay(docs: list[tuple[int, str, str, str]]):
+    """docs: (doc_id, lang, source, text) -> (weights, bias, feats)."""
+    from de_realtime_voting_spark.constants import (
+        EVAL_SOURCE,
+        QC_BUCKETS,
+        QC_ITERS,
+        QC_LR,
+    )
+
+    feats = {}  # doc_id -> {b: x}
+    labels = {}
+    for doc_id, _lang, source, text in docs:
+        toks = _toks(text)
+        if not toks:
+            continue
+        counts = defaultdict(int)
+        for t in toks:
+            counts[_qc_bucket(t, QC_BUCKETS)] += 1
+        feats[doc_id] = {b: c / len(toks) for b, c in counts.items()}
+        labels[doc_id] = 1 if source == EVAL_SOURCE else 0
+    n = len(labels)
+    w = [0.0] * QC_BUCKETS
+    bias = 0.0
+    for _ in range(QC_ITERS):
+        import math as m
+
+        resid = {}
+        for d, xs in feats.items():
+            s = sum(xs[b] * w[b] for b in sorted(xs))
+            p = 1.0 / (1.0 + m.exp(-(bias + s)))
+            resid[d] = p - labels[d]
+        grads = defaultdict(float)
+        for d, xs in feats.items():
+            for b, x in xs.items():
+                grads[b] += x * resid[d]
+        gb = sum(resid.values())
+        w = [_round6(w[i] - QC_LR * grads.get(i, 0.0) / n) for i in range(QC_BUCKETS)]
+        bias = _round6(bias - QC_LR * gb / n)
+    return w, bias, feats, labels
+
+
+def _qc_corpus():
+    from de_realtime_voting_spark.constants import EVAL_SOURCE
+
+    rows = []
+    # target docs: a distinctive vocabulary
+    for i in range(8):
+        rows.append((i, "en", EVAL_SOURCE, f"alpha beta gamma delta tok{i}"))
+    # target-like raw docs (share the target vocabulary)
+    for i in range(8, 14):
+        rows.append((i, "en", "srcA", f"alpha beta gamma epsilon tok{i}"))
+    # off-target raw docs (disjoint vocabulary)
+    for i in range(14, 22):
+        rows.append((i, "de", "srcB", f"zeta eta theta iota kappa word{i}"))
+    # edge: empty and whitespace-only docs must be excluded
+    rows.append((22, "en", "srcB", ""))
+    rows.append((23, "en", "srcB", " "))
+    return rows
+
+
+def test_quality_classifier_train_matches_python_replay(spark):
+    from de_realtime_voting_spark.constants import QC_BUCKETS
+    from de_realtime_voting_spark.operators.text import quality_classifier_train
+
+    rows = _qc_corpus()
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    got = {
+        r["feature_id"]: r["weight"]
+        for r in quality_classifier_train(docs).collect()
+    }
+    w, bias, _feats, _labels = _qc_replay(rows)
+    assert len(got) == QC_BUCKETS + 1
+    assert got[-1] == bias
+    for i in range(QC_BUCKETS):
+        assert got[i] == w[i], f"bucket {i}: {got[i]} != {w[i]}"
+    spark.catalog.clearCache()
+
+
+def test_quality_classifier_score_separates_and_excludes(spark):
+    import math as m
+
+    from de_realtime_voting_spark.constants import EVAL_SOURCE
+    from de_realtime_voting_spark.operators.text import quality_classifier_score
+
+    rows = _qc_corpus()
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    got = {r["doc_id"]: r for r in quality_classifier_score(docs).collect()}
+    # only non-target docs with tokens are scored
+    assert set(got) == {i for i in range(8, 22)}
+    assert all(r["source"] != EVAL_SOURCE for r in got.values())
+    # separation: every target-like doc outscores every off-target doc
+    like = [got[i]["quality_prob"] for i in range(8, 14)]
+    off = [got[i]["quality_prob"] for i in range(14, 22)]
+    assert min(like) > max(off)
+    # probabilities equal the replayed model's sigmoid to the rounding grain
+    w, bias, feats, _labels = _qc_replay(rows)
+    for d in range(8, 22):
+        s = sum(x * w[b] for b, x in sorted(feats[d].items()))
+        want = _round6(1.0 / (1.0 + m.exp(-(bias + s))))
+        assert abs(got[d]["quality_prob"] - want) < 2e-6
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------
+# embedding_prototype_score: numpy replay of assignment + per-cell
+# percentile on the real sf0.001 embeddings -- every row's cell,
+# percentile, and tier must match the independent computation.
+# ---------------------------------------------------------------
+
+
+def test_embedding_prototype_score_matches_numpy_replay(spark, sf_dir):
+    import numpy as np
+
+    from de_realtime_voting_spark.constants import PROTO_TIER_HI, PROTO_TIER_LO
+    from de_realtime_voting_spark.ivf_model import IVF_TRAINED_CENTROIDS
+    from de_realtime_voting_spark.operators.similarity import (
+        embedding_prototype_score,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {r["vec_id"]: r for r in embedding_prototype_score(emb).collect()}
+
+    rows = emb.select("vec_id", "embedding").collect()
+    cents = {cid: np.array(c, dtype=np.float64) for cid, c in IVF_TRAINED_CENTROIDS}
+    by_cell = defaultdict(list)
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        best = min(
+            (
+                (-float(v @ c) / (np.linalg.norm(v) * np.linalg.norm(c)), cid)
+                for cid, c in cents.items()
+            )
+        )
+        by_cell[best[1]].append((r["vec_id"], -best[0]))
+    assert len(got) == len(rows)
+    for cell, members in by_cell.items():
+        members.sort(key=lambda t: (t[1], t[0]))  # (cos asc, vec_id asc)
+        n = len(members)
+        for rank, (vid, cos) in enumerate(members):
+            row = got[vid]
+            assert row["cell"] == cell
+            assert abs(row["proto_cos"] - cos) < 1e-6
+            pct = 0.0 if n == 1 else rank / (n - 1)
+            assert abs(row["cell_pct"] - pct) < 1e-6
+            want_tier = (
+                "prototype"
+                if pct >= PROTO_TIER_HI
+                else ("outlier" if pct < PROTO_TIER_LO else "typical")
+            )
+            assert row["tier"] == want_tier
+    spark.catalog.clearCache()

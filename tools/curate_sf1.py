@@ -1,0 +1,106 @@
+"""Full-option curation run at sf1 (10x the driver's largest SF).
+
+The sf0.1 pytest gate (tests/test_curate.py) pins the manifest <->
+waterfall identity per stage; this tool runs the ENTIRE option set at
+once (C4 gates + exact dedup + exact decontam + fuzzy decontam +
+span excision + temperature sampling + split) at sf1 and asserts the
+token-conservation identity that must hold regardless of which docs
+the selection stages keep:
+
+    sum(manifest partition approx_tokens) + n_tokens_excised
+        == sum(size(tokens(text))) over the SHIPPED doc_ids
+           evaluated on the ORIGINAL (pre-excision) corpus
+
+It holds exactly because the excised delta is accounted over shipped
+docs only and tokens() re-tokenizes the join-spaced kept stream to
+exactly the kept array (the same argument as the sf0.1 gate, now under
+every stage simultaneously and one decade more data).
+
+Writes CURATE_SF1.json at the repo root: the manifest (wall_s,
+written_bytes, per-partition token rows, temperature table) plus the
+identity check, so the run is a pinned artifact, not a claim.
+
+Usage:  python tools/curate_sf1.py   (needs .scaledata/sf1 -- tools/make_sf1.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from de_realtime_voting_spark.curate import curate_corpus  # noqa: E402
+from de_realtime_voting_spark.functions.columns import tokens  # noqa: E402
+from de_realtime_voting_spark.session import get_spark  # noqa: E402
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SF1 = os.path.join(_REPO, ".scaledata", "sf1")
+
+
+def main() -> None:
+    if not os.path.isdir(_SF1):
+        raise SystemExit("missing .scaledata/sf1 -- run tools/make_sf1.py first")
+    spark = get_spark("curate-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(os.path.join(_SF1, "documents.parquet"))
+
+    out = tempfile.mkdtemp(prefix="curated_sf1_")
+    try:
+        manifest = curate_corpus(
+            docs,
+            out,
+            drop_contaminated=True,
+            fuzzy_gate=True,
+            excise_spans=True,
+            temperature_sample=True,
+        )
+        written_tokens = sum(p["approx_tokens"] for p in manifest["partitions"])
+        excised = manifest["n_tokens_excised"]
+
+        # pre-excision token mass of the shipped doc set, evaluated on
+        # the ORIGINAL corpus (shipped ids joined back against docs)
+        shipped_ids = spark.read.parquet(out).select("doc_id")
+        pre_tokens = (
+            docs.join(shipped_ids, "doc_id")
+            .agg(F.sum(F.size(tokens(F.col("text")))).cast("bigint"))
+            .collect()[0][0]
+        )
+        identity_holds = written_tokens + excised == pre_tokens
+
+        report = {
+            "sf": 1.0,
+            "stages": manifest["stages"],
+            "drop_contaminated": manifest["drop_contaminated"],
+            "n_input_docs": manifest["n_input_docs"],
+            "n_written_docs": manifest["n_written_docs"],
+            "written_bytes": manifest["written_bytes"],
+            "wall_s": manifest["wall_s"],
+            "written_tokens": int(written_tokens),
+            "n_tokens_excised": int(excised),
+            "pre_excision_tokens_of_shipped": int(pre_tokens),
+            "token_conservation_holds": bool(identity_holds),
+            "n_partitions": len(manifest["partitions"]),
+            "temperature": manifest.get("temperature"),
+        }
+        with open(os.path.join(_REPO, "CURATE_SF1.json"), "w") as f:
+            json.dump(report, f, indent=1)
+        print(json.dumps(report, indent=1))
+        if not identity_holds:
+            raise SystemExit(
+                f"token conservation FAILED: {written_tokens} + {excised} "
+                f"!= {pre_tokens}"
+            )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
