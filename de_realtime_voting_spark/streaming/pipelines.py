@@ -1098,3 +1098,71 @@ def stream_fuzzy_decontam_hits(
         .select("doc_id", "eval_doc_id", jaccard.alias("jaccard"))
         .where(F.col("jaccard") >= FUZZY_DECONTAM_THRESHOLD)
     )
+
+
+def quality_model(corpus: DataFrame) -> tuple[list[float], float]:
+    """Batch-train the hashed-feature quality classifier
+    (operators.text._qc_train_weights -- the exact model
+    quality_classifier_train publishes) and return (weights, bias) as
+    the bounded broadcast artifact a streaming scorer closes over:
+    QC_BUCKETS+1 doubles at any corpus size, the eval_gram_set /
+    reference_bucket_distribution pattern."""
+    from ..operators.text import _qc_train_weights
+
+    w, bias, feats = _qc_train_weights(corpus)
+    feats.unpersist()
+    return w, bias
+
+
+def stream_quality_score(
+    documents: DataFrame, weights: list[float], bias: float
+) -> DataFrame:
+    """Ingest-time learned quality scoring: every arriving non-target
+    doc gets quality_prob = sigmoid(bias + w . x) from the
+    batch-trained model -- the streaming face of
+    quality_classifier_score, scoring at the door instead of in a
+    nightly sweep (the GPT-3-style filter applied where a production
+    feed needs it: before the doc is admitted to the lake).
+
+    COMPLETELY STATELESS and SHUFFLE-FREE (append mode, no state
+    store): the batch op builds a (doc, bucket)-keyed feature frame
+    because training re-reads it every gradient pass; a scoring-only
+    stream needs no reusable frame, and the margin folds map-side --
+    sum(x_b * w_b) over buckets == sum(w[bucket(tok)]) over tokens
+    divided by the token count, so one array fold over the doc's own
+    tokens computes it with the model as an in-closure literal.
+    The two summation orders differ only in float reassociation
+    (~1e-15 relative); batch/stream agreement is pytest-pinned at
+    the rounding grain rather than bit-exact (documented, the
+    votes_approx-style tolerance pin).
+    """
+    from ..constants import EVAL_SOURCE, QC_BUCKETS
+    from ..functions import tokens
+    from ..functions.columns import md5_mod_bucket, round_half_up
+
+    w_lit = F.lit(weights).cast("array<double>")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    margin = (
+        F.aggregate(
+            F.transform(
+                toks,
+                lambda t: F.element_at(w_lit, md5_mod_bucket(t, QC_BUCKETS) + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / n
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(float(bias)) + margin)))
+    return (
+        documents.where(
+            (F.col("source") != F.lit(EVAL_SOURCE)) & (F.size(toks) >= 1)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            round_half_up(prob, 6).alias("quality_prob"),
+        )
+    )

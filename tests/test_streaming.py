@@ -1944,3 +1944,68 @@ def test_stream_fuzzy_decontam_hits_empty_sides(spark):
     eval_docs = spark.createDataFrame([(9, "a b c d e f", "en", "src0", 11)], schema)
     assert stream_fuzzy_decontam_hits(short, eval_docs).collect() == []
     spark.catalog.clearCache()
+
+
+def test_stream_quality_score_matches_batch(spark, sf_dir):
+    """The ingest-time learned quality scorer must agree with batch
+    quality_classifier_score doc-for-doc over the same corpus and the
+    same trained model.  Agreement is pinned at the rounding grain
+    (<= 2e-6), not bit-exact: the batch op sums w_b * x_b per BUCKET,
+    the shuffle-free stream fold sums w[bucket(tok)] per TOKEN --
+    algebraically identical, float-reassociated (documented in the
+    operator).  The stream is UNFILTERED (eval docs re-arrive),
+    pinning the in-operator target-source exclusion."""
+    from de_realtime_voting_spark.operators.text import quality_classifier_score
+    from de_realtime_voting_spark.streaming import (
+        quality_model,
+        stream_quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        r.doc_id: (r.lang, r.source, r.quality_prob)
+        for r in quality_classifier_score(docs).collect()
+    }
+    assert want
+    spark.catalog.clearCache()
+    w, bias = quality_model(docs)
+    spark.catalog.clearCache()
+    d = tempfile.mkdtemp(prefix="quality_stream_")
+    try:
+        docs.repartition(2).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(docs.schema).parquet(d)
+        got_df = _run_stream_to_memory(
+            spark,
+            stream_quality_score(stream, w, bias),
+            "quality_scores",
+            "append",
+        )
+        got = {r.doc_id: (r.lang, r.source, r.quality_prob) for r in got_df.collect()}
+        assert set(got) == set(want)
+        for doc_id, (lang, source, prob) in want.items():
+            g = got[doc_id]
+            assert g[0] == lang and g[1] == source
+            assert abs(g[2] - prob) <= 2e-6, (doc_id, g[2], prob)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.catalog.clearCache()
+
+
+def test_stream_quality_score_degenerate_sides(spark):
+    """Tokenless docs and target-source docs are excluded in the
+    operator; a zero model scores everything at exactly 0.5."""
+    from de_realtime_voting_spark.constants import EVAL_SOURCE, QC_BUCKETS
+    from de_realtime_voting_spark.streaming import stream_quality_score
+
+    schema = "doc_id long, text string, lang string, source string"
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world", "en", "s1"),
+            (2, "", "en", "s1"),
+            (3, " ", "en", "s1"),
+            (4, "target text", "en", EVAL_SOURCE),
+        ],
+        schema,
+    )
+    rows = stream_quality_score(docs, [0.0] * QC_BUCKETS, 0.0).collect()
+    assert [(r.doc_id, r.quality_prob) for r in rows] == [(1, 0.5)]
