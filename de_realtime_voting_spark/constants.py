@@ -124,6 +124,23 @@ LSH_PLANES = [
     for p in range(LSH_NUM_PLANES)
 ]
 
+# Embedding-cosine block budget: dedup_embedding_cosine blocks on
+# (label, lsh_bucket), and at FIXED plane count block sizes grow
+# linearly with the corpus -- so within-block pairing grows
+# quadratically (measured: 68x wall-clock for 10x data at the sf10
+# probe).  The same guard semantic_dedup ships: blocks over the
+# budget split by a SECOND, independent hyperplane family (planes
+# p >= LSH_NUM_PLANES from the same deterministic generator, so the
+# oracle replays the split bit-exactly).  256 keeps every driver-SF
+# and sf1 block unsplit (exact legacy geometry there) and fires at
+# the 10x probe (sf10 blocks ~312 members avg).
+EMB_COS_BLOCK_BUDGET = 256
+LSH_EXTRA_NUM_PLANES = 6  # 64 sub-buckets inside oversized blocks
+LSH_EXTRA_PLANES = [
+    [lsh_plane_weight(p, i) for i in range(EMBEDDING_DIM)]
+    for p in range(LSH_NUM_PLANES, LSH_NUM_PLANES + LSH_EXTRA_NUM_PLANES)
+]
+
 
 # --- corpus-construction pipeline ---------------------------------
 # Deterministic hash split: bucket 0..99 from the first 4 hex chars

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..constants import (
     CANDIDATE_PARTY,
     CHAR_NGRAM_K,
+    LSH_EXTRA_PLANES,
     LSH_PLANES,
     MINHASH_SIGS,
     SHINGLE_K,
@@ -212,8 +213,22 @@ def lsh_bucket(emb: Column) -> Column:
     Plane weights are deterministic literals from constants.LSH_PLANES
     so the DuckDB oracle uses the exact same planes.
     """
+    return _plane_sign_bucket(emb, LSH_PLANES)
+
+
+def lsh_bucket_extra(emb: Column) -> Column:
+    """Sub-bucket id from the SECOND hyperplane family
+    (constants.LSH_EXTRA_PLANES, planes p >= LSH_NUM_PLANES of the
+    same deterministic generator) -- independent of lsh_bucket, used
+    to split oversized (label, bucket) blocks in
+    dedup_embedding_cosine so block size stays bounded in corpus
+    growth."""
+    return _plane_sign_bucket(emb, LSH_EXTRA_PLANES)
+
+
+def _plane_sign_bucket(emb: Column, planes: list[list[float]]) -> Column:
     bucket = F.lit(0)
-    for p, plane in enumerate(LSH_PLANES):
+    for p, plane in enumerate(planes):
         dot = dot_product(emb, F.array(*[F.lit(w) for w in plane]))
         bucket = bucket + F.when(dot >= 0, F.lit(2**p)).otherwise(F.lit(0))
     return bucket

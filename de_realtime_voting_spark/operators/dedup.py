@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..constants import (
     COSINE_THRESHOLD,
     EDIT_REL_THRESHOLD,
+    EMB_COS_BLOCK_BUDGET,
     JACCARD_THRESHOLD,
     MINHASH_BAND_ROWS,
     MINHASH_SIGS,
@@ -31,6 +32,7 @@ from ..functions import (
     dot_product,
     l2_norm,
     lsh_bucket,
+    lsh_bucket_extra,
     simhash_hex,
     tokens,
     word_shingles,
@@ -914,28 +916,52 @@ def dedup_embedding_cosine(embeddings: DataFrame) -> DataFrame:
     The hyperplane bucket is the piece that survives scale: label
     cardinality is small and fixed, so label-only blocks grow
     linearly with the corpus (O(n^2/|labels|) pairs); the LSH bucket
-    count is a tunable 2^planes, and more planes keep the expected
-    block size O(1) in corpus growth.  Like any LSH blocking this
-    trades recall at the margin -- a qualifying pair split across
-    buckets is missed -- which is the standard contract for
-    embedding near-dup at 10^10 rows (raise planes / add probe
-    rotations to buy recall back).
+    count is a tunable 2^planes.  But at a FIXED plane count block
+    sizes still grow linearly with the corpus and the within-block
+    pairing quadratically -- the sf10 probe measured it (68x
+    wall-clock for 10x data) -- so oversized blocks additionally
+    split by a SECOND, independent hyperplane family
+    (lsh_bucket_extra, planes p >= LSH_NUM_PLANES of the same
+    deterministic generator): the sub-key is 0 for blocks within
+    EMB_COS_BLOCK_BUDGET (exact legacy geometry at every driver SF
+    and sf1) and the 2^LSH_EXTRA_NUM_PLANES-way sub-bucket above it,
+    capping the quadratic term at ~(budget/64)^2 per sub-block
+    however the corpus grows -- the semantic_dedup cell-budget guard
+    applied to the LSH geometry.  Like any LSH blocking this trades
+    recall at the margin -- a qualifying pair split across buckets
+    (or, over budget, across sub-buckets) is missed -- which is the
+    standard contract for embedding near-dup at 10^10 rows (raise
+    planes / add probe rotations to buy recall back).
     """
     # precompute each vector's norm and bucket once (map-side, behind
     # the spread barrier) instead of per candidate pair; the oracle's
     # sqrt(dot(x,x)) is the exact same double regardless of when it's
     # computed, and the bucket expr shares LSH_PLANES literals
-    normed = _spread(embeddings.select("vec_id", "label", "embedding")).select(
+    bucketed = _spread(embeddings.select("vec_id", "label", "embedding")).select(
         "vec_id",
         "label",
         "embedding",
         l2_norm(F.col("embedding")).alias("norm"),
         lsh_bucket(F.col("embedding")).alias("bucket"),
     )
+    # block-budget split: at most |labels| * 2^planes size rows,
+    # broadcast back onto the members; the sub-key only diverges
+    # from 0 inside oversized blocks
+    sizes = bucketed.groupBy("label", "bucket").agg(
+        F.count(F.lit(1)).alias("block_n")
+    )
+    sub = F.when(
+        F.col("block_n") > EMB_COS_BLOCK_BUDGET,
+        lsh_bucket_extra(F.col("embedding")),
+    ).otherwise(F.lit(0))
+    normed = bucketed.join(F.broadcast(sizes), ["label", "bucket"]).select(
+        "vec_id", "label", "bucket", sub.alias("sub"), "embedding", "norm"
+    )
     a = normed.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label"),
         F.col("bucket"),
+        F.col("sub"),
         F.col("embedding").alias("emb_a"),
         F.col("norm").alias("norm_a"),
     )
@@ -943,6 +969,7 @@ def dedup_embedding_cosine(embeddings: DataFrame) -> DataFrame:
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("bucket").alias("bucket_b"),
+        F.col("sub").alias("sub_b"),
         F.col("embedding").alias("emb_b"),
         F.col("norm").alias("norm_b"),
     )
@@ -952,6 +979,7 @@ def dedup_embedding_cosine(embeddings: DataFrame) -> DataFrame:
             b,
             (F.col("label") == F.col("label_b"))
             & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("sub") == F.col("sub_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
         .select("vec_a", "vec_b", "label", rnd(cos, 6).alias("cosine"))

@@ -52,6 +52,8 @@ from .constants import (
     IVF_CENTROID_IDS,
     IVF_NPROBE,
     JACCARD_THRESHOLD,
+    EMB_COS_BLOCK_BUDGET,
+    LSH_EXTRA_PLANES,
     LSH_PLANES,
     MEDIA_CHUNK_BYTES,
     MINHASH_BAND_ROWS,
@@ -182,19 +184,26 @@ def _cos(a: str, b: str) -> str:
     return f"({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})))"
 
 
-def _plane_literal(p: int) -> str:
-    return "[" + ", ".join(repr(w) for w in LSH_PLANES[p]) + "]"
-
-
-def _bucket_expr(emb: str) -> str:
+def _plane_sign_bucket_expr(emb: str, planes: list[list[float]]) -> str:
     terms = []
-    for p in range(len(LSH_PLANES)):
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(w) for w in plane) + "]"
         dot = (
             f"list_aggregate(list_transform(range(1, {EMBEDDING_DIM + 1}), "
-            f"i -> CAST({emb}[i] AS DOUBLE) * ({_plane_literal(p)})[i]), 'sum')"
+            f"i -> CAST({emb}[i] AS DOUBLE) * ({lit})[i]), 'sum')"
         )
         terms.append(f"CASE WHEN {dot} >= 0 THEN {2 ** p} ELSE 0 END")
     return "0 + " + " + ".join(terms)
+
+
+def _bucket_expr(emb: str) -> str:
+    return _plane_sign_bucket_expr(emb, LSH_PLANES)
+
+
+def _bucket_extra_expr(emb: str) -> str:
+    """Second hyperplane family (constants.LSH_EXTRA_PLANES) -- the
+    block-budget sub-key dedup_embedding_cosine uses."""
+    return _plane_sign_bucket_expr(emb, LSH_EXTRA_PLANES)
 
 
 _PARTY_CASE = "CASE event_type " + " ".join(
@@ -510,12 +519,22 @@ SQL["dedup_embedding_cosine"] = f"""
 WITH bucketed AS (
     SELECT vec_id, label, embedding, {_bucket_expr('embedding')} AS bucket
     FROM embeddings
+),
+bsizes AS (
+    SELECT label, bucket, COUNT(*) AS block_n FROM bucketed GROUP BY 1, 2
+),
+subbed AS (
+    SELECT c.vec_id, c.label, c.bucket, c.embedding,
+           CASE WHEN s.block_n > {EMB_COS_BLOCK_BUDGET}
+                THEN {_bucket_extra_expr('c.embedding')} ELSE 0 END AS sub
+    FROM bucketed c JOIN bsizes s USING (label, bucket)
 )
 SELECT vec_a, vec_b, label, cosine FROM (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
            ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS cosine
-    FROM bucketed a JOIN bucketed b
-      ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM subbed a JOIN subbed b
+      ON a.label = b.label AND a.bucket = b.bucket AND a.sub = b.sub
+     AND a.vec_id < b.vec_id
 ) WHERE cosine >= {COSINE_THRESHOLD}
 """
 

@@ -383,3 +383,82 @@ def test_embedding_prototype_score_matches_numpy_replay(spark, sf_dir):
             )
             assert row["tier"] == want_tier
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------- #
+# dedup_embedding_cosine block-budget split (r8)                    #
+# ---------------------------------------------------------------- #
+
+def _oversized_block_rows():
+    """600 vectors in ONE (label, lsh_bucket) block that the extra
+    planes split in half: base is plane-0 orthogonalized against
+    extra-plane-0 (so base itself sits ON the extra-plane-0
+    boundary), halves are base +- eps*extra_plane_0 -- eps flips the
+    extra-plane-0 sign between halves while every PRIMARY plane sign
+    (and every other extra-plane sign) keeps base's margin."""
+    import numpy as np
+
+    from de_realtime_voting_spark.constants import LSH_EXTRA_PLANES, LSH_PLANES
+
+    p0 = np.array(LSH_PLANES[0], dtype=np.float64)
+    x0 = np.array(LSH_EXTRA_PLANES[0], dtype=np.float64)
+    base = p0 - (float(p0 @ x0) / float(x0 @ x0)) * x0  # dot(base, x0) = 0
+    eps = 1e-3
+    va = (base + eps * x0).astype(np.float32)
+    vb = (base - eps * x0).astype(np.float32)
+    for plane in LSH_PLANES + LSH_EXTRA_PLANES[1:]:
+        p = np.array(plane, dtype=np.float64)
+        da = float(va.astype(np.float64) @ p)
+        db = float(vb.astype(np.float64) @ p)
+        assert da * db > 0, "halves must share every non-split plane sign"
+    assert float(va.astype(np.float64) @ x0) > 0 > float(
+        vb.astype(np.float64) @ x0
+    )
+    return [
+        (i, [float(x) for x in (va if i < 300 else vb)], 7) for i in range(600)
+    ]
+
+
+def test_dedup_embedding_cosine_budget_split_engages(spark):
+    """A (label, bucket) block over EMB_COS_BLOCK_BUDGET members must
+    pair within extra-plane sub-buckets, not across the whole block:
+    cosine is ~1 everywhere here, so WITHOUT the split the pair count
+    would be C(600,2)=179700 and WITH it exactly 2*C(300,2)=89700."""
+    from de_realtime_voting_spark.constants import EMB_COS_BLOCK_BUDGET
+    from de_realtime_voting_spark.operators.dedup import dedup_embedding_cosine
+
+    assert EMB_COS_BLOCK_BUDGET < 600
+    emb = spark.createDataFrame(
+        _oversized_block_rows(),
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    assert dedup_embedding_cosine(emb).count() == 2 * (300 * 299) // 2
+    spark.catalog.clearCache()
+
+
+def test_dedup_embedding_cosine_split_path_matches_duckdb_oracle(spark, tmp_path):
+    """Cross-engine check of the OVERSIZED-block branch: the parity
+    sweep's SFs never push a (label, bucket) block over
+    EMB_COS_BLOCK_BUDGET (sf1 blocks average ~31 members), so the
+    sub = lsh_bucket_extra arm of both engines would otherwise ship
+    unexercised.  Compare full pair sets on the synthetic corpus."""
+    import duckdb
+
+    from de_realtime_voting_spark.operators.dedup import dedup_embedding_cosine
+    from de_realtime_voting_spark.oracles import SQL
+
+    emb = spark.createDataFrame(
+        _oversized_block_rows(),
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    out = str(tmp_path / "emb")
+    emb.write.parquet(out)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{out}/*.parquet'")
+    want = sorted(map(tuple, con.sql(SQL["dedup_embedding_cosine"]).fetchall()))
+    got = sorted(
+        (r.vec_a, r.vec_b, r.label, r.cosine)
+        for r in dedup_embedding_cosine(emb).collect()
+    )
+    assert got == want and len(got) == 2 * (300 * 299) // 2
+    spark.catalog.clearCache()
