@@ -28,6 +28,10 @@ SHINGLE_K = 3          # word-shingle width for MinHash / fingerprints
 MINHASH_SIGS = 8       # number of md5-permutation signatures
 MINHASH_BAND_ROWS = 2  # rows per LSH band -> 4 bands
 JACCARD_THRESHOLD = 0.8
+# similar-document retrieval: per-doc top-K banded neighbors by
+# exact Jaccard (dedup_minhash_topk) -- K is the retrieval depth, a
+# product knob, not a similarity bar
+SIM_TOPK_K = 3
 # 64-bit SimHash taken from the first 16 hex chars of md5, split into
 # 4 disjoint 16-bit bands.  Pigeonhole: hamming(sig_a, sig_b) <= 3
 # over 64 bits means at LEAST one band is bit-identical, so blocking

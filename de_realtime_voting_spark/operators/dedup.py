@@ -2260,3 +2260,58 @@ def segment_minhash_dedup(documents: DataFrame) -> DataFrame:
         .alias("near_dup_segments"),
         F.col("seg_drop_share"),
     )
+
+
+def dedup_minhash_topk(documents: DataFrame) -> DataFrame:
+    """Similar-document retrieval over the MinHash-LSH index: for
+    every doc, its top-SIM_TOPK_K banded candidates by exact shingle
+    Jaccard -- the "more like this" / cluster-seed listing a curation
+    UI or a dedup ADJUDICATION pass reads, where dedup_minhash_pairs
+    answers only the binary >= threshold question.  Ranking is
+    (jaccard desc, neighbor_id asc); docs with no banded candidate
+    emit nothing (LSH semantics: no candidate band, no claim).
+    Output: (doc_id, neighbor_id, rank, jaccard), both orientations
+    of each candidate pair -- retrieval is per-doc, not per-pair.
+    (No reference analog -- training-data mandate.)
+
+    Scale shape: the same ONE band shuffle + map-side pair explode as
+    every band consumer (_band_candidate_pairs), the verify join
+    touches candidate rows only, and the final window partitions by
+    doc_id (never global).  The Jaccard is an integer ratio of
+    distinct shingle sets, so both engines agree bit-for-bit.
+    """
+    from ..constants import SIM_TOPK_K
+
+    sh = _doc_shingles(documents).persist()
+    cand = _band_candidate_pairs(_doc_bands_from(sh))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+    )
+    directed = pairs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("neighbor_id"),
+        "jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("neighbor_id"),
+            "jaccard",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        directed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= SIM_TOPK_K)
+        .select("doc_id", "neighbor_id", "rank", rnd("jaccard", 6).alias("jaccard"))
+    )

@@ -1001,3 +1001,55 @@ def embedding_prototype_score(embeddings: DataFrame) -> DataFrame:
         .otherwise(F.lit("typical"))
         .alias("tier"),
     )
+
+
+def ann_hard_negatives(embeddings: DataFrame) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each probe
+    vector (the fixed ANN_QUERY_IDS set), the top-K corpus vectors by
+    cosine whose label DIFFERS from the probe's -- the
+    highest-similarity wrong-label examples, i.e. exactly the
+    negatives a contrastive or reranker training loop wants next to
+    each anchor (the standard in-batch-negatives upgrade at corpus
+    scale).  Output: (query_id, query_label, neighbor_id,
+    neighbor_label, rank, cosine), rank 1 = hardest.
+    (No reference analog -- training-data mandate.)
+
+    Scale shape: identical to ann_bruteforce_topk -- the probe set
+    broadcasts, the corpus streams map-side (the label inequality is
+    part of the broadcast-join predicate, so same-label rows never
+    leave the scan), the only shuffle is the per-probe top-K window
+    over |probes| partitions.  The 100 TB route swaps the exact scan
+    for the IVF-probed candidate list (ann_ivf_topk's shape) --
+    hard negatives only need to be hard, not provably hardest.
+    """
+    q = embeddings.where(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("query_label"),
+    )
+    joined = embeddings.join(
+        F.broadcast(q), F.col("label") != F.col("query_label")
+    )
+    cos = cosine_similarity(F.col("q_emb"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.select(
+            "query_id",
+            "query_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "rank",
+            rnd("cosine", 6).alias("cosine"),
+        )
+    )

@@ -52,6 +52,7 @@ from .constants import (
     IVF_CENTROID_IDS,
     IVF_NPROBE,
     JACCARD_THRESHOLD,
+    SIM_TOPK_K,
     EMB_COS_BLOCK_BUDGET,
     LSH_EXTRA_PLANES,
     LSH_PLANES,
@@ -485,6 +486,38 @@ SELECT doc_a, doc_b, jaccard FROM (
 ) WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
+SQL["dedup_minhash_topk"] = f"""{_MINHASH_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.shingles, sb.shingles))
+           / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+),
+directed AS (
+    SELECT doc_a AS doc_id, doc_b AS neighbor_id, jaccard FROM pairs
+    UNION ALL
+    SELECT doc_b AS doc_id, doc_a AS neighbor_id, jaccard FROM pairs
+),
+r AS (
+    SELECT doc_id, neighbor_id,
+           CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY jaccard DESC, neighbor_id
+           ) AS INTEGER) AS "rank",
+           jaccard
+    FROM directed
+)
+SELECT doc_id, neighbor_id, "rank", ROUND(jaccard, 6) AS jaccard
+FROM r WHERE "rank" <= {SIM_TOPK_K}
+"""
+
 SQL["dedup_edit_distance"] = f"""{_MINHASH_CTES},
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -562,6 +595,30 @@ FROM r WHERE "rank" <= {ANN_K}
 
 # exact top-k label agreement per probe; ranks on the unrounded
 # cosine exactly like ann_bruteforce_topk
+SQL["ann_hard_negatives"] = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS q_emb, label AS query_label
+    FROM embeddings WHERE vec_id IN {_ANN_IDS}
+),
+j AS (
+    SELECT q.query_id, q.query_label, e.vec_id AS neighbor_id,
+           e.label AS neighbor_label,
+           {_cos('q.q_emb', 'e.embedding')} AS cosine
+    FROM embeddings e JOIN q ON e.label <> q.query_label
+),
+r AS (
+    SELECT query_id, query_label, neighbor_id, neighbor_label,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS INTEGER) AS "rank",
+           cosine
+    FROM j
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, "rank",
+       ROUND(cosine, 6) AS cosine
+FROM r WHERE "rank" <= {ANN_K}
+"""
+
 SQL["knn_label_purity"] = f"""
 WITH q AS (
     SELECT vec_id AS query_id, embedding AS q_emb, label AS query_label

@@ -186,6 +186,7 @@ _DEFS: dict[str, QueryFn] = {
     ),
     "dedup_minhash_bands": lambda s, d: dedup.dedup_minhash_bands(_t(s, d, "documents")),
     "dedup_minhash_pairs": lambda s, d: dedup.dedup_minhash_pairs(_t(s, d, "documents")),
+    "dedup_minhash_topk": lambda s, d: dedup.dedup_minhash_topk(_t(s, d, "documents")),
     "dedup_simhash": lambda s, d: dedup.dedup_simhash(_t(s, d, "documents")),
     "dedup_ngram_jaccard": lambda s, d: dedup.dedup_ngram_jaccard(_t(s, d, "documents")),
     "dedup_ngram_jaccard_scaled": lambda s, d: dedup.dedup_ngram_jaccard_scaled(
@@ -288,6 +289,9 @@ _DEFS: dict[str, QueryFn] = {
         _t(s, d, "events"), _t(s, d, "customer")
     ),
     "semantic_dedup": lambda s, d: dedup.semantic_dedup(_t(s, d, "embeddings")),
+    "ann_hard_negatives": lambda s, d: similarity.ann_hard_negatives(
+        _t(s, d, "embeddings")
+    ),
     "ann_recall_report": lambda s, d: similarity.ann_recall_report(
         _t(s, d, "embeddings")
     ),
@@ -524,6 +528,11 @@ _DEFS: dict[str, QueryFn] = {
 # predates r5.  Remaining r5/r6/r7 blocks follow in their previous
 # relative order (they hold the newest green rows).
 _PRIORITY: list[str] = [
+    # r8 session-2: the two NEW ops + the one whose ORACLE changed
+    # (the block-budget split); they displace the window's last three
+    # rows (votes_sliding_window r4 + the two r5 rows), which rotate
+    # forward next round
+    "ann_hard_negatives", "dedup_minhash_topk", "dedup_embedding_cosine",
     "segment_minhash_dedup", "quality_classifier_train",
     "quality_classifier_score", "embedding_prototype_score",
     "votes_sessionized", "ann_pq_rerank_topk",

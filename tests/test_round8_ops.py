@@ -462,3 +462,98 @@ def test_dedup_embedding_cosine_split_path_matches_duckdb_oracle(spark, tmp_path
     )
     assert got == want and len(got) == 2 * (300 * 299) // 2
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------- #
+# ann_hard_negatives (r8)                                           #
+# ---------------------------------------------------------------- #
+
+def test_ann_hard_negatives_numpy_replay(spark, sf_dir):
+    """Exact numpy replay at sf0.001: for each probe, the K most
+    cosine-similar vectors with a DIFFERENT label, ties broken by
+    neighbor_id -- rank, neighbor set, and rounded cosine must all
+    match; no row may carry the probe's own label."""
+    import numpy as np
+
+    from de_realtime_voting_spark.constants import ANN_K, ANN_QUERY_IDS
+    from de_realtime_voting_spark.operators.similarity import ann_hard_negatives
+    from de_realtime_voting_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.collect()
+    vecs = {r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label) for r in rows}
+    got = ann_hard_negatives(emb).collect()
+    by_q = defaultdict(list)
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        assert r.neighbor_label != r.query_label
+        by_q[r.query_id].append(r)
+    for qid in ANN_QUERY_IDS:
+        qv, ql = vecs[qid]
+        cand = []
+        for vid, (v, lab) in vecs.items():
+            if lab == ql:
+                continue
+            cos = float(qv @ v) / (np.linalg.norm(qv) * np.linalg.norm(v))
+            cand.append((-cos, vid, lab))
+        cand.sort()
+        want = cand[:ANN_K]
+        rows_q = by_q[qid]
+        assert [r.rank for r in rows_q] == list(range(1, len(want) + 1))
+        for r, (neg_cos, vid, lab) in zip(rows_q, want):
+            assert r.neighbor_id == vid and r.neighbor_label == lab
+            assert abs(r.cosine - round(-neg_cos, 6)) <= 1e-6
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------- #
+# dedup_minhash_topk (r8)                                           #
+# ---------------------------------------------------------------- #
+
+def test_dedup_minhash_topk_semantics(spark):
+    """Three identical docs + one unrelated: each of the identical
+    trio retrieves the other two at jaccard 1.0 with contiguous
+    ranks and id-ascending tie order; the unrelated doc (no shared
+    band) emits nothing."""
+    from de_realtime_voting_spark.operators.dedup import dedup_minhash_topk
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, text), (9, other)],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.rank, r.neighbor_id, r.jaccard)
+        for r in dedup_minhash_topk(docs).collect()
+    )
+    assert got == [
+        (1, 1, 2, 1.0), (1, 2, 3, 1.0),
+        (2, 1, 1, 1.0), (2, 2, 3, 1.0),
+        (3, 1, 1, 1.0), (3, 2, 2, 1.0),
+    ]
+    spark.catalog.clearCache()
+
+
+def test_dedup_minhash_topk_contains_verified_pairs(spark, sf_dir):
+    """Every dedup_minhash_pairs hit (jaccard >= threshold) must show
+    up in BOTH endpoints' retrieval lists unless displaced by
+    neighbors at least as similar -- on driver data K=3 exceeds the
+    max verified-neighbor count, so displacement cannot occur and
+    containment is exact."""
+    from de_realtime_voting_spark.operators.dedup import (
+        dedup_minhash_pairs,
+        dedup_minhash_topk,
+    )
+    from de_realtime_voting_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_pairs(docs).collect()
+    assert pairs
+    spark.catalog.clearCache()
+    top = defaultdict(set)
+    for r in dedup_minhash_topk(docs).collect():
+        top[r.doc_id].add(r.neighbor_id)
+    for p in pairs:
+        assert p.doc_b in top[p.doc_a], (p.doc_a, p.doc_b)
+        assert p.doc_a in top[p.doc_b], (p.doc_a, p.doc_b)
+    spark.catalog.clearCache()
