@@ -1166,3 +1166,120 @@ def stream_quality_score(
             round_half_up(prob, 6).alias("quality_prob"),
         )
     )
+
+
+def prototype_calibration(embeddings: DataFrame) -> dict[int, tuple[float, float]]:
+    """Batch-publish per-cell D4 tier CUT POINTS from the committed
+    corpus -- the bounded model artifact an ingest-time scorer closes
+    over (K x 2 doubles at any corpus size, the quality_model /
+    reference_temperature_thresholds pattern): for each IVF cell,
+    ``lo_cut`` = the smallest committed proto_cos NOT tiered outlier
+    and ``hi_cut`` = the smallest committed proto_cos tiered
+    prototype, both at the published 6-decimal grain.  A cell absent
+    from the committed corpus, or one whose single row tiered
+    outlier, publishes +inf cuts (new arrivals there read outlier --
+    the conservative contract for unobserved cells)."""
+    from ..operators.similarity import embedding_prototype_score
+
+    inf = float("inf")
+    rows = (
+        embedding_prototype_score(embeddings)
+        .groupBy("cell")
+        .agg(
+            F.min(
+                F.when(F.col("tier") != "outlier", F.col("proto_cos"))
+            ).alias("lo_cut"),
+            F.min(
+                F.when(F.col("tier") == "prototype", F.col("proto_cos"))
+            ).alias("hi_cut"),
+        )
+        .collect()
+    )
+    return {
+        int(r.cell): (
+            inf if r.lo_cut is None else float(r.lo_cut),
+            inf if r.hi_cut is None else float(r.hi_cut),
+        )
+        for r in rows
+    }
+
+
+def stream_prototype_score(
+    embeddings: DataFrame, calibration: dict[int, tuple[float, float]]
+) -> DataFrame:
+    """Ingest-time D4 prototypicality tiering: every arriving vector
+    is assigned its IVF cell and tiered against the committed
+    corpus's PUBLISHED per-cell cut points (prototype_calibration) --
+    the streaming face of embedding_prototype_score, deciding at the
+    door whether a vector lands in a cluster core (`prototype`), the
+    noise tail (`outlier`), or the diverse middle (`typical`), where
+    the batch op needs the whole corpus for its percentile window.
+
+    COMPLETELY STATELESS and SHUFFLE-FREE (append mode, state = 0):
+    cell assignment is the per-row Catalyst array-literal ranking
+    (the _assign_cells_catalyst expression inlined -- centroids and
+    their norms fold to literals driver-side), the tier rule is two
+    comparisons against a K-entry closure literal.  Tier contract,
+    documented: a vector scores `prototype` iff its rounded cosine
+    >= hi_cut and `outlier` iff < lo_cut -- on the committed corpus
+    itself this reproduces the batch tiers EXCEPT exactly at rounded
+    ties with a cut (the batch percentile breaks such ties by
+    vec_id; a calibration scorer cannot), the pinned-in-pytest
+    boundary."""
+    import math as _math
+
+    from ..constants import IVF_NPROBE  # noqa: F401 (shared contract)
+    from ..functions import dot_product, l2_norm
+    from ..functions.columns import round_half_up as rnd
+    from ..ivf_model import IVF_TRAINED_CENTROIDS
+
+    cents = [(cid, list(emb)) for cid, emb in IVF_TRAINED_CENTROIDS]
+    cent_lit = F.arrays_zip(
+        F.lit([cid for cid, _ in cents]).alias("cent_id"),
+        F.lit([emb for _, emb in cents]).alias("c_emb"),
+        F.lit(
+            [_math.sqrt(sum(x * x for x in emb)) for _, emb in cents]
+        ).alias("c_norm"),
+    )
+    ranked = F.array_sort(
+        F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                (
+                    -(
+                        dot_product(F.col("embedding"), c["c_emb"])
+                        / (F.col("v_norm") * c["c_norm"])
+                    )
+                ).alias("neg_cos"),
+                c["cent_id"].alias("cent_id"),
+            ),
+        )
+    )
+    cells = sorted(calibration)
+    lo_lit = F.lit([calibration[c][0] for c in cells]).cast("array<double>")
+    hi_lit = F.lit([calibration[c][1] for c in cells]).cast("array<double>")
+    idx_map = F.map_from_arrays(
+        F.lit(cells).cast("array<bigint>"),
+        F.lit(list(range(1, len(cells) + 1))).cast("array<int>"),
+    )
+    best = F.element_at(ranked, 1)
+    scored = (
+        embeddings.select(
+            "vec_id", "embedding", l2_norm(F.col("embedding")).alias("v_norm")
+        )
+        .select(
+            "vec_id",
+            best["cent_id"].alias("cell"),
+            rnd(-best["neg_cos"], 6).alias("proto_cos"),
+        )
+        .withColumn("ci", F.element_at(idx_map, F.col("cell")))
+    )
+    lo = F.element_at(lo_lit, F.col("ci"))
+    hi = F.element_at(hi_lit, F.col("ci"))
+    tier = (
+        F.when(F.col("ci").isNull(), F.lit("outlier"))
+        .when(F.col("proto_cos") >= hi, F.lit("prototype"))
+        .when(F.col("proto_cos") < lo, F.lit("outlier"))
+        .otherwise(F.lit("typical"))
+    )
+    return scored.select("vec_id", "cell", "proto_cos", tier.alias("tier"))

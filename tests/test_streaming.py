@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 import os
+from collections import defaultdict
 import shutil
 import tempfile
 import time
@@ -2009,3 +2010,88 @@ def test_stream_quality_score_degenerate_sides(spark):
     )
     rows = stream_quality_score(docs, [0.0] * QC_BUCKETS, 0.0).collect()
     assert [(r.doc_id, r.quality_prob) for r in rows] == [(1, 0.5)]
+
+
+def test_stream_prototype_score_matches_batch(spark, sf_dir):
+    """The ingest-time D4 tier scorer must reproduce the batch
+    embedding_prototype_score tiers over the same committed corpus
+    and calibration, row for row, EXCEPT exactly at rounded-cosine
+    ties with a published cut (the batch percentile breaks those by
+    vec_id; a calibration scorer cannot -- documented contract).
+    cell and proto_cos must match everywhere."""
+    from de_realtime_voting_spark.operators.similarity import (
+        embedding_prototype_score,
+    )
+    from de_realtime_voting_spark.streaming import (
+        prototype_calibration,
+        stream_prototype_score,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    want = {
+        r.vec_id: (r.cell, r.proto_cos, r.tier)
+        for r in embedding_prototype_score(emb).collect()
+    }
+    assert want
+    spark.catalog.clearCache()
+    calib = prototype_calibration(emb)
+    spark.catalog.clearCache()
+    d = tempfile.mkdtemp(prefix="proto_stream_")
+    try:
+        emb.repartition(2).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(emb.schema).parquet(d)
+        got_df = _run_stream_to_memory(
+            spark,
+            stream_prototype_score(stream, calib),
+            "proto_scores",
+            "append",
+        )
+        got = {r.vec_id: (r.cell, r.proto_cos, r.tier) for r in got_df.collect()}
+        assert set(got) == set(want)
+        # a stream/batch tier disagreement is possible ONLY when
+        # several rows of one cell share the exact rounded cosine of
+        # a published cut (the batch percentile separates them by
+        # vec_id; the calibration rule cannot) -- for a cos unique
+        # within its cell, equality with a cut still agrees (the
+        # cut-defining row itself satisfies its own rule)
+        n_cell_cos = defaultdict(int)
+        for cell, cos, _tier in want.values():
+            n_cell_cos[(cell, cos)] += 1
+        n_tie = 0
+        for vid, (cell, cos, tier) in want.items():
+            g = got[vid]
+            assert g[0] == cell and abs(g[1] - cos) <= 1e-9, (vid, g, cell, cos)
+            lo, hi = calib[cell]
+            if cos in (lo, hi) and n_cell_cos[(cell, cos)] > 1:
+                n_tie += 1  # genuine tie with a cut: rule, not batch
+                assert g[2] == (
+                    "prototype" if cos >= hi
+                    else ("outlier" if cos < lo else "typical")
+                )
+            else:
+                assert g[2] == tier, (vid, g[2], tier, lo, hi)
+        assert n_tie <= len(want) * 0.05
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.catalog.clearCache()
+
+
+def test_stream_prototype_score_unknown_cell_is_outlier(spark):
+    """A vector landing in a cell the calibration never saw (or one
+    published at +inf cuts) reads outlier -- the conservative
+    contract for unobserved cells."""
+    from de_realtime_voting_spark.ivf_model import IVF_TRAINED_CENTROIDS
+    from de_realtime_voting_spark.streaming import stream_prototype_score
+
+    c0 = list(IVF_TRAINED_CENTROIDS[0][1])
+    emb = spark.createDataFrame(
+        [(1, [float(x) for x in c0], 0)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    rows = stream_prototype_score(emb, {}).collect()
+    assert len(rows) == 1 and rows[0].tier == "outlier"
+    inf = float("inf")
+    rows = stream_prototype_score(
+        emb, {int(IVF_TRAINED_CENTROIDS[0][0]): (inf, inf)}
+    ).collect()
+    assert len(rows) == 1 and rows[0].tier == "outlier"
