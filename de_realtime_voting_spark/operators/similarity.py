@@ -1053,3 +1053,140 @@ def ann_hard_negatives(embeddings: DataFrame) -> DataFrame:
             rnd("cosine", 6).alias("cosine"),
         )
     )
+
+
+def ann_ivf_hard_negatives(embeddings: DataFrame) -> DataFrame:
+    """Hard-negative mining through the IVF index -- the production
+    route for ann_hard_negatives' exact scan: each probe explores its
+    IVF_NPROBE nearest cells only and takes the top-K wrong-label
+    vectors found there.  Hard negatives only need to be HARD, not
+    provably hardest, so trading the exact scan's full corpus pass
+    for the probed fraction is precisely the ANN serving argument
+    (and the recall trade is observable: compare against
+    ann_hard_negatives, the exact twin, the ann_recall_report
+    pattern).  Output schema matches the exact twin.
+
+    Scale shape: map-side cell assignment (shared Arrow assigner,
+    label carried through), queries x probes broadcast; the corpus
+    shuffle is the final per-query top-K over the probed subset
+    only.
+    """
+    from ..functions.pandas_udfs import make_cell_assigner
+
+    cents = _collect_centroids(embeddings)
+    if not cents:  # empty corpus -> empty result, stable schema
+        return embeddings.sparkSession.createDataFrame(
+            [],
+            "query_id bigint, query_label int, neighbor_id bigint, "
+            "neighbor_label int, rank int, cosine double",
+        )
+    assign = make_cell_assigner(cents, IVF_NPROBE)
+    asg = (
+        embeddings.repartition(
+            embeddings.sparkSession.sparkContext.defaultParallelism
+        )
+        .select("vec_id", "embedding", "label", assign(F.col("embedding")).alias("a"))
+        .select(
+            "vec_id",
+            "embedding",
+            "label",
+            F.col("a.cell").alias("cell"),
+            F.col("a.probes").alias("probes"),
+        )
+    )
+    q = (
+        asg.where(F.col("vec_id").isin(ANN_QUERY_IDS))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("label").alias("query_label"),
+            F.explode("probes").alias("probe_cell"),
+        )
+    )
+    joined = asg.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("probe_cell"))
+        & (F.col("label") != F.col("query_label")),
+    )
+    cos = cosine_similarity(F.col("q_emb"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.select(
+            "query_id",
+            "query_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "rank",
+            rnd("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def embedding_centroid_drift(embeddings: DataFrame) -> DataFrame:
+    """IVF index STALENESS monitor: per cell, the cosine between the
+    TRAINED centroid (the frozen ivf_model artifact) and the current
+    mean of the vectors assigned to it, plus member count and corpus
+    share -- the dashboard row that tells an index owner when the
+    corpus has drifted away from the quantizer it is being served by
+    (low mean-centroid cosine and/or share swings = re-train; the
+    temporal complement to ivf_cell_balance's occupancy skew).
+
+    Scale shape: map-side assignment (shared Arrow assigner), then
+    ONE (cell, dim) partial aggregation -- the posexplode fans out
+    |corpus| x DIM rows but map-side combine reduces them to
+    K x DIM = 4096 groups before the exchange -- and the centroid
+    comparison runs on the K-row result against array literals.
+    Mean components are half-up-rounded at 9 decimals BEFORE the
+    cosine (published-artifact discipline, the quality-classifier
+    pattern): the corpus-order float reassociation noise (~1e-15
+    relative) vanishes at that grain, so both engines compute the
+    cosine from identical doubles.
+    """
+    from ..constants import EMBEDDING_DIM
+
+    cents = _collect_centroids(embeddings)
+    if not cents:
+        return embeddings.sparkSession.createDataFrame(
+            [],
+            "cell bigint, n_members bigint, corpus_share double, "
+            "mean_centroid_cos double",
+        )
+    asg = _assign_cells(embeddings, cents).select("vec_id", "embedding", "cell")
+    dims = asg.select(
+        "cell", F.posexplode("embedding").alias("dim", "v")
+    ).select("cell", "dim", F.col("v").cast("double").alias("v"))
+    per_dim = dims.groupBy("cell", "dim").agg(
+        rnd(F.avg("v"), 9).alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    per_cell = per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+        ).alias("mean_emb"),
+        F.first("n").alias("n_members"),
+    )
+    cent_df = embeddings.sparkSession.createDataFrame(
+        [(cid, list(emb)) for cid, emb in cents], "cell bigint, c_emb array<double>"
+    )
+    total = per_cell.select(F.sum("n_members").alias("n_total"))
+    cos = cosine_similarity(F.col("mean_emb"), F.col("c_emb"))
+    return (
+        per_cell.join(F.broadcast(cent_df), "cell")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            rnd(F.col("n_members") / F.col("n_total"), 6).alias("corpus_share"),
+            rnd(cos, 6).alias("mean_centroid_cos"),
+        )
+    )

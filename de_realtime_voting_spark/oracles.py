@@ -4396,6 +4396,73 @@ SELECT vec_id, cell,
 FROM p
 """
 
+SQL["ann_ivf_hard_negatives"] = f"""
+WITH cent AS (
+    SELECT * FROM (VALUES
+    {_IVF_CENT_VALUES}
+    ) AS t(cent_id, c_emb)
+),
+scored AS (
+    SELECT e.vec_id, e.embedding, e.label, c.cent_id,
+           {_cos('e.embedding', 'c.c_emb')} AS cos
+    FROM embeddings e CROSS JOIN cent c
+),
+asg AS (
+    SELECT vec_id, embedding, label, cent_id,
+           row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, cent_id
+           ) AS rn
+    FROM scored
+),
+cells AS (SELECT vec_id, embedding, label, cent_id AS cell FROM asg WHERE rn = 1),
+q AS (
+    SELECT vec_id AS query_id, embedding AS q_emb, label AS query_label,
+           cent_id AS probe_cell
+    FROM asg WHERE vec_id IN {_ANN_IDS} AND rn <= {IVF_NPROBE}
+),
+j AS (
+    SELECT q.query_id, q.query_label, cells.vec_id AS neighbor_id,
+           cells.label AS neighbor_label,
+           {_cos('q.q_emb', 'cells.embedding')} AS cosine
+    FROM cells JOIN q
+      ON cells.cell = q.probe_cell AND cells.label <> q.query_label
+),
+r AS (
+    SELECT query_id, query_label, neighbor_id, neighbor_label,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS INTEGER) AS "rank",
+           cosine
+    FROM j
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, "rank",
+       ROUND(cosine, 6) AS cosine
+FROM r WHERE "rank" <= {ANN_K}
+"""
+
+SQL["embedding_centroid_drift"] = f"""
+WITH {_IVF_ASG_CTES},
+cells AS (SELECT vec_id, embedding, cent_id AS cell FROM asg WHERE rn = 1),
+dims AS (
+    SELECT cell, i.range AS i, CAST(embedding[i.range] AS DOUBLE) AS v
+    FROM cells, range(1, {EMBEDDING_DIM + 1}) i
+),
+per_dim AS (
+    SELECT cell, i, ROUND(AVG(v), 9) AS m, COUNT(*) AS n
+    FROM dims GROUP BY 1, 2
+),
+per_cell AS (
+    SELECT cell, list(m ORDER BY i) AS mean_emb, MIN(n) AS n_members
+    FROM per_dim GROUP BY 1
+),
+tot AS (SELECT SUM(n_members) AS n_total FROM per_cell)
+SELECT CAST(p.cell AS BIGINT) AS cell,
+       CAST(p.n_members AS BIGINT) AS n_members,
+       ROUND(p.n_members / t.n_total, 6) AS corpus_share,
+       ROUND({_cos('p.mean_emb', 'c.c_emb')}, 6) AS mean_centroid_cos
+FROM per_cell p JOIN cent c ON p.cell = c.cent_id CROSS JOIN tot t
+"""
+
 # Applied LAST so every entry above -- including late additions -- gets
 # the engine-exact half-up rounding rewrite.
 SQL = {name: _rewrite_rounds(sql) for name, sql in SQL.items()}

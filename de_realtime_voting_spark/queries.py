@@ -292,6 +292,12 @@ _DEFS: dict[str, QueryFn] = {
     "ann_hard_negatives": lambda s, d: similarity.ann_hard_negatives(
         _t(s, d, "embeddings")
     ),
+    "ann_ivf_hard_negatives": lambda s, d: similarity.ann_ivf_hard_negatives(
+        _t(s, d, "embeddings")
+    ),
+    "embedding_centroid_drift": lambda s, d: similarity.embedding_centroid_drift(
+        _t(s, d, "embeddings")
+    ),
     "ann_recall_report": lambda s, d: similarity.ann_recall_report(
         _t(s, d, "embeddings")
     ),
@@ -533,6 +539,7 @@ _PRIORITY: list[str] = [
     # rows (votes_sliding_window r4 + the two r5 rows), which rotate
     # forward next round
     "ann_hard_negatives", "dedup_minhash_topk", "dedup_embedding_cosine",
+    "ann_ivf_hard_negatives", "embedding_centroid_drift",
     "segment_minhash_dedup", "quality_classifier_train",
     "quality_classifier_score", "embedding_prototype_score",
     "votes_sessionized", "ann_pq_rerank_topk",

@@ -557,3 +557,107 @@ def test_dedup_minhash_topk_contains_verified_pairs(spark, sf_dir):
         assert p.doc_b in top[p.doc_a], (p.doc_a, p.doc_b)
         assert p.doc_a in top[p.doc_b], (p.doc_a, p.doc_b)
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------- #
+# ann_ivf_hard_negatives + embedding_centroid_drift (r8)            #
+# ---------------------------------------------------------------- #
+
+def _np_cells(vecs):
+    """vec_id -> (cell, probe cells) under the trained quantizer,
+    numpy replay of the shared assigner."""
+    import numpy as np
+
+    from de_realtime_voting_spark.constants import IVF_NPROBE
+    from de_realtime_voting_spark.ivf_model import IVF_TRAINED_CENTROIDS
+
+    cents = [(cid, np.array(c, dtype=np.float64)) for cid, c in IVF_TRAINED_CENTROIDS]
+    out = {}
+    for vid, (v, _lab) in vecs.items():
+        ranked = sorted(
+            (
+                (-float(v @ c) / (np.linalg.norm(v) * np.linalg.norm(c)), cid)
+                for cid, c in cents
+            )
+        )
+        out[vid] = (ranked[0][1], [cid for _, cid in ranked[:IVF_NPROBE]])
+    return out
+
+
+def test_ann_ivf_hard_negatives_numpy_replay(spark, sf_dir):
+    """Exact numpy replay of the IVF route at sf0.001: per probe, the
+    top-K wrong-label vectors among members of the probe's NPROBE
+    nearest cells, ties by neighbor_id."""
+    import numpy as np
+
+    from de_realtime_voting_spark.constants import ANN_K, ANN_QUERY_IDS
+    from de_realtime_voting_spark.operators.similarity import ann_ivf_hard_negatives
+    from de_realtime_voting_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = {
+        r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label)
+        for r in emb.collect()
+    }
+    cells = _np_cells(vecs)
+    got = defaultdict(list)
+    for r in sorted(ann_ivf_hard_negatives(emb).collect(), key=lambda r: (r.query_id, r.rank)):
+        assert r.neighbor_label != r.query_label
+        got[r.query_id].append(r)
+    for qid in ANN_QUERY_IDS:
+        qv, ql = vecs[qid]
+        probes = set(cells[qid][1])
+        cand = []
+        for vid, (v, lab) in vecs.items():
+            if lab == ql or cells[vid][0] not in probes:
+                continue
+            cos = float(qv @ v) / (np.linalg.norm(qv) * np.linalg.norm(v))
+            cand.append((-cos, vid, lab))
+        cand.sort()
+        want = cand[:ANN_K]
+        rows_q = got[qid]
+        assert [r.rank for r in rows_q] == list(range(1, len(want) + 1))
+        for r, (neg_cos, vid, lab) in zip(rows_q, want):
+            assert r.neighbor_id == vid and r.neighbor_label == lab
+            assert abs(r.cosine - round(-neg_cos, 6)) <= 1e-6
+    spark.catalog.clearCache()
+
+
+def test_embedding_centroid_drift_numpy_replay(spark, sf_dir):
+    """Per cell: member count, corpus share, and the cosine between
+    the trained centroid and the (9-decimal-published) member mean --
+    numpy replay at sf0.001."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from de_realtime_voting_spark.ivf_model import IVF_TRAINED_CENTROIDS
+    from de_realtime_voting_spark.operators.similarity import embedding_centroid_drift
+    from de_realtime_voting_spark.sources import load_table
+
+    def r9(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = {
+        r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label)
+        for r in emb.collect()
+    }
+    cells = _np_cells(vecs)
+    members = defaultdict(list)
+    for vid, (v, _l) in vecs.items():
+        members[cells[vid][0]].append(v)
+    cents = {cid: np.array(c, dtype=np.float64) for cid, c in IVF_TRAINED_CENTROIDS}
+    got = {r.cell: r for r in embedding_centroid_drift(emb).collect()}
+    assert set(got) == {c for c, m in members.items() if m}
+    n_total = len(vecs)
+    for cell, m in members.items():
+        if not m:
+            continue
+        mean = np.array([r9(x) for x in np.mean(np.stack(m), axis=0)])
+        c = cents[cell]
+        cos = float(mean @ c) / (np.linalg.norm(mean) * np.linalg.norm(c))
+        r = got[cell]
+        assert r.n_members == len(m)
+        assert abs(r.corpus_share - len(m) / n_total) <= 1e-6
+        assert abs(r.mean_centroid_cos - cos) <= 2e-6, (cell, r.mean_centroid_cos, cos)
+    spark.catalog.clearCache()
