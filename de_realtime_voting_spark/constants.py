@@ -463,6 +463,20 @@ QC_ITERS = 3
 QC_LR = 0.5
 QC_ROUND = 6
 
+# IVF re-train (the index-lifecycle closer for the
+# embedding_centroid_drift staleness signal): a FIXED Lloyd budget --
+# not a data-dependent drift-threshold stop -- so the DuckDB oracle
+# can replay the identical CTE chain (the QC_ITERS precedent; a
+# conditional iteration count cannot be expressed as a closed SQL
+# chain).  Production loops until the report's iter_move rows clear
+# the operator's drift bar; the report exposes that trajectory.
+# Per-dim means are published HALF-UP-rounded at IVF_RETRAIN_ROUND
+# decimals after every iteration, so both engines compute iteration
+# t+1 from identical doubles (the QC_ROUND discipline; cross-engine
+# AVG reassociation noise is ~1e-15 relative, far under the grain).
+IVF_RETRAIN_ITERS = 2
+IVF_RETRAIN_ROUND = 9
+
 # Prototype scoring (D4-style, Tirumala et al. 2023): per-cell
 # percentile of cosine-to-assigned-centroid; the top/bottom deciles
 # are the prototype/outlier tiers a diversification pass keeps/drops.

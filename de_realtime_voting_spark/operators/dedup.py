@@ -187,7 +187,24 @@ def _band_candidate_pairs(bands: DataFrame) -> DataFrame:
     sf10 probe: dedup_minhash_pairs 55.5 -> 36.0 s (sf1 6.8 -> 4.1 s),
     identical pairs.
     Per-band work is C(occupancy, 2) either way -- that term is the
-    candidate semantics itself, not the plan."""
+    candidate semantics itself, not the plan.
+
+    HOT-BAND MEMORY BOUND (documented, not capped): the collect_list
+    buffers one band's full doc_id list in a single aggregation task
+    and that buffer cannot spill (unlike the former sort-merge join,
+    which streams one side).  Resident bytes = occupancy x id width,
+    so a pathological band of 10M 16-char ids needs ~300 MB in one
+    task -- large but survivable, and C(k,2) pair GENERATION from
+    that band (5x10^13 rows) is terminally hot long before the buffer
+    is: any corpus where the buffer binds has already failed on the
+    pair count, which is the candidate semantics, not this plan.  No
+    occupancy cap is taken because dropping hot bands would change
+    the candidate set (the substring path's SUBSTR_GRAM_MAX_OCC cap
+    is a documented SEMANTIC bound; here results must match the
+    oracle's full LSH semantics).  If a real corpus's band occupancy
+    ever makes buffers the binding constraint, revert those bands to
+    the pre-r8 self-join shape -- same pairs, spillable buffers, one
+    extra shuffle."""
     groups = (
         bands.groupBy("band_idx", "band_hash")
         .agg(F.collect_list("doc_id").alias("ds"))

@@ -216,6 +216,14 @@ def ann_ivf_topk(embeddings: DataFrame) -> DataFrame:
         return embeddings.sparkSession.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, rank int, cosine double"
         )
+    return _ivf_topk_with(embeddings, cents)
+
+
+def _ivf_topk_with(embeddings: DataFrame, cents) -> DataFrame:
+    """The IVF probe/top-k machinery under an EXPLICIT centroid set --
+    factored out of ann_ivf_topk so ivf_retrain_report can run the
+    same search path against a candidate quantizer (old vs retrained
+    on one truth set) before it is promoted."""
     assigned = _assign_cells(embeddings, cents)
     q = (
         assigned.where(F.col("vec_id").isin(ANN_QUERY_IDS))
@@ -1190,3 +1198,174 @@ def embedding_centroid_drift(embeddings: DataFrame) -> DataFrame:
             rnd(cos, 6).alias("mean_centroid_cos"),
         )
     )
+
+
+def _lloyd_step(embeddings: DataFrame, cents) -> tuple[list, dict]:
+    """One published-artifact Lloyd pass: assign every vector to its
+    nearest centroid (shared Arrow assigner), recompute per-cell
+    per-dim means HALF-UP-rounded at IVF_RETRAIN_ROUND decimals (the
+    publication step -- both engines compute the next iteration from
+    identical doubles), and return (new centroid list, member counts).
+    A cell with no members keeps its previous centroid (standard
+    Lloyd) and reports n=0.
+
+    Scale shape: one corpus pass -- map-side assignment, then the
+    (cell, dim) partial aggregation embedding_centroid_drift uses
+    (posexplode fans out |corpus| x DIM rows, map-side combine
+    reduces them to K x DIM groups before the exchange); the driver
+    collects only K x DIM rounded doubles per iteration (bounded
+    model state, the quality_classifier_train pattern).
+    """
+    from ..constants import IVF_RETRAIN_ROUND
+
+    asg = _assign_cells(embeddings, cents).select("cell", "embedding")
+    dims = asg.select(
+        "cell", F.posexplode("embedding").alias("dim", "v")
+    ).select("cell", "dim", F.col("v").cast("double").alias("v"))
+    per_dim = dims.groupBy("cell", "dim").agg(
+        rnd(F.avg("v"), IVF_RETRAIN_ROUND).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    per_cell = per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+        ).alias("mean_emb"),
+        F.first("n").alias("n"),
+    )
+    got = {
+        int(r["cell"]): ([float(x) for x in r["mean_emb"]], int(r["n"]))
+        for r in per_cell.collect()
+    }
+    new_cents, members = [], {}
+    for cid, old in cents:
+        mean, n = got.get(cid, (list(old), 0))
+        new_cents.append((cid, mean))
+        members[cid] = n
+    return new_cents, members
+
+
+def ivf_retrain_report(embeddings: DataFrame) -> DataFrame:
+    """IVF index-lifecycle closer: ACT on the embedding_centroid_drift
+    staleness signal by re-training the coarse quantizer from the
+    current corpus (IVF_RETRAIN_ITERS Lloyd iterations seeded from the
+    frozen ivf_model artifact, per-dim means published at the
+    IVF_RETRAIN_ROUND grain each pass) and gating the candidate with
+    RECALL NON-REGRESSION against the exact truth set before anyone
+    promotes it -- the ann_recall_report acceptance pattern applied to
+    old-vs-new quantizers instead of LSH-vs-IVF.
+
+    Long-format report (component, cell, n, value):
+      - 'iter_move'      cell=iteration 1..T, n = non-empty cells that
+        pass, value = MIN over cells of cos(prev centroid, new
+        centroid) -- the convergence trajectory a drift-threshold
+        loop would stop on (fixed budget here: oracle replayability,
+        see constants.IVF_RETRAIN_ITERS).
+      - 'centroid_move'  cell=cell id, n = members in the final Lloyd
+        pass (the assignment that produced the final centroids),
+        value = cos(trained centroid, retrained centroid).
+      - 'recall_trained' / 'recall_retrained'  cell=query id,
+        n = exact-top-k hits, value = recall@k for the frozen vs the
+        retrained quantizer on the SAME brute-force truth set.
+      - 'gate'           cell=-1, value = round(mean retrained recall
+        - mean trained recall, 6), n = 1 iff value >= 0 (promote) --
+        rounding BEFORE the sign test so cross-engine reassociation
+        noise on an exactly-tied recall cannot flip the gate.
+
+    Scale shape: T+3 bounded corpus passes (T Lloyd + brute-force
+    truth + two probe arms), each map-side-assign + one shuffle; all
+    derived math (cosines, recalls, the gate) runs on K- or
+    |queries|-row frames built from published literals, so both
+    engines fold identical doubles in identical order.  Truth set and
+    arm frames persist -- each feeds two consumers.
+    """
+    from ..constants import IVF_RETRAIN_ITERS
+
+    spark = embeddings.sparkSession
+    schema = "component string, cell bigint, n bigint, value double"
+    cents0 = _collect_centroids(embeddings)
+    if not cents0:
+        return spark.createDataFrame([], schema)
+
+    cur = cents0
+    trail = []  # (iteration, prev centroids, new centroids, members)
+    for it in range(1, IVF_RETRAIN_ITERS + 1):
+        new_cents, members = _lloyd_step(embeddings, cur)
+        trail.append((it, cur, new_cents, members))
+        cur = new_cents
+
+    step_rows = [
+        (it, cid, prev_emb, new_emb, members[cid])
+        for it, prev, new, members in trail
+        for (cid, prev_emb), (_, new_emb) in zip(prev, new)
+    ]
+    steps = spark.createDataFrame(
+        step_rows,
+        "it int, cell bigint, prev_emb array<double>, "
+        "new_emb array<double>, n_members bigint",
+    )
+    step_cos = cosine_similarity(F.col("prev_emb"), F.col("new_emb"))
+    iter_move = steps.groupBy("it").agg(
+        F.sum((F.col("n_members") > 0).cast("bigint")).alias("n"),
+        rnd(F.min(step_cos), 6).alias("value"),
+    ).select(
+        F.lit("iter_move").alias("component"),
+        F.col("it").cast("bigint").alias("cell"),
+        "n",
+        "value",
+    )
+
+    fin = dict(cur)
+    last_members = trail[-1][3]
+    moved = spark.createDataFrame(
+        [(cid, list(emb0), fin[cid], last_members[cid]) for cid, emb0 in cents0],
+        "cell bigint, c0 array<double>, ct array<double>, n bigint",
+    )
+    centroid_move = moved.select(
+        F.lit("centroid_move").alias("component"),
+        "cell",
+        "n",
+        rnd(cosine_similarity(F.col("c0"), F.col("ct")), 6).alias("value"),
+    )
+
+    # truth feeds both arms; each arm feeds its output rows AND the
+    # gate means (same deliberate persist as ann_recall_report's bf).
+    bf = ann_bruteforce_topk(embeddings).select("query_id", "neighbor_id").persist()
+    truth_k = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    arms = {}
+    for name, cents in (("recall_trained", cents0), ("recall_retrained", cur)):
+        hits = (
+            _ivf_topk_with(embeddings, cents)
+            .select("query_id", "neighbor_id")
+            .join(bf, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        arms[name] = (
+            truth_k.join(hits, "query_id", "left")
+            .select(
+                F.lit(name).alias("component"),
+                F.col("query_id").cast("bigint").alias("cell"),
+                F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n"),
+                (F.coalesce("n_hit", F.lit(0)) / F.col("k")).alias("recall"),
+            )
+            .persist()
+        )
+    arm_out = [
+        arm.select("component", "cell", "n", rnd(F.col("recall"), 6).alias("value"))
+        for arm in arms.values()
+    ]
+    delta = rnd(F.col("ar") - F.col("at"), 6)
+    gate = (
+        arms["recall_retrained"].agg(F.avg("recall").alias("ar"))
+        .crossJoin(arms["recall_trained"].agg(F.avg("recall").alias("at")))
+        .select(
+            F.lit("gate").alias("component"),
+            F.lit(-1).cast("bigint").alias("cell"),
+            F.when(delta >= 0, 1).otherwise(0).cast("bigint").alias("n"),
+            delta.alias("value"),
+        )
+    )
+    out = iter_move.unionByName(centroid_move)
+    for arm in arm_out:
+        out = out.unionByName(arm)
+    return out.unionByName(gate)

@@ -2084,6 +2084,16 @@ def quality_classifier_score(documents: DataFrame) -> DataFrame:
     feature frame + a doc-keyed agg.  Rounded at 6 (the published
     model is exact by construction, the margin sum's reassociation
     noise is ~1e-15 -- far under the rounding grain).
+
+    INTENTIONALLY retrains per invocation: every registry entry is
+    self-contained (computes from the raw tables alone) so the DuckDB
+    oracle can replay it as one closed CTE chain -- there is no
+    artifact store for a fitted model in the oracle contract.  A
+    production session that trains then scores should reuse the
+    published weights via the streaming path's quality_model() ->
+    stream_quality_score(weights, bias), which closes over the model
+    instead of refitting; curate.py's --quality-threshold stage does
+    exactly that (trains once, scores once).
     """
     from ..constants import QC_BUCKETS
 

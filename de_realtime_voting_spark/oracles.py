@@ -51,6 +51,8 @@ from .constants import (
     SPLIT_VAL_PCT,
     IVF_CENTROID_IDS,
     IVF_NPROBE,
+    IVF_RETRAIN_ITERS,
+    IVF_RETRAIN_ROUND,
     JACCARD_THRESHOLD,
     SIM_TOPK_K,
     EMB_COS_BLOCK_BUDGET,
@@ -4462,6 +4464,146 @@ SELECT CAST(p.cell AS BIGINT) AS cell,
        ROUND({_cos('p.mean_emb', 'c.c_emb')}, 6) AS mean_centroid_cos
 FROM per_cell p JOIN cent c ON p.cell = c.cent_id CROSS JOIN tot t
 """
+
+def _ivf_retrain_sql() -> str:
+    """Closed CTE replay of the fixed-budget Lloyd re-train + recall
+    gate (see operators/similarity.ivf_retrain_report): cent{i} is
+    iteration i's published (ROUND-at-IVF_RETRAIN_ROUND) centroid
+    set, seeded from the frozen artifact; empty cells COALESCE to the
+    previous centroid.  The recall arms replay the ann_ivf_topk probe
+    path under cent0 (the frozen model -- reused verbatim via the
+    registry SQL) and cent{T} (the candidate)."""
+    T = IVF_RETRAIN_ITERS
+    ctes = [
+        f"""cent0 AS (
+    SELECT * FROM (VALUES
+    {_IVF_CENT_VALUES}
+    ) AS t(cent_id, c_emb)
+)"""
+    ]
+    for i in range(1, T + 1):
+        p = i - 1
+        ctes.append(f"""scored{i} AS (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           {_cos('e.embedding', 'c.c_emb')} AS cos
+    FROM embeddings e CROSS JOIN cent{p} c
+)""")
+        ctes.append(f"""asg{i} AS (
+    SELECT vec_id, embedding, cent_id,
+           row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, cent_id
+           ) AS rn
+    FROM scored{i}
+)""")
+        ctes.append(f"""dims{i} AS (
+    SELECT cent_id AS cell, i.range AS i, CAST(embedding[i.range] AS DOUBLE) AS v
+    FROM (SELECT * FROM asg{i} WHERE rn = 1) a, range(1, {EMBEDDING_DIM + 1}) i
+)""")
+        ctes.append(f"""per_dim{i} AS (
+    SELECT cell, i, ROUND(AVG(v), {IVF_RETRAIN_ROUND}) AS m, COUNT(*) AS n
+    FROM dims{i} GROUP BY 1, 2
+)""")
+        ctes.append(f"""mean{i} AS (
+    SELECT cell, list(m ORDER BY i) AS mean_emb, MIN(n) AS n
+    FROM per_dim{i} GROUP BY 1
+)""")
+        ctes.append(f"""cent{i} AS (
+    SELECT c.cent_id, COALESCE(m.mean_emb, c.c_emb) AS c_emb,
+           COALESCE(m.n, 0) AS n
+    FROM cent{p} c LEFT JOIN mean{i} m ON m.cell = c.cent_id
+)""")
+        ctes.append(f"""iter_move{i} AS (
+    SELECT 'iter_move' AS component, CAST({i} AS BIGINT) AS cell,
+           CAST(SUM(CASE WHEN b.n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+           ROUND(MIN({_cos('a.c_emb', 'b.c_emb')}), 6) AS value
+    FROM cent{p} a JOIN cent{i} b ON a.cent_id = b.cent_id
+)""")
+    ctes.append(f"""cmove AS (
+    SELECT 'centroid_move' AS component, CAST(a.cent_id AS BIGINT) AS cell,
+           CAST(b.n AS BIGINT) AS n,
+           ROUND({_cos('a.c_emb', 'b.c_emb')}, 6) AS value
+    FROM cent0 a JOIN cent{T} b ON a.cent_id = b.cent_id
+)""")
+    ctes.append(f"""bf AS (
+    SELECT query_id, neighbor_id FROM ({SQL["ann_bruteforce_topk"]})
+)""")
+    ctes.append(f"""ivf_t AS (
+    SELECT query_id, neighbor_id FROM ({SQL["ann_ivf_topk"]})
+)""")
+    ctes.append(f"""scored_r AS (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           {_cos('e.embedding', 'c.c_emb')} AS cos
+    FROM embeddings e CROSS JOIN cent{T} c
+)""")
+    ctes.append("""asg_r AS (
+    SELECT vec_id, embedding, cent_id,
+           row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, cent_id
+           ) AS rn
+    FROM scored_r
+)""")
+    ctes.append("cells_r AS (SELECT vec_id, embedding, cent_id AS cell FROM asg_r WHERE rn = 1)")
+    ctes.append(f"""q_r AS (
+    SELECT vec_id AS query_id, embedding AS q_emb, cent_id AS probe_cell
+    FROM asg_r WHERE vec_id IN {_ANN_IDS} AND rn <= {IVF_NPROBE}
+)""")
+    ctes.append(f"""j_r AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           {_cos('q.q_emb', 'c.embedding')} AS cosine
+    FROM cells_r c JOIN q_r q
+      ON c.cell = q.probe_cell AND c.vec_id <> q.query_id
+)""")
+    ctes.append("""rr AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS rnk
+    FROM j_r
+)""")
+    ctes.append(f"ivf_r AS (SELECT query_id, neighbor_id FROM rr WHERE rnk <= {ANN_K})")
+    ctes.append("""truth_k AS (
+    SELECT query_id, CAST(count(*) AS BIGINT) AS k FROM bf GROUP BY 1
+)""")
+    ctes.append("""hit_t AS (
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_hit
+    FROM ivf_t JOIN bf USING (query_id, neighbor_id) GROUP BY 1
+)""")
+    ctes.append("""hit_r AS (
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_hit
+    FROM ivf_r JOIN bf USING (query_id, neighbor_id) GROUP BY 1
+)""")
+    ctes.append("""arm_t AS (
+    SELECT 'recall_trained' AS component, CAST(t.query_id AS BIGINT) AS cell,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n,
+           COALESCE(h.n_hit, 0) / t.k AS recall
+    FROM truth_k t LEFT JOIN hit_t h USING (query_id)
+)""")
+    ctes.append("""arm_r AS (
+    SELECT 'recall_retrained' AS component, CAST(t.query_id AS BIGINT) AS cell,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n,
+           COALESCE(h.n_hit, 0) / t.k AS recall
+    FROM truth_k t LEFT JOIN hit_r h USING (query_id)
+)""")
+    ctes.append("""gate AS (
+    SELECT 'gate' AS component, CAST(-1 AS BIGINT) AS cell,
+           CAST(CASE WHEN ROUND(r.ar - t.at, 6) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS n,
+           ROUND(r.ar - t.at, 6) AS value
+    FROM (SELECT AVG(recall) AS ar FROM arm_r) r,
+         (SELECT AVG(recall) AS at FROM arm_t) t
+)""")
+    unions = "\nUNION ALL ".join(
+        [f"SELECT * FROM iter_move{i}" for i in range(1, T + 1)]
+        + ["SELECT * FROM cmove"]
+        + [
+            "SELECT component, cell, n, ROUND(recall, 6) AS value FROM arm_t",
+            "SELECT component, cell, n, ROUND(recall, 6) AS value FROM arm_r",
+            "SELECT * FROM gate",
+        ]
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+SQL["ivf_retrain_report"] = _ivf_retrain_sql()
 
 # Applied LAST so every entry above -- including late additions -- gets
 # the engine-exact half-up rounding rewrite.

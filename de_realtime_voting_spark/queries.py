@@ -520,6 +520,9 @@ _DEFS: dict[str, QueryFn] = {
     "embedding_prototype_score": lambda s, d: similarity.embedding_prototype_score(
         _t(s, d, "embeddings")
     ),
+    "ivf_retrain_report": lambda s, d: similarity.ivf_retrain_report(
+        _t(s, d, "embeddings")
+    ),
 }
 
 # Registry ORDER matters operationally: external checkers iterate in
@@ -534,6 +537,8 @@ _DEFS: dict[str, QueryFn] = {
 # predates r5.  Remaining r5/r6/r7 blocks follow in their previous
 # relative order (they hold the newest green rows).
 _PRIORITY: list[str] = [
+    # r9: new ops first (stalest-first rotation below)
+    "ivf_retrain_report",
     # r8 session-2: the two NEW ops + the one whose ORACLE changed
     # (the block-budget split); they displace the window's last three
     # rows (votes_sliding_window r4 + the two r5 rows), which rotate
@@ -597,7 +602,7 @@ _PRIORITY: list[str] = [
     "seq_pack_bestfit", "fuzzy_decontam", "normalized_dedup_gain",
     "repeated_span_excision", "span_excision_stats",
     "token_distribution_drift", "knn_label_purity",
-    "dedup_ngram_jaccard_scaled", "dedup_embedding_cosine",
+    "dedup_ngram_jaccard_scaled",
     "doc_length_percentile_filter_approx", "votes_approx_stats",
     "ann_lsh_topk", "corpus_stratified_sample", "corpus_train_split",
     "dedup_minhash_pairs", "multimodal_binary_stats",
@@ -616,6 +621,9 @@ _PRIORITY: list[str] = [
 # filter would hide the typo from the length assert below).
 _unknown_priority = set(_PRIORITY) - set(_DEFS)
 assert not _unknown_priority, f"_PRIORITY names not in _DEFS: {sorted(_unknown_priority)}"
+# A duplicate entry would silently shrink the verification window by
+# one slot (the registry comprehension dedups, first occurrence wins).
+assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate names in _PRIORITY"
 
 QUERY_REGISTRY: dict[str, QueryFn] = {
     **{name: _DEFS[name] for name in _PRIORITY},

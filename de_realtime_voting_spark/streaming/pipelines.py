@@ -1141,30 +1141,34 @@ def stream_quality_score(
     from ..functions.columns import md5_mod_bucket, round_half_up
 
     w_lit = F.lit(weights).cast("array<double>")
-    toks = tokens(F.col("text"))
-    n = F.size(toks)
+    # The tokenizer runs ONCE per row: the empty-doc gate is the
+    # split-free equivalent trim(text) != '' (tokens() splits on ' '
+    # and drops empties, so size(toks) >= 1 <=> some non-space char
+    # survives trim) -- a size(tokens(...)) row filter would be
+    # pushed below the projection with the split re-inlined, and the
+    # margin fold referencing `toks` twice is what blocks
+    # CollapseProject from re-inlining the projection itself (the
+    # _doc_shingles barrier rationale, shuffle-free edition).
+    base = documents.where(
+        (F.col("source") != F.lit(EVAL_SOURCE)) & (F.trim(F.col("text")) != "")
+    ).select("doc_id", "lang", "source", tokens(F.col("text")).alias("toks"))
     margin = (
         F.aggregate(
             F.transform(
-                toks,
+                F.col("toks"),
                 lambda t: F.element_at(w_lit, md5_mod_bucket(t, QC_BUCKETS) + 1),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        / n
+        / F.size("toks")
     )
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(float(bias)) + margin)))
-    return (
-        documents.where(
-            (F.col("source") != F.lit(EVAL_SOURCE)) & (F.size(toks) >= 1)
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            round_half_up(prob, 6).alias("quality_prob"),
-        )
+    return base.select(
+        "doc_id",
+        "lang",
+        "source",
+        round_half_up(prob, 6).alias("quality_prob"),
     )
 
 
@@ -1283,3 +1287,92 @@ def stream_prototype_score(
         .otherwise(F.lit("typical"))
     )
     return scored.select("vec_id", "cell", "proto_cos", tier.alias("tier"))
+
+
+def stream_centroid_drift(embeddings: DataFrame) -> DataFrame:
+    """Ingest-time IVF index-staleness monitor: per coarse cell, the
+    running member count and the cosine between the TRAINED centroid
+    (frozen ivf_model artifact) and the running mean of every vector
+    assigned to that cell so far -- the streaming twin of batch
+    operators.similarity.embedding_centroid_drift, watching the index
+    go stale AS the corpus drifts instead of in a nightly sweep (the
+    signal ivf_retrain_report acts on).
+
+    BOUNDED STATE BY CONSTRUCTION (the stream_token_cms argument): the
+    one aggregation groups by cell, so state is K x (DIM+1) numbers
+    (per-dim running sums + count per cell) REGARDLESS of stream
+    length -- no watermark, no TTL.  Update mode: each micro-batch
+    re-emits only the cells it touched.
+
+    Assignment is the map-side Catalyst ranked form (bit-identical to
+    the Arrow assigner, pinned by the batch tests; no per-batch
+    Python boundary or extra exchange before the agg's own shuffle).
+    Mean components are half-up-rounded at 9 decimals BEFORE the
+    cosine, exactly as the batch op publishes them, so batch/stream
+    agreement holds at the published grain (micro-batch partial sums
+    reassociate differently; the noise is ~1e-15 relative, far under
+    the grain -- the stream_quality_score tolerance argument).
+    """
+    import math
+
+    from ..constants import EMBEDDING_DIM
+    from ..functions import cosine_similarity, dot_product, l2_norm
+    from ..functions.columns import round_half_up
+    from ..operators.similarity import _collect_centroids
+
+    cents = _collect_centroids(embeddings)
+    cent_lit = F.arrays_zip(
+        F.lit([cid for cid, _ in cents]).alias("cent_id"),
+        F.lit([emb for _, emb in cents]).alias("c_emb"),
+        F.lit(
+            [math.sqrt(sum(x * x for x in emb)) for _, emb in cents]
+        ).alias("c_norm"),
+    )
+    ranked = F.array_sort(
+        F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                (
+                    -(
+                        dot_product(F.col("embedding"), c["c_emb"])
+                        / (F.col("v_norm") * c["c_norm"])
+                    )
+                ).alias("neg_cos"),
+                c["cent_id"].alias("cent_id"),
+            ),
+        )
+    )
+    asg = embeddings.select(
+        "embedding", l2_norm(F.col("embedding")).alias("v_norm")
+    ).select(
+        F.element_at(ranked, 1)["cent_id"].alias("cell"), "embedding"
+    )
+    agg = asg.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        *[
+            F.sum(F.element_at("embedding", i + 1).cast("double")).alias(f"s{i}")
+            for i in range(EMBEDDING_DIM)
+        ],
+    )
+    mean_emb = F.array(
+        *[
+            round_half_up(F.col(f"s{i}") / F.col("n_members"), 9)
+            for i in range(EMBEDDING_DIM)
+        ]
+    )
+    c_emb = F.element_at(
+        F.filter(
+            F.arrays_zip(
+                F.lit([cid for cid, _ in cents]).alias("cent_id"),
+                F.lit([emb for _, emb in cents]).alias("c_emb"),
+            ),
+            lambda c: c["cent_id"] == F.col("cell"),
+        ),
+        1,
+    )["c_emb"]
+    cos = cosine_similarity(mean_emb, c_emb)
+    return agg.select(
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+        round_half_up(cos, 6).alias("mean_centroid_cos"),
+    )

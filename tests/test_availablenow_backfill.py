@@ -219,3 +219,89 @@ def test_stateful_tally_availablenow_backfill_equals_continuous(
         assert any(back[c][0] > v[0] for c, v in mid.items())
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stream_stream_join_availablenow_backfill_equals_continuous(
+    spark, sf_dir, time_split_json
+):
+    """stream_repeat_vote_pairs (watermarked stream-stream self-join,
+    append mode): a checkpointed AvailableNow catch-up across a
+    downtime gap must emit the SAME pair set as one continuous run --
+    including CROSS-delivery pairs whose first vote arrived before the
+    restart (the buffered join state must survive the checkpoint).
+    The median-ts split guarantees no pair is lost to state eviction:
+    a pair's second vote is within 1h of its first, and any first-half
+    row old enough to be evicted after delivery A (first_ts + 1h <
+    watermark_A) could only pair with seconds that are themselves in
+    the first half."""
+    import os
+
+    from de_realtime_voting_spark.streaming import stream_repeat_vote_pairs
+
+    root = tempfile.mkdtemp(prefix="anow_ssj_")
+    paths = {
+        n: f"{root}/{n}" for n in ("src_c", "out_c", "ck_c", "src_r", "out_r", "ck_r")
+    }
+
+    def run_sink(src, out, ck):
+        return (
+            stream_repeat_vote_pairs(_vote_stream(spark, src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+        )
+
+    key = lambda r: (r["first_event"], r["second_event"])
+    try:
+        # --- continuous arm
+        os.makedirs(paths["src_c"])
+        _deliver(time_split_json, paths["src_c"], "a")
+        qc = run_sink(paths["src_c"], paths["out_c"], paths["ck_c"]).start()
+        qc.processAllAvailable()
+        _deliver(time_split_json, paths["src_c"], "b")
+        qc.processAllAvailable()
+        qc.stop()
+        cont = spark.read.parquet(paths["out_c"]).collect()
+
+        # --- restart arm: AvailableNow, downtime delivery, AvailableNow
+        os.makedirs(paths["src_r"])
+
+        def catch_up():
+            q = (
+                run_sink(paths["src_r"], paths["out_r"], paths["ck_r"])
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        _deliver(time_split_json, paths["src_r"], "a")
+        catch_up()
+        mid = {key(r) for r in spark.read.parquet(paths["out_r"]).collect()}
+        _deliver(time_split_json, paths["src_r"], "b")
+        catch_up()
+        back = spark.read.parquet(paths["out_r"]).collect()
+
+        # no duplicate emissions across the restart, end states equal
+        assert len({key(r) for r in back}) == len(back)
+        assert len({key(r) for r in cont}) == len(cont)
+        assert {key(r) for r in back} == {key(r) for r in cont}
+        # and both equal the batch ground truth over the full feed
+        truth = {
+            key(r)
+            for r in streaming_pipelines_repeat_truth(spark, sf_dir).collect()
+        }
+        assert {key(r) for r in back} == truth
+        # the catch-up joined NEW seconds against RECOVERED firsts:
+        # cross-delivery pairs exist that no single delivery contains
+        assert len(back) > len(mid)
+        cross = {k for k in truth if k not in mid}
+        assert cross and cross <= {key(r) for r in back}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def streaming_pipelines_repeat_truth(spark, sf_dir):
+    from de_realtime_voting_spark.streaming import repeat_vote_pairs
+
+    return repeat_vote_pairs(load_table(spark, sf_dir, "events"))

@@ -2095,3 +2095,81 @@ def test_stream_prototype_score_unknown_cell_is_outlier(spark):
         emb, {int(IVF_TRAINED_CENTROIDS[0][0]): (inf, inf)}
     ).collect()
     assert len(rows) == 1 and rows[0].tier == "outlier"
+
+
+def test_stream_centroid_drift_matches_batch(spark, sf_dir):
+    """Draining the embedding stream must land on the batch staleness
+    report (same frozen centroids, same published 9-decimal mean
+    grain); state is bounded by K cells, so complete mode is safe."""
+    from de_realtime_voting_spark.constants import IVF_K
+    from de_realtime_voting_spark.operators.similarity import (
+        embedding_centroid_drift,
+    )
+    from de_realtime_voting_spark.streaming import stream_centroid_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    want = {
+        r.cell: (r.n_members, r.mean_centroid_cos)
+        for r in embedding_centroid_drift(emb).collect()
+    }
+    assert 0 < len(want) <= IVF_K
+
+    d = tempfile.mkdtemp(prefix="emb_drift_")
+    try:
+        emb.repartition(3).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(emb.schema).parquet(d)
+        got = {
+            r.cell: (r.n_members, r.mean_centroid_cos)
+            for r in _run_stream_to_memory(
+                spark, stream_centroid_drift(stream), "cent_drift", "complete"
+            ).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_centroid_drift_incremental_microbatches(spark, sf_dir):
+    """The running mean must incorporate EVERY micro-batch (one file
+    per batch via maxFilesPerTrigger): the final update-mode emission
+    per cell equals the batch answer over the whole feed -- the
+    running-state contract, not a single-batch accident."""
+    from de_realtime_voting_spark.operators.similarity import (
+        embedding_centroid_drift,
+    )
+    from de_realtime_voting_spark.streaming import stream_centroid_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    want = {
+        r.cell: (r.n_members, r.mean_centroid_cos)
+        for r in embedding_centroid_drift(emb).collect()
+    }
+    d = tempfile.mkdtemp(prefix="emb_drift_mb_")
+    try:
+        emb.repartition(4).write.mode("overwrite").parquet(d)
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        sink = []
+
+        def collect_batch(batch_df, batch_id):
+            sink.extend((batch_id, r) for r in batch_df.collect())
+
+        q = (
+            stream_centroid_drift(stream)
+            .writeStream.foreachBatch(collect_batch)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        n_batches = len({b for b, _ in sink})
+        assert n_batches > 1  # the incremental path actually exercised
+        last = {}
+        for b, r in sorted(sink, key=lambda t: t[0]):
+            last[r.cell] = (r.n_members, r.mean_centroid_cos)
+        assert last == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
