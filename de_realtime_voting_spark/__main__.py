@@ -38,6 +38,34 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="skip the benchmark-decontamination drop",
     )
+    cur_p.add_argument(
+        "--fuzzy-gate",
+        action="store_true",
+        help="also drop docs MinHash-near an eval doc",
+    )
+    cur_p.add_argument(
+        "--excise-spans",
+        action="store_true",
+        help="cut cross-doc repeated spans from shipped text",
+    )
+    cur_p.add_argument(
+        "--temperature-sample",
+        action="store_true",
+        help="deterministic temperature-mix downsampling",
+    )
+    cur_p.add_argument(
+        "--quality-threshold",
+        type=float,
+        default=None,
+        metavar="P",
+        help="train the learned quality filter and ship only docs "
+        "with quality_prob >= P",
+    )
+    cur_p.add_argument(
+        "--dsir-sample",
+        action="store_true",
+        help="DSIR importance-resampling selection",
+    )
     args = p.parse_args(argv)
 
     from .queries import NO_ORACLE, QUERY_REGISTRY
@@ -68,7 +96,14 @@ def main(argv: list[str] | None = None) -> int:
 
         docs = load_table(spark, args.sf_dir, "documents")
         manifest = curate_corpus(
-            docs, args.out_dir, drop_contaminated=not args.keep_contaminated
+            docs,
+            args.out_dir,
+            drop_contaminated=not args.keep_contaminated,
+            fuzzy_gate=args.fuzzy_gate,
+            excise_spans=args.excise_spans,
+            temperature_sample=args.temperature_sample,
+            quality_threshold=args.quality_threshold,
+            dsir_sample=args.dsir_sample,
         )
         print(json.dumps(manifest, indent=1))
         return 0

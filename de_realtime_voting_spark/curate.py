@@ -38,6 +38,8 @@ def curate_corpus(
     fuzzy_gate: bool = False,
     excise_spans: bool = False,
     temperature_sample: bool = False,
+    quality_threshold: float | None = None,
+    dsir_sample: bool = False,
 ) -> dict:
     """Run the full curation chain over ``documents`` and write the
     surviving corpus to ``out_dir`` partitioned by (split, lang).
@@ -66,6 +68,23 @@ def curate_corpus(
       threshold (pipeline._temperature_thresholds /_temp_bucket --
       corpus_temperature_sample's exact model).  The manifest
       records per-source target and realized keep rates.
+
+    Learned-selection stages (r9 -- same exact-expression sharing):
+
+    - ``quality_threshold``: train the GPT-3-style quality classifier
+      ONCE and ship only docs with quality_prob >= threshold
+      (text._qc_scores -- quality_classifier_score's exact plan, so
+      the kept set is reproducible from the standalone report; probs
+      are published at 6 decimals, making the threshold compare
+      deterministic).  Unscored docs (the eval target, empty docs)
+      do not pass -- the eval source never ships anyway and empty
+      docs fail the C4 floor.
+    - ``dsir_sample``: keep only docs the DSIR importance-resampling
+      rule keeps (pipeline._dsir_tagged -- corpus_dsir_sample's exact
+      per-doc membership: published 4-rounded log-ratios, integer
+      threshold floor(exp(w - w_max) * 10000), md5('dsir:'||doc_id)
+      bucket).  Docs too short to score (< 2 tokens) are outside the
+      sample frame and do not pass.
     """
     _t0 = time.perf_counter()
     tags = curation_tags(documents)
@@ -89,13 +108,43 @@ def curate_corpus(
             "doc_id",
             "left_anti",
         )
-    curated = documents.join(keep, "doc_id")
     # stage-scoped caches: unlike registry queries (where the harness
     # clearCache()s between queries), this is the standalone
     # entry point, so every frame persisted here is released in the
     # finally below -- repeated curate_corpus calls in a long-lived
     # service must not accumulate cache entries.
     _stage_caches = []
+    n_quality_kept = None
+    if quality_threshold is not None:
+        from .operators.text import _qc_scores
+
+        scores, feats = _qc_scores(documents)
+        _stage_caches.append(feats)
+        # persist: the kept-id frame feeds the keep-set join AND the
+        # manifest count -- unpersisted, the QC_ITERS training loop
+        # would run twice
+        q_kept = (
+            scores.where(F.col("quality_prob") >= F.lit(quality_threshold))
+            .select("doc_id")
+            .persist()
+        )
+        _stage_caches.append(q_kept)
+        n_quality_kept = q_kept.count()
+        keep = keep.join(q_kept, "doc_id", "left_semi")
+    n_dsir_kept = None
+    if dsir_sample:
+        from .operators.pipeline import _dsir_tagged
+
+        d_kept = (
+            _dsir_tagged(documents, caches=_stage_caches)
+            .where(F.col("kept"))
+            .select("doc_id")
+            .persist()
+        )
+        _stage_caches.append(d_kept)
+        n_dsir_kept = d_kept.count()
+        keep = keep.join(d_kept, "doc_id", "left_semi")
+    curated = documents.join(keep, "doc_id")
     thresholds = None
     if temperature_sample:
         from .operators.pipeline import _temp_bucket, _temperature_thresholds
@@ -144,8 +193,13 @@ def curate_corpus(
         curated.write.partitionBy("split", "lang").mode("overwrite").parquet(out_dir)
 
         # manifest from the WRITTEN data (not the plan): what a training
-        # job reads is what gets accounted
-        written = documents.sparkSession.read.parquet(out_dir)
+        # job reads is what gets accounted.  Explicit schema: a run
+        # whose gates keep NOTHING writes zero files, and schema
+        # inference on the empty dir would crash the manifest step --
+        # an empty corpus is a reportable outcome, not an error.
+        written = documents.sparkSession.read.schema(curated.schema).parquet(
+            out_dir
+        )
         from .functions.columns import tokens
 
         per_part = (
@@ -182,6 +236,8 @@ def curate_corpus(
                 "fuzzy_gate": fuzzy_gate,
                 "excise_spans": excise_spans,
                 "temperature_sample": temperature_sample,
+                "quality_threshold": quality_threshold,
+                "dsir_sample": dsir_sample,
             },
             "partitions": sorted(
                 (
@@ -198,6 +254,16 @@ def curate_corpus(
         }
         if excise_spans:
             manifest["n_tokens_excised"] = int(excised_tokens_delta)
+        if quality_threshold is not None:
+            # classifier-eligible docs at/above the bar (the stage's
+            # own frame, BEFORE intersection with the other gates)
+            manifest["quality"] = {
+                "threshold": quality_threshold,
+                "n_docs_at_or_above": int(n_quality_kept),
+            }
+        if dsir_sample:
+            # docs the DSIR membership rule keeps (ditto)
+            manifest["dsir"] = {"n_docs_kept_by_rule": int(n_dsir_kept)}
         if temperature_sample:
             # per-source target vs realized keep rate over the WRITTEN
             # docs: thresholds is |sources| rows (already persisted), the

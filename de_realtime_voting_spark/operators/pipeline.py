@@ -974,6 +974,37 @@ def corpus_temperature_sample(documents: DataFrame) -> DataFrame:
     )
 
 
+def _dsir_tagged(documents: DataFrame, caches: list | None = None) -> DataFrame:
+    """(doc_id, source, rate, kept): the per-doc DSIR keep/drop
+    decision -- ONE definition shared by corpus_dsir_sample's report
+    and curate.py's --dsir-sample materializing stage (the
+    _temp_bucket discipline: membership can never differ between the
+    report and the bytes written).  Weights are the PUBLISHED
+    (4-rounded) dsir_logratio column, the threshold is
+    floor(exp(w - w_max) * 10000), membership is the
+    md5('dsir:'||doc_id) bucket."""
+    from ..functions.columns import md5_mod_bucket
+    from .text import dsir_importance_score
+
+    # persist: the scored frame feeds the 1-row max AND the sampling
+    # pass (released by the harnesses' per-query clearCache; curate
+    # passes `caches` to release it via its stage-cache list)
+    w = dsir_importance_score(documents).persist()
+    if caches is not None:
+        caches.append(w)
+    wmax = w.agg(F.max("dsir_logratio").alias("w_max"))
+    rate = F.exp(F.col("dsir_logratio") - F.col("w_max"))
+    bucket = md5_mod_bucket(
+        F.concat(F.lit("dsir:"), F.col("doc_id").cast("string")), 10000
+    )
+    return w.crossJoin(F.broadcast(wmax)).select(
+        "doc_id",
+        "source",
+        rate.alias("rate"),
+        (bucket < F.floor(rate * 10000).cast("int")).alias("kept"),
+    )
+
+
 def corpus_dsir_sample(documents: DataFrame) -> DataFrame:
     """MATERIALIZE the DSIR selection text.dsir_importance_score
     reports (the report -> transform closure, the
@@ -998,22 +1029,7 @@ def corpus_dsir_sample(documents: DataFrame) -> DataFrame:
     (the scalar-subquery idiom); sampling is a map-side predicate and
     one per-source agg ends the plan.
     """
-    from ..functions.columns import md5_mod_bucket
-    from .text import dsir_importance_score
-
-    # persist: the scored frame feeds the 1-row max AND the sampling
-    # pass (released by the harnesses' per-query clearCache)
-    w = dsir_importance_score(documents).persist()
-    wmax = w.agg(F.max("dsir_logratio").alias("w_max"))
-    rate = F.exp(F.col("dsir_logratio") - F.col("w_max"))
-    bucket = md5_mod_bucket(
-        F.concat(F.lit("dsir:"), F.col("doc_id").cast("string")), 10000
-    )
-    tagged = w.crossJoin(F.broadcast(wmax)).select(
-        "source",
-        rate.alias("rate"),
-        (bucket < F.floor(rate * 10000).cast("int")).alias("kept"),
-    )
+    tagged = _dsir_tagged(documents).drop("doc_id")
     return tagged.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_scored"),
         F.sum(F.when(F.col("kept"), 1).otherwise(0))

@@ -2092,9 +2092,18 @@ def quality_classifier_score(documents: DataFrame) -> DataFrame:
     production session that trains then scores should reuse the
     published weights via the streaming path's quality_model() ->
     stream_quality_score(weights, bias), which closes over the model
-    instead of refitting; curate.py's --quality-threshold stage does
-    exactly that (trains once, scores once).
+    instead of refitting; curate.py's --quality-threshold stage calls
+    this op's exact expression ONCE per run (via _qc_scores, which
+    also hands back the feature-frame cache for release).
     """
+    return _qc_scores(documents)[0]
+
+
+def _qc_scores(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(scores, feats): quality_classifier_score's exact scoring plan
+    plus the persisted feature-frame handle, so a non-registry caller
+    (curate.py's --quality-threshold stage) can unpersist it -- the
+    registry harnesses release it via clearCache instead."""
     from ..constants import QC_BUCKETS
 
     w, bias, feats = _qc_train_weights(documents)
@@ -2109,6 +2118,7 @@ def quality_classifier_score(documents: DataFrame) -> DataFrame:
         .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
     )
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(bias) + F.col("s"))))
-    return margins.select(
+    scores = margins.select(
         "doc_id", "lang", "source", rnd(prob, 6).alias("quality_prob")
     )
+    return scores, feats

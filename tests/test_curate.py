@@ -294,3 +294,115 @@ def test_curate_manifest_matches_waterfall_sf01(spark):
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _base_keep_ids(spark, docs):
+    """The drop_contaminated keep chain, evaluated standalone."""
+    kept = {
+        r["doc_id"] for r in curation_tags(docs).where(F.col("kept")).collect()
+    }
+    _toks, hits = decontam_overlap(docs)
+    return (
+        kept
+        - {r["doc_id"] for r in hits.collect()}
+        - {
+            r["doc_id"]
+            for r in docs.where(F.col("source") == EVAL_SOURCE).collect()
+        }
+    )
+
+
+def test_curate_quality_threshold_matches_standalone_op(spark, sf_dir):
+    """quality_threshold=P: the written doc set must be exactly the
+    base keep set intersected with quality_classifier_score's
+    published-prob >= P membership (the standalone registry op run
+    independently), and the manifest must account the stage's own
+    frame."""
+    from de_realtime_voting_spark.operators.text import quality_classifier_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    # a mid-distribution bar so the stage KEEPS some and DROPS some
+    probs = sorted(
+        r["quality_prob"] for r in quality_classifier_score(docs).collect()
+    )
+    spark.catalog.clearCache()
+    thr = probs[len(probs) // 2]
+    d = tempfile.mkdtemp(prefix="curated_qc_")
+    try:
+        manifest = curate_corpus(
+            docs, d, drop_contaminated=True, quality_threshold=thr
+        )
+        got = {
+            r["doc_id"] for r in spark.read.parquet(d).select("doc_id").collect()
+        }
+        member = {
+            r["doc_id"]
+            for r in quality_classifier_score(docs)
+            .where(F.col("quality_prob") >= thr)
+            .collect()
+        }
+        base = _base_keep_ids(spark, docs)
+        assert got == base & member
+        assert 0 < len(got) < len(base)  # the stage actually selected
+        assert manifest["quality"]["threshold"] == thr
+        assert manifest["quality"]["n_docs_at_or_above"] == len(member)
+        assert manifest["stages"]["quality_threshold"] == thr
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.catalog.clearCache()
+
+
+def test_curate_dsir_sample_matches_standalone_op(spark, sf_dir):
+    """dsir_sample=True: the written doc set must be exactly the base
+    keep set intersected with corpus_dsir_sample's deterministic
+    membership (the shared _dsir_tagged rule), and the manifest's
+    rule-kept count must equal the standalone report's total."""
+    from de_realtime_voting_spark.operators.pipeline import (
+        _dsir_tagged,
+        corpus_dsir_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="curated_dsir_")
+    try:
+        manifest = curate_corpus(docs, d, drop_contaminated=True, dsir_sample=True)
+        got = {
+            r["doc_id"] for r in spark.read.parquet(d).select("doc_id").collect()
+        }
+        member = {
+            r["doc_id"]
+            for r in _dsir_tagged(docs).where(F.col("kept")).collect()
+        }
+        base = _base_keep_ids(spark, docs)
+        assert got == base & member
+        assert 0 < len(got) < len(base)  # the sampler actually sampled
+        assert manifest["dsir"]["n_docs_kept_by_rule"] == len(member)
+        # and the shared rule reconciles with the standalone report
+        want = {
+            r["source"]: r["n_kept"] for r in corpus_dsir_sample(docs).collect()
+        }
+        by_src = {}
+        for r in _dsir_tagged(docs).where(F.col("kept")).collect():
+            by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+        assert by_src == {s: n for s, n in want.items() if n > 0}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.catalog.clearCache()
+
+
+def test_curate_all_gates_drop_everything_reports_empty(spark, sf_dir):
+    """A gate set that ships NOTHING is a reportable outcome, not a
+    crash: quality_threshold above the score range writes an empty
+    corpus and the manifest says so."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="curated_empty_")
+    try:
+        manifest = curate_corpus(
+            docs, d, drop_contaminated=True, quality_threshold=1.0
+        )
+        assert manifest["n_written_docs"] == 0
+        assert manifest["partitions"] == []
+        assert manifest["quality"]["n_docs_at_or_above"] == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.catalog.clearCache()

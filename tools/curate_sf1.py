@@ -3,7 +3,8 @@
 The sf0.1 pytest gate (tests/test_curate.py) pins the manifest <->
 waterfall identity per stage; this tool runs the ENTIRE option set at
 once (C4 gates + exact dedup + exact decontam + fuzzy decontam +
-span excision + temperature sampling + split) at sf1 and asserts the
+learned quality threshold + DSIR sampling + span excision +
+temperature sampling + split) at sf1 and asserts the
 token-conservation identity that must hold regardless of which docs
 the selection stages keep:
 
@@ -15,6 +16,13 @@ It holds exactly because the excised delta is accounted over shipped
 docs only and tokens() re-tokenizes the join-spaced kept stream to
 exactly the kept array (the same argument as the sf0.1 gate, now under
 every stage simultaneously and one decade more data).
+
+r9 note: with the learned stages on, n_tokens_excised can legitimately
+be 0 -- at sf1 every excision-eligible survivor of the dedup chain
+scores BELOW the median quality bar (measured: 195/195), i.e. the
+repeated-span docs are exactly the boilerplate the classifier drops
+first, the dup_quality_report interaction acting in the materializer.
+The identity is stage-order-independent either way.
 
 Writes CURATE_SF1.json at the repo root: the manifest (wall_s,
 written_bytes, per-partition token rows, temperature table) plus the
@@ -52,6 +60,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(os.path.join(_SF1, "documents.parquet"))
 
+    # the learned filter's bar: the corpus-median published prob (the
+    # QC_ITERS=3 model separates narrowly -- ~1e-3 wide around 0.3526
+    # -- so an absolute constant like 0.5 would ship nothing; a real
+    # deployment picks the bar off the score distribution exactly like
+    # this, then freezes it)
+    from de_realtime_voting_spark.operators.text import (  # noqa: E402
+        quality_classifier_score,
+    )
+
+    q_bar = (
+        quality_classifier_score(docs)
+        .agg(F.expr("percentile(quality_prob, 0.5)"))
+        .collect()[0][0]
+    )
+    spark.catalog.clearCache()
+
     out = tempfile.mkdtemp(prefix="curated_sf1_")
     try:
         manifest = curate_corpus(
@@ -61,6 +85,8 @@ def main() -> None:
             fuzzy_gate=True,
             excise_spans=True,
             temperature_sample=True,
+            quality_threshold=q_bar,
+            dsir_sample=True,
         )
         written_tokens = sum(p["approx_tokens"] for p in manifest["partitions"])
         excised = manifest["n_tokens_excised"]
@@ -89,6 +115,8 @@ def main() -> None:
             "token_conservation_holds": bool(identity_holds),
             "n_partitions": len(manifest["partitions"]),
             "temperature": manifest.get("temperature"),
+            "quality": manifest.get("quality"),
+            "dsir": manifest.get("dsir"),
         }
         with open(os.path.join(_REPO, "CURATE_SF1.json"), "w") as f:
             json.dump(report, f, indent=1)
