@@ -365,13 +365,21 @@ TOKEN_BUDGET = 12_000
 # frame has at most TOKEN_BUDGET_BUCKETS+1 rows (the only
 # unpartitioned window in the op runs over that tiny frame).
 TOKEN_BUDGET_BUCKETS = 1000
-# Bloom prefilter sizing for bloom_decontam: m = 1<<20 bits, k = 2
-# hash probes derived from one xxhash64.  At |eval grams| ~ 1e4 the
-# false-positive rate is (1 - e^{-kn/m})^k ~ 4e-4 -- the exact
-# verify join sees almost nothing but true hits.  Widen m with the
-# eval-benchmark suite, not with the corpus: corpus size never
-# appears in the filter's sizing math.
+# Bloom prefilter sizing for bloom_decontam / stream_bloom_quarantine:
+# k = 2 hash probes derived from one xxhash64; m AUTO-SIZES to the
+# eval gram count at build time -- the next power of two >=
+# BLOOM_BITS_PER_ITEM * n, floored at BLOOM_M_BITS -- so the
+# false-positive rate stays ~(1 - e^{-2n/m})^2 <~ 2% however large
+# the benchmark suite grows.  (r9 fix: the sf10 probe caught the
+# former FIXED 1<<20 image saturating once |eval grams| reached ~m --
+# fp -> 1, the prefilter stopped pruning, and the verify join
+# shuffled the whole corpus gram stream: 109 s at sf10 vs the ~35 s a
+# linear op costs.  A Bloom must be sized to its key set; the probe
+# derives m from the image length, so build and probe can't drift.)
+# m still scales with the EVAL SUITE only -- ~2 bytes per eval gram,
+# a broadcast-sized artifact -- never with the corpus.
 BLOOM_M_BITS = 1 << 20
+BLOOM_BITS_PER_ITEM = 16
 # Distributed BPE trainer: fixed merge count so the DuckDB oracle
 # unrolls to plain chained CTEs (the pagerank precedent); ties break
 # on (count desc, left asc, right asc) so the merge table is
@@ -459,6 +467,16 @@ FUZZY_DECONTAM_THRESHOLD = 0.5
 # iterations -- both engines compute iteration t+1 from the same
 # published iteration-t model.
 QC_BUCKETS = 128
+# 3 full-batch steps.  Depth was A/B'd at r9 (tools/qc_depth_ab.py:
+# the exact loop, 30 steps at sf1): per-step wall is FLAT (first-5
+# 3.2 s vs last-5 1.9 s -- no lineage/cache leak) and max |dw| decays
+# geometrically (1.2e-3 at step 30), so Spark-side depth is a pure
+# linear-cost knob -- production trains as deep as it likes.  The
+# BINDING constraint is the ORACLE: the closed CTE chain costs ~2x
+# wall per +2 steps and a 5-step chain measured 62-65 s per query in
+# DuckDB at the driver's sf0.01 (vs ~35 s at 3) -- risking the
+# correctness window for zero parity value, so the replayed depth
+# stays 3.  PLANS.md holds the full depth table.
 QC_ITERS = 3
 QC_LR = 0.5
 QC_ROUND = 6

@@ -482,17 +482,24 @@ BLOOM_SHIFTS = (0, 17)
 
 
 def bloom_bits(hashes) -> "object":
-    """Build the BLOOM_M_BITS-bit Bloom image (packed uint8 numpy
-    array) from int64 xxhash64 values -- the single bit-layout
-    definition behind bloom_decontam and streaming.
-    stream_bloom_quarantine."""
+    """Build the Bloom image (packed uint8 numpy array) from int64
+    xxhash64 values -- the single bit-layout definition behind
+    bloom_decontam and streaming.stream_bloom_quarantine.
+
+    m AUTO-SIZES to the key count: next power of two >=
+    BLOOM_BITS_PER_ITEM * n, floored at BLOOM_M_BITS (r9 -- the sf10
+    probe caught the fixed-m image saturating once the eval suite
+    outgrew it; see constants.py).  The probe derives m from the
+    image length, so a build/probe pair can never disagree."""
     import numpy as np
 
-    from ..constants import BLOOM_M_BITS
+    from ..constants import BLOOM_BITS_PER_ITEM, BLOOM_M_BITS
 
-    m = BLOOM_M_BITS
-    bits = np.zeros(m // 8, dtype=np.uint8)
     hv = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+    m = BLOOM_M_BITS
+    while m < len(hv) * BLOOM_BITS_PER_ITEM:
+        m <<= 1
+    bits = np.zeros(m // 8, dtype=np.uint8)
     for shift in BLOOM_SHIFTS:
         p = ((hv >> np.uint64(shift)) % np.uint64(m)).astype(np.int64)
         np.bitwise_or.at(bits, p >> 3, np.uint8(1) << (p & 7).astype(np.uint8))
@@ -502,17 +509,59 @@ def bloom_bits(hashes) -> "object":
 def bloom_probe(bits, hashes) -> "object":
     """Vectorized membership test against a bloom_bits image: True
     where ALL BLOOM_SHIFTS probe bits are set (possible member),
-    False only for definite non-members."""
+    False only for definite non-members.  m comes from the image
+    itself (bits are packed 8/byte), never from a constant that
+    could drift from the build side.  The numpy REFERENCE
+    implementation -- production probing is the Catalyst twin
+    bloom_probe_expr (bit-parity pytest-pinned); this one remains the
+    test oracle and the small-batch path."""
     import numpy as np
 
-    from ..constants import BLOOM_M_BITS
-
-    m = BLOOM_M_BITS
+    m = int(bits.size) * 8
     hv = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
     hit = np.ones(len(hv), dtype=bool)
     for shift in BLOOM_SHIFTS:
         p = ((hv >> np.uint64(shift)) % np.uint64(m)).astype(np.int64)
         hit &= ((bits[p >> 3] >> (p & 7).astype(np.uint8)) & 1).astype(bool)
+    return hit
+
+
+def bloom_words_scalar(spark, bits):
+    """(words_column, m): the bloom_bits image as a SCALAR-SUBQUERY
+    array<bigint> column plus its bit size -- the JVM-side carrier
+    bloom_probe_expr probes against.
+
+    Why this shape (r9, all measured at sf10 / 22.4M grams):
+      * pandas_udf probe: the Arrow boundary itself cost 95-157 s
+        even for a zero-work UDF -- the per-row crossing, not the
+        bit test, was the op's entire scale problem;
+      * F.lit(list/ndarray): pyspark expands to a 524k-child
+        CreateArray (107 s of driver analysis before the first task);
+      * THIS: one Arrow-built 1-row LocalRelation lifted into the
+        expression via DataFrame.scalar() -- 0.6 s to build, probe
+        runs whole-stage-codegen JVM-side at ~the xxhash scan rate.
+    Little-endian int64 view of the packed uint8 image: word p>>6
+    bit p&63 lands on byte p>>3 bit p&7, exactly bloom_bits' layout,
+    so the numpy and Catalyst probes are bit-identical (pytest-pinned).
+    """
+    import pandas as pd
+
+    words = bits.view("<i8")
+    wdf = spark.createDataFrame(pd.DataFrame({"w": [words.tolist()]}))
+    return wdf.select("w").scalar(), int(bits.size) * 8
+
+
+def bloom_probe_expr(words_col, m: int, h):
+    """Catalyst twin of bloom_probe: True where all BLOOM_SHIFTS
+    probe bits are set, for an int64 hash COLUMN h.  m is a power of
+    two (bloom_bits guarantees it), so unsigned-shift + mask
+    reproduces the numpy uint64 modulo bit-for-bit."""
+    hit = None
+    for shift in BLOOM_SHIFTS:
+        p = F.shiftrightunsigned(h, shift).bitwiseAND(F.lit(m - 1))
+        word = F.element_at(words_col, (p / F.lit(64)).cast("int") + F.lit(1))
+        b = F.bit_get(word, (p % F.lit(64)).cast("int")) == 1
+        hit = b if hit is None else (hit & b)
     return hit
 
 
@@ -527,45 +576,37 @@ def bloom_decontam(documents: DataFrame) -> DataFrame:
     and probes map-side -- the right plan while the benchmark suite
     fits in a broadcast (tens of MB).  Past that, Catalyst would fall
     back to shuffling EVERY corpus gram against the eval set.  Here
-    the broadcast stays O(BLOOM_M_BITS) -- 128 KiB regardless of
-    corpus OR eval size -- and the map-side Bloom probe (Arrow-batched
-    pandas_udf over xxhash64, two bit tests per gram) drops all but
-    ~fp-rate of clean grams BEFORE the exact verify join, so the
-    shuffle carries true hits plus (1-e^{-2n/m})^2 of noise instead of
-    the whole corpus gram stream.  False positives are removed by the
-    exact join; false negatives are impossible (Bloom), so the answer
-    is bit-identical to the exact path.
+    the carried artifact is the Bloom image -- ~BLOOM_BITS_PER_ITEM/8
+    bytes per EVAL gram (auto-sized at build, see bloom_bits; corpus
+    size never enters the sizing math) -- and the probe is PURE
+    CATALYST (bloom_probe_expr over a scalar-subquery word array:
+    whole-stage codegen, no Python in the corpus-gram path; see
+    bloom_words_scalar for the measured r9 history -- the sf10 probe
+    caught first the fixed-size image saturating, then the Arrow
+    boundary itself dominating).  The probe drops all but ~fp-rate of
+    clean grams BEFORE the exact verify join, so the shuffle carries
+    true hits plus a bounded ~2% of noise instead of the whole corpus
+    gram stream.  False positives are removed by the exact join;
+    false negatives are impossible (Bloom), so the answer is
+    bit-identical to the exact path.
 
-    The eval-gram-hash collect() is an index artifact (bounded by the
-    benchmark suite, never the corpus) -- same justification as the
-    IVF codebook collects in operators/similarity.py."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
+    The eval-gram-hash pull (Arrow toPandas) is an index artifact
+    (bounded by the benchmark suite, never the corpus) -- same
+    justification as the IVF codebook collects in
+    operators/similarity.py."""
     toks_d, pairs = _gram_pairs(documents)
     eval_grams = (
         pairs.where(F.col("source") == EVAL_SOURCE).select("gram").distinct()
     )
     bits = bloom_bits(
-        np.array(
-            [
-                r["h"]
-                for r in eval_grams.select(F.xxhash64("gram").alias("h")).collect()
-            ],
-            dtype=np.int64,
-        )
+        eval_grams.select(F.xxhash64("gram").alias("h"))
+        .toPandas()["h"]
+        .to_numpy(dtype="int64")
     )
-
-    def _probe_series(h):
-        return pd.Series(bloom_probe(bits, h.to_numpy(dtype=np.int64)))
-
-    # functional-form pandas_udf: `from __future__ import annotations`
-    # stringifies the pd.Series hints the decorator form would need
-    bloom_maybe = pandas_udf(_probe_series, "boolean")
+    wcol, m = bloom_words_scalar(documents.sparkSession, bits)
 
     candidates = pairs.where(F.col("source") != EVAL_SOURCE).where(
-        bloom_maybe(F.xxhash64("gram"))
+        bloom_probe_expr(wcol, m, F.xxhash64("gram"))
     )
     # deliberately NOT F.broadcast: this op models the eval set past
     # the broadcast threshold, so the verify join is the shuffle path

@@ -1980,7 +1980,11 @@ def _round_py(v: float, n: int) -> float:
     return math.floor(v * s + 0.5) / s
 
 
-def _qc_train_weights(documents: DataFrame) -> tuple[list[float], float, DataFrame]:
+def _qc_train_weights(
+    documents: DataFrame,
+    iters: int | None = None,
+    step_log: list | None = None,
+) -> tuple[list[float], float, DataFrame]:
     """QC_ITERS full-batch gradient-descent steps of the hashed-
     feature logistic regression; returns (weights, bias, feats).
 
@@ -2001,9 +2005,18 @@ def _qc_train_weights(documents: DataFrame) -> tuple[list[float], float, DataFra
     same generic expressions with the all-zero model: 0.0 * x sums
     to exactly 0.0 and sigmoid(0) is exactly 0.5 in IEEE, which is
     what the oracle's closed-form first step hardcodes.
+
+    ``iters``/``step_log`` exist for the depth A/B harness
+    (tools/qc_depth_ab.py): iters overrides QC_ITERS, step_log (a
+    list) receives one (seconds, max |delta w|) tuple per step.  The
+    registry path passes neither.
     """
+    import time as _time
+
     from ..constants import QC_BUCKETS, QC_ITERS, QC_LR, QC_ROUND
 
+    if iters is None:
+        iters = QC_ITERS
     spark = documents.sparkSession
     # persist: every iteration's margin AND gradient pass re-reads the
     # feature frame (released by the harnesses' per-query clearCache)
@@ -2012,7 +2025,8 @@ def _qc_train_weights(documents: DataFrame) -> tuple[list[float], float, DataFra
     n = labels.count()
     w = [0.0] * QC_BUCKETS
     bias = 0.0
-    for _ in range(QC_ITERS):
+    for _ in range(iters):
+        _t0 = _time.perf_counter()
         w_df = spark.createDataFrame(
             [(i, wi) for i, wi in enumerate(w)], "b int, w double"
         )
@@ -2038,10 +2052,18 @@ def _qc_train_weights(documents: DataFrame) -> tuple[list[float], float, DataFra
             gb = resid.agg(F.sum("r")).collect()[0][0]
         finally:
             resid.unpersist()
-        w = [
+        new_w = [
             _round_py(w[i] - QC_LR * grads.get(i, 0.0) / n, QC_ROUND)
             for i in range(QC_BUCKETS)
         ]
+        if step_log is not None:
+            step_log.append(
+                (
+                    _time.perf_counter() - _t0,
+                    max(abs(a - b) for a, b in zip(new_w, w)),
+                )
+            )
+        w = new_w
         bias = _round_py(bias - QC_LR * gb / n, QC_ROUND)
     return w, bias, feats
 

@@ -527,46 +527,56 @@ _DEFS: dict[str, QueryFn] = {
 
 # Registry ORDER matters operationally: external checkers iterate in
 # insertion order and may cap how many entries they verify per run
-# (the driver checks ~50).  Round-8 rotation, stalest-first: the four
-# NEW operators first (segment_minhash_dedup, the quality-classifier
-# pair, embedding_prototype_score -- no other registry query's code
-# changed this round), then votes_sessionized (the single r3-vintage
-# driver row left), then all 43 r4-vintage rows, then the two
-# alphabetically-first r5 rows -- 4+1+43+2 fills the 50-entry window
-# exactly, so after this round no query's latest driver green
-# predates r5.  Remaining r5/r6/r7 blocks follow in their previous
-# relative order (they hold the newest green rows).
+# (the driver checks ~50).  Round-9 rotation, stalest-first: the NEW
+# op (ivf_retrain_report) and the three whose implementation was
+# refactored this round (quality_classifier_score/_train share the
+# factored _qc_scores; corpus_dsir_sample now routes through
+# _dsir_tagged -- identical plans, window placement is cheap
+# insurance), then the 3 remaining r4-vintage driver rows, then all
+# 43 r5-vintage rows -- 4+3+43 fills the 50-entry window exactly, so
+# after this round no query's latest driver green predates r6.
+# Remaining r6/r7/r8 blocks follow in their previous relative order
+# (they hold the newest green rows).
 _PRIORITY: list[str] = [
-    # r9: new ops first (stalest-first rotation below)
-    "ivf_retrain_report",
-    # r8 session-2: the two NEW ops + the one whose ORACLE changed
-    # (the block-budget split); they displace the window's last three
-    # rows (votes_sliding_window r4 + the two r5 rows), which rotate
-    # forward next round
-    "ann_hard_negatives", "dedup_minhash_topk", "dedup_embedding_cosine",
+    "ivf_retrain_report", "quality_classifier_score",
+    "quality_classifier_train", "corpus_dsir_sample", "voter_stickiness",
+    "votes_anomaly_zscore", "votes_sliding_window", "ann_bruteforce_topk",
+    "benchmark_decontam", "bigram_logprob_score", "bpe_pair_counts",
+    "corpus_quality_keep", "corpus_source_mix", "curation_waterfall",
+    "customer_top_orders", "dedup_exact", "dedup_incremental",
+    "dedup_minhash_bands", "dedup_simhash", "dedup_simhash_pairs",
+    "doc_embedding_stats", "doc_fingerprint",
+    "doc_length_percentile_filter", "embedding_lsh_buckets",
+    "embedding_norm_outliers", "embedding_quantization_stats",
+    "events_json_props", "invalid_vote_rate", "large_volume_orders",
+    "nation_acctbal", "near_dup_triangles", "ngram_top",
+    "order_priority_count", "registered_non_voters", "repeated_ngram_spans",
+    "small_quantity_revenue", "supplier_nation_revenue", "text_bpe_tokens",
+    "text_c4_filters", "text_lang_id", "text_redact_pii",
+    "text_repetition_score", "text_token_count", "tfidf_top_terms",
+    "token_heavy_hitters_cms", "unigram_logprob_score",
+    "unique_voters_per_candidate", "vocab_coverage",
+    "voter_registration_stats", "votes_value_stats", "ann_hard_negatives",
+    "dedup_minhash_topk", "dedup_embedding_cosine",
     "ann_ivf_hard_negatives", "embedding_centroid_drift",
-    "segment_minhash_dedup", "quality_classifier_train",
-    "quality_classifier_score", "embedding_prototype_score",
-    "votes_sessionized", "ann_pq_rerank_topk",
-    "bloom_decontam", "bpe_fertility_stats", "bpe_train_merges",
-    "contam_span_report", "corpus_epoch_shuffle", "customer_spend_deciles",
-    "dedup_clusters", "dedup_clusters_bigstar", "dedup_keep_canonical",
-    "dedup_soft_weights", "dedup_sorted_neighborhood",
-    "dedup_threshold_sweep", "doc_embed_inference",
-    "doc_length_mad_outliers", "doc_winnowing_fingerprints",
-    "domain_quality_topk", "event_transition_matrix", "hot_key_join_salted",
-    "near_dup_pagerank", "q10_returned_items", "q12_ship_lag_priority",
+    "segment_minhash_dedup", "embedding_prototype_score",
+    "votes_sessionized", "ann_pq_rerank_topk", "bloom_decontam",
+    "bpe_fertility_stats", "bpe_train_merges", "contam_span_report",
+    "corpus_epoch_shuffle", "customer_spend_deciles", "dedup_clusters",
+    "dedup_clusters_bigstar", "dedup_keep_canonical", "dedup_soft_weights",
+    "dedup_sorted_neighborhood", "dedup_threshold_sweep",
+    "doc_embed_inference", "doc_length_mad_outliers",
+    "doc_winnowing_fingerprints", "domain_quality_topk",
+    "event_transition_matrix", "hot_key_join_salted", "near_dup_pagerank",
+    "q10_returned_items", "q12_ship_lag_priority",
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
     "q16_part_supplier_counts", "q19_disjunctive_revenue",
     "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
     "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
     "q9_product_profit", "segment_dedup", "source_capped_selection",
     "source_temperature_weights", "text_entropy_score",
-    "token_budget_select", "top_brand_revenue", "voter_stickiness",
-    "votes_anomaly_zscore", "votes_sliding_window", "ann_bruteforce_topk",
-    "benchmark_decontam", "bigram_logprob_score", "bpe_pair_counts",
-    "corpus_quality_keep", "dedup_substring_spans", "dsir_importance_score",
-    "corpus_dsir_sample", "dedup_ngram_jaccard", "dedup_edit_distance",
+    "token_budget_select", "top_brand_revenue", "dedup_substring_spans",
+    "dsir_importance_score", "dedup_ngram_jaccard", "dedup_edit_distance",
     "corpus_temperature_sample", "corpus_span_excised", "ann_ivf_topk",
     "ann_ivf_probe_sweep", "ann_recall_report", "ivf_cell_balance",
     "semantic_dedup", "embedding_kmeans_iter", "bpe_train_merges_batched",
@@ -583,29 +593,14 @@ _PRIORITY: list[str] = [
     "voter_retention_cohort", "votes_asof_prior_click", "votes_cube",
     "votes_enriched", "votes_in_launch_windows", "votes_minute_rate",
     "votes_per_candidate", "votes_per_candidate_hourly",
-    "embedding_label_cohesion", "corpus_source_mix", "curation_waterfall",
-    "customer_top_orders", "dedup_exact", "dedup_incremental",
-    "dedup_minhash_bands", "dedup_simhash", "dedup_simhash_pairs",
-    "doc_embedding_stats", "doc_fingerprint", "doc_length_percentile_filter",
-    "embedding_lsh_buckets", "embedding_norm_outliers",
-    "embedding_quantization_stats", "events_json_props", "invalid_vote_rate",
-    "large_volume_orders", "nation_acctbal", "near_dup_triangles",
-    "ngram_top", "order_priority_count", "registered_non_voters",
-    "repeated_ngram_spans", "small_quantity_revenue",
-    "supplier_nation_revenue", "text_bpe_tokens", "text_c4_filters",
-    "text_lang_id", "text_redact_pii", "text_repetition_score",
-    "text_token_count", "tfidf_top_terms", "token_heavy_hitters_cms",
-    "unigram_logprob_score", "unique_voters_per_candidate", "vocab_coverage",
-    "voter_registration_stats", "votes_value_stats",
-    "cross_source_dup_matrix", "minhash_band_collision_stats",
-    "dup_quality_report", "token_bucket_drift", "embedding_whitened_norms",
-    "seq_pack_bestfit", "fuzzy_decontam", "normalized_dedup_gain",
-    "repeated_span_excision", "span_excision_stats",
-    "token_distribution_drift", "knn_label_purity",
-    "dedup_ngram_jaccard_scaled",
-    "doc_length_percentile_filter_approx", "votes_approx_stats",
-    "ann_lsh_topk", "corpus_stratified_sample", "corpus_train_split",
-    "dedup_minhash_pairs", "multimodal_binary_stats",
+    "embedding_label_cohesion", "cross_source_dup_matrix",
+    "minhash_band_collision_stats", "dup_quality_report",
+    "token_bucket_drift", "embedding_whitened_norms", "seq_pack_bestfit",
+    "fuzzy_decontam", "normalized_dedup_gain", "repeated_span_excision",
+    "span_excision_stats", "token_distribution_drift", "knn_label_purity",
+    "dedup_ngram_jaccard_scaled", "doc_length_percentile_filter_approx",
+    "votes_approx_stats", "ann_lsh_topk", "corpus_stratified_sample",
+    "corpus_train_split", "dedup_minhash_pairs", "multimodal_binary_stats",
     "multimodal_chunk_stats", "q11_important_stock", "q20_excess_suppliers",
     "q21_waiting_suppliers", "q22_idle_rich_customers",
     "q2_min_cost_supplier", "seq_pack_stats", "text_quality_score",

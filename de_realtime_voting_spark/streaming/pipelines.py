@@ -678,8 +678,16 @@ def stream_bloom_quarantine(documents: DataFrame, corpus: DataFrame) -> DataFram
     COMPLETELY STATELESS: no watermark, no state store, append mode.
     Per-doc cost is O(grams) xxhash64 probes (Catalyst) + one Arrow
     batch crossing for the vectorized bit tests; the Bloom image is
-    corpus-size- AND eval-size-independent (widen BLOOM_M_BITS with
-    the benchmark suite)."""
+    corpus-size-independent, auto-sizes to the eval suite
+    (~BLOOM_BITS_PER_ITEM/8 bytes per eval gram -- bloom_bits), and
+    rides a Spark BROADCAST rather than the UDF closure (closures
+    re-pickle per task; the batch op's r9 measurement).  The Arrow
+    probe stays the right shape HERE: the analyzer forbids subquery
+    expressions inside higher-order functions, so the batch op's
+    scalar-subquery Catalyst probe (bloom_probe_expr) cannot run
+    under the per-doc exists() lambda -- and an ingest gate probes
+    per-arriving-doc batches, not the 22M-gram corpus stream where
+    the Arrow boundary was measured to dominate."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -695,14 +703,11 @@ def stream_bloom_quarantine(documents: DataFrame, corpus: DataFrame) -> DataFram
     # shared build/probe (operators.pipeline.bloom_bits/bloom_probe):
     # the stream gate and the batch adjudicator can never hash apart
     bits = bloom_bits(
-        np.array(
-            [
-                r["h"]
-                for r in eval_grams.select(F.xxhash64("gram").alias("h")).collect()
-            ],
-            dtype=np.int64,
-        )
+        eval_grams.select(F.xxhash64("gram").alias("h"))
+        .toPandas()["h"]
+        .to_numpy(dtype="int64")
     )
+    bbits = corpus.sparkSession.sparkContext.broadcast(bits)
 
     def _any_hit(hs):
         lens = hs.map(len).to_numpy(dtype=np.int64)
@@ -712,7 +717,7 @@ def stream_bloom_quarantine(documents: DataFrame, corpus: DataFrame) -> DataFram
         flat = np.concatenate(
             [np.asarray(x, dtype=np.int64) for x in hs if len(x)]
         )
-        hit = bloom_probe(bits, flat)
+        hit = bloom_probe(bbits.value, flat)
         doc_idx = np.repeat(np.arange(len(hs)), lens)
         out[np.unique(doc_idx[hit])] = True
         return pd.Series(out)

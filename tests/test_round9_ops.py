@@ -86,3 +86,44 @@ def test_ivf_retrain_trained_arm_matches_recall_report(spark, sf_dir):
     mean_r = sum(retrained[q].n / ks[q] for q in sorted(ks)) / len(ks)
     (gate,) = [r for r in retrain if r.component == "gate"]
     assert abs(gate.value - _half_up(mean_r - mean_t, 6)) < 1e-9
+
+
+def test_bloom_probe_expr_matches_numpy(spark):
+    """bloom_probe_expr (the Catalyst corpus-path probe) and
+    bloom_probe (the numpy reference / stream path) must agree
+    bit-for-bit on the same image -- including around the auto-size
+    boundary -- and the build must never produce false negatives."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from de_realtime_voting_spark.constants import BLOOM_M_BITS
+    from de_realtime_voting_spark.operators.pipeline import (
+        bloom_bits,
+        bloom_probe,
+        bloom_probe_expr,
+        bloom_words_scalar,
+    )
+
+    rng = np.random.default_rng(7)
+    for n_keys in (1000, BLOOM_M_BITS // 16 + 5000):  # below / above resize
+        keys = rng.integers(-(2**63), 2**63 - 1, size=n_keys, dtype=np.int64)
+        probes = np.concatenate(
+            [keys[:500], rng.integers(-(2**63), 2**63 - 1, 2000, dtype=np.int64)]
+        )
+        bits = bloom_bits(keys)
+        if n_keys > BLOOM_M_BITS // 16:
+            assert bits.size * 8 > BLOOM_M_BITS  # the resize engaged
+        want = bloom_probe(bits, probes)
+        assert bool(bloom_probe(bits, keys).all())  # zero false negatives
+        wcol, m = bloom_words_scalar(spark, bits)
+        assert m == bits.size * 8
+        got = (
+            spark.createDataFrame(
+                [(int(i), int(h)) for i, h in enumerate(probes)], "i long, h long"
+            )
+            .select("i", bloom_probe_expr(wcol, m, F.col("h")).alias("hit"))
+            .toPandas()
+            .sort_values("i")["hit"]
+            .to_numpy()
+        )
+        assert (got == want).all()

@@ -119,6 +119,37 @@ def write_doc_slices(out_dir: str, volume: int) -> None:
         pq.write_table(tab, os.path.join(out_dir, f"{s:03d}.parquet"))
 
 
+E_BASE = 1_000
+
+
+def write_emb_slices(out_dir: str, volume: int) -> None:
+    """`volume` embedding rows, one parquet file per slice --
+    deterministic pseudo-random float32 vectors (the make_sf1 value
+    recipe) so 1x and 10x feeds cover the same vector space and only
+    the RATE grows."""
+    from de_realtime_voting_spark.constants import EMBEDDING_DIM
+
+    os.makedirs(out_dir, exist_ok=True)
+    per_slice = volume // 6
+    for s in range(6):
+        hi = (s + 1) * per_slice if s < 5 else volume
+        idx = range(s * per_slice, hi)
+        vecs = [
+            [
+                ((1 + i * EMBEDDING_DIM + j) * 2654435761 % 2000) / 1000.0 - 1.0
+                for j in range(EMBEDDING_DIM)
+            ]
+            for i in idx
+        ]
+        tab = pa.table(
+            {
+                "vec_id": pa.array(list(idx), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            }
+        )
+        pq.write_table(tab, os.path.join(out_dir, f"{s:03d}.parquet"))
+
+
 def _await_drained(q, max_sec: float = 600.0) -> None:
     """awaitTermination with an escape hatch for processing-time
     timeouts: FlatMapGroupsWithStateExec.shouldRunAnotherBatch is
@@ -206,7 +237,7 @@ def run_stateful(spark, src_dir: str, schema, build, output_mode: str) -> dict:
 def _pipelines():
     """(name, domain, build, mode, bound_rows, growth_cap, contract)."""
     from de_realtime_voting_spark.constants import (
-        CMS_DEPTH, CMS_WIDTH, DRIFT_BUCKETS, PACK_SHARDS,
+        CMS_DEPTH, CMS_WIDTH, DRIFT_BUCKETS, IVF_K, PACK_SHARDS,
     )
     from de_realtime_voting_spark.streaming import pipelines as P
     from de_realtime_voting_spark.streaming import state as S
@@ -281,6 +312,11 @@ def _pipelines():
          "update", PACK_SHARDS * DOC_SOURCES, 1.05,
          "three numbers per (lang, shard) key -- rate- and "
          "corpus-independent (key domain: langs x shards of the feed)"),
+        ("stream_centroid_drift", "emb", P.stream_centroid_drift, "update",
+         IVF_K, 1.05,
+         "one (count + DIM running sums) row per occupied IVF cell -- "
+         "O(K) regardless of stream length and vector count (the "
+         "token_cms bounded-aggregation shape on the vector axis)"),
         ("drift_alarm_tracker", "docs",
          lambda d: S.drift_alarm_tracker(
              d, [1.0 / DRIFT_BUCKETS] * DRIFT_BUCKETS, 0.3),
@@ -377,16 +413,25 @@ def main() -> None:
         StructField("source", StringType()),
         StructField("text", StringType()),
     ])
+    from pyspark.sql.types import ArrayType, FloatType
+
+    emb_schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
 
     base = tempfile.mkdtemp(prefix="state_soak_data_")
     feeds = {}
     for scale, v_votes, v_docs in ((1, V_BASE, D_BASE), (10, V_BASE * 10, D_BASE * 10)):
         vd = os.path.join(base, f"votes_{scale}x")
         dd = os.path.join(base, f"docs_{scale}x")
+        ed = os.path.join(base, f"emb_{scale}x")
         write_vote_slices(vd, v_votes)
         write_doc_slices(dd, v_docs)
+        write_emb_slices(ed, E_BASE * scale)
         feeds[scale] = {"votes": (vd, vote_schema, v_votes),
-                        "docs": (dd, doc_schema, v_docs)}
+                        "docs": (dd, doc_schema, v_docs),
+                        "emb": (ed, emb_schema, E_BASE * scale)}
 
     args = sys.argv[1:]
     horizon_only = "--horizon" in args
