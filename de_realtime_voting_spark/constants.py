@@ -368,9 +368,16 @@ TOKEN_BUDGET_BUCKETS = 1000
 # Bloom prefilter sizing for bloom_decontam / stream_bloom_quarantine:
 # k = 2 hash probes derived from one xxhash64; m AUTO-SIZES to the
 # eval gram count at build time -- the next power of two >=
-# BLOOM_BITS_PER_ITEM * n, floored at BLOOM_M_BITS -- so the
-# false-positive rate stays ~(1 - e^{-2n/m})^2 <~ 2% however large
-# the benchmark suite grows.  (r9 fix: the sf10 probe caught the
+# BLOOM_BITS_PER_ITEM * n, floored at BLOOM_M_BITS -- targeting
+# ~(1 - e^{-2n/m})^2 <~ 2% false positives however large the
+# benchmark suite grows.  That formula assumes independent probes;
+# BLOOM_SHIFTS=(0, 17) derives both probes from ONE xxhash64, so
+# once m exceeds 2^17 the two index windows share source bits (e.g.
+# bits 17..28 overlap at m=2^29) and the realized fp rate sits
+# somewhat above the independent-probe estimate.  This is a sizing
+# heuristic, not a correctness bound: the exact verify join behind
+# every Bloom consumer removes all false positives, so probe
+# correlation costs only a little extra verify traffic.  (r9 fix: the sf10 probe caught the
 # former FIXED 1<<20 image saturating once |eval grams| reached ~m --
 # fp -> 1, the prefilter stopped pruning, and the verify join
 # shuffled the whole corpus gram stream: 109 s at sf10 vs the ~35 s a

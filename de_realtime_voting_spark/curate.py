@@ -112,54 +112,60 @@ def curate_corpus(
     # clearCache()s between queries), this is the standalone
     # entry point, so every frame persisted here is released in the
     # finally below -- repeated curate_corpus calls in a long-lived
-    # service must not accumulate cache entries.
+    # service must not accumulate cache entries.  The try starts
+    # BEFORE the first persisting stage: the quality/DSIR stages run
+    # eager actions (training collects, .count()) between persist and
+    # write, and a failure there must release what's already cached.
     _stage_caches = []
     n_quality_kept = None
-    if quality_threshold is not None:
-        from .operators.text import _qc_scores
-
-        scores, feats = _qc_scores(documents)
-        _stage_caches.append(feats)
-        # persist: the kept-id frame feeds the keep-set join AND the
-        # manifest count -- unpersisted, the QC_ITERS training loop
-        # would run twice
-        q_kept = (
-            scores.where(F.col("quality_prob") >= F.lit(quality_threshold))
-            .select("doc_id")
-            .persist()
-        )
-        _stage_caches.append(q_kept)
-        n_quality_kept = q_kept.count()
-        keep = keep.join(q_kept, "doc_id", "left_semi")
     n_dsir_kept = None
-    if dsir_sample:
-        from .operators.pipeline import _dsir_tagged
-
-        d_kept = (
-            _dsir_tagged(documents, caches=_stage_caches)
-            .where(F.col("kept"))
-            .select("doc_id")
-            .persist()
-        )
-        _stage_caches.append(d_kept)
-        n_dsir_kept = d_kept.count()
-        keep = keep.join(d_kept, "doc_id", "left_semi")
-    curated = documents.join(keep, "doc_id")
     thresholds = None
-    if temperature_sample:
-        from .operators.pipeline import _temp_bucket, _temperature_thresholds
-
-        thresholds = _temperature_thresholds(documents)
-        _stage_caches.append(thresholds)
-        curated = (
-            curated.withColumn("_bucket", _temp_bucket())
-            .join(
-                F.broadcast(thresholds.select("source", "threshold")), "source"
-            )
-            .where(F.col("_bucket") < F.col("threshold"))
-            .drop("_bucket", "threshold")
-        )
     try:
+        if quality_threshold is not None:
+            from .operators.text import _qc_scores
+
+            scores, feats = _qc_scores(documents)
+            _stage_caches.append(feats)
+            # persist: the kept-id frame feeds the keep-set join AND
+            # the manifest count -- unpersisted, the QC_ITERS training
+            # loop would run twice
+            q_kept = (
+                scores.where(
+                    F.col("quality_prob") >= F.lit(quality_threshold)
+                )
+                .select("doc_id")
+                .persist()
+            )
+            _stage_caches.append(q_kept)
+            n_quality_kept = q_kept.count()
+            keep = keep.join(q_kept, "doc_id", "left_semi")
+        if dsir_sample:
+            from .operators.pipeline import _dsir_tagged
+
+            d_kept = (
+                _dsir_tagged(documents, caches=_stage_caches)
+                .where(F.col("kept"))
+                .select("doc_id")
+                .persist()
+            )
+            _stage_caches.append(d_kept)
+            n_dsir_kept = d_kept.count()
+            keep = keep.join(d_kept, "doc_id", "left_semi")
+        curated = documents.join(keep, "doc_id")
+        if temperature_sample:
+            from .operators.pipeline import _temp_bucket, _temperature_thresholds
+
+            thresholds = _temperature_thresholds(documents)
+            _stage_caches.append(thresholds)
+            curated = (
+                curated.withColumn("_bucket", _temp_bucket())
+                .join(
+                    F.broadcast(thresholds.select("source", "threshold")),
+                    "source",
+                )
+                .where(F.col("_bucket") < F.col("threshold"))
+                .drop("_bucket", "threshold")
+            )
         excised_tokens_delta = None
         if excise_spans:
             from .operators.text import _span_excised_tokens

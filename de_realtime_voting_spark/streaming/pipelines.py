@@ -659,6 +659,28 @@ def stream_span_excision(documents: DataFrame, ref_grams: list[str]) -> DataFram
     )
 
 
+# Bloom-image broadcasts created by stream_bloom_quarantine, one per
+# pipeline build.  Each must outlive its streaming query (executors
+# re-fetch the image on task retry), so the builder cannot destroy it
+# -- a long-lived service that builds many quarantine pipelines calls
+# release_bloom_broadcasts() between query stops to reclaim the
+# blocks (the curate.py stage-cache discipline, broadcast edition).
+_BLOOM_BROADCASTS: list = []
+
+
+def release_bloom_broadcasts() -> int:
+    """Destroy every Bloom-image broadcast built so far and return
+    how many were released.  Call ONLY after the streaming queries
+    built over them have stopped: destroy() invalidates the image on
+    executors, so a still-running quarantine gate would fail its next
+    microbatch."""
+    n = len(_BLOOM_BROADCASTS)
+    for b in _BLOOM_BROADCASTS:
+        b.destroy()
+    _BLOOM_BROADCASTS.clear()
+    return n
+
+
 def stream_bloom_quarantine(documents: DataFrame, corpus: DataFrame) -> DataFrame:
     """Ingest-time contamination TRIAGE for eval suites too big to
     ship as a closure array: route each arriving doc to ``admit`` or
@@ -707,7 +729,12 @@ def stream_bloom_quarantine(documents: DataFrame, corpus: DataFrame) -> DataFram
         .toPandas()["h"]
         .to_numpy(dtype="int64")
     )
+    # the broadcast lives as long as the streaming query built over
+    # it: track the handle so a long-lived service can reclaim the
+    # driver/executor blocks via release_bloom_broadcasts() after
+    # the query stops (per-build broadcasts otherwise accumulate)
     bbits = corpus.sparkSession.sparkContext.broadcast(bits)
+    _BLOOM_BROADCASTS.append(bbits)
 
     def _any_hit(hs):
         lens = hs.map(len).to_numpy(dtype=np.int64)

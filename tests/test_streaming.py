@@ -1365,6 +1365,28 @@ def test_stream_bloom_quarantine_never_admits_contamination(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_release_bloom_broadcasts_reclaims_handles(spark, sf_dir):
+    """Every stream_bloom_quarantine build broadcasts one Bloom image
+    that must outlive its query (task retries re-fetch it), so the
+    builder tracks the handle instead of leaking it; a long-lived
+    service reclaims all of them between query stops via
+    release_bloom_broadcasts (r9 ADVICE: per-build broadcasts must
+    not accumulate)."""
+    from de_realtime_voting_spark.streaming import (
+        release_bloom_broadcasts,
+        stream_bloom_quarantine,
+    )
+    from de_realtime_voting_spark.streaming import pipelines as _sp
+
+    docs = load_table(spark, sf_dir, "documents")
+    release_bloom_broadcasts()  # drain handles left by earlier tests
+    stream_bloom_quarantine(docs, docs)  # plan build broadcasts the image
+    stream_bloom_quarantine(docs, docs)
+    assert len(_sp._BLOOM_BROADCASTS) == 2
+    assert release_bloom_broadcasts() == 2
+    assert _sp._BLOOM_BROADCASTS == []
+
+
 def test_stream_token_cms_equals_batch_sketch(spark, sf_dir):
     """The live sketch after draining the stream must equal the batch
     sketch row-for-row (same shared transform, same hashes) -- and
