@@ -2112,13 +2112,73 @@ def quality_classifier_score(documents: DataFrame) -> DataFrame:
     oracle can replay it as one closed CTE chain -- there is no
     artifact store for a fitted model in the oracle contract.  A
     production session that trains then scores should reuse the
-    published weights via the streaming path's quality_model() ->
-    stream_quality_score(weights, bias), which closes over the model
-    instead of refitting; curate.py's --quality-threshold stage calls
-    this op's exact expression ONCE per run (via _qc_scores, which
-    also hands back the feature-frame cache for release).
+    published weights instead of refitting: quality_model(corpus) ->
+    score_from_model(documents, weights, bias) is the batch path
+    (shuffle-free, model as an in-plan literal), and streaming's
+    stream_quality_score is the same plan at the ingest door;
+    curate.py's --quality-threshold stage calls this op's exact
+    expression ONCE per run (via _qc_scores, which also hands back
+    the feature-frame cache for release).
     """
     return _qc_scores(documents)[0]
+
+
+def score_from_model(
+    documents: DataFrame, weights: list[float], bias: float
+) -> DataFrame:
+    """Batch quality scoring from a PUBLISHED model: apply an
+    already-trained (weights, bias) -- streaming.quality_model()'s
+    bounded artifact, or quality_classifier_train's rows unzipped --
+    to every non-target doc WITHOUT re-running the training loop.
+    Same output contract as quality_classifier_score (doc_id, lang,
+    source, quality_prob at 6 decimals); this is the production batch
+    path the registry op intentionally does not take (its per-call
+    retrain keeps the oracle's closed CTE replay possible -- see
+    quality_classifier_score's docstring).
+
+    Scale shape: COMPLETELY SHUFFLE-FREE -- the margin folds map-side
+    over each doc's own tokens (sum(x_b * w_b) over buckets ==
+    sum(w[bucket(tok)]) over tokens, divided by the token count) with
+    the QC_BUCKETS-double model as an in-plan literal, so scoring
+    runs at scan rate on any corpus size.  The two summation orders
+    differ only in float reassociation (~1e-15 relative); agreement
+    with the registry op is pytest-pinned at the rounding grain.
+    ONE definition for batch and ingest: streaming's
+    stream_quality_score delegates here (stateless projection, so the
+    identical plan runs under a streaming source)."""
+    from ..constants import EVAL_SOURCE, QC_BUCKETS
+    from ..functions.columns import md5_mod_bucket
+
+    w_lit = F.lit(weights).cast("array<double>")
+    # The tokenizer runs ONCE per row: the empty-doc gate is the
+    # split-free equivalent trim(text) != '' (tokens() splits on ' '
+    # and drops empties, so size(toks) >= 1 <=> some non-space char
+    # survives trim) -- a size(tokens(...)) row filter would be
+    # pushed below the projection with the split re-inlined, and the
+    # margin fold referencing `toks` twice is what blocks
+    # CollapseProject from re-inlining the projection itself (the
+    # _doc_shingles barrier rationale, shuffle-free edition).
+    base = documents.where(
+        (F.col("source") != F.lit(EVAL_SOURCE)) & (F.trim(F.col("text")) != "")
+    ).select("doc_id", "lang", "source", tokens(F.col("text")).alias("toks"))
+    margin = (
+        F.aggregate(
+            F.transform(
+                F.col("toks"),
+                lambda t: F.element_at(w_lit, md5_mod_bucket(t, QC_BUCKETS) + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size("toks")
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(float(bias)) + margin)))
+    return base.select(
+        "doc_id",
+        "lang",
+        "source",
+        rnd(prob, 6).alias("quality_prob"),
+    )
 
 
 def _qc_scores(documents: DataFrame) -> tuple[DataFrame, DataFrame]:

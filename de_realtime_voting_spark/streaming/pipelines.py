@@ -1162,46 +1162,20 @@ def stream_quality_score(
     stream needs no reusable frame, and the margin folds map-side --
     sum(x_b * w_b) over buckets == sum(w[bucket(tok)]) over tokens
     divided by the token count, so one array fold over the doc's own
-    tokens computes it with the model as an in-closure literal.
+    tokens computes it with the model as an in-plan literal.
     The two summation orders differ only in float reassociation
     (~1e-15 relative); batch/stream agreement is pytest-pinned at
     the rounding grain rather than bit-exact (documented, the
     votes_approx-style tolerance pin).
-    """
-    from ..constants import EVAL_SOURCE, QC_BUCKETS
-    from ..functions import tokens
-    from ..functions.columns import md5_mod_bucket, round_half_up
 
-    w_lit = F.lit(weights).cast("array<double>")
-    # The tokenizer runs ONCE per row: the empty-doc gate is the
-    # split-free equivalent trim(text) != '' (tokens() splits on ' '
-    # and drops empties, so size(toks) >= 1 <=> some non-space char
-    # survives trim) -- a size(tokens(...)) row filter would be
-    # pushed below the projection with the split re-inlined, and the
-    # margin fold referencing `toks` twice is what blocks
-    # CollapseProject from re-inlining the projection itself (the
-    # _doc_shingles barrier rationale, shuffle-free edition).
-    base = documents.where(
-        (F.col("source") != F.lit(EVAL_SOURCE)) & (F.trim(F.col("text")) != "")
-    ).select("doc_id", "lang", "source", tokens(F.col("text")).alias("toks"))
-    margin = (
-        F.aggregate(
-            F.transform(
-                F.col("toks"),
-                lambda t: F.element_at(w_lit, md5_mod_bucket(t, QC_BUCKETS) + 1),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        / F.size("toks")
-    )
-    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(float(bias)) + margin)))
-    return base.select(
-        "doc_id",
-        "lang",
-        "source",
-        round_half_up(prob, 6).alias("quality_prob"),
-    )
+    ONE definition of from-model scoring: the plan IS
+    operators.text.score_from_model (a stateless projection runs
+    identically under a batch or streaming source) -- this wrapper is
+    the ingest-time face, score_from_model the production batch path.
+    """
+    from ..operators.text import score_from_model
+
+    return score_from_model(documents, weights, bias)
 
 
 def prototype_calibration(embeddings: DataFrame) -> dict[int, tuple[float, float]]:
