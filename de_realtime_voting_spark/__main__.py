@@ -66,6 +66,18 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="DSIR importance-resampling selection",
     )
+    cur_p.add_argument(
+        "--pack",
+        action="store_true",
+        help="write FFD whole-doc (pack_shard, pack_window) columns",
+    )
+    cur_p.add_argument(
+        "--epoch-shuffle",
+        type=int,
+        default=None,
+        metavar="SEED",
+        help="write the seeded epoch-shuffle sort key as a column",
+    )
     args = p.parse_args(argv)
 
     from .queries import NO_ORACLE, QUERY_REGISTRY
@@ -104,6 +116,8 @@ def main(argv: list[str] | None = None) -> int:
             temperature_sample=args.temperature_sample,
             quality_threshold=args.quality_threshold,
             dsir_sample=args.dsir_sample,
+            pack=args.pack,
+            epoch_shuffle=args.epoch_shuffle,
         )
         print(json.dumps(manifest, indent=1))
         return 0

@@ -40,6 +40,8 @@ def curate_corpus(
     temperature_sample: bool = False,
     quality_threshold: float | None = None,
     dsir_sample: bool = False,
+    pack: bool = False,
+    epoch_shuffle: int | None = None,
 ) -> dict:
     """Run the full curation chain over ``documents`` and write the
     surviving corpus to ``out_dir`` partitioned by (split, lang).
@@ -85,6 +87,26 @@ def curate_corpus(
       threshold floor(exp(w - w_max) * 10000), md5('dsir:'||doc_id)
       bucket).  Docs too short to score (< 2 tokens) are outside the
       sample frame and do not pass.
+
+    Loader-ready stages (r10 -- the written shards carry the layout
+    a training loader needs, closing the report -> transform gap for
+    #47n and #89):
+
+    - ``pack``: assign every shipped doc a (pack_shard, pack_window)
+      by first-fit-decreasing whole-doc packing into
+      PACK_WINDOW_TOKENS windows (pipeline._ffd_assign --
+      seq_pack_bestfit's exact FFD rule, applied to the FINAL shipped
+      text so window budgets reflect post-excision token counts).
+      Packing groups by (split, lang, pack_shard): the report op
+      packs (lang, shard) over the whole table, but a written window
+      must never span splits (a loader reads one split) -- same rule,
+      split-scoped groups.  Docs whose final text has zero tokens get
+      pack_window -1 (nothing to pack).
+    - ``epoch_shuffle`` (a seed): write shuffle_key =
+      md5('epoch{seed}:'||doc_id) (pipeline.epoch_shuffle_key --
+      corpus_epoch_shuffle's exact sort key) as a column, so a loader
+      realizes epoch ``seed``'s global order by sorting its split on
+      (shuffle_key, doc_id) -- the #89 preview's order, materialized.
     """
     _t0 = time.perf_counter()
     tags = curation_tags(documents)
@@ -196,6 +218,58 @@ def curate_corpus(
                 .withColumns(replaced)
                 .drop("kept")
             )
+        if pack:
+            # runs AFTER excision so window budgets count the tokens a
+            # loader actually reads; the FFD rule itself is the report
+            # op's (_ffd_assign), groups add split (windows must not
+            # span the partition a loader reads).  applyInPandas per
+            # (split, lang, pack_shard): the same bounded-group shape
+            # as seq_pack_bestfit -- group size is capped by the shard
+            # fan-out, groups pack in parallel across executors.
+            import pandas as pd
+
+            from .constants import PACK_SHARDS, PACK_WINDOW_TOKENS
+            from .functions.columns import tokens as _tokens
+            from .operators.pipeline import _ffd_assign
+
+            _win = int(PACK_WINDOW_TOKENS)
+            per_doc = curated.select(
+                "split",
+                "lang",
+                (F.col("doc_id") % PACK_SHARDS).cast("bigint").alias(
+                    "pack_shard"
+                ),
+                "doc_id",
+                # greatest(.., 0): size(NULL) is -1 under non-ANSI
+                F.greatest(
+                    F.size(_tokens(F.col("text"))), F.lit(0)
+                ).alias("_nt"),
+            )
+
+            def _assign(pdf: "pd.DataFrame") -> "pd.DataFrame":
+                asg = _ffd_assign(
+                    zip(pdf["_nt"], pdf["doc_id"]), _win
+                )
+                return pd.DataFrame(
+                    {
+                        "doc_id": list(asg.keys()),
+                        "pack_window": list(asg.values()),
+                    }
+                )
+
+            assignments = per_doc.groupBy(
+                "split", "lang", "pack_shard"
+            ).applyInPandas(_assign, "doc_id bigint, pack_window int")
+            curated = curated.withColumn(
+                "pack_shard",
+                (F.col("doc_id") % PACK_SHARDS).cast("bigint"),
+            ).join(assignments.select("doc_id", "pack_window"), "doc_id")
+        if epoch_shuffle is not None:
+            from .operators.pipeline import epoch_shuffle_key
+
+            curated = curated.withColumn(
+                "shuffle_key", epoch_shuffle_key(int(epoch_shuffle))
+            )
         curated.write.partitionBy("split", "lang").mode("overwrite").parquet(out_dir)
 
         # manifest from the WRITTEN data (not the plan): what a training
@@ -244,6 +318,8 @@ def curate_corpus(
                 "temperature_sample": temperature_sample,
                 "quality_threshold": quality_threshold,
                 "dsir_sample": dsir_sample,
+                "pack": pack,
+                "epoch_shuffle": epoch_shuffle,
             },
             "partitions": sorted(
                 (
@@ -270,6 +346,49 @@ def curate_corpus(
         if dsir_sample:
             # docs the DSIR membership rule keeps (ditto)
             manifest["dsir"] = {"n_docs_kept_by_rule": int(n_dsir_kept)}
+        if pack:
+            # window accounting from the WRITTEN data: per-window used
+            # tokens (clamped at the window size -- the truncation
+            # rule), reduced to one bounded stats row; a capacity
+            # violation here would mean the written layout diverged
+            # from the FFD rule, so max_used is part of the manifest
+            per_win = (
+                written.select(
+                    "split",
+                    "lang",
+                    "pack_shard",
+                    "pack_window",
+                    F.least(
+                        F.greatest(
+                            F.size(tokens(F.col("text"))), F.lit(0)
+                        ),
+                        F.lit(_win),
+                    ).alias("_used"),
+                )
+                .where(F.col("pack_window") >= 0)
+                .groupBy("split", "lang", "pack_shard", "pack_window")
+                .agg(F.sum("_used").alias("used"))
+            )
+            pstats = per_win.agg(
+                F.count(F.lit(1)).alias("n_windows"),
+                F.avg(F.col("used") / _win).alias("avg_fill"),
+                F.max("used").alias("max_used"),
+            ).collect()[0]
+            n_unpacked = written.where(F.col("pack_window") < 0).count()
+            manifest["pack"] = {
+                "window_tokens": _win,
+                "n_shards": PACK_SHARDS,
+                "n_windows": int(pstats["n_windows"]),
+                "avg_fill": round(float(pstats["avg_fill"] or 0.0), 6),
+                "max_window_tokens_used": (
+                    int(pstats["max_used"])
+                    if pstats["max_used"] is not None
+                    else 0
+                ),
+                "n_unpacked_docs": int(n_unpacked),
+            }
+        if epoch_shuffle is not None:
+            manifest["epoch_shuffle"] = {"seed": int(epoch_shuffle)}
         if temperature_sample:
             # per-source target vs realized keep rate over the WRITTEN
             # docs: thresholds is |sources| rows (already persisted), the

@@ -438,6 +438,19 @@ def source_temperature_weights(documents: DataFrame) -> DataFrame:
     )
 
 
+def epoch_shuffle_key(seed: int):
+    """md5('epoch{seed}:' || doc_id) -- the seeded, engine-independent
+    epoch-permutation sort key.  ONE definition shared by the
+    corpus_epoch_shuffle preview (#89) and curate.py's
+    --epoch-shuffle stage (which writes it as a column), so the
+    audit's "what does the loader feed first" order IS the order a
+    loader realizes by sorting the written shards on
+    (shuffle_key, doc_id)."""
+    return F.md5(
+        F.concat(F.lit(f"epoch{seed}:"), F.col("doc_id").cast("string"))
+    )
+
+
 def corpus_epoch_shuffle(documents: DataFrame) -> DataFrame:
     """Deterministic epoch-shuffle preview: the first EPOCH_PREVIEW_N
     docs of epoch EPOCH_SEED's global training order, where the order
@@ -457,9 +470,7 @@ def corpus_epoch_shuffle(documents: DataFrame) -> DataFrame:
     """
     from ..constants import EPOCH_PREVIEW_N, EPOCH_SEED
 
-    key = F.md5(
-        F.concat(F.lit(f"epoch{EPOCH_SEED}:"), F.col("doc_id").cast("string"))
-    )
+    key = epoch_shuffle_key(EPOCH_SEED)
     head = (
         documents.select("doc_id", key.alias("shuffle_key"))
         .orderBy("shuffle_key", "doc_id")
@@ -1085,6 +1096,38 @@ def corpus_dsir_sample(documents: DataFrame) -> DataFrame:
     )
 
 
+def _ffd_assign(docs, win: int) -> dict:
+    """First-fit-decreasing whole-doc window assignment -- THE single
+    FFD rule shared by the seq_pack_bestfit report (#47n) and
+    curate.py's --pack stage, so the report's window count and the
+    written pack_window column can never drift.  ``docs`` is an
+    iterable of (n_tokens, doc_id); returns {doc_id: window_id}.
+    Token counts clamp to [0, win] (a doc longer than the window
+    truncates to a full window of its own -- the standard rule);
+    zero-token docs pack nothing and get window -1.  Deterministic:
+    placement order is (tokens desc, doc_id asc), windows are
+    numbered in creation order and probed first-fit in that order.
+    """
+    bins: list[int] = []  # used tokens per open window
+    out: dict[int, int] = {}
+    for t, d in sorted(
+        ((max(0, min(int(t), win)), int(d)) for t, d in docs),
+        key=lambda x: (-x[0], x[1]),
+    ):
+        if t == 0:
+            out[d] = -1
+            continue
+        for i, used in enumerate(bins):
+            if used + t <= win:
+                bins[i] = used + t
+                out[d] = i
+                break
+        else:
+            bins.append(t)
+            out[d] = len(bins) - 1
+    return out
+
+
 def seq_pack_bestfit(documents: DataFrame) -> DataFrame:
     """Whole-document sequence packing, first-fit-decreasing: where
     seq_pack_stats (#40) measures the concat-and-chop layout (docs
@@ -1142,18 +1185,11 @@ def seq_pack_bestfit(documents: DataFrame) -> DataFrame:
                 cur = t
             else:
                 cur += t
-        # first-fit-decreasing: (tokens desc, doc_id asc)
-        bins: list[int] = []
-        for t, _ in sorted(docs, key=lambda x: (-x[0], x[1])):
-            if t == 0:
-                continue
-            for i, used in enumerate(bins):
-                if used + t <= win:
-                    bins[i] = used + t
-                    break
-            else:
-                bins.append(t)
-        n_ffd = len(bins)
+        # first-fit-decreasing via the shared assignment rule
+        # (_ffd_assign -- the same {doc -> window} map curate.py's
+        # --pack stage writes); the report needs only the window count
+        asg = _ffd_assign(((t, d) for t, d in docs), win)
+        n_ffd = 1 + max((w for w in asg.values() if w >= 0), default=-1)
         fill = round(total / (n_ffd * float(win)), 6) if n_ffd else 0.0
         return pd.DataFrame(
             [

@@ -406,3 +406,84 @@ def test_curate_all_gates_drop_everything_reports_empty(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         spark.catalog.clearCache()
+
+
+def test_curate_pack_and_epoch_shuffle_loader_ready(spark, sf_dir):
+    """The r10 loader-ready stages: --pack must write (pack_shard,
+    pack_window) that replays the shared FFD rule (_ffd_assign) on
+    the FINAL shipped text group-for-group, never over-fill a window,
+    and reconcile with the manifest's window accounting;
+    --epoch-shuffle SEED must write corpus_epoch_shuffle's exact
+    md5 sort key.  Runs with excise_spans on so the packed token
+    counts are pinned to the post-excision text."""
+    import hashlib
+
+    from de_realtime_voting_spark.constants import (
+        PACK_SHARDS,
+        PACK_WINDOW_TOKENS,
+    )
+    from de_realtime_voting_spark.operators.pipeline import _ffd_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="curated_pack_")
+    try:
+        manifest = curate_corpus(
+            docs,
+            d,
+            drop_contaminated=True,
+            excise_spans=True,
+            pack=True,
+            epoch_shuffle=7,
+        )
+        win = int(PACK_WINDOW_TOKENS)
+        rows = (
+            spark.read.parquet(d)
+            .select(
+                "doc_id", "split", "lang", "pack_shard", "pack_window",
+                "shuffle_key", "text",
+            )
+            .collect()
+        )
+        assert rows
+
+        def ntok(text):
+            return len([t for t in text.split(" ") if t])
+
+        # per-group python replay of the shared FFD rule on final text
+        groups = {}
+        for r in rows:
+            assert r["pack_shard"] == r["doc_id"] % PACK_SHARDS
+            groups.setdefault(
+                (r["split"], r["lang"], r["pack_shard"]), []
+            ).append((ntok(r["text"]), r["doc_id"]))
+        want = {}
+        for g in groups.values():
+            want.update(_ffd_assign(g, win))
+        got = {r["doc_id"]: r["pack_window"] for r in rows}
+        assert got == want
+        # capacity invariant over the written layout
+        used = {}
+        for r in rows:
+            if r["pack_window"] >= 0:
+                k = (r["split"], r["lang"], r["pack_shard"], r["pack_window"])
+                used[k] = used.get(k, 0) + min(ntok(r["text"]), win)
+        assert used and max(used.values()) <= win
+        # manifest accounting matches the written windows
+        assert manifest["pack"]["n_windows"] == len(used)
+        assert manifest["pack"]["max_window_tokens_used"] == max(used.values())
+        assert manifest["pack"]["n_unpacked_docs"] == sum(
+            1 for r in rows if r["pack_window"] < 0
+        )
+        assert manifest["pack"]["window_tokens"] == win
+        # epoch shuffle: the written key IS the #89 op's expression
+        for r in rows:
+            assert (
+                r["shuffle_key"]
+                == hashlib.md5(f"epoch7:{r['doc_id']}".encode()).hexdigest()
+            )
+        assert manifest["epoch_shuffle"] == {"seed": 7}
+        assert manifest["stages"]["pack"] is True
+        assert manifest["stages"]["epoch_shuffle"] == 7
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.catalog.clearCache()

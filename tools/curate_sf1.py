@@ -1,12 +1,14 @@
-"""Full-option curation run at sf1 (10x the driver's largest SF).
+"""Full-option curation run at scale (sf1 = 10x the driver's largest
+SF by default; pass a .scaledata dir name, e.g. ``sf10``, for the
+100x pass -> CURATE_SF10.json).
 
 The sf0.1 pytest gate (tests/test_curate.py) pins the manifest <->
 waterfall identity per stage; this tool runs the ENTIRE option set at
 once (C4 gates + exact dedup + exact decontam + fuzzy decontam +
 learned quality threshold + DSIR sampling + span excision +
-temperature sampling + split) at sf1 and asserts the
-token-conservation identity that must hold regardless of which docs
-the selection stages keep:
+temperature sampling + split + FFD packing + epoch-shuffle key) at
+scale and asserts the token-conservation identity that must hold
+regardless of which docs the selection stages keep:
 
     sum(manifest partition approx_tokens) + n_tokens_excised
         == sum(size(tokens(text))) over the SHIPPED doc_ids
@@ -28,7 +30,13 @@ Writes CURATE_SF1.json at the repo root: the manifest (wall_s,
 written_bytes, per-partition token rows, temperature table) plus the
 identity check, so the run is a pinned artifact, not a claim.
 
-Usage:  python tools/curate_sf1.py   (needs .scaledata/sf1 -- tools/make_sf1.py)
+With --pack on, the report also pins the loader-layout invariant:
+max_window_tokens_used <= PACK_WINDOW_TOKENS over every written
+window (a violation would mean the written layout diverged from the
+FFD rule the #47n report audits).
+
+Usage:  python tools/curate_sf1.py [sfN]
+        (needs .scaledata/sfN -- tools/make_sf1.py [--copies 100])
 """
 
 from __future__ import annotations
@@ -50,15 +58,20 @@ from de_realtime_voting_spark.functions.columns import tokens  # noqa: E402
 from de_realtime_voting_spark.session import get_spark  # noqa: E402
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_SF1 = os.path.join(_REPO, ".scaledata", "sf1")
 
 
 def main() -> None:
-    if not os.path.isdir(_SF1):
-        raise SystemExit("missing .scaledata/sf1 -- run tools/make_sf1.py first")
-    spark = get_spark("curate-sf1")
+    name = sys.argv[1] if len(sys.argv) > 1 else "sf1"
+    sf_dir = os.path.join(_REPO, ".scaledata", name)
+    sf_val = float(name.replace("sf", "") or "1")
+    dest = os.path.join(_REPO, f"CURATE_{name.upper()}.json")
+    if not os.path.isdir(sf_dir):
+        raise SystemExit(
+            f"missing .scaledata/{name} -- run tools/make_sf1.py first"
+        )
+    spark = get_spark(f"curate-{name}")
     spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet(os.path.join(_SF1, "documents.parquet"))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
     # the learned filter's bar: the corpus-median published prob (the
     # QC_ITERS=3 model separates narrowly -- ~1e-3 wide around 0.3526
@@ -76,7 +89,7 @@ def main() -> None:
     )
     spark.catalog.clearCache()
 
-    out = tempfile.mkdtemp(prefix="curated_sf1_")
+    out = tempfile.mkdtemp(prefix=f"curated_{name}_")
     try:
         manifest = curate_corpus(
             docs,
@@ -87,6 +100,8 @@ def main() -> None:
             temperature_sample=True,
             quality_threshold=q_bar,
             dsir_sample=True,
+            pack=True,
+            epoch_shuffle=1,
         )
         written_tokens = sum(p["approx_tokens"] for p in manifest["partitions"])
         excised = manifest["n_tokens_excised"]
@@ -100,9 +115,16 @@ def main() -> None:
             .collect()[0][0]
         )
         identity_holds = written_tokens + excised == pre_tokens
+        from de_realtime_voting_spark.constants import (  # noqa: E402
+            PACK_WINDOW_TOKENS,
+        )
+
+        pack_ok = (
+            manifest["pack"]["max_window_tokens_used"] <= PACK_WINDOW_TOKENS
+        )
 
         report = {
-            "sf": 1.0,
+            "sf": sf_val,
             "stages": manifest["stages"],
             "drop_contaminated": manifest["drop_contaminated"],
             "n_input_docs": manifest["n_input_docs"],
@@ -117,14 +139,23 @@ def main() -> None:
             "temperature": manifest.get("temperature"),
             "quality": manifest.get("quality"),
             "dsir": manifest.get("dsir"),
+            "pack": manifest.get("pack"),
+            "pack_capacity_holds": bool(pack_ok),
+            "epoch_shuffle": manifest.get("epoch_shuffle"),
         }
-        with open(os.path.join(_REPO, "CURATE_SF1.json"), "w") as f:
+        with open(dest, "w") as f:
             json.dump(report, f, indent=1)
         print(json.dumps(report, indent=1))
         if not identity_holds:
             raise SystemExit(
                 f"token conservation FAILED: {written_tokens} + {excised} "
                 f"!= {pre_tokens}"
+            )
+        if not pack_ok:
+            raise SystemExit(
+                f"pack capacity FAILED: max used "
+                f"{manifest['pack']['max_window_tokens_used']} > "
+                f"{PACK_WINDOW_TOKENS}"
             )
     finally:
         shutil.rmtree(out, ignore_errors=True)
