@@ -527,87 +527,89 @@ _DEFS: dict[str, QueryFn] = {
 
 # Registry ORDER matters operationally: external checkers iterate in
 # insertion order and may cap how many entries they verify per run
-# (the driver checks ~50).  Round-9 rotation, stalest-first: the NEW
-# op (ivf_retrain_report) and the three whose implementation was
-# refactored this round (quality_classifier_score/_train share the
-# factored _qc_scores; corpus_dsir_sample now routes through
-# _dsir_tagged -- identical plans, window placement is cheap
-# insurance), then the 3 remaining r4-vintage driver rows, then all
-# 43 r5-vintage rows -- 4+3+43 fills the 50-entry window exactly, so
-# after this round no query's latest driver green predates r6.
-# Remaining r6/r7/r8 blocks follow in their previous relative order
-# (they hold the newest green rows).
+# (the driver checks ~50).  Round-10 rotation, stalest-first: the two
+# ops whose implementation was refactored this round (seq_pack_bestfit
+# now derives its window count from the factored _ffd_assign;
+# corpus_epoch_shuffle's key is the factored epoch_shuffle_key --
+# identical plans, window placement is cheap insurance), then all 39
+# r6-vintage driver rows, then the 9 stalest r7 rows -- 2+39+9 fills
+# the 50-entry window exactly, so after this round no query's latest
+# driver green predates r7.  Remaining r7, then r8, then r9 blocks
+# follow (newest greens last).
 _PRIORITY: list[str] = [
-    "ivf_retrain_report", "quality_classifier_score",
-    "quality_classifier_train", "corpus_dsir_sample", "voter_stickiness",
-    "votes_anomaly_zscore", "votes_sliding_window", "ann_bruteforce_topk",
-    "benchmark_decontam", "bigram_logprob_score", "bpe_pair_counts",
-    "corpus_quality_keep", "corpus_source_mix", "curation_waterfall",
-    "customer_top_orders", "dedup_exact", "dedup_incremental",
-    "dedup_minhash_bands", "dedup_simhash", "dedup_simhash_pairs",
-    "doc_embedding_stats", "doc_fingerprint",
-    "doc_length_percentile_filter", "embedding_lsh_buckets",
-    "embedding_norm_outliers", "embedding_quantization_stats",
-    "events_json_props", "invalid_vote_rate", "large_volume_orders",
-    "nation_acctbal", "near_dup_triangles", "ngram_top",
-    "order_priority_count", "registered_non_voters", "repeated_ngram_spans",
-    "small_quantity_revenue", "supplier_nation_revenue", "text_bpe_tokens",
-    "text_c4_filters", "text_lang_id", "text_redact_pii",
-    "text_repetition_score", "text_token_count", "tfidf_top_terms",
-    "token_heavy_hitters_cms", "unigram_logprob_score",
-    "unique_voters_per_candidate", "vocab_coverage",
-    "voter_registration_stats", "votes_value_stats", "ann_hard_negatives",
-    "dedup_minhash_topk", "dedup_embedding_cosine",
-    "ann_ivf_hard_negatives", "embedding_centroid_drift",
-    "segment_minhash_dedup", "embedding_prototype_score",
-    "votes_sessionized", "ann_pq_rerank_topk", "bloom_decontam",
+    "corpus_epoch_shuffle", "seq_pack_bestfit", "ann_lsh_topk",
+    "ann_pq_topk", "brand_price_trend", "candidate_hourly_pivot",
+    "corpus_stratified_sample", "corpus_train_split",
+    "cross_source_dup_matrix", "cumulative_daily_votes",
+    "dedup_minhash_pairs", "dedup_ngram_jaccard_scaled",
+    "doc_chunk_windows", "doc_field_completeness",
+    "doc_length_percentile_filter_approx", "dup_quality_report",
+    "election_winner", "embedding_label_cohesion", "embedding_pca_stats",
+    "embedding_whitened_norms", "fuzzy_decontam", "knn_label_purity",
+    "minhash_band_collision_stats", "multimodal_binary_stats",
+    "multimodal_chunk_stats", "normalized_dedup_gain",
+    "q11_important_stock", "q20_excess_suppliers",
+    "q21_waiting_suppliers", "q22_idle_rich_customers",
+    "q2_min_cost_supplier", "repeated_span_excision", "seq_pack_stats",
+    "span_excision_stats", "text_quality_score", "token_bucket_drift",
+    "token_distribution_drift", "vote_key_skew", "voter_value_quartiles",
+    "votes_approx_stats", "ann_ivf_probe_sweep", "ann_ivf_topk",
+    "ann_recall_report", "bpe_fertility_stats_batched",
+    "bpe_train_merges_batched", "corpus_span_excised",
+    "corpus_temperature_sample", "dedup_edit_distance",
+    "dedup_ngram_jaccard", "dedup_substring_spans",
+    "dsir_importance_score", "embedding_kmeans_iter", "funnel_conversion",
+    "ivf_cell_balance", "lapsed_voters", "leading_candidate_per_hour",
+    "market_basket_pairs", "minhash_jaccard_estimate",
+    "near_dup_graph_degree", "near_dup_rate_by_source",
+    "ngram_containment", "one_vote_per_voter", "order_fill_rate",
+    "party_vote_share", "referential_integrity_audit",
+    "repeat_buyers_by_nation", "semantic_dedup", "source_url_dedup",
+    "supplier_concentration", "supplier_lead_time", "token_zipf_stats",
+    "turnout_by_location", "turnout_by_region", "turnout_by_segment",
+    "turnout_grouping_sets", "turnout_rollup", "vote_interarrival",
+    "vote_value_histogram", "vote_weight_percentiles",
+    "voter_party_loyalty", "voter_profile", "voter_retention_cohort",
+    "votes_asof_prior_click", "votes_cube", "votes_enriched",
+    "votes_in_launch_windows", "votes_minute_rate", "votes_per_candidate",
+    "votes_per_candidate_hourly", "ann_hard_negatives",
+    "ann_ivf_hard_negatives", "ann_pq_rerank_topk", "bloom_decontam",
     "bpe_fertility_stats", "bpe_train_merges", "contam_span_report",
-    "corpus_epoch_shuffle", "customer_spend_deciles", "dedup_clusters",
-    "dedup_clusters_bigstar", "dedup_keep_canonical", "dedup_soft_weights",
+    "customer_spend_deciles", "dedup_clusters", "dedup_clusters_bigstar",
+    "dedup_embedding_cosine", "dedup_keep_canonical",
+    "dedup_minhash_topk", "dedup_soft_weights",
     "dedup_sorted_neighborhood", "dedup_threshold_sweep",
     "doc_embed_inference", "doc_length_mad_outliers",
     "doc_winnowing_fingerprints", "domain_quality_topk",
+    "embedding_centroid_drift", "embedding_prototype_score",
     "event_transition_matrix", "hot_key_join_salted", "near_dup_pagerank",
     "q10_returned_items", "q12_ship_lag_priority",
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
     "q16_part_supplier_counts", "q19_disjunctive_revenue",
     "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
     "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-    "q9_product_profit", "segment_dedup", "source_capped_selection",
-    "source_temperature_weights", "text_entropy_score",
-    "token_budget_select", "top_brand_revenue", "dedup_substring_spans",
-    "dsir_importance_score", "dedup_ngram_jaccard", "dedup_edit_distance",
-    "corpus_temperature_sample", "corpus_span_excised", "ann_ivf_topk",
-    "ann_ivf_probe_sweep", "ann_recall_report", "ivf_cell_balance",
-    "semantic_dedup", "embedding_kmeans_iter", "bpe_train_merges_batched",
-    "bpe_fertility_stats_batched", "funnel_conversion", "lapsed_voters",
-    "leading_candidate_per_hour", "market_basket_pairs",
-    "minhash_jaccard_estimate", "near_dup_graph_degree",
-    "near_dup_rate_by_source", "ngram_containment", "one_vote_per_voter",
-    "order_fill_rate", "party_vote_share", "referential_integrity_audit",
-    "repeat_buyers_by_nation", "source_url_dedup", "supplier_concentration",
-    "supplier_lead_time", "token_zipf_stats", "turnout_by_location",
-    "turnout_by_region", "turnout_by_segment", "turnout_grouping_sets",
-    "turnout_rollup", "vote_interarrival", "vote_value_histogram",
-    "vote_weight_percentiles", "voter_party_loyalty", "voter_profile",
-    "voter_retention_cohort", "votes_asof_prior_click", "votes_cube",
-    "votes_enriched", "votes_in_launch_windows", "votes_minute_rate",
-    "votes_per_candidate", "votes_per_candidate_hourly",
-    "embedding_label_cohesion", "cross_source_dup_matrix",
-    "minhash_band_collision_stats", "dup_quality_report",
-    "token_bucket_drift", "embedding_whitened_norms", "seq_pack_bestfit",
-    "fuzzy_decontam", "normalized_dedup_gain", "repeated_span_excision",
-    "span_excision_stats", "token_distribution_drift", "knn_label_purity",
-    "dedup_ngram_jaccard_scaled", "doc_length_percentile_filter_approx",
-    "votes_approx_stats", "ann_lsh_topk", "corpus_stratified_sample",
-    "corpus_train_split", "dedup_minhash_pairs", "multimodal_binary_stats",
-    "multimodal_chunk_stats", "q11_important_stock", "q20_excess_suppliers",
-    "q21_waiting_suppliers", "q22_idle_rich_customers",
-    "q2_min_cost_supplier", "seq_pack_stats", "text_quality_score",
-    "vote_key_skew", "voter_value_quartiles", "ann_pq_topk",
-    "brand_price_trend", "candidate_hourly_pivot", "cumulative_daily_votes",
-    "doc_chunk_windows", "doc_field_completeness", "election_winner",
-    "embedding_pca_stats",
+    "q9_product_profit", "segment_dedup", "segment_minhash_dedup",
+    "source_capped_selection", "source_temperature_weights",
+    "text_entropy_score", "token_budget_select", "top_brand_revenue",
+    "votes_sessionized", "ann_bruteforce_topk", "benchmark_decontam",
+    "bigram_logprob_score", "bpe_pair_counts", "corpus_dsir_sample",
+    "corpus_quality_keep", "corpus_source_mix", "curation_waterfall",
+    "customer_top_orders", "dedup_exact", "dedup_incremental",
+    "dedup_minhash_bands", "dedup_simhash", "dedup_simhash_pairs",
+    "doc_embedding_stats", "doc_fingerprint",
+    "doc_length_percentile_filter", "embedding_lsh_buckets",
+    "embedding_norm_outliers", "embedding_quantization_stats",
+    "events_json_props", "invalid_vote_rate", "ivf_retrain_report",
+    "large_volume_orders", "nation_acctbal", "near_dup_triangles",
+    "ngram_top", "order_priority_count", "quality_classifier_score",
+    "quality_classifier_train", "registered_non_voters",
+    "repeated_ngram_spans", "small_quantity_revenue",
+    "supplier_nation_revenue", "text_bpe_tokens", "text_c4_filters",
+    "text_lang_id", "text_redact_pii", "text_repetition_score",
+    "text_token_count", "tfidf_top_terms", "token_heavy_hitters_cms",
+    "unigram_logprob_score", "unique_voters_per_candidate",
+    "vocab_coverage", "voter_registration_stats", "voter_stickiness",
+    "votes_anomaly_zscore", "votes_sliding_window", "votes_value_stats",
 ]
 
 
