@@ -83,14 +83,17 @@ PII_PHONE_RE = "[0-9][0-9][0-9][-.][0-9][0-9][0-9][-.][0-9][0-9][0-9][0-9]"
 EMBEDDING_DIM = 64
 COSINE_THRESHOLD = 0.30   # near-dup threshold (synthetic data tops out ~0.4)
 # SemDeDup cell-occupancy budget: a coarse-quantizer cell whose
-# member count exceeds this splits by hyperplane LSH bucket before
-# the intra-cell pair expansion, capping the quadratic term at
-# ~(budget/64)^2 per sub-block regardless of corpus size.  The real
-# production knob is MORE CENTROIDS (SemDeDup uses 50k clusters);
-# the budget split is the guard that keeps a toy/locally-trained K
-# from ever going quadratic in corpus growth.  512 keeps every
-# driver-SF cell unsplit (exact SemDeDup geometry there) and fires
-# at the 10x probe (sf1 cells ~3.7k members).
+# member count exceeds this splits by hyperplane sub-bucket before
+# the intra-cell pair expansion.  The real production knob is MORE
+# CENTROIDS (SemDeDup uses 50k clusters); the budget split is the
+# guard that keeps a toy/locally-trained K from ever going quadratic
+# in corpus growth.  512 keeps every driver-SF cell unsplit (exact
+# SemDeDup geometry there) and fires at the 10x probe (sf1 cells
+# ~3.7k members).  r10: the split is depth-k (2^k-way,
+# k = ceil(log2(cell_n/budget)), low k bits of the extra-plane
+# family) for the same reason as EMB_COS_BLOCK_BUDGET below -- a
+# fixed one-level split leaves sub-cell size linear in the corpus
+# and merely defers the quadratic one decade.
 SEMDEDUP_CELL_BUDGET = 512
 ANN_QUERY_IDS = list(range(10))
 ANN_K = 5
@@ -138,8 +141,29 @@ LSH_PLANES = [
 # oracle replays the split bit-exactly).  256 keeps every driver-SF
 # and sf1 block unsplit (exact legacy geometry there) and fires at
 # the 10x probe (sf10 blocks ~312 members avg).
+#
+# r10: the split DEPTH scales with occupancy.  The fifth probe decade
+# (sf100, 1M vectors) caught the r8 fix's own limit: ONE fixed
+# 2^6-way split level only defers the quadratic a decade -- sub-block
+# size is still block_n/64, linear in the corpus, and
+# dedup_embedding_cosine read 13.8 s at sf10 -> 998 s at sf100.  Now
+# oversized blocks split 2^k ways with k = ceil(log2(block_n/budget))
+# (an integer-exact sum of threshold tests, no float log -- both
+# engines compute the same k), masking the low k bits of the
+# extra-family bucket, so EXPECTED sub-block size stays ~budget at
+# every corpus size.  The plane pool below bounds k at 16 (covers
+# blocks up to 65536x the budget ~ 16M members; beyond that raise the
+# pool, not the budget).
 EMB_COS_BLOCK_BUDGET = 256
-LSH_EXTRA_NUM_PLANES = 6  # 64 sub-buckets inside oversized blocks
+LSH_EXTRA_NUM_PLANES = 16  # depth-k sub-split bit pool (k <= 16)
+# Fanout floor: oversized blocks never split less than 2^6 ways (the
+# r8 geometry and its measured cost/recall trade, preserved verbatim
+# wherever it already worked); depth-k engages ABOVE 64x the budget,
+# where the fixed split was quadratic-broken.  A pure-depth-k variant
+# read ~3x slower at sf10 (42.8/54.7 s vs 13.8/32.9) because
+# near-budget sub-blocks carry ~3x the pair mass of the r8 over-split
+# -- measured, then floored (SCALE.md r10).
+LSH_EXTRA_MIN_PLANES = 6
 LSH_EXTRA_PLANES = [
     [lsh_plane_weight(p, i) for i in range(EMBEDDING_DIM)]
     for p in range(LSH_NUM_PLANES, LSH_NUM_PLANES + LSH_EXTRA_NUM_PLANES)

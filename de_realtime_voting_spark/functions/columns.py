@@ -219,10 +219,11 @@ def lsh_bucket(emb: Column) -> Column:
 def lsh_bucket_extra(emb: Column) -> Column:
     """Sub-bucket id from the SECOND hyperplane family
     (constants.LSH_EXTRA_PLANES, planes p >= LSH_NUM_PLANES of the
-    same deterministic generator) -- independent of lsh_bucket, used
-    to split oversized (label, bucket) blocks in
-    dedup_embedding_cosine so block size stays bounded in corpus
-    growth."""
+    same deterministic generator) -- independent of lsh_bucket.  The
+    full LSH_EXTRA_NUM_PLANES-bit pool; dedup_embedding_cosine and
+    semantic_dedup mask it to the low k = ceil(log2(n/budget)) bits
+    (dedup._split_fanout) to split oversized blocks/cells 2^k ways,
+    so sub-block size stays ~budget at every corpus size."""
     return _plane_sign_bucket(emb, LSH_EXTRA_PLANES)
 
 

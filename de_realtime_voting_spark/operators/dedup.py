@@ -941,6 +941,40 @@ def dedup_incremental(documents: DataFrame) -> DataFrame:
     )
 
 
+def _split_fanout(n_col, budget: int):
+    """Sub-split width for an oversized block:
+    max(2^LSH_EXTRA_MIN_PLANES, 2^ceil(log2(n/budget))), as a PURE
+    INTEGER expression -- the i-th threshold test n > budget*2^i
+    fires exactly for i < k, so 1 + sum(fired_i * 2^i) == 2^k; no
+    float log anywhere, so Spark and the DuckDB oracle compute the
+    identical fanout on every block size.  THE single definition
+    shared by dedup_embedding_cosine and semantic_dedup.
+
+    The r10 sf100 catch: a FIXED one-level 2^6 split leaves hot-block
+    sub-size linear in the corpus and merely defers the quadratic --
+    dedup_embedding_cosine read 13.8 s at sf10 -> 998 s at sf100
+    (skewed LSH buckets put 100k+ vectors in one block; 64 sub-keys
+    also serialize the join).  Depth-k re-bounds sub-size at ~budget
+    for every decade AND widens the hot block's key space for
+    parallelism.  The 2^6 FLOOR keeps the r8 geometry (and its
+    measured cost/recall trade) wherever it already worked: a
+    pure-depth-k variant was probed and read 42.8/54.7 s at sf10 vs
+    13.8/32.9 -- fewer splits meant near-budget sub-blocks and ~3x
+    the pair mass on mildly-oversized blocks; the floor restores the
+    r8 over-split there and engages extra depth only past 64x the
+    budget, where r8 was quadratic-broken anyway.  k is capped at
+    LSH_EXTRA_NUM_PLANES by construction -- the extra-plane pool is
+    the bit budget."""
+    from ..constants import LSH_EXTRA_MIN_PLANES, LSH_EXTRA_NUM_PLANES
+
+    fanout = F.lit(1)
+    for i in range(LSH_EXTRA_NUM_PLANES):
+        fanout = fanout + F.when(n_col > (budget << i), F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return F.greatest(F.lit(1 << LSH_EXTRA_MIN_PLANES), fanout)
+
+
 def dedup_embedding_cosine(embeddings: DataFrame) -> DataFrame:
     """Embedding near-dup pairs blocked on (label, lsh_bucket):
     pairwise cosine only *within* blocks.
@@ -956,10 +990,12 @@ def dedup_embedding_cosine(embeddings: DataFrame) -> DataFrame:
     (lsh_bucket_extra, planes p >= LSH_NUM_PLANES of the same
     deterministic generator): the sub-key is 0 for blocks within
     EMB_COS_BLOCK_BUDGET (exact legacy geometry at every driver SF
-    and sf1) and the 2^LSH_EXTRA_NUM_PLANES-way sub-bucket above it,
-    capping the quadratic term at ~(budget/64)^2 per sub-block
-    however the corpus grows -- the semantic_dedup cell-budget guard
-    applied to the LSH geometry.  Like any LSH blocking this trades
+    and sf1) and, above it, the low-k-bit mask of the extra-family
+    bucket with k = ceil(log2(block_n/budget)) (_split_fanout -- r10:
+    the sf100 probe caught the fixed one-level split deferring the
+    quadratic exactly one decade, 13.8 s at sf10 -> 998 s at sf100;
+    depth-k keeps EXPECTED sub-block size ~budget at every corpus
+    size).  Like any LSH blocking this trades
     recall at the margin -- a qualifying pair split across buckets
     (or, over budget, across sub-buckets) is missed -- which is the
     standard contract for embedding near-dup at 10^10 rows (raise
@@ -978,13 +1014,20 @@ def dedup_embedding_cosine(embeddings: DataFrame) -> DataFrame:
     )
     # block-budget split: at most |labels| * 2^planes size rows,
     # broadcast back onto the members; the sub-key only diverges
-    # from 0 inside oversized blocks
+    # from 0 inside oversized blocks, where it masks the extra-family
+    # bucket to k = ceil(log2(block_n/budget)) bits (depth-k fanout,
+    # _split_fanout) so sub-blocks stay ~budget-sized at any scale
     sizes = bucketed.groupBy("label", "bucket").agg(
         F.count(F.lit(1)).alias("block_n")
+    ).select(
+        "label",
+        "bucket",
+        "block_n",
+        _split_fanout(F.col("block_n"), EMB_COS_BLOCK_BUDGET).alias("fanout"),
     )
     sub = F.when(
         F.col("block_n") > EMB_COS_BLOCK_BUDGET,
-        lsh_bucket_extra(F.col("embedding")),
+        lsh_bucket_extra(F.col("embedding")) % F.col("fanout"),
     ).otherwise(F.lit(0))
     normed = bucketed.join(F.broadcast(sizes), ["label", "bucket"]).select(
         "vec_id", "label", "bucket", sub.alias("sub"), "embedding", "norm"
@@ -1042,12 +1085,16 @@ def semantic_dedup(embeddings: DataFrame) -> DataFrame:
     clusters for LAION-scale corpora; here K=16 fits the test corpus),
     making the quadratic term O(n * target_cell_size) -- linear in the
     corpus at fixed occupancy.  A cell that outgrows
-    SEMDEDUP_CELL_BUDGET members splits by lsh_bucket (composing the
-    two blocking geometries) before pairing -- SHIPPED since r6, not
-    just documented: the sub-key is 0 for cells within budget (exact
-    SemDeDup geometry, all driver SFs) and the 64-bucket hyperplane
-    id for oversized cells, so the quadratic term is capped at
-    ~(budget/64)^2 per sub-block however the corpus grows.  The
+    SEMDEDUP_CELL_BUDGET members splits by hyperplane sub-bucket
+    (composing the two blocking geometries) before pairing -- SHIPPED
+    since r6, depth-k since r10: the sub-key is 0 for cells within
+    budget (exact SemDeDup geometry, all driver SFs) and, above it,
+    the low-k-bit mask of the extra-plane bucket with
+    k = ceil(log2(cell_n/budget)) (_split_fanout -- a fixed one-level
+    split leaves sub-cell size linear in the corpus and merely defers
+    the quadratic a decade, the r10 sf100 lesson from the cosine op's
+    LSH geometry), so EXPECTED sub-cell size stays ~budget however
+    the corpus grows.  The
     split also fixes the parallelism cliff: a 16-key pair join runs
     at most 16 tasks wide, and the oversized-cell expansion
     serialized onto single tasks (measured sf1: 21.2 s -> see
@@ -1067,7 +1114,6 @@ def semantic_dedup(embeddings: DataFrame) -> DataFrame:
             "n_dropped bigint, n_kept bigint",
         )
     from ..constants import SEMDEDUP_CELL_BUDGET
-    from ..functions import lsh_bucket
 
     # one cached cell-assignment scan feeds sizes + the pair join
     # (released by the repo's per-query clearCache convention)
@@ -1077,10 +1123,19 @@ def semantic_dedup(embeddings: DataFrame) -> DataFrame:
         .persist()
     )
     # cell-budget split: K rows, broadcast back onto the members; the
-    # sub-key only diverges from 0 inside oversized cells
-    sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
+    # sub-key only diverges from 0 inside oversized cells, where the
+    # depth-k fanout (_split_fanout) masks the extra-plane bucket so
+    # sub-cells stay ~budget-sized at any corpus size
+    sizes = cells.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("cell_n")
+    ).select(
+        "cell",
+        "cell_n",
+        _split_fanout(F.col("cell_n"), SEMDEDUP_CELL_BUDGET).alias("fanout"),
+    )
     sub = F.when(
-        F.col("cell_n") > SEMDEDUP_CELL_BUDGET, lsh_bucket(F.col("embedding"))
+        F.col("cell_n") > SEMDEDUP_CELL_BUDGET,
+        lsh_bucket_extra(F.col("embedding")) % F.col("fanout"),
     ).otherwise(F.lit(0))
     # norm once per vector, map-side; the oracle's inline sqrt(dot(x,x))
     # is the identical double (same fold order), when-computed is free

@@ -205,8 +205,24 @@ def _bucket_expr(emb: str) -> str:
 
 def _bucket_extra_expr(emb: str) -> str:
     """Second hyperplane family (constants.LSH_EXTRA_PLANES) -- the
-    block-budget sub-key dedup_embedding_cosine uses."""
+    block-budget sub-key dedup_embedding_cosine / semantic_dedup use."""
     return _plane_sign_bucket_expr(emb, LSH_EXTRA_PLANES)
+
+
+def _split_fanout_expr(n: str, budget: int) -> str:
+    """SQL twin of operators.dedup._split_fanout:
+    max(2^LSH_EXTRA_MIN_PLANES, 2^ceil(log2(n/budget))) as a pure
+    integer sum of threshold tests -- no float log, so both engines
+    compute the identical depth-k sub-split width on every block
+    size (floor = the r8 fixed-split geometry, depth engages above
+    64x the budget)."""
+    from .constants import LSH_EXTRA_MIN_PLANES, LSH_EXTRA_NUM_PLANES
+
+    terms = " + ".join(
+        f"CASE WHEN {n} > {budget << i} THEN {1 << i} ELSE 0 END"
+        for i in range(LSH_EXTRA_NUM_PLANES)
+    )
+    return f"GREATEST({1 << LSH_EXTRA_MIN_PLANES}, (1 + {terms}))"
 
 
 _PARTY_CASE = "CASE event_type " + " ".join(
@@ -556,12 +572,15 @@ WITH bucketed AS (
     FROM embeddings
 ),
 bsizes AS (
-    SELECT label, bucket, COUNT(*) AS block_n FROM bucketed GROUP BY 1, 2
+    SELECT label, bucket, COUNT(*) AS block_n,
+           {_split_fanout_expr('COUNT(*)', EMB_COS_BLOCK_BUDGET)} AS fanout
+    FROM bucketed GROUP BY 1, 2
 ),
 subbed AS (
     SELECT c.vec_id, c.label, c.bucket, c.embedding,
            CASE WHEN s.block_n > {EMB_COS_BLOCK_BUDGET}
-                THEN {_bucket_extra_expr('c.embedding')} ELSE 0 END AS sub
+                THEN ({_bucket_extra_expr('c.embedding')}) % s.fanout
+                ELSE 0 END AS sub
     FROM bucketed c JOIN bsizes s USING (label, bucket)
 )
 SELECT vec_a, vec_b, label, cosine FROM (
@@ -1707,11 +1726,14 @@ from .constants import SEMDEDUP_CELL_BUDGET  # noqa: E402
 SQL["semantic_dedup"] = f"""
 WITH {_IVF_ASG_CTES},
 cells AS (SELECT vec_id, embedding, cent_id AS cell FROM asg WHERE rn = 1),
-csizes AS (SELECT cell, COUNT(*) AS cell_n FROM cells GROUP BY 1),
+csizes AS (SELECT cell, COUNT(*) AS cell_n,
+                  {_split_fanout_expr('COUNT(*)', SEMDEDUP_CELL_BUDGET)} AS fanout
+           FROM cells GROUP BY 1),
 subbed AS (
     SELECT c.vec_id, c.embedding, c.cell,
            CASE WHEN s.cell_n > {SEMDEDUP_CELL_BUDGET}
-                THEN {_bucket_expr('c.embedding')} ELSE 0 END AS sub
+                THEN ({_bucket_extra_expr('c.embedding')}) % s.fanout
+                ELSE 0 END AS sub
     FROM cells c JOIN csizes s USING (cell)
 ),
 pairs AS (
