@@ -528,17 +528,21 @@ _DEFS: dict[str, QueryFn] = {
 # Registry ORDER matters operationally: external checkers iterate in
 # insertion order and may cap how many entries they verify per run
 # (the driver checks ~50).  Round-10 rotation, stalest-first: the two
-# ops whose implementation was refactored this round (seq_pack_bestfit
-# now derives its window count from the factored _ffd_assign;
-# corpus_epoch_shuffle's key is the factored epoch_shuffle_key --
-# identical plans, window placement is cheap insurance), then all 39
-# r6-vintage driver rows, then the 9 stalest r7 rows -- 2+39+9 fills
-# the 50-entry window exactly, so after this round no query's latest
-# driver green predates r7.  Remaining r7, then r8, then r9 blocks
-# follow (newest greens last).
+# ops whose PLAN changed this round lead (dedup_embedding_cosine and
+# semantic_dedup -- the depth-k sub-split fix from the sf100 probe),
+# then the two refactor-touched ops (seq_pack_bestfit now derives its
+# window count from the factored _ffd_assign; corpus_epoch_shuffle's
+# key is the factored epoch_shuffle_key -- identical plans, window
+# placement is cheap insurance), then all 39
+# r6-vintage driver rows, then the stalest r7 rows -- 2+2+39+7 fills
+# the 50-entry window, so after this round no query's latest driver
+# green predates r7 except the two r7 rows the plan-changed pair
+# displaced (they rotate in next round).  Remaining r7, then r8,
+# then r9 blocks follow (newest greens last).
 _PRIORITY: list[str] = [
-    "corpus_epoch_shuffle", "seq_pack_bestfit", "ann_lsh_topk",
-    "ann_pq_topk", "brand_price_trend", "candidate_hourly_pivot",
+    "dedup_embedding_cosine", "semantic_dedup", "corpus_epoch_shuffle",
+    "seq_pack_bestfit", "ann_lsh_topk", "ann_pq_topk",
+    "brand_price_trend", "candidate_hourly_pivot",
     "corpus_stratified_sample", "corpus_train_split",
     "cross_source_dup_matrix", "cumulative_daily_votes",
     "dedup_minhash_pairs", "dedup_ngram_jaccard_scaled",
@@ -564,7 +568,7 @@ _PRIORITY: list[str] = [
     "near_dup_graph_degree", "near_dup_rate_by_source",
     "ngram_containment", "one_vote_per_voter", "order_fill_rate",
     "party_vote_share", "referential_integrity_audit",
-    "repeat_buyers_by_nation", "semantic_dedup", "source_url_dedup",
+    "repeat_buyers_by_nation", "source_url_dedup",
     "supplier_concentration", "supplier_lead_time", "token_zipf_stats",
     "turnout_by_location", "turnout_by_region", "turnout_by_segment",
     "turnout_grouping_sets", "turnout_rollup", "vote_interarrival",
@@ -576,8 +580,7 @@ _PRIORITY: list[str] = [
     "ann_ivf_hard_negatives", "ann_pq_rerank_topk", "bloom_decontam",
     "bpe_fertility_stats", "bpe_train_merges", "contam_span_report",
     "customer_spend_deciles", "dedup_clusters", "dedup_clusters_bigstar",
-    "dedup_embedding_cosine", "dedup_keep_canonical",
-    "dedup_minhash_topk", "dedup_soft_weights",
+    "dedup_keep_canonical", "dedup_minhash_topk", "dedup_soft_weights",
     "dedup_sorted_neighborhood", "dedup_threshold_sweep",
     "doc_embed_inference", "doc_length_mad_outliers",
     "doc_winnowing_fingerprints", "domain_quality_topk",
