@@ -168,6 +168,35 @@ LSH_EXTRA_PLANES = [
     [lsh_plane_weight(p, i) for i in range(EMBEDDING_DIM)]
     for p in range(LSH_NUM_PLANES, LSH_NUM_PLANES + LSH_EXTRA_NUM_PLANES)
 ]
+# r11 occupancy cap on RESIDUAL sub-bucket expansion.  Depth-k
+# splitting keeps EXPECTED sub-block size ~budget, but vectors that
+# share every plane SIGN (sign-correlated data) are inseparable by
+# ANY plane count -- the sf100 probe measured a 3,546-member
+# sub-bucket (772M candidate pairs, 885 s) that no k could split.
+# Sub-buckets whose occupancy exceeds SUB_OCC_CAP_MULT * budget
+# (4x = two doublings of hash-variance headroom above the splitter's
+# ~budget target, so the cap only fires where the splitter FAILED)
+# switch from all-pairs to WINDOWED pairing: members rank by a
+# deterministic normalized projection (EMB_ORDER_PLANE, the next
+# index of the same generator -- outside both sign-bit pools, so the
+# ordering is continuous where the signs are constant) and each
+# member pairs with its EMB_PAIR_WINDOW rank-successors only
+# (sorted-neighborhood, the dedup_sorted_neighborhood shape).  Pair
+# mass per group drops O(n^2) -> O(n*W), restoring the family's
+# linear-in-corpus bound.  Recall trade (documented, both engines
+# identical): inside an over-cap group a qualifying pair is missed
+# when more than W-1 other members' (proj, vec_id) keys fall between
+# theirs; direction-similar vectors have close projections
+# (|proj_a - proj_b| <= |plane| * sqrt(2*(1 - cosine)) on unit
+# vectors), so near-twins sort adjacent unless the group is locally
+# denser than W -- exactly the boilerplate-mass case the
+# SUBSTR_GRAM_MAX_OCC precedent also caps.
+SUB_OCC_CAP_MULT = 4
+EMB_PAIR_WINDOW = 64
+EMB_ORDER_PLANE = [
+    lsh_plane_weight(LSH_NUM_PLANES + LSH_EXTRA_NUM_PLANES, i)
+    for i in range(EMBEDDING_DIM)
+]
 
 
 # --- corpus-construction pipeline ---------------------------------
@@ -181,6 +210,15 @@ SPLIT_VAL_PCT = 10      # buckets 10-19 -> val
 # spans the corpus (the per-shard layout real pipelines use).
 PACK_WINDOW_TOKENS = 256
 PACK_SHARDS = 8
+# --pack shard scaling (ADVICE r10): a FIXED shard fan-out leaves the
+# per-(split, lang, shard) pandas group linear in the corpus -- the
+# same one-level-split trap the dedup ops fixed at sf100.  The
+# materializer raises the fan-out so even a corpus concentrated in
+# ONE (split, lang) partition keeps every applyInPandas group at or
+# under this many docs (doc_id mod is uniform): ~250k rows of
+# (token_count, doc_id) is a few-MB pandas frame + FFD dict, bounded
+# executor memory at any corpus size.
+PACK_SHARD_TARGET_DOCS = 250_000
 # Benchmark decontamination: a corpus doc is contaminated when it
 # shares >= 1 word n-gram with the held-out eval source.
 EVAL_SOURCE = "src0"

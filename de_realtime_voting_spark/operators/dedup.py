@@ -975,6 +975,113 @@ def _split_fanout(n_col, budget: int):
     return F.greatest(F.lit(1 << LSH_EXTRA_MIN_PLANES), fanout)
 
 
+def _occ_capped_pairs(
+    normed: DataFrame, part_cols: list[str], occ_cap: int
+) -> DataFrame:
+    """Within-group pair generation with the r11 RESIDUAL occupancy
+    cap -- THE single pairing tail shared by dedup_embedding_cosine
+    and semantic_dedup (SQL twins in oracles.py).
+
+    ``normed`` carries ``*part_cols, vec_id, embedding, norm`` where
+    part_cols is the (block/cell, sub) key the depth-k splitter
+    (_split_fanout) produced.  Groups at or under ``occ_cap`` pair
+    ALL-PAIRS -- bit-identical to the r10 geometry, which is every
+    group at driver SFs and sf1.  Groups ABOVE it are splitter
+    failures: the sf100 probe measured sign-correlated vectors (same
+    sign on every plane) piling 3,546 members / 772M candidate pairs
+    into one sub-bucket that NO plane count can split (885 s
+    post-depth-k).  Those groups switch to windowed pairing: rank by
+    (normalized projection onto constants.EMB_ORDER_PLANE, vec_id) --
+    continuous where the sign bits are constant -- and pair each
+    member with its EMB_PAIR_WINDOW rank-successors via window leads
+    (the dedup_sorted_neighborhood shape: candidates bounded BY
+    CONSTRUCTION, no self-join).  Per-group pair mass drops
+    O(n^2) -> O(n*W), restoring the family's linear-in-corpus bound;
+    the recall trade (a qualifying pair is missed when > W-1 other
+    members' order keys fall between theirs) is documented at the
+    constants and applied identically by both engines.
+
+    Scale shape: one extra corpus agg for occupancy (broadcast back,
+    group count is bounded by blocks x fanout); the big path adds one
+    window shuffle+sort of ONLY the over-cap rows, with both sides'
+    embeddings carried through the lead struct so the verify needs no
+    join-back.  Returns (*part_cols, vec_a, vec_b, cosine) already
+    filtered to COSINE_THRESHOLD, vec_a < vec_b, cosine rounded 6.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from ..constants import EMB_ORDER_PLANE, EMB_PAIR_WINDOW
+
+    occ = normed.groupBy(*part_cols).agg(F.count(F.lit(1)).alias("occ_n"))
+    tagged = normed.join(F.broadcast(occ), part_cols).persist()
+
+    small = tagged.where(F.col("occ_n") <= occ_cap)
+    a = small.select(
+        *part_cols,
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = small.select(
+        *[F.col(c).alias(f"{c}_b") for c in part_cols],
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    same_group = reduce(
+        lambda x, y: x & y, [F.col(c) == F.col(f"{c}_b") for c in part_cols]
+    )
+    cos_s = dot_product(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
+    small_pairs = a.join(b, same_group & (F.col("vec_a") < F.col("vec_b"))).select(
+        *part_cols, "vec_a", "vec_b", rnd(cos_s, 6).alias("cosine")
+    )
+
+    # EXPLICIT width on the window shuffle: the over-cap filter is
+    # row-reducing, so AQE coalesces the window exchange to a couple
+    # of partitions and the 64-lead + explode + cosine work (per-row
+    # superlinear downstream of a row-reducing step) serializes -- the
+    # repo's measured sf1 pathology (SCALE.md r6: dedup_edit_distance
+    # 20.7->6.5 s), re-measured here at sf100 (load ~2/32 cores).  A
+    # user repartition WITH an explicit count is not re-coalesced and
+    # already satisfies the window's clustering, so no extra exchange.
+    big = tagged.where(F.col("occ_n") > occ_cap).repartition(
+        _shuffle_width(normed.sparkSession), *part_cols
+    )
+    order_plane = F.array(*[F.lit(w) for w in EMB_ORDER_PLANE])
+    proj = (dot_product(F.col("embedding"), order_plane) / F.col("norm")).alias(
+        "proj"
+    )
+    w = Window.partitionBy(*part_cols).orderBy("proj", "vec_id")
+    cur = F.struct(F.col("vec_id"), F.col("embedding"), F.col("norm"))
+    nbs = F.array(
+        *[F.lead(cur, i).over(w) for i in range(1, EMB_PAIR_WINDOW + 1)]
+    )
+    exploded = (
+        big.select(*part_cols, "vec_id", "embedding", "norm", proj)
+        # windows and generators cannot share a projection: compute the
+        # lead array first, explode it in the next select
+        .select(*part_cols, "vec_id", "embedding", "norm", nbs.alias("nbs"))
+        .select(*part_cols, "vec_id", "embedding", "norm", F.explode("nbs").alias("nb"))
+        .where(F.col("nb").isNotNull())
+    )
+    cos_b = dot_product(F.col("embedding"), F.col("nb.embedding")) / (
+        F.col("norm") * F.col("nb.norm")
+    )
+    big_pairs = exploded.select(
+        *part_cols,
+        F.least(F.col("vec_id"), F.col("nb.vec_id")).alias("vec_a"),
+        F.greatest(F.col("vec_id"), F.col("nb.vec_id")).alias("vec_b"),
+        rnd(cos_b, 6).alias("cosine"),
+    )
+    return small_pairs.unionByName(big_pairs).where(
+        F.col("cosine") >= COSINE_THRESHOLD
+    )
+
+
 def dedup_embedding_cosine(embeddings: DataFrame) -> DataFrame:
     """Embedding near-dup pairs blocked on (label, lsh_bucket):
     pairwise cosine only *within* blocks.
@@ -1000,6 +1107,14 @@ def dedup_embedding_cosine(embeddings: DataFrame) -> DataFrame:
     (or, over budget, across sub-buckets) is missed -- which is the
     standard contract for embedding near-dup at 10^10 rows (raise
     planes / add probe rotations to buy recall back).
+
+    r11: sub-buckets whose occupancy still exceeds
+    SUB_OCC_CAP_MULT * budget after the depth-k split are splitter
+    FAILURES (sign-correlated vectors, inseparable by any plane
+    count -- the sf100 residual: one 3,546-member sub-bucket, 772M
+    candidate pairs, 885 s) and switch to windowed pairing
+    (_occ_capped_pairs): O(n*W) pairs instead of O(n^2), recall
+    trade documented at the constants.
     """
     # precompute each vector's norm and bucket once (map-side, behind
     # the spread barrier) instead of per candidate pair; the oracle's
@@ -1032,34 +1147,11 @@ def dedup_embedding_cosine(embeddings: DataFrame) -> DataFrame:
     normed = bucketed.join(F.broadcast(sizes), ["label", "bucket"]).select(
         "vec_id", "label", "bucket", sub.alias("sub"), "embedding", "norm"
     )
-    a = normed.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("label"),
-        F.col("bucket"),
-        F.col("sub"),
-        F.col("embedding").alias("emb_a"),
-        F.col("norm").alias("norm_a"),
-    )
-    b = normed.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("label_b"),
-        F.col("bucket").alias("bucket_b"),
-        F.col("sub").alias("sub_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("norm").alias("norm_b"),
-    )
-    cos = dot_product(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
-    return (
-        a.join(
-            b,
-            (F.col("label") == F.col("label_b"))
-            & (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("sub") == F.col("sub_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
-        .select("vec_a", "vec_b", "label", rnd(cos, 6).alias("cosine"))
-        .where(F.col("cosine") >= COSINE_THRESHOLD)
-    )
+    from ..constants import SUB_OCC_CAP_MULT
+
+    return _occ_capped_pairs(
+        normed, ["label", "bucket", "sub"], SUB_OCC_CAP_MULT * EMB_COS_BLOCK_BUDGET
+    ).select("vec_a", "vec_b", "label", "cosine")
 
 
 def semantic_dedup(embeddings: DataFrame) -> DataFrame:
@@ -1146,33 +1238,16 @@ def semantic_dedup(embeddings: DataFrame) -> DataFrame:
         "embedding",
         l2_norm(F.col("embedding")).alias("norm"),
     )
-    a = normed.select(
-        F.col("cell"),
-        F.col("sub"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("norm").alias("norm_a"),
-    )
-    b = normed.select(
-        F.col("cell").alias("cell_b"),
-        F.col("sub").alias("sub_b"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("norm").alias("norm_b"),
-    )
-    cos = dot_product(F.col("emb_a"), F.col("emb_b")) / (
-        F.col("norm_a") * F.col("norm_b")
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("cell") == F.col("cell_b"))
-            & (F.col("sub") == F.col("sub_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
-        .select("cell", "vec_b", rnd(cos, 6).alias("cosine"))
-        .where(F.col("cosine") >= COSINE_THRESHOLD)
-    )
+    from ..constants import SUB_OCC_CAP_MULT
+
+    # r11 residual occupancy cap (shared tail, _occ_capped_pairs):
+    # sub-cells the depth-k split could not rebound (sign-correlated
+    # members) pair windowed instead of all-pairs -- this op is the
+    # cap's primary target, its post-depth-k sf100 run still exceeded
+    # a 580 s cut-off on one hot sub-cell
+    pairs = _occ_capped_pairs(
+        normed, ["cell", "sub"], SUB_OCC_CAP_MULT * SEMDEDUP_CELL_BUDGET
+    ).select("cell", "vec_b", "cosine")
     # per-cell totals are exactly the split-sizes aggregate -- reuse it
     # instead of a third cell-assignment scan
     totals = sizes.select("cell", F.col("cell_n").alias("n_vecs"))

@@ -209,6 +209,23 @@ def _bucket_extra_expr(emb: str) -> str:
     return _plane_sign_bucket_expr(emb, LSH_EXTRA_PLANES)
 
 
+def _order_proj_expr(emb: str) -> str:
+    """SQL twin of the r11 windowed-pairing ORDER key (operators.
+    dedup._occ_capped_pairs): normalized projection onto
+    constants.EMB_ORDER_PLANE.  Both engines fold the dot product
+    left-to-right over the same doubles, so the (proj, vec_id) order
+    is identical -- the same cross-engine determinism the ANN ranks
+    already rely on."""
+    from .constants import EMB_ORDER_PLANE
+
+    lit = "[" + ", ".join(repr(w) for w in EMB_ORDER_PLANE) + "]"
+    dot = (
+        f"list_aggregate(list_transform(range(1, {EMBEDDING_DIM + 1}), "
+        f"i -> CAST({emb}[i] AS DOUBLE) * ({lit})[i]), 'sum')"
+    )
+    return f"({dot} / sqrt({_dot(emb, emb)}))"
+
+
 def _split_fanout_expr(n: str, budget: int) -> str:
     """SQL twin of operators.dedup._split_fanout:
     max(2^LSH_EXTRA_MIN_PLANES, 2^ceil(log2(n/budget))) as a pure
@@ -566,6 +583,14 @@ SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_doc_id
 FROM sims GROUP BY 1 HAVING COUNT(*) > 1
 """
 
+from .constants import EMB_PAIR_WINDOW, SUB_OCC_CAP_MULT  # noqa: E402
+
+# r11 residual occupancy cap mirrors _occ_capped_pairs exactly:
+# groups at or under SUB_OCC_CAP_MULT * budget pair all-pairs (the
+# r10 geometry), groups above it pair each member with its
+# EMB_PAIR_WINDOW successors in (normalized order-plane projection,
+# vec_id) rank order -- splitter-failure sub-buckets (sign-correlated
+# vectors) go O(n*W) instead of O(n^2) in BOTH engines.
 SQL["dedup_embedding_cosine"] = f"""
 WITH bucketed AS (
     SELECT vec_id, label, embedding, {_bucket_expr('embedding')} AS bucket
@@ -582,13 +607,40 @@ subbed AS (
                 THEN ({_bucket_extra_expr('c.embedding')}) % s.fanout
                 ELSE 0 END AS sub
     FROM bucketed c JOIN bsizes s USING (label, bucket)
-)
-SELECT vec_a, vec_b, label, cosine FROM (
+),
+occ AS (
+    SELECT label, bucket, sub, COUNT(*) AS occ_n
+    FROM subbed GROUP BY 1, 2, 3
+),
+t AS (
+    SELECT s.*, o.occ_n FROM subbed s JOIN occ o USING (label, bucket, sub)
+),
+small_pairs AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
            ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS cosine
-    FROM subbed a JOIN subbed b
+    FROM t a JOIN t b
       ON a.label = b.label AND a.bucket = b.bucket AND a.sub = b.sub
      AND a.vec_id < b.vec_id
+    WHERE a.occ_n <= {SUB_OCC_CAP_MULT * EMB_COS_BLOCK_BUDGET}
+),
+ranked AS (
+    SELECT label, bucket, sub, vec_id, embedding,
+           row_number() OVER (
+               PARTITION BY label, bucket, sub
+               ORDER BY {_order_proj_expr('embedding')}, vec_id
+           ) AS rn
+    FROM t WHERE occ_n > {SUB_OCC_CAP_MULT * EMB_COS_BLOCK_BUDGET}
+),
+big_pairs AS (
+    SELECT LEAST(a.vec_id, b.vec_id) AS vec_a,
+           GREATEST(a.vec_id, b.vec_id) AS vec_b, a.label AS label,
+           ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM ranked a JOIN ranked b
+      ON a.label = b.label AND a.bucket = b.bucket AND a.sub = b.sub
+     AND b.rn > a.rn AND b.rn <= a.rn + {EMB_PAIR_WINDOW}
+)
+SELECT vec_a, vec_b, label, cosine FROM (
+    SELECT * FROM small_pairs UNION ALL SELECT * FROM big_pairs
 ) WHERE cosine >= {COSINE_THRESHOLD}
 """
 
@@ -1736,12 +1788,31 @@ subbed AS (
                 ELSE 0 END AS sub
     FROM cells c JOIN csizes s USING (cell)
 ),
-pairs AS (
+occ AS (SELECT cell, sub, COUNT(*) AS occ_n FROM subbed GROUP BY 1, 2),
+t AS (SELECT s.*, o.occ_n FROM subbed s JOIN occ o USING (cell, sub)),
+small_pairs AS (
     SELECT a.cell, b.vec_id AS vec_b,
            ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS cosine
-    FROM subbed a JOIN subbed b
+    FROM t a JOIN t b
       ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+    WHERE a.occ_n <= {SUB_OCC_CAP_MULT * SEMDEDUP_CELL_BUDGET}
 ),
+ranked AS (
+    SELECT cell, sub, vec_id, embedding,
+           row_number() OVER (
+               PARTITION BY cell, sub
+               ORDER BY {_order_proj_expr('embedding')}, vec_id
+           ) AS rn
+    FROM t WHERE occ_n > {SUB_OCC_CAP_MULT * SEMDEDUP_CELL_BUDGET}
+),
+big_pairs AS (
+    SELECT a.cell, GREATEST(a.vec_id, b.vec_id) AS vec_b,
+           ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM ranked a JOIN ranked b
+      ON a.cell = b.cell AND a.sub = b.sub
+     AND b.rn > a.rn AND b.rn <= a.rn + {EMB_PAIR_WINDOW}
+),
+pairs AS (SELECT * FROM small_pairs UNION ALL SELECT * FROM big_pairs),
 kept_pairs AS (SELECT * FROM pairs WHERE cosine >= {COSINE_THRESHOLD}),
 tot AS (
     SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM cells GROUP BY 1
