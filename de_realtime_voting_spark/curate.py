@@ -31,6 +31,20 @@ from pyspark.sql import functions as F
 from .operators.pipeline import curation_tags, decontam_overlap
 
 
+def _pack_shard_count(n_docs: int) -> int:
+    """--pack shard fan-out for an ``n_docs``-doc corpus.
+
+    A fixed PACK_SHARDS leaves the per-(split, lang, shard)
+    applyInPandas group LINEAR in the corpus -- the one-level-split
+    trap (ADVICE r10; the dedup ops hit the same shape at sf100).
+    Scaling the fan-out bounds the WORST case: even when one
+    (split, lang) partition holds every doc, the uniform doc_id mod
+    keeps each pandas group at or under PACK_SHARD_TARGET_DOCS."""
+    from .constants import PACK_SHARD_TARGET_DOCS, PACK_SHARDS
+
+    return max(int(PACK_SHARDS), -(-int(n_docs) // int(PACK_SHARD_TARGET_DOCS)))
+
+
 def curate_corpus(
     documents: DataFrame,
     out_dir: str,
@@ -109,6 +123,10 @@ def curate_corpus(
       (shuffle_key, doc_id) -- the #89 preview's order, materialized.
     """
     _t0 = time.perf_counter()
+    # counted once, up front: the manifest reports it and --pack sizes
+    # its shard fan-out from it (an upper bound on shipped docs --
+    # conservative fan-out is harmless, an undersized one is the OOM)
+    n_input_docs = documents.count()
     tags = curation_tags(documents)
     keep = tags.where(F.col("kept")).select("doc_id", "split")
     if drop_contaminated:
@@ -224,19 +242,22 @@ def curate_corpus(
             # op's (_ffd_assign), groups add split (windows must not
             # span the partition a loader reads).  applyInPandas per
             # (split, lang, pack_shard): the same bounded-group shape
-            # as seq_pack_bestfit -- group size is capped by the shard
-            # fan-out, groups pack in parallel across executors.
+            # as seq_pack_bestfit, with the fan-out SCALED to the
+            # corpus (_pack_shard_count) so no pandas group outgrows
+            # executor memory however large the input; groups pack in
+            # parallel across executors.
             import pandas as pd
 
-            from .constants import PACK_SHARDS, PACK_WINDOW_TOKENS
+            from .constants import PACK_WINDOW_TOKENS
             from .functions.columns import tokens as _tokens
             from .operators.pipeline import _ffd_assign
 
             _win = int(PACK_WINDOW_TOKENS)
+            _n_shards = _pack_shard_count(n_input_docs)
             per_doc = curated.select(
                 "split",
                 "lang",
-                (F.col("doc_id") % PACK_SHARDS).cast("bigint").alias(
+                (F.col("doc_id") % _n_shards).cast("bigint").alias(
                     "pack_shard"
                 ),
                 "doc_id",
@@ -262,7 +283,7 @@ def curate_corpus(
             ).applyInPandas(_assign, "doc_id bigint, pack_window int")
             curated = curated.withColumn(
                 "pack_shard",
-                (F.col("doc_id") % PACK_SHARDS).cast("bigint"),
+                (F.col("doc_id") % _n_shards).cast("bigint"),
             ).join(assignments.select("doc_id", "pack_window"), "doc_id")
         if epoch_shuffle is not None:
             from .operators.pipeline import epoch_shuffle_key
@@ -307,7 +328,7 @@ def curate_corpus(
         )
         manifest = {
             "out_dir": out_dir,
-            "n_input_docs": documents.count(),
+            "n_input_docs": n_input_docs,
             "n_written_docs": written.count(),
             "written_bytes": written_bytes,
             "wall_s": round(time.perf_counter() - _t0, 2),
@@ -375,9 +396,17 @@ def curate_corpus(
                 F.max("used").alias("max_used"),
             ).collect()[0]
             n_unpacked = written.where(F.col("pack_window") < 0).count()
+            # overlong docs (pre-clamp token count > window) got a
+            # dedicated window whose TEXT is not truncated -- the
+            # loader truncates at read.  Counted in the manifest so a
+            # consumer can see how many windows rely on that
+            # (ADVICE r10).
+            n_overlong = written.where(
+                F.greatest(F.size(tokens(F.col("text"))), F.lit(0)) > _win
+            ).count()
             manifest["pack"] = {
                 "window_tokens": _win,
-                "n_shards": PACK_SHARDS,
+                "n_shards": _n_shards,
                 "n_windows": int(pstats["n_windows"]),
                 "avg_fill": round(float(pstats["avg_fill"] or 0.0), 6),
                 "max_window_tokens_used": (
@@ -386,6 +415,7 @@ def curate_corpus(
                     else 0
                 ),
                 "n_unpacked_docs": int(n_unpacked),
+                "n_overlong_docs": int(n_overlong),
             }
         if epoch_shuffle is not None:
             manifest["epoch_shuffle"] = {"seed": int(epoch_shuffle)}

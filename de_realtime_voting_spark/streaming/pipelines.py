@@ -665,20 +665,36 @@ def stream_span_excision(documents: DataFrame, ref_grams: list[str]) -> DataFram
 # -- a long-lived service that builds many quarantine pipelines calls
 # release_bloom_broadcasts() between query stops to reclaim the
 # blocks (the curate.py stage-cache discipline, broadcast edition).
+# Lock-guarded (ADVICE r10): concurrent pipeline builds may append
+# from different threads, and release must not race a build.
+import threading as _threading
+
 _BLOOM_BROADCASTS: list = []
+_BLOOM_LOCK = _threading.Lock()
 
 
-def release_bloom_broadcasts() -> int:
-    """Destroy every Bloom-image broadcast built so far and return
-    how many were released.  Call ONLY after the streaming queries
-    built over them have stopped: destroy() invalidates the image on
-    executors, so a still-running quarantine gate would fail its next
-    microbatch."""
-    n = len(_BLOOM_BROADCASTS)
-    for b in _BLOOM_BROADCASTS:
+def release_bloom_broadcasts(handles=None) -> int:
+    """Destroy Bloom-image broadcasts and return how many were
+    released.  destroy() invalidates the image on executors, so only
+    release broadcasts whose streaming queries have stopped -- a
+    still-running quarantine gate would fail its next microbatch.
+
+    With no argument, destroys EVERY tracked broadcast (call only
+    when ALL quarantine queries are down).  With an iterable of
+    handles -- each gate frame carries its own as the
+    ``bloom_broadcast`` attribute stream_bloom_quarantine sets -- it
+    destroys just those, so a service stopping ONE query never
+    invalidates images backing the others (ADVICE r10)."""
+    with _BLOOM_LOCK:
+        if handles is None:
+            targets = list(_BLOOM_BROADCASTS)
+        else:
+            targets = [b for b in handles if b in _BLOOM_BROADCASTS]
+        for b in targets:
+            _BLOOM_BROADCASTS.remove(b)
+    for b in targets:
         b.destroy()
-    _BLOOM_BROADCASTS.clear()
-    return n
+    return len(targets)
 
 
 def stream_bloom_quarantine(documents: DataFrame, corpus: DataFrame) -> DataFrame:
@@ -734,7 +750,8 @@ def stream_bloom_quarantine(documents: DataFrame, corpus: DataFrame) -> DataFram
     # driver/executor blocks via release_bloom_broadcasts() after
     # the query stops (per-build broadcasts otherwise accumulate)
     bbits = corpus.sparkSession.sparkContext.broadcast(bits)
-    _BLOOM_BROADCASTS.append(bbits)
+    with _BLOOM_LOCK:
+        _BLOOM_BROADCASTS.append(bbits)
 
     def _any_hit(hs):
         lens = hs.map(len).to_numpy(dtype=np.int64)
@@ -763,7 +780,12 @@ def stream_bloom_quarantine(documents: DataFrame, corpus: DataFrame) -> DataFram
     decision = F.when(
         F.coalesce(bloom_any(gram_hashes), F.lit(False)), F.lit("quarantine")
     ).otherwise(F.lit("admit"))
-    return documents.withColumn("decision", decision)
+    out = documents.withColumn("decision", decision)
+    # per-query release handle (ADVICE r10): callers stopping THIS
+    # query pass it to release_bloom_broadcasts([...]) instead of
+    # destroying every live image globally
+    out.bloom_broadcast = bbits
+    return out
 
 
 def stream_token_cms(documents: DataFrame) -> DataFrame:

@@ -449,10 +449,15 @@ def test_curate_pack_and_epoch_shuffle_loader_ready(spark, sf_dir):
         def ntok(text):
             return len([t for t in text.split(" ") if t])
 
+        # the shard fan-out scales with the corpus (ADVICE r10); at
+        # test scale it must equal the floor and the written shards
+        # must replay doc_id mod that manifest value
+        n_shards = manifest["pack"]["n_shards"]
+        assert n_shards == PACK_SHARDS
         # per-group python replay of the shared FFD rule on final text
         groups = {}
         for r in rows:
-            assert r["pack_shard"] == r["doc_id"] % PACK_SHARDS
+            assert r["pack_shard"] == r["doc_id"] % n_shards
             groups.setdefault(
                 (r["split"], r["lang"], r["pack_shard"]), []
             ).append((ntok(r["text"]), r["doc_id"]))
@@ -474,6 +479,11 @@ def test_curate_pack_and_epoch_shuffle_loader_ready(spark, sf_dir):
         assert manifest["pack"]["n_unpacked_docs"] == sum(
             1 for r in rows if r["pack_window"] < 0
         )
+        # overlong docs (pre-clamp tokens > window) rely on
+        # loader-side truncation; the manifest must say how many
+        assert manifest["pack"]["n_overlong_docs"] == sum(
+            1 for r in rows if ntok(r["text"]) > win
+        )
         assert manifest["pack"]["window_tokens"] == win
         # epoch shuffle: the written key IS the #89 op's expression
         for r in rows:
@@ -487,3 +497,24 @@ def test_curate_pack_and_epoch_shuffle_loader_ready(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         spark.catalog.clearCache()
+
+def test_pack_shard_count_scales_with_corpus():
+    """The --pack fan-out rule (ADVICE r10): PACK_SHARDS is a floor,
+    and above it shards grow so the worst-case (one (split, lang)
+    holding everything) per-group doc count never exceeds
+    PACK_SHARD_TARGET_DOCS."""
+    from de_realtime_voting_spark.constants import (
+        PACK_SHARD_TARGET_DOCS,
+        PACK_SHARDS,
+    )
+    from de_realtime_voting_spark.curate import _pack_shard_count
+
+    assert _pack_shard_count(0) == PACK_SHARDS
+    assert _pack_shard_count(PACK_SHARD_TARGET_DOCS * PACK_SHARDS) == PACK_SHARDS
+    assert (
+        _pack_shard_count(PACK_SHARD_TARGET_DOCS * PACK_SHARDS + 1)
+        == PACK_SHARDS + 1
+    )
+    for n in (5_000_000, 123_456_789):
+        s = _pack_shard_count(n)
+        assert -(-n // s) <= PACK_SHARD_TARGET_DOCS

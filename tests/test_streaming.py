@@ -1380,10 +1380,16 @@ def test_release_bloom_broadcasts_reclaims_handles(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     release_bloom_broadcasts()  # drain handles left by earlier tests
-    stream_bloom_quarantine(docs, docs)  # plan build broadcasts the image
-    stream_bloom_quarantine(docs, docs)
+    g1 = stream_bloom_quarantine(docs, docs)  # build broadcasts the image
+    g2 = stream_bloom_quarantine(docs, docs)
     assert len(_sp._BLOOM_BROADCASTS) == 2
-    assert release_bloom_broadcasts() == 2
+    # per-query release (r10 ADVICE): stopping ONE query's gate must
+    # not destroy the image backing the other still-running one
+    assert release_bloom_broadcasts([g1.bloom_broadcast]) == 1
+    assert _sp._BLOOM_BROADCASTS == [g2.bloom_broadcast]
+    # an already-released handle is a no-op, not a double-destroy
+    assert release_bloom_broadcasts([g1.bloom_broadcast]) == 0
+    assert release_bloom_broadcasts() == 1
     assert _sp._BLOOM_BROADCASTS == []
 
 

@@ -62,8 +62,19 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     name = sys.argv[1] if len(sys.argv) > 1 else "sf1"
+    # validate the sfN argument BEFORE deriving anything from it
+    # (ADVICE r10: a malformed arg like 'sf1x' or a stray flag used to
+    # die in float() with no usage hint)
+    import re
+
+    m = re.fullmatch(r"sf(\d+(?:\.\d+)?)?", name)
+    if not m:
+        raise SystemExit(
+            f"bad scale argument {name!r}: expected sfN "
+            "(e.g. sf1, sf10, sf0.1) -- usage: python tools/curate_sf1.py [sfN]"
+        )
+    sf_val = float(m.group(1) or "1")
     sf_dir = os.path.join(_REPO, ".scaledata", name)
-    sf_val = float(name.replace("sf", "") or "1")
     dest = os.path.join(_REPO, f"CURATE_{name.upper()}.json")
     if not os.path.isdir(sf_dir):
         raise SystemExit(
