@@ -527,92 +527,82 @@ _DEFS: dict[str, QueryFn] = {
 
 # Registry ORDER matters operationally: external checkers iterate in
 # insertion order and may cap how many entries they verify per run
-# (the driver checks ~50).  Round-10 rotation, stalest-first: the two
-# ops whose PLAN changed this round lead (dedup_embedding_cosine and
-# semantic_dedup -- the depth-k sub-split fix from the sf100 probe),
-# then the two refactor-touched ops (seq_pack_bestfit now derives its
-# window count from the factored _ffd_assign; corpus_epoch_shuffle's
-# key is the factored epoch_shuffle_key -- identical plans, window
-# placement is cheap insurance), then all 39
-# r6-vintage driver rows, then the stalest r7 rows -- 2+2+39+7 fills
-# the 50-entry window, so after this round no query's latest driver
-# green predates r7 except the two r7 rows the plan-changed pair
-# displaced (they rotate in next round).  Remaining r7, then r8,
-# then r9 blocks follow (newest greens last).
+# (the driver checks ~50).  Round-11 rotation, stalest-first: the
+# two ops whose PLAN changed this round lead (dedup_embedding_cosine
+# and semantic_dedup -- the residual occupancy cap, _occ_capped_pairs
+# + its oracle twins), then ALL 40 r7-vintage driver rows (turnout
+# family, funnel, market-basket, ... -- the stalest greens), then 8
+# r8-vintage fills -- 2+40+8 fills the 50-entry window, so after this
+# round no query's latest driver green predates r8.  Remaining r8,
+# then r9/r10 blocks follow (newest greens last).
 _PRIORITY: list[str] = [
-    "dedup_embedding_cosine", "semantic_dedup", "corpus_epoch_shuffle",
-    "seq_pack_bestfit", "ann_lsh_topk", "ann_pq_topk",
-    "brand_price_trend", "candidate_hourly_pivot",
-    "corpus_stratified_sample", "corpus_train_split",
-    "cross_source_dup_matrix", "cumulative_daily_votes",
-    "dedup_minhash_pairs", "dedup_ngram_jaccard_scaled",
-    "doc_chunk_windows", "doc_field_completeness",
-    "doc_length_percentile_filter_approx", "dup_quality_report",
-    "election_winner", "embedding_label_cohesion", "embedding_pca_stats",
-    "embedding_whitened_norms", "fuzzy_decontam", "knn_label_purity",
-    "minhash_band_collision_stats", "multimodal_binary_stats",
-    "multimodal_chunk_stats", "normalized_dedup_gain",
-    "q11_important_stock", "q20_excess_suppliers",
-    "q21_waiting_suppliers", "q22_idle_rich_customers",
-    "q2_min_cost_supplier", "repeated_span_excision", "seq_pack_stats",
-    "span_excision_stats", "text_quality_score", "token_bucket_drift",
-    "token_distribution_drift", "vote_key_skew", "voter_value_quartiles",
-    "votes_approx_stats", "ann_ivf_probe_sweep", "ann_ivf_topk",
-    "ann_recall_report", "bpe_fertility_stats_batched",
-    "bpe_train_merges_batched", "corpus_span_excised",
-    "corpus_temperature_sample", "dedup_edit_distance",
-    "dedup_ngram_jaccard", "dedup_substring_spans",
-    "dsir_importance_score", "embedding_kmeans_iter", "funnel_conversion",
-    "ivf_cell_balance", "lapsed_voters", "leading_candidate_per_hour",
-    "market_basket_pairs", "minhash_jaccard_estimate",
-    "near_dup_graph_degree", "near_dup_rate_by_source",
-    "ngram_containment", "one_vote_per_voter", "order_fill_rate",
-    "party_vote_share", "referential_integrity_audit",
-    "repeat_buyers_by_nation", "source_url_dedup",
-    "supplier_concentration", "supplier_lead_time", "token_zipf_stats",
-    "turnout_by_location", "turnout_by_region", "turnout_by_segment",
-    "turnout_grouping_sets", "turnout_rollup", "vote_interarrival",
-    "vote_value_histogram", "vote_weight_percentiles",
-    "voter_party_loyalty", "voter_profile", "voter_retention_cohort",
-    "votes_asof_prior_click", "votes_cube", "votes_enriched",
-    "votes_in_launch_windows", "votes_minute_rate", "votes_per_candidate",
-    "votes_per_candidate_hourly", "ann_hard_negatives",
+    "dedup_embedding_cosine", "semantic_dedup", "dedup_ngram_jaccard",
+    "dedup_substring_spans", "dsir_importance_score", "embedding_kmeans_iter",
+    "funnel_conversion", "ivf_cell_balance", "lapsed_voters",
+    "leading_candidate_per_hour", "market_basket_pairs",
+    "minhash_jaccard_estimate", "near_dup_graph_degree",
+    "near_dup_rate_by_source", "ngram_containment", "one_vote_per_voter",
+    "order_fill_rate", "party_vote_share", "referential_integrity_audit",
+    "repeat_buyers_by_nation", "source_url_dedup", "supplier_concentration",
+    "supplier_lead_time", "token_zipf_stats", "turnout_by_location",
+    "turnout_by_region", "turnout_by_segment", "turnout_grouping_sets",
+    "turnout_rollup", "vote_interarrival", "vote_value_histogram",
+    "vote_weight_percentiles", "voter_party_loyalty", "voter_profile",
+    "voter_retention_cohort", "votes_asof_prior_click", "votes_cube",
+    "votes_enriched", "votes_in_launch_windows", "votes_minute_rate",
+    "votes_per_candidate", "votes_per_candidate_hourly", "ann_hard_negatives",
     "ann_ivf_hard_negatives", "ann_pq_rerank_topk", "bloom_decontam",
     "bpe_fertility_stats", "bpe_train_merges", "contam_span_report",
-    "customer_spend_deciles", "dedup_clusters", "dedup_clusters_bigstar",
-    "dedup_keep_canonical", "dedup_minhash_topk", "dedup_soft_weights",
-    "dedup_sorted_neighborhood", "dedup_threshold_sweep",
-    "doc_embed_inference", "doc_length_mad_outliers",
+    "customer_spend_deciles", "corpus_epoch_shuffle", "seq_pack_bestfit",
+    "ann_lsh_topk", "ann_pq_topk", "brand_price_trend",
+    "candidate_hourly_pivot", "corpus_stratified_sample", "corpus_train_split",
+    "cross_source_dup_matrix", "cumulative_daily_votes", "dedup_minhash_pairs",
+    "dedup_ngram_jaccard_scaled", "doc_chunk_windows",
+    "doc_field_completeness", "doc_length_percentile_filter_approx",
+    "dup_quality_report", "election_winner", "embedding_label_cohesion",
+    "embedding_pca_stats", "embedding_whitened_norms", "fuzzy_decontam",
+    "knn_label_purity", "minhash_band_collision_stats",
+    "multimodal_binary_stats", "multimodal_chunk_stats",
+    "normalized_dedup_gain", "q11_important_stock", "q20_excess_suppliers",
+    "q21_waiting_suppliers", "q22_idle_rich_customers", "q2_min_cost_supplier",
+    "repeated_span_excision", "seq_pack_stats", "span_excision_stats",
+    "text_quality_score", "token_bucket_drift", "token_distribution_drift",
+    "vote_key_skew", "voter_value_quartiles", "votes_approx_stats",
+    "ann_ivf_probe_sweep", "ann_ivf_topk", "ann_recall_report",
+    "bpe_fertility_stats_batched", "bpe_train_merges_batched",
+    "corpus_span_excised", "corpus_temperature_sample", "dedup_edit_distance",
+    "dedup_clusters", "dedup_clusters_bigstar", "dedup_keep_canonical",
+    "dedup_minhash_topk", "dedup_soft_weights", "dedup_sorted_neighborhood",
+    "dedup_threshold_sweep", "doc_embed_inference", "doc_length_mad_outliers",
     "doc_winnowing_fingerprints", "domain_quality_topk",
     "embedding_centroid_drift", "embedding_prototype_score",
     "event_transition_matrix", "hot_key_join_salted", "near_dup_pagerank",
-    "q10_returned_items", "q12_ship_lag_priority",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_part_supplier_counts", "q19_disjunctive_revenue",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
-    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-    "q9_product_profit", "segment_dedup", "segment_minhash_dedup",
-    "source_capped_selection", "source_temperature_weights",
-    "text_entropy_score", "token_budget_select", "top_brand_revenue",
-    "votes_sessionized", "ann_bruteforce_topk", "benchmark_decontam",
-    "bigram_logprob_score", "bpe_pair_counts", "corpus_dsir_sample",
-    "corpus_quality_keep", "corpus_source_mix", "curation_waterfall",
-    "customer_top_orders", "dedup_exact", "dedup_incremental",
-    "dedup_minhash_bands", "dedup_simhash", "dedup_simhash_pairs",
-    "doc_embedding_stats", "doc_fingerprint",
+    "q10_returned_items", "q12_ship_lag_priority", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_counts",
+    "q19_disjunctive_revenue", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_regional_revenue", "q6_forecast_revenue", "q7_nation_volume",
+    "q8_market_share", "q9_product_profit", "segment_dedup",
+    "segment_minhash_dedup", "source_capped_selection",
+    "source_temperature_weights", "text_entropy_score", "token_budget_select",
+    "top_brand_revenue", "votes_sessionized", "ann_bruteforce_topk",
+    "benchmark_decontam", "bigram_logprob_score", "bpe_pair_counts",
+    "corpus_dsir_sample", "corpus_quality_keep", "corpus_source_mix",
+    "curation_waterfall", "customer_top_orders", "dedup_exact",
+    "dedup_incremental", "dedup_minhash_bands", "dedup_simhash",
+    "dedup_simhash_pairs", "doc_embedding_stats", "doc_fingerprint",
     "doc_length_percentile_filter", "embedding_lsh_buckets",
     "embedding_norm_outliers", "embedding_quantization_stats",
     "events_json_props", "invalid_vote_rate", "ivf_retrain_report",
-    "large_volume_orders", "nation_acctbal", "near_dup_triangles",
-    "ngram_top", "order_priority_count", "quality_classifier_score",
+    "large_volume_orders", "nation_acctbal", "near_dup_triangles", "ngram_top",
+    "order_priority_count", "quality_classifier_score",
     "quality_classifier_train", "registered_non_voters",
     "repeated_ngram_spans", "small_quantity_revenue",
     "supplier_nation_revenue", "text_bpe_tokens", "text_c4_filters",
     "text_lang_id", "text_redact_pii", "text_repetition_score",
     "text_token_count", "tfidf_top_terms", "token_heavy_hitters_cms",
-    "unigram_logprob_score", "unique_voters_per_candidate",
-    "vocab_coverage", "voter_registration_stats", "voter_stickiness",
-    "votes_anomaly_zscore", "votes_sliding_window", "votes_value_stats",
+    "unigram_logprob_score", "unique_voters_per_candidate", "vocab_coverage",
+    "voter_registration_stats", "voter_stickiness", "votes_anomaly_zscore",
+    "votes_sliding_window", "votes_value_stats",
 ]
 
 
