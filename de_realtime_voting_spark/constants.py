@@ -239,6 +239,15 @@ DECONTAM_NGRAM_K = 8
 # both engines apply the identical cap).
 SUBSTR_RUN_MIN_TOKENS = 20
 SUBSTR_GRAM_MAX_OCC = 20
+# Unigram-LM scoring head size (r11 sf100 catch): the scoring join
+# broadcasts only the top-K vocabulary terms by count -- a FIXED-size
+# model at any corpus (vocabulary grows with the corpus; the full
+# broadcast hit Spark's 8 GiB limit at sf100).  All join skew lives
+# in the Zipf head, so the head broadcast keeps hot terms map-side
+# while the residual tail shuffle-join is skew-free by construction
+# (every tail count is below the head minimum).  Result-identical to
+# the full join at every K; 2^18 terms ~ 13 MB broadcast.
+UNIGRAM_HEAD_TOP_K = 1 << 18
 # DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
 # per-doc importance = mean over the doc's hashed-BIGRAM buckets of
 # log p_target(bucket) - log p_raw(bucket), Laplace(+1)-smoothed.

@@ -608,30 +608,49 @@ def unigram_logprob_score(documents: DataFrame) -> DataFrame:
     natural prose score high, gibberish and rare-token soup score
     low.  (No reference analog -- training-data mandate.)
 
-    Scale shape: two corpus shuffles and one broadcast.  Building the
-    model is a groupBy(term) count -- map-side partial agg collapses
-    the Zipf head before the shuffle, so 'the' does not create a hot
-    partition.  Scoring joins the exploded tokens to the model with
-    the MODEL side broadcast: token frequency is Zipf-skewed, so a
-    shuffle hash join keyed on term would funnel the head terms into
-    a few tasks -- the broadcast keeps scoring map-side and
-    skew-immune.  At 100 TB, cap the broadcast model at the top-K
-    vocabulary (cnt cutoff) with an OOV floor probability; the full
-    vocab broadcast here matches the oracle exactly.  Final per-doc
-    and per-(lang, source) aggs shuffle on uniform keys.
+    Scale shape: two corpus shuffles and one BOUNDED broadcast.
+    Building the model is a groupBy(term) count -- map-side partial
+    agg collapses the Zipf head before the shuffle, so 'the' does not
+    create a hot partition.  Scoring is a SKEW-SPLIT join (the r11
+    sf100 catch: broadcasting the FULL vocabulary model is
+    corpus-scaled -- 9.7 GiB at 2M-vocab sf100, over Spark's 8 GiB
+    broadcast limit): the top-UNIGRAM_HEAD_TOP_K terms by count (the
+    Zipf head, where ALL the join skew lives) broadcast as a
+    fixed-size model and score map-side; tokens missing from the head
+    shuffle-join the tail vocabulary, which is skew-free BY
+    CONSTRUCTION (every tail term's count is below the head minimum).
+    Result-identical to the single full join at every corpus size
+    (head and tail partition the vocabulary; below K distinct terms
+    the tail is empty and the plan degenerates to the old exact
+    broadcast).  Plain AQE skew-join could not replace the split: the
+    model side is an aggregate, one of the documented
+    OptimizeSkewedJoin no-op conditions (tools/skew_probe.py).
+    Final per-doc and per-(lang, source) aggs shuffle on uniform
+    keys.
     """
+    from ..constants import UNIGRAM_HEAD_TOP_K
+
     tok = documents.select(
         "doc_id", "lang", "source", F.explode(tokens(F.col("text"))).alias("term")
     )
     vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").cast("double").alias("n_total"))
-    model = vocab.crossJoin(F.broadcast(total)).select(
-        "term", F.log(F.col("cnt") / F.col("n_total")).alias("logp")
+    logp = F.log(F.col("cnt") / F.col("n_total")).alias("logp")
+    # deterministic bounded head: distributed top-K (TakeOrdered), K
+    # rows on any corpus, ties broken by term
+    head = vocab.orderBy(F.col("cnt").desc(), "term").limit(
+        UNIGRAM_HEAD_TOP_K
+    ).persist()
+    model_h = head.crossJoin(F.broadcast(total)).select("term", logp)
+    scored_h = tok.join(F.broadcast(model_h), "term", "left")
+    misses = scored_h.where(F.col("logp").isNull()).drop("logp")
+    tail = vocab.join(F.broadcast(head.select("term")), "term", "left_anti")
+    model_t = tail.crossJoin(F.broadcast(total)).select("term", logp)
+    scored = scored_h.where(F.col("logp").isNotNull()).unionByName(
+        misses.join(model_t, "term")
     )
-    per_doc = (
-        tok.join(F.broadcast(model), "term")
-        .groupBy("doc_id", "lang", "source")
-        .agg(F.avg("logp").alias("lp"))
+    per_doc = scored.groupBy("doc_id", "lang", "source").agg(
+        F.avg("logp").alias("lp")
     )
     return per_doc.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),

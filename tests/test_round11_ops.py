@@ -155,3 +155,32 @@ def test_semantic_dedup_capped_branch_matches_duckdb_oracle(spark, tmp_path):
     assert sum(r[2] for r in got) == _windowed_pair_count(n)
     assert all(r[1] - r[3] == r[4] for r in got)
     spark.catalog.clearCache()
+
+
+def test_unigram_head_tail_split_matches_oracle(spark, sf_dir, tmp_path, monkeypatch):
+    """The r11 sf100 catch: unigram_logprob_score's full-vocab model
+    broadcast is corpus-scaled (9.7 GiB at sf100).  The fix splits
+    scoring into a bounded top-K head broadcast + skew-free tail
+    shuffle join, result-identical to the full join.  Force the TAIL
+    path at test scale (head of 2 terms) and require the exact oracle
+    report -- the oracle computes the single full join, so equality
+    proves the split changes nothing."""
+    import duckdb
+
+    import de_realtime_voting_spark.constants as C
+    from de_realtime_voting_spark.operators.text import unigram_logprob_score
+    from de_realtime_voting_spark.oracles import SQL
+    from de_realtime_voting_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    monkeypatch.setattr(C, "UNIGRAM_HEAD_TOP_K", 2)
+    got = sorted(
+        map(tuple, (r for r in unigram_logprob_score(docs).collect()))
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.sql(SQL["unigram_logprob_score"]).fetchall()))
+    assert got == want and len(got) > 0
+    spark.catalog.clearCache()
