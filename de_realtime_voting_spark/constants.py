@@ -219,6 +219,14 @@ PACK_SHARDS = 8
 # (token_count, doc_id) is a few-MB pandas frame + FFD dict, bounded
 # executor memory at any corpus size.
 PACK_SHARD_TARGET_DOCS = 250_000
+# Scratch-space pre-flight for the materializing curate run (r12):
+# ONE write action keeps every upstream stage's shuffle files alive
+# simultaneously, and the sf100 full-option run measured peak
+# transient scratch at ~3x the input parquet bytes (~36 GB over a
+# ~12 GB input; SCALE.md r11 -- the first attempt died ENOSPC).
+# The pre-flight fails fast when the configured local dirs' free
+# space is under factor * input_bytes.
+CURATE_SCRATCH_FACTOR = 3.0
 # Benchmark decontamination: a corpus doc is contaminated when it
 # shares >= 1 word n-gram with the held-out eval source.
 EVAL_SOURCE = "src0"
@@ -248,6 +256,13 @@ SUBSTR_GRAM_MAX_OCC = 20
 # (every tail count is below the head minimum).  Result-identical to
 # the full join at every K; 2^18 terms ~ 13 MB broadcast.
 UNIGRAM_HEAD_TOP_K = 1 << 18
+# Bigram-LM scoring head size (r12: the r11 catch applied to the
+# bigram screen, which used to broadcast THREE corpus-scaled models).
+# One consolidated per-bigram logp model is head/tail split at this K;
+# bigram vocabulary outgrows the unigram's, so the head is wider --
+# 2^19 transitions ~ 35 MB broadcast (two words + a double per row),
+# fixed at any corpus size.
+BIGRAM_HEAD_TOP_K = 1 << 19
 # DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
 # per-doc importance = mean over the doc's hashed-BIGRAM buckets of
 # log p_target(bucket) - log p_raw(bucket), Laplace(+1)-smoothed.

@@ -45,6 +45,103 @@ def _pack_shard_count(n_docs: int) -> int:
     return max(int(PACK_SHARDS), -(-int(n_docs) // int(PACK_SHARD_TARGET_DOCS)))
 
 
+def _scratch_dirs(spark) -> list[str]:
+    """The local directories Spark will spill shuffle files into, in
+    the same precedence Spark resolves them: spark.local.dir conf,
+    then SPARK_LOCAL_DIRS, then the java.io.tmpdir default."""
+    conf = ""
+    try:
+        conf = spark.conf.get("spark.local.dir", "") or ""
+    except Exception:
+        pass
+    raw = conf or os.environ.get("SPARK_LOCAL_DIRS", "") or "/tmp"
+    return [d for d in (p.strip() for p in raw.split(",")) if d]
+
+
+def _free_bytes(dirs: list[str]) -> int:
+    """Total free bytes across ``dirs``, counting each filesystem
+    (st_dev of the deepest existing ancestor) once -- two scratch
+    dirs on one disk do not double the budget."""
+    seen: set[int] = set()
+    total = 0
+    for d in dirs:
+        path = d
+        while path and not os.path.exists(path):
+            parent = os.path.dirname(path)
+            if parent == path:
+                break
+            path = parent
+        try:
+            st = os.stat(path)
+            if st.st_dev in seen:
+                continue
+            seen.add(st.st_dev)
+            sv = os.statvfs(path)
+            total += sv.f_bavail * sv.f_frsize
+        except OSError:
+            continue
+    return total
+
+
+def estimate_scratch_bytes(input_bytes: int) -> int:
+    """Peak transient shuffle-scratch estimate for a full curate run:
+    CURATE_SCRATCH_FACTOR x the input parquet bytes.  The factor is
+    MEASURED, not guessed: the sf100 full-option materialization
+    peaked at ~36 GB live shuffle files over a ~12 GB input (one
+    write action keeps every upstream stage's shuffle alive at once;
+    SCALE.md r11, first attempt ENOSPC)."""
+    from .constants import CURATE_SCRATCH_FACTOR
+
+    return int(CURATE_SCRATCH_FACTOR * max(0, int(input_bytes)))
+
+
+def scratch_preflight(
+    spark, documents: DataFrame, free_bytes_fn=_free_bytes
+) -> dict:
+    """Fail fast BEFORE the nine-stage curate chain starts when the
+    configured scratch dirs cannot hold its measured peak shuffle
+    footprint -- the sf100 lesson: the ENOSPC arrived ~20 minutes in,
+    after every stage had already run once (r12, VERDICT item 8).
+
+    Input bytes come from the source's own files (df.inputFiles --
+    exact for parquet sources; a non-file source estimates 0 and the
+    check degrades to a no-op rather than a false abort).  Returns
+    the accounting dict (recorded in the manifest); raises
+    RuntimeError with the operational remedy when under-provisioned.
+    """
+    try:
+        files = documents.inputFiles()
+    except Exception:
+        files = []
+    input_bytes = 0
+    for f in files:
+        p = f.removeprefix("file:")
+        try:
+            input_bytes += os.path.getsize(p)
+        except OSError:
+            pass
+    need = estimate_scratch_bytes(input_bytes)
+    dirs = _scratch_dirs(spark)
+    free = free_bytes_fn(dirs)
+    if need > free:
+        raise RuntimeError(
+            f"curate scratch pre-flight: need ~{need >> 30} GiB shuffle "
+            f"scratch ({input_bytes >> 30} GiB input x measured "
+            f"{need / max(input_bytes, 1):.1f}x live-shuffle factor) but "
+            f"local dirs {dirs} have {free >> 30} GiB free.  Remedy: set "
+            "SPARK_LOCAL_DIRS to span tmpfs + disk (e.g. "
+            "/dev/shm/spark,/var/tmp/spark) and enable "
+            "spark.shuffle.compress with spark.io.compression.codec=zstd "
+            "-- the provisioning that carried the sf100 run (SCALE.md)."
+        )
+    return {
+        "input_bytes": input_bytes,
+        "estimated_scratch_bytes": need,
+        "free_scratch_bytes": free,
+        "scratch_dirs": dirs,
+    }
+
+
 def curate_corpus(
     documents: DataFrame,
     out_dir: str,
@@ -123,6 +220,9 @@ def curate_corpus(
       (shuffle_key, doc_id) -- the #89 preview's order, materialized.
     """
     _t0 = time.perf_counter()
+    # fail fast on scratch provisioning (r12: the sf100 ENOSPC
+    # arrived 20 minutes in) -- recorded in the manifest
+    scratch = scratch_preflight(documents.sparkSession, documents)
     # counted once, up front: the manifest reports it and --pack sizes
     # its shard fan-out from it (an upper bound on shipped docs --
     # conservative fan-out is harmless, an undersized one is the OOM)
@@ -254,12 +354,23 @@ def curate_corpus(
 
             _win = int(PACK_WINDOW_TOKENS)
             _n_shards = _pack_shard_count(n_input_docs)
+            # md5-hash before the mod (ADVICE r11): a raw doc_id mod
+            # assumes id residues are uniform -- strided or sparse id
+            # spaces could pile one residue class into a single pandas
+            # group past PACK_SHARD_TARGET_DOCS.  md5_mod_bucket is
+            # the repo's stable-hash idiom (16 hash bits feed the mod,
+            # so the fan-out ceiling is ~65k shards = 16e9 docs at
+            # the 250k target -- raise the hash width before the
+            # target if a corpus outgrows that).
+            from .functions.columns import md5_mod_bucket
+
             per_doc = curated.select(
                 "split",
                 "lang",
-                (F.col("doc_id") % _n_shards).cast("bigint").alias(
-                    "pack_shard"
-                ),
+                md5_mod_bucket(
+                    F.concat(F.lit("pack:"), F.col("doc_id").cast("string")),
+                    _n_shards,
+                ).cast("bigint").alias("pack_shard"),
                 "doc_id",
                 # greatest(.., 0): size(NULL) is -1 under non-ANSI
                 F.greatest(
@@ -281,9 +392,14 @@ def curate_corpus(
             assignments = per_doc.groupBy(
                 "split", "lang", "pack_shard"
             ).applyInPandas(_assign, "doc_id bigint, pack_window int")
+            # the SAME hashed-bucket expression as per_doc's -- the
+            # written column and the packing groups must agree
             curated = curated.withColumn(
                 "pack_shard",
-                (F.col("doc_id") % _n_shards).cast("bigint"),
+                md5_mod_bucket(
+                    F.concat(F.lit("pack:"), F.col("doc_id").cast("string")),
+                    _n_shards,
+                ).cast("bigint"),
             ).join(assignments.select("doc_id", "pack_window"), "doc_id")
         if epoch_shuffle is not None:
             from .operators.pipeline import epoch_shuffle_key
@@ -332,6 +448,7 @@ def curate_corpus(
             "n_written_docs": written.count(),
             "written_bytes": written_bytes,
             "wall_s": round(time.perf_counter() - _t0, 2),
+            "scratch_preflight": scratch,
             "drop_contaminated": drop_contaminated,
             "stages": {
                 "fuzzy_gate": fuzzy_gate,

@@ -976,7 +976,10 @@ def _split_fanout(n_col, budget: int):
 
 
 def _occ_capped_pairs(
-    normed: DataFrame, part_cols: list[str], occ_cap: int
+    normed: DataFrame,
+    part_cols: list[str],
+    occ_cap: int,
+    group_bound: int | None = None,
 ) -> DataFrame:
     """Within-group pair generation with the r11 RESIDUAL occupancy
     cap -- THE single pairing tail shared by dedup_embedding_cosine
@@ -1001,12 +1004,32 @@ def _occ_capped_pairs(
     members' order keys fall between theirs) is documented at the
     constants and applied identically by both engines.
 
-    Scale shape: one extra corpus agg for occupancy (broadcast back,
-    group count is bounded by blocks x fanout); the big path adds one
-    window shuffle+sort of ONLY the over-cap rows, with both sides'
-    embeddings carried through the lead struct so the verify needs no
-    join-back.  Returns (*part_cols, vec_a, vec_b, cosine) already
-    filtered to COSINE_THRESHOLD, vec_a < vec_b, cosine rounded 6.
+    Scale shape: TWO-TIER self-route (the dedup_ngram_jaccard
+    doc-count-route precedent), each tier one tiny bounded action.
+    Tier 1: ``group_bound`` is the caller's measured max PRE-SPLIT
+    group size (max block_n / cell_n off the sizes frame the caller
+    already aggregates) -- a sub-group can never outgrow its parent
+    group, so group_bound <= occ_cap proves zero over-cap groups
+    WITHOUT building the sub-level occupancy frame at all (every
+    driver SF and sf1 on this corpus: sf0.1's largest block is 218 vs
+    cap 1024).  Tier 2 (group_bound absent or exceeded): aggregate
+    the slim sub-level occupancy (bounded by blocks x fanout) and
+    probe max(occ_n).  When either tier rules the cap out the op
+    SHORT-CIRCUITS to the exact r10 all-pairs plan: no occupancy
+    broadcast-join, no corpus-wide persist -- r11 shipped the cap by
+    unconditionally persisting the full tagged frame (embeddings
+    included), which doubled the small-SF wall (sf0.1: semantic_dedup
+    4.06->9.39 s, cosine 3.47->6.03 s) to insure against a case the
+    occupancy agg can rule out for the price of one bounded action.
+    Only when some group IS over cap does the big-path machinery
+    engage: the occupancy frame broadcast-joins back, the tagged
+    frame persists (released by the harnesses' per-query clearCache,
+    the file convention -- at one materialization per call the cache
+    is write-once), and over-cap rows take one explicit-width window
+    shuffle+sort with both sides' embeddings carried through the lead
+    struct so the verify needs no join-back.  Returns (*part_cols,
+    vec_a, vec_b, cosine) already filtered to COSINE_THRESHOLD,
+    vec_a < vec_b, cosine rounded 6.
     """
     from functools import reduce
 
@@ -1014,31 +1037,51 @@ def _occ_capped_pairs(
 
     from ..constants import EMB_ORDER_PLANE, EMB_PAIR_WINDOW
 
-    occ = normed.groupBy(*part_cols).agg(F.count(F.lit(1)).alias("occ_n"))
-    tagged = normed.join(F.broadcast(occ), part_cols).persist()
-
-    small = tagged.where(F.col("occ_n") <= occ_cap)
-    a = small.select(
-        *part_cols,
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("norm").alias("norm_a"),
-    )
-    b = small.select(
-        *[F.col(c).alias(f"{c}_b") for c in part_cols],
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("norm").alias("norm_b"),
-    )
     same_group = reduce(
         lambda x, y: x & y, [F.col(c) == F.col(f"{c}_b") for c in part_cols]
     )
-    cos_s = dot_product(F.col("emb_a"), F.col("emb_b")) / (
-        F.col("norm_a") * F.col("norm_b")
+
+    def all_pairs(members: DataFrame) -> DataFrame:
+        a = members.select(
+            *part_cols,
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("emb_a"),
+            F.col("norm").alias("norm_a"),
+        )
+        b = members.select(
+            *[F.col(c).alias(f"{c}_b") for c in part_cols],
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("emb_b"),
+            F.col("norm").alias("norm_b"),
+        )
+        cos_s = dot_product(F.col("emb_a"), F.col("emb_b")) / (
+            F.col("norm_a") * F.col("norm_b")
+        )
+        return a.join(b, same_group & (F.col("vec_a") < F.col("vec_b"))).select(
+            *part_cols, "vec_a", "vec_b", rnd(cos_s, 6).alias("cosine")
+        )
+
+    # zero over-cap groups: the windowed branch would emit nothing
+    # and the cap plan degenerates to all-pairs -- take the exact
+    # r10 plan with no occupancy join and no corpus persist.
+    # Result-identical by construction (capped == all-pairs when no
+    # group exceeds cap), so the SQL oracle twins need no routing
+    # mirror.
+    if group_bound is not None and group_bound <= occ_cap:
+        return all_pairs(normed).where(F.col("cosine") >= COSINE_THRESHOLD)
+
+    occ = (
+        normed.groupBy(*part_cols)
+        .agg(F.count(F.lit(1)).alias("occ_n"))
+        .persist()
     )
-    small_pairs = a.join(b, same_group & (F.col("vec_a") < F.col("vec_b"))).select(
-        *part_cols, "vec_a", "vec_b", rnd(cos_s, 6).alias("cosine")
-    )
+    max_occ = occ.agg(F.max("occ_n")).first()[0]
+    if max_occ is None or max_occ <= occ_cap:
+        occ.unpersist()
+        return all_pairs(normed).where(F.col("cosine") >= COSINE_THRESHOLD)
+
+    tagged = normed.join(F.broadcast(occ), part_cols).persist()
+    small_pairs = all_pairs(tagged.where(F.col("occ_n") <= occ_cap))
 
     # EXPLICIT width on the window shuffle: the over-cap filter is
     # row-reducing, so AQE coalesces the window exchange to a couple
@@ -1120,13 +1163,18 @@ def dedup_embedding_cosine(embeddings: DataFrame) -> DataFrame:
     # the spread barrier) instead of per candidate pair; the oracle's
     # sqrt(dot(x,x)) is the exact same double regardless of when it's
     # computed, and the bucket expr shares LSH_PLANES literals
+    # persisted: the _occ_capped_pairs occupancy probe (a bounded
+    # action) materializes this scan, and the pairing job then reads
+    # it from cache instead of re-scanning parquet + recomputing the
+    # bucket dot products (released by the harnesses' per-query
+    # clearCache, the file convention)
     bucketed = _spread(embeddings.select("vec_id", "label", "embedding")).select(
         "vec_id",
         "label",
         "embedding",
         l2_norm(F.col("embedding")).alias("norm"),
         lsh_bucket(F.col("embedding")).alias("bucket"),
-    )
+    ).persist()
     # block-budget split: at most |labels| * 2^planes size rows,
     # broadcast back onto the members; the sub-key only diverges
     # from 0 inside oversized blocks, where it masks the extra-family
@@ -1149,8 +1197,16 @@ def dedup_embedding_cosine(embeddings: DataFrame) -> DataFrame:
     )
     from ..constants import SUB_OCC_CAP_MULT
 
+    # tier-1 occupancy bound for _occ_capped_pairs: the max BLOCK size
+    # bounds every sub-group's size; one tiny action over the sizes
+    # agg (and the job it runs populates the bucketed cache the
+    # pairing job then reads)
+    max_block = sizes.agg(F.max("block_n")).first()[0] or 0
     return _occ_capped_pairs(
-        normed, ["label", "bucket", "sub"], SUB_OCC_CAP_MULT * EMB_COS_BLOCK_BUDGET
+        normed,
+        ["label", "bucket", "sub"],
+        SUB_OCC_CAP_MULT * EMB_COS_BLOCK_BUDGET,
+        group_bound=max_block,
     ).select("vec_a", "vec_b", "label", "cosine")
 
 
@@ -1245,8 +1301,14 @@ def semantic_dedup(embeddings: DataFrame) -> DataFrame:
     # members) pair windowed instead of all-pairs -- this op is the
     # cap's primary target, its post-depth-k sf100 run still exceeded
     # a 580 s cut-off on one hot sub-cell
+    # tier-1 occupancy bound: max CELL size bounds every sub-cell;
+    # the action reads the persisted cells frame (and populates it)
+    max_cell = sizes.agg(F.max("cell_n")).first()[0] or 0
     pairs = _occ_capped_pairs(
-        normed, ["cell", "sub"], SUB_OCC_CAP_MULT * SEMDEDUP_CELL_BUDGET
+        normed,
+        ["cell", "sub"],
+        SUB_OCC_CAP_MULT * SEMDEDUP_CELL_BUDGET,
+        group_bound=max_cell,
     ).select("cell", "vec_b", "cosine")
     # per-cell totals are exactly the split-sizes aggregate -- reuse it
     # instead of a third cell-assignment scan

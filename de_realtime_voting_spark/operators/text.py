@@ -600,6 +600,76 @@ def text_c4_filters(documents: DataFrame) -> DataFrame:
     )
 
 
+def _lm_head_tail_stats(
+    stream: DataFrame, key: str, model_h: DataFrame, model_t: DataFrame
+) -> DataFrame:
+    """Shared scoring tail of the LM quality screens (unigram/bigram):
+    join a corpus-scaled (doc_id, lang, source, <key>) stream against
+    a head/tail-PARTITIONED logp model in ONE corpus scan, then report
+    per-(lang, source) stats of the per-doc mean logp.
+
+    Contract: model_h is the bounded Zipf head ((key, logp), <= top-K
+    rows, broadcastable at any corpus size), model_t the vocab-sized
+    tail, head and tail disjoint with head UNION tail covering every
+    key the stream can produce.
+
+    Scale shape -- the r11/r12 sf100 catch made concrete: the stream
+    left-joins ONLY the broadcast head (map-side, where all the Zipf
+    join skew lives), then a single partial aggregation collapses head
+    hits per doc (group key NULL) and misses per (doc, key) -- the
+    shuffle carries one row per doc plus one per distinct rare key per
+    doc, never one per token.  The reduced frame persists (released by
+    the harnesses' per-query clearCache, the file convention) so the
+    hit/miss split does NOT re-scan the corpus -- the r11 plan's
+    two-filter union cost a second full tokenize pass (+31% at sf0.1).
+    Misses then shuffle-join the tail model, skew-free BY CONSTRUCTION
+    (every tail key's count is below the head minimum), and the split
+    keeps the per-doc NULL-group rows out of that join (hash(NULL)
+    would funnel one row per doc into a single task at 1B docs).
+    Result-identical to the full-model join: per-key logp is computed
+    from the same counts, and a key occurring c times in a doc
+    contributes c * logp.
+    """
+    j = stream.join(F.broadcast(model_h), key, "left")
+    partial = (
+        j.groupBy(
+            "doc_id",
+            "lang",
+            "source",
+            F.when(F.col("logp").isNull(), F.col(key)).alias("_miss"),
+        )
+        .agg(
+            F.sum(F.coalesce(F.col("logp"), F.lit(0.0))).alias("_s"),
+            F.count(F.lit(1)).alias("_c"),
+        )
+        .persist()
+    )
+    hits = partial.where(F.col("_miss").isNull()).select(
+        "doc_id", "lang", "source", "_s", "_c"
+    )
+    misses = (
+        partial.where(F.col("_miss").isNotNull())
+        .join(model_t.withColumnRenamed(key, "_miss"), "_miss")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            (F.col("_c") * F.col("logp")).alias("_s"),
+            "_c",
+        )
+    )
+    per_doc = (
+        hits.unionByName(misses)
+        .groupBy("doc_id", "lang", "source")
+        .agg((F.sum("_s") / F.sum("_c")).alias("lp"))
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        rnd(F.avg("lp"), 4).alias("avg_logprob"),
+        rnd(F.min("lp"), 4).alias("min_logprob"),
+    )
+
+
 def unigram_logprob_score(documents: DataFrame) -> DataFrame:
     """Perplexity-proxy quality screen: score every document by the
     mean log-probability of its tokens under a corpus-wide unigram
@@ -608,32 +678,30 @@ def unigram_logprob_score(documents: DataFrame) -> DataFrame:
     natural prose score high, gibberish and rare-token soup score
     low.  (No reference analog -- training-data mandate.)
 
-    Scale shape: two corpus shuffles and one BOUNDED broadcast.
-    Building the model is a groupBy(term) count -- map-side partial
-    agg collapses the Zipf head before the shuffle, so 'the' does not
-    create a hot partition.  Scoring is a SKEW-SPLIT join (the r11
-    sf100 catch: broadcasting the FULL vocabulary model is
-    corpus-scaled -- 9.7 GiB at 2M-vocab sf100, over Spark's 8 GiB
-    broadcast limit): the top-UNIGRAM_HEAD_TOP_K terms by count (the
-    Zipf head, where ALL the join skew lives) broadcast as a
-    fixed-size model and score map-side; tokens missing from the head
-    shuffle-join the tail vocabulary, which is skew-free BY
-    CONSTRUCTION (every tail term's count is below the head minimum).
-    Result-identical to the single full join at every corpus size
-    (head and tail partition the vocabulary; below K distinct terms
-    the tail is empty and the plan degenerates to the old exact
-    broadcast).  Plain AQE skew-join could not replace the split: the
-    model side is an aggregate, one of the documented
+    Scale shape: two corpus tokenize passes (model build + scoring)
+    and one BOUNDED broadcast.  Building the model is a groupBy(term)
+    count -- map-side partial agg collapses the Zipf head before the
+    shuffle, so 'the' does not create a hot partition; the vocab frame
+    persists so the head top-K, tail anti-join, and total all read it
+    once.  Scoring is the SKEW-SPLIT head/tail join (the r11 sf100
+    catch: broadcasting the FULL vocabulary model is corpus-scaled --
+    9.7 GiB at 2M-vocab sf100, over Spark's 8 GiB broadcast limit):
+    the top-UNIGRAM_HEAD_TOP_K terms by count broadcast as a
+    fixed-size model; tail misses shuffle-join skew-free (see
+    _lm_head_tail_stats, which also removed the r11 plan's second
+    corpus scan).  Result-identical to the single full join at every
+    corpus size (head and tail partition the vocabulary; below K
+    distinct terms the tail is empty and the plan degenerates to the
+    old exact broadcast).  Plain AQE skew-join could not replace the
+    split: the model side is an aggregate, one of the documented
     OptimizeSkewedJoin no-op conditions (tools/skew_probe.py).
-    Final per-doc and per-(lang, source) aggs shuffle on uniform
-    keys.
     """
     from ..constants import UNIGRAM_HEAD_TOP_K
 
     tok = documents.select(
         "doc_id", "lang", "source", F.explode(tokens(F.col("text"))).alias("term")
     )
-    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).persist()
     total = vocab.agg(F.sum("cnt").cast("double").alias("n_total"))
     logp = F.log(F.col("cnt") / F.col("n_total")).alias("logp")
     # deterministic bounded head: distributed top-K (TakeOrdered), K
@@ -642,21 +710,9 @@ def unigram_logprob_score(documents: DataFrame) -> DataFrame:
         UNIGRAM_HEAD_TOP_K
     ).persist()
     model_h = head.crossJoin(F.broadcast(total)).select("term", logp)
-    scored_h = tok.join(F.broadcast(model_h), "term", "left")
-    misses = scored_h.where(F.col("logp").isNull()).drop("logp")
     tail = vocab.join(F.broadcast(head.select("term")), "term", "left_anti")
     model_t = tail.crossJoin(F.broadcast(total)).select("term", logp)
-    scored = scored_h.where(F.col("logp").isNotNull()).unionByName(
-        misses.join(model_t, "term")
-    )
-    per_doc = scored.groupBy("doc_id", "lang", "source").agg(
-        F.avg("logp").alias("lp")
-    )
-    return per_doc.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        rnd(F.avg("lp"), 4).alias("avg_logprob"),
-        rnd(F.min("lp"), 4).alias("min_logprob"),
-    )
+    return _lm_head_tail_stats(tok, "term", model_h, model_t)
 
 
 def doc_chunk_windows(documents: DataFrame) -> DataFrame:
@@ -1120,23 +1176,28 @@ def bigram_logprob_score(documents: DataFrame) -> DataFrame:
     Fluent prose keeps high-probability transitions; shuffled-word
     soup that fools a unigram model scores low here.
 
-    Scale shape: mirrors unigram_logprob_score.  Model building is
+    Scale shape: mirrors unigram_logprob_score's head/tail split --
+    the r11 sf100 catch applies with interest here (unigram's single
+    full-vocab model broadcast died at 9.7 GiB > Spark's 8 GiB cap;
+    this op used to broadcast THREE corpus-scaled models: bigram,
+    context, unigram).  The fix assembles ONE consolidated per-bigram
+    logp model on the VOCAB-sized distinct-bigram frame (the
+    ctx/unigram/total joins run vocab-against-vocab, never against the
+    corpus stream -- per-w1 groups are bounded by distinct successors,
+    not corpus frequency, so no hot task), persists it, and head/tail
+    splits it ONCE: the top-BIGRAM_HEAD_TOP_K transitions by count
+    broadcast bounded; tail misses shuffle-join skew-free (see
+    _lm_head_tail_stats).  Result-identical to the full join -- logp
+    per bigram is computed from the same (bi_cnt, ctx_cnt, uni_cnt,
+    n_total) -- and below K distinct bigrams the tail is empty and the
+    plan degenerates to an exact bounded broadcast.  Model building is
     groupBy counts with map-side partial agg (the Zipf head collapses
-    before the shuffle).  Scoring joins the exploded bigram stream to
-    the bigram/context/unigram models with the MODEL sides broadcast:
-    bigram frequency is Zipf-skewed, so a shuffle join keyed on the
-    bigram would funnel head transitions into a few tasks.  At 100 TB
-    the broadcast bigram model must be capped to the top-K transitions
-    with the interpolation absorbing the tail (unseen bigram => pure
-    unigram backoff via coalesce(bi_cnt, 0)); the full-vocab broadcast
-    here matches the oracle exactly.
+    before the shuffle) over the persisted _doc_toks_base token frame
+    (one corpus scan + tokenize feeds the bigram stream, the unigram
+    stream, and scoring; r5 fold).
     """
-    from ..constants import BIGRAM_LAMBDA
+    from ..constants import BIGRAM_HEAD_TOP_K, BIGRAM_LAMBDA
 
-    # ONE corpus scan + tokenize: the cached token frame feeds the
-    # bigram stream (consumed by the bigram model AND the scoring
-    # side) and the unigram stream -- previously each path re-scanned
-    # and re-tokenized the corpus (3 tokenize passes; r5 fold).
     base = _doc_toks_base(documents)
     toks = F.col("toks")
     bigrams = _bigrams_of(toks)
@@ -1154,30 +1215,33 @@ def bigram_logprob_score(documents: DataFrame) -> DataFrame:
     ).agg(F.sum("bi_cnt").alias("ctx_cnt"))
     p_bi = F.col("bi_cnt") / F.col("ctx_cnt")
     p_uni = F.col("uni_cnt") / F.col("n_total")
-    scored = (
-        pair.join(F.broadcast(bi), "bigram")
-        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+    # consolidated model: vocab-sized joins only (no broadcast hints
+    # -- the model sides are corpus-scaled aggregates; AQE picks the
+    # physical join from runtime sizes).  Persisted so head top-K and
+    # tail anti-join read it once (harness clearCache releases it).
+    model = (
+        bi.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
         .withColumn("w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
-        .join(F.broadcast(ctx), "w1")
-        .join(F.broadcast(uni.withColumnRenamed("term", "w2")), "w2")
+        .join(ctx, "w1")
+        .join(uni.withColumnRenamed("term", "w2"), "w2")
         .crossJoin(F.broadcast(total))
         .select(
-            "doc_id",
-            "lang",
-            "source",
+            "bigram",
+            "bi_cnt",
             F.log(
                 F.lit(BIGRAM_LAMBDA) * p_bi + F.lit(1.0 - BIGRAM_LAMBDA) * p_uni
             ).alias("logp"),
         )
+        .persist()
     )
-    per_doc = scored.groupBy("doc_id", "lang", "source").agg(
-        F.avg("logp").alias("lp")
-    )
-    return per_doc.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        rnd(F.avg("lp"), 4).alias("avg_logprob"),
-        rnd(F.min("lp"), 4).alias("min_logprob"),
-    )
+    head = model.orderBy(F.col("bi_cnt").desc(), "bigram").limit(
+        BIGRAM_HEAD_TOP_K
+    ).persist()
+    model_h = head.select("bigram", "logp")
+    model_t = model.join(
+        F.broadcast(head.select("bigram")), "bigram", "left_anti"
+    ).select("bigram", "logp")
+    return _lm_head_tail_stats(pair, "bigram", model_h, model_t)
 
 
 def dsir_importance_score(documents: DataFrame) -> DataFrame:

@@ -527,20 +527,38 @@ _DEFS: dict[str, QueryFn] = {
 
 # Registry ORDER matters operationally: external checkers iterate in
 # insertion order and may cap how many entries they verify per run
-# (the driver checks ~50).  Round-11 rotation, stalest-first: the
-# two ops whose PLAN changed this round lead (dedup_embedding_cosine
-# and semantic_dedup -- the residual occupancy cap, _occ_capped_pairs
-# + its oracle twins), then ALL 40 r7-vintage driver rows (turnout
-# family, funnel, market-basket, ... -- the stalest greens), then 8
-# r8-vintage fills -- 2+40+8 fills the 50-entry window, so after this
-# round no query's latest driver green predates r8.  Remaining r8,
-# then r9/r10 blocks follow (newest greens last).
+# (the driver checks ~50).  Round-12 rotation, plan-changed-first:
+# the four ops whose PLAN changed this round lead
+# (unigram/bigram_logprob_score -- the head/tail LM-model split;
+# dedup_embedding_cosine/semantic_dedup -- the _occ_capped_pairs
+# small-SF short-circuit), then ALL 38 r8-vintage driver rows (the
+# stalest greens: dedup graph family, TPC-H block, ...), then 8
+# stalest-r9 fills -- 4+38+8 fills the 50-entry window, so after this
+# round no query's latest driver green predates r9.  Remaining r9,
+# then r10/r11 blocks follow (newest greens last).
 _PRIORITY: list[str] = [
-    "dedup_embedding_cosine", "semantic_dedup", "dedup_ngram_jaccard",
-    "dedup_substring_spans", "dsir_importance_score", "embedding_kmeans_iter",
-    "funnel_conversion", "ivf_cell_balance", "lapsed_voters",
-    "leading_candidate_per_hour", "market_basket_pairs",
-    "minhash_jaccard_estimate", "near_dup_graph_degree",
+    "unigram_logprob_score", "bigram_logprob_score", "dedup_embedding_cosine",
+    "semantic_dedup", "dedup_clusters", "dedup_clusters_bigstar",
+    "dedup_keep_canonical", "dedup_minhash_topk", "dedup_soft_weights",
+    "dedup_sorted_neighborhood", "dedup_threshold_sweep",
+    "doc_embed_inference", "doc_length_mad_outliers",
+    "doc_winnowing_fingerprints", "domain_quality_topk",
+    "embedding_centroid_drift", "embedding_prototype_score",
+    "event_transition_matrix", "hot_key_join_salted", "near_dup_pagerank",
+    "q10_returned_items", "q12_ship_lag_priority", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_counts",
+    "q19_disjunctive_revenue", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_regional_revenue", "q6_forecast_revenue", "q7_nation_volume",
+    "q8_market_share", "q9_product_profit", "segment_dedup",
+    "segment_minhash_dedup", "source_capped_selection",
+    "source_temperature_weights", "text_entropy_score", "token_budget_select",
+    "top_brand_revenue", "votes_sessionized", "ann_bruteforce_topk",
+    "bpe_pair_counts", "benchmark_decontam", "corpus_dsir_sample",
+    "corpus_quality_keep", "corpus_source_mix", "curation_waterfall",
+    "customer_top_orders", "dedup_ngram_jaccard", "dedup_substring_spans",
+    "dsir_importance_score", "embedding_kmeans_iter", "funnel_conversion",
+    "ivf_cell_balance", "lapsed_voters", "leading_candidate_per_hour",
+    "market_basket_pairs", "minhash_jaccard_estimate", "near_dup_graph_degree",
     "near_dup_rate_by_source", "ngram_containment", "one_vote_per_voter",
     "order_fill_rate", "party_vote_share", "referential_integrity_audit",
     "repeat_buyers_by_nation", "source_url_dedup", "supplier_concentration",
@@ -571,24 +589,7 @@ _PRIORITY: list[str] = [
     "ann_ivf_probe_sweep", "ann_ivf_topk", "ann_recall_report",
     "bpe_fertility_stats_batched", "bpe_train_merges_batched",
     "corpus_span_excised", "corpus_temperature_sample", "dedup_edit_distance",
-    "dedup_clusters", "dedup_clusters_bigstar", "dedup_keep_canonical",
-    "dedup_minhash_topk", "dedup_soft_weights", "dedup_sorted_neighborhood",
-    "dedup_threshold_sweep", "doc_embed_inference", "doc_length_mad_outliers",
-    "doc_winnowing_fingerprints", "domain_quality_topk",
-    "embedding_centroid_drift", "embedding_prototype_score",
-    "event_transition_matrix", "hot_key_join_salted", "near_dup_pagerank",
-    "q10_returned_items", "q12_ship_lag_priority", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_counts",
-    "q19_disjunctive_revenue", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_regional_revenue", "q6_forecast_revenue", "q7_nation_volume",
-    "q8_market_share", "q9_product_profit", "segment_dedup",
-    "segment_minhash_dedup", "source_capped_selection",
-    "source_temperature_weights", "text_entropy_score", "token_budget_select",
-    "top_brand_revenue", "votes_sessionized", "ann_bruteforce_topk",
-    "benchmark_decontam", "bigram_logprob_score", "bpe_pair_counts",
-    "corpus_dsir_sample", "corpus_quality_keep", "corpus_source_mix",
-    "curation_waterfall", "customer_top_orders", "dedup_exact",
-    "dedup_incremental", "dedup_minhash_bands", "dedup_simhash",
+    "dedup_exact", "dedup_incremental", "dedup_minhash_bands", "dedup_simhash",
     "dedup_simhash_pairs", "doc_embedding_stats", "doc_fingerprint",
     "doc_length_percentile_filter", "embedding_lsh_buckets",
     "embedding_norm_outliers", "embedding_quantization_stats",
@@ -600,7 +601,7 @@ _PRIORITY: list[str] = [
     "supplier_nation_revenue", "text_bpe_tokens", "text_c4_filters",
     "text_lang_id", "text_redact_pii", "text_repetition_score",
     "text_token_count", "tfidf_top_terms", "token_heavy_hitters_cms",
-    "unigram_logprob_score", "unique_voters_per_candidate", "vocab_coverage",
+    "unique_voters_per_candidate", "vocab_coverage",
     "voter_registration_stats", "voter_stickiness", "votes_anomaly_zscore",
     "votes_sliding_window", "votes_value_stats",
 ]

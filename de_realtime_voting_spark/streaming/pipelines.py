@@ -689,7 +689,17 @@ def release_bloom_broadcasts(handles=None) -> int:
         if handles is None:
             targets = list(_BLOOM_BROADCASTS)
         else:
-            targets = [b for b in handles if b in _BLOOM_BROADCASTS]
+            # dedupe by identity FIRST (ADVICE r11): a caller passing
+            # the same handle twice would pass the membership check
+            # twice but the second remove() would raise ValueError --
+            # leaking the first (already-untracked, not-yet-destroyed)
+            # broadcast and aborting the release mid-way.
+            seen: set[int] = set()
+            targets = []
+            for b in handles:
+                if id(b) not in seen and b in _BLOOM_BROADCASTS:
+                    seen.add(id(b))
+                    targets.append(b)
         for b in targets:
             _BLOOM_BROADCASTS.remove(b)
     for b in targets:

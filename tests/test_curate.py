@@ -451,13 +451,21 @@ def test_curate_pack_and_epoch_shuffle_loader_ready(spark, sf_dir):
 
         # the shard fan-out scales with the corpus (ADVICE r10); at
         # test scale it must equal the floor and the written shards
-        # must replay doc_id mod that manifest value
+        # must replay the md5-hashed doc_id bucket (ADVICE r11: raw
+        # mod assumed uniform id residues) against that manifest value
         n_shards = manifest["pack"]["n_shards"]
         assert n_shards == PACK_SHARDS
+
+        def shard_of(doc_id):
+            import hashlib
+
+            h = hashlib.md5(f"pack:{doc_id}".encode()).hexdigest()
+            return int(h[:4], 16) % n_shards
+
         # per-group python replay of the shared FFD rule on final text
         groups = {}
         for r in rows:
-            assert r["pack_shard"] == r["doc_id"] % n_shards
+            assert r["pack_shard"] == shard_of(r["doc_id"])
             groups.setdefault(
                 (r["split"], r["lang"], r["pack_shard"]), []
             ).append((ntok(r["text"]), r["doc_id"]))
@@ -518,3 +526,63 @@ def test_pack_shard_count_scales_with_corpus():
     for n in (5_000_000, 123_456_789):
         s = _pack_shard_count(n)
         assert -(-n // s) <= PACK_SHARD_TARGET_DOCS
+
+
+def test_pack_shard_hash_spreads_strided_ids():
+    """ADVICE r11: the shard key is md5-hashed before the mod, so a
+    STRIDED doc_id space (every id a multiple of the fan-out -- the
+    shape that piles a raw mod onto residue 0) still spreads across
+    shards near-uniformly."""
+    import hashlib
+
+    n_shards = 8
+    ids = [i * n_shards for i in range(4000)]  # raw mod -> all shard 0
+    counts = [0] * n_shards
+    for d in ids:
+        h = hashlib.md5(f"pack:{d}".encode()).hexdigest()
+        counts[int(h[:4], 16) % n_shards] += 1
+    assert min(counts) > 0
+    # no shard holds more than 2x its uniform share
+    assert max(counts) <= 2 * len(ids) // n_shards
+
+
+def test_scratch_preflight_estimator_and_abort(spark, sf_dir):
+    """The r12 ENOSPC pre-flight: the estimate is factor x input
+    bytes, filesystems are counted once, and an under-provisioned
+    scratch raises with the SPARK_LOCAL_DIRS remedy BEFORE any stage
+    runs."""
+    import os
+
+    from de_realtime_voting_spark.constants import CURATE_SCRATCH_FACTOR
+    from de_realtime_voting_spark.curate import (
+        _free_bytes,
+        estimate_scratch_bytes,
+        scratch_preflight,
+    )
+    from de_realtime_voting_spark.sources import load_table
+
+    assert estimate_scratch_bytes(0) == 0
+    assert estimate_scratch_bytes(10_000_000_000) == int(
+        CURATE_SCRATCH_FACTOR * 10_000_000_000
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    acct = scratch_preflight(spark, docs)
+    # input bytes must equal the source parquet's real on-disk size
+    want = sum(
+        os.path.getsize(f.removeprefix("file:")) for f in docs.inputFiles()
+    )
+    assert acct["input_bytes"] == want and want > 0
+    assert acct["estimated_scratch_bytes"] == estimate_scratch_bytes(want)
+    assert acct["free_scratch_bytes"] > 0
+
+    # same filesystem listed twice counts once
+    one = _free_bytes(["/tmp"])
+    assert _free_bytes(["/tmp", "/tmp"]) == one
+
+    # an under-provisioned scratch fails fast with the remedy
+    try:
+        scratch_preflight(spark, docs, free_bytes_fn=lambda dirs: 0)
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError as e:
+        assert "SPARK_LOCAL_DIRS" in str(e) and "zstd" in str(e)
