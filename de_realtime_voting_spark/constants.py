@@ -197,6 +197,19 @@ EMB_ORDER_PLANE = [
     lsh_plane_weight(LSH_NUM_PLANES + LSH_EXTRA_NUM_PLANES, i)
     for i in range(EMBEDDING_DIM)
 ]
+# r12: a SECOND independent order plane (the next generator index,
+# also outside both sign-bit pools).  Over-cap groups run the
+# windowed pass once per plane and union the pair sets: a qualifying
+# pair is now missed only when BOTH orderings put > W-1 members
+# between its endpoints -- the r11 single-plane pass left 24.7% of
+# keep-first drop candidates uncovered at sf100 (one axis cannot
+# order a dense cluster in every direction), and two near-orthogonal
+# axes square the per-pair miss probability for one extra O(n*W)
+# window shuffle of only the over-cap rows.
+EMB_ORDER_PLANE2 = [
+    lsh_plane_weight(LSH_NUM_PLANES + LSH_EXTRA_NUM_PLANES + 1, i)
+    for i in range(EMBEDDING_DIM)
+]
 
 
 # --- corpus-construction pipeline ---------------------------------

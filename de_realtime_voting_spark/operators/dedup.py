@@ -998,11 +998,17 @@ def _occ_capped_pairs(
     continuous where the sign bits are constant -- and pair each
     member with its EMB_PAIR_WINDOW rank-successors via window leads
     (the dedup_sorted_neighborhood shape: candidates bounded BY
-    CONSTRUCTION, no self-join).  Per-group pair mass drops
-    O(n^2) -> O(n*W), restoring the family's linear-in-corpus bound;
-    the recall trade (a qualifying pair is missed when > W-1 other
-    members' order keys fall between theirs) is documented at the
-    constants and applied identically by both engines.
+    CONSTRUCTION, no self-join).  r12: the windowed pass runs TWICE,
+    once per independent order plane (EMB_ORDER_PLANE /
+    EMB_ORDER_PLANE2), and the pair sets union-distinct -- a
+    qualifying pair is now missed only when BOTH orderings put
+    > W-1 members between its endpoints (the r11 single-axis pass
+    left 24.7% of sf100 drop candidates uncovered; two
+    near-orthogonal axes square the per-pair miss probability).
+    Per-group pair mass stays O(n*W) (2x the constant), keeping the
+    family's linear-in-corpus bound; the residual recall trade is
+    documented at the constants and applied identically by both
+    engines.
 
     Scale shape: TWO-TIER self-route (the dedup_ngram_jaccard
     doc-count-route precedent), each tier one tiny bounded action.
@@ -1035,7 +1041,11 @@ def _occ_capped_pairs(
 
     from pyspark.sql import Window
 
-    from ..constants import EMB_ORDER_PLANE, EMB_PAIR_WINDOW
+    from ..constants import (
+        EMB_ORDER_PLANE,
+        EMB_ORDER_PLANE2,
+        EMB_PAIR_WINDOW,
+    )
 
     same_group = reduce(
         lambda x, y: x & y, [F.col(c) == F.col(f"{c}_b") for c in part_cols]
@@ -1094,31 +1104,47 @@ def _occ_capped_pairs(
     big = tagged.where(F.col("occ_n") > occ_cap).repartition(
         _shuffle_width(normed.sparkSession), *part_cols
     )
-    order_plane = F.array(*[F.lit(w) for w in EMB_ORDER_PLANE])
-    proj = (dot_product(F.col("embedding"), order_plane) / F.col("norm")).alias(
-        "proj"
-    )
-    w = Window.partitionBy(*part_cols).orderBy("proj", "vec_id")
-    cur = F.struct(F.col("vec_id"), F.col("embedding"), F.col("norm"))
-    nbs = F.array(
-        *[F.lead(cur, i).over(w) for i in range(1, EMB_PAIR_WINDOW + 1)]
-    )
-    exploded = (
-        big.select(*part_cols, "vec_id", "embedding", "norm", proj)
-        # windows and generators cannot share a projection: compute the
-        # lead array first, explode it in the next select
-        .select(*part_cols, "vec_id", "embedding", "norm", nbs.alias("nbs"))
-        .select(*part_cols, "vec_id", "embedding", "norm", F.explode("nbs").alias("nb"))
-        .where(F.col("nb").isNotNull())
-    )
-    cos_b = dot_product(F.col("embedding"), F.col("nb.embedding")) / (
-        F.col("norm") * F.col("nb.norm")
-    )
-    big_pairs = exploded.select(
-        *part_cols,
-        F.least(F.col("vec_id"), F.col("nb.vec_id")).alias("vec_a"),
-        F.greatest(F.col("vec_id"), F.col("nb.vec_id")).alias("vec_b"),
-        rnd(cos_b, 6).alias("cosine"),
+
+    def windowed_pass(plane: list[float]) -> DataFrame:
+        order_plane = F.array(*[F.lit(w) for w in plane])
+        proj = (
+            dot_product(F.col("embedding"), order_plane) / F.col("norm")
+        ).alias("proj")
+        w = Window.partitionBy(*part_cols).orderBy("proj", "vec_id")
+        cur = F.struct(F.col("vec_id"), F.col("embedding"), F.col("norm"))
+        nbs = F.array(
+            *[F.lead(cur, i).over(w) for i in range(1, EMB_PAIR_WINDOW + 1)]
+        )
+        exploded = (
+            big.select(*part_cols, "vec_id", "embedding", "norm", proj)
+            # windows and generators cannot share a projection: compute
+            # the lead array first, explode it in the next select
+            .select(*part_cols, "vec_id", "embedding", "norm", nbs.alias("nbs"))
+            .select(
+                *part_cols, "vec_id", "embedding", "norm",
+                F.explode("nbs").alias("nb"),
+            )
+            .where(F.col("nb").isNotNull())
+        )
+        cos_b = dot_product(F.col("embedding"), F.col("nb.embedding")) / (
+            F.col("norm") * F.col("nb.norm")
+        )
+        return exploded.select(
+            *part_cols,
+            F.least(F.col("vec_id"), F.col("nb.vec_id")).alias("vec_a"),
+            F.greatest(F.col("vec_id"), F.col("nb.vec_id")).alias("vec_b"),
+            rnd(cos_b, 6).alias("cosine"),
+        )
+
+    # two independent order planes (r12): union the per-plane windowed
+    # pair sets and dedup -- a pair found by both planes must emit
+    # once (cosine is the identical double either way, so distinct()
+    # over the full row is exact).  The distinct shuffle is bounded by
+    # 2*W rows per over-cap member.
+    big_pairs = (
+        windowed_pass(EMB_ORDER_PLANE)
+        .unionByName(windowed_pass(EMB_ORDER_PLANE2))
+        .distinct()
     )
     return small_pairs.unionByName(big_pairs).where(
         F.col("cosine") >= COSINE_THRESHOLD

@@ -209,16 +209,16 @@ def _bucket_extra_expr(emb: str) -> str:
     return _plane_sign_bucket_expr(emb, LSH_EXTRA_PLANES)
 
 
-def _order_proj_expr(emb: str) -> str:
+def _order_proj_expr(emb: str, plane: list[float] | None = None) -> str:
     """SQL twin of the r11 windowed-pairing ORDER key (operators.
     dedup._occ_capped_pairs): normalized projection onto
-    constants.EMB_ORDER_PLANE.  Both engines fold the dot product
-    left-to-right over the same doubles, so the (proj, vec_id) order
-    is identical -- the same cross-engine determinism the ANN ranks
-    already rely on."""
+    constants.EMB_ORDER_PLANE (or the r12 second plane when passed).
+    Both engines fold the dot product left-to-right over the same
+    doubles, so the (proj, vec_id) order is identical -- the same
+    cross-engine determinism the ANN ranks already rely on."""
     from .constants import EMB_ORDER_PLANE
 
-    lit = "[" + ", ".join(repr(w) for w in EMB_ORDER_PLANE) + "]"
+    lit = "[" + ", ".join(repr(w) for w in plane or EMB_ORDER_PLANE) + "]"
     dot = (
         f"list_aggregate(list_transform(range(1, {EMBEDDING_DIM + 1}), "
         f"i -> CAST({emb}[i] AS DOUBLE) * ({lit})[i]), 'sum')"
@@ -583,7 +583,11 @@ SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_doc_id
 FROM sims GROUP BY 1 HAVING COUNT(*) > 1
 """
 
-from .constants import EMB_PAIR_WINDOW, SUB_OCC_CAP_MULT  # noqa: E402
+from .constants import (  # noqa: E402
+    EMB_ORDER_PLANE2,
+    EMB_PAIR_WINDOW,
+    SUB_OCC_CAP_MULT,
+)
 
 # r11 residual occupancy cap mirrors _occ_capped_pairs exactly:
 # groups at or under SUB_OCC_CAP_MULT * budget pair all-pairs (the
@@ -628,9 +632,16 @@ ranked AS (
            row_number() OVER (
                PARTITION BY label, bucket, sub
                ORDER BY {_order_proj_expr('embedding')}, vec_id
-           ) AS rn
+           ) AS rn,
+           row_number() OVER (
+               PARTITION BY label, bucket, sub
+               ORDER BY {_order_proj_expr('embedding', EMB_ORDER_PLANE2)},
+                        vec_id
+           ) AS rn2
     FROM t WHERE occ_n > {SUB_OCC_CAP_MULT * EMB_COS_BLOCK_BUDGET}
 ),
+-- r12: two independent order planes; UNION (not ALL) dedups pairs
+-- found by both, mirroring the Spark distinct()
 big_pairs AS (
     SELECT LEAST(a.vec_id, b.vec_id) AS vec_a,
            GREATEST(a.vec_id, b.vec_id) AS vec_b, a.label AS label,
@@ -638,6 +649,13 @@ big_pairs AS (
     FROM ranked a JOIN ranked b
       ON a.label = b.label AND a.bucket = b.bucket AND a.sub = b.sub
      AND b.rn > a.rn AND b.rn <= a.rn + {EMB_PAIR_WINDOW}
+    UNION
+    SELECT LEAST(a.vec_id, b.vec_id) AS vec_a,
+           GREATEST(a.vec_id, b.vec_id) AS vec_b, a.label AS label,
+           ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM ranked a JOIN ranked b
+      ON a.label = b.label AND a.bucket = b.bucket AND a.sub = b.sub
+     AND b.rn2 > a.rn2 AND b.rn2 <= a.rn2 + {EMB_PAIR_WINDOW}
 )
 SELECT vec_a, vec_b, label, cosine FROM (
     SELECT * FROM small_pairs UNION ALL SELECT * FROM big_pairs
@@ -1802,16 +1820,33 @@ ranked AS (
            row_number() OVER (
                PARTITION BY cell, sub
                ORDER BY {_order_proj_expr('embedding')}, vec_id
-           ) AS rn
+           ) AS rn,
+           row_number() OVER (
+               PARTITION BY cell, sub
+               ORDER BY {_order_proj_expr('embedding', EMB_ORDER_PLANE2)},
+                        vec_id
+           ) AS rn2
     FROM t WHERE occ_n > {SUB_OCC_CAP_MULT * SEMDEDUP_CELL_BUDGET}
 ),
-big_pairs AS (
-    SELECT a.cell, GREATEST(a.vec_id, b.vec_id) AS vec_b,
+-- r12 two-plane union at FULL-pair granularity (vec_a kept) so the
+-- dedup matches Spark's distinct() over whole pairs; vec_a is
+-- projected away only after
+big_pairs_full AS (
+    SELECT a.cell, LEAST(a.vec_id, b.vec_id) AS vec_a,
+           GREATEST(a.vec_id, b.vec_id) AS vec_b,
            ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS cosine
     FROM ranked a JOIN ranked b
       ON a.cell = b.cell AND a.sub = b.sub
      AND b.rn > a.rn AND b.rn <= a.rn + {EMB_PAIR_WINDOW}
+    UNION
+    SELECT a.cell, LEAST(a.vec_id, b.vec_id) AS vec_a,
+           GREATEST(a.vec_id, b.vec_id) AS vec_b,
+           ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM ranked a JOIN ranked b
+      ON a.cell = b.cell AND a.sub = b.sub
+     AND b.rn2 > a.rn2 AND b.rn2 <= a.rn2 + {EMB_PAIR_WINDOW}
 ),
+big_pairs AS (SELECT cell, vec_b, cosine FROM big_pairs_full),
 pairs AS (SELECT * FROM small_pairs UNION ALL SELECT * FROM big_pairs),
 kept_pairs AS (SELECT * FROM pairs WHERE cosine >= {COSINE_THRESHOLD}),
 tot AS (
