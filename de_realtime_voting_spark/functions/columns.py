@@ -184,6 +184,33 @@ def md5_pct_bucket(col: Column) -> Column:
     return md5_mod_bucket(col, 100)
 
 
+def md5_int60(col: Column) -> Column:
+    """60-bit integer digest: big-endian integer parse of the first
+    15 hex chars of md5(col) -- the compact SET-ELEMENT key the
+    MinHash verify joins ship instead of raw shingle strings (r12:
+    a word 3-shingle averages ~25 chars + string overhead; the
+    bigint is 8 bytes, and primitive arrays pack flat in Tungsten).
+    Pure 64-bit integer arithmetic (16^15 = 2^60 < 2^63), digit fold
+    identical to md5_mod_bucket's -- the oracle mirrors it with the
+    same nested instr() fold, so both engines produce the identical
+    bigint for every string."""
+    h = F.md5(col)
+    v = F.lit(0).cast("long")
+    for i in range(15):
+        v = v * 16 + _hexval(F.substring(h, i + 1, 1))
+    return v
+
+
+def md5_int60_set(arr: Column) -> Column:
+    """Element-wise md5_int60 over a string array -- computed
+    map-side BEFORE a verify join so the shuffle carries 8-byte
+    keys; set semantics are preserved because equal strings hash
+    equal (duplicates stay duplicates, distinct stays distinct up to
+    the 2^60 birthday bound, and both engines agree bit-for-bit
+    regardless)."""
+    return F.transform(arr, md5_int60)
+
+
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 

@@ -222,24 +222,64 @@ def _band_candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
+def _hashed_sides(sh: DataFrame, a: str = "doc_a", b: str = "doc_b"):
+    """Both sides of a shingle-Jaccard verify join, with each doc's
+    shingle set hashed to 60-bit digests (functions.columns.md5_int60)
+    MAP-SIDE, before the join's shuffle.
+
+    The r12 seventh-decade catch: `dedup_minhash_topk` died ENOSPC at
+    sf100 because the verify join shipped RAW shingle-string arrays
+    onto every candidate-pair row -- a ~25-char string costs ~40+
+    bytes in an UnsafeArrayData of strings, the hashed bigint 8 bytes
+    flat-packed, so the pair-join shuffle (the family's dominant
+    footprint: 2 arrays x 23M+ candidate rows at sf100) shrinks ~5x.
+    Jaccard over the digests equals Jaccard over the strings (equal
+    strings hash equal; distinct stays distinct up to the 2^60
+    birthday bound -- ~1e-9 per pair at 1k-shingle docs), and the
+    oracle computes the IDENTICAL integer fold, so cross-engine
+    parity is exact by construction, collisions included."""
+    from ..functions.columns import md5_int60_set
+
+    sa = sh.select(
+        F.col("doc_id").alias(a), md5_int60_set(F.col("shingles")).alias("sh_a")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias(b), md5_int60_set(F.col("shingles")).alias("sh_b")
+    )
+    return sa, sb
+
+
+def _jac_h():
+    """Exact-Jaccard expression over the hashed verify sides -- one
+    definition for every consumer of _hashed_sides.  A function, not
+    a module-level Column: building a Column from a string name needs
+    an active SparkContext, and this module imports before any
+    session exists in the harnesses."""
+    return F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+
+
 def dedup_minhash_pairs(documents: DataFrame) -> DataFrame:
     """Full MinHash-LSH dedup: banded candidate pairs, then exact
     shingle-Jaccard verification within candidates only.
 
     Jaccard is |A∩B| / |A∪B| of distinct shingle sets -- an integer
-    ratio, so Spark and the oracle agree bit-for-bit.
+    ratio, so Spark and the oracle agree bit-for-bit.  r12: the
+    verify join ships 60-bit shingle DIGESTS, not raw strings -- see
+    _hashed_sides (the seventh-decade ENOSPC catch: wide string
+    arrays on tens of millions of pair rows are the family's real
+    shuffle footprint).
     """
     # shingles feed the band join AND both sides of the verify join;
     # persist so the signature computation runs once, not three times
     sh = _doc_shingles(documents).persist()
     cand = _band_candidate_pairs(_doc_bands_from(sh))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    sa, sb = _hashed_sides(sh)
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .select("doc_a", "doc_b", _jac_h().alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -926,17 +966,12 @@ def dedup_incremental(documents: DataFrame) -> DataFrame:
         .select("new_doc", "existing_doc")
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("new_doc"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(
-        F.col("doc_id").alias("existing_doc"), F.col("shingles").alias("sh_b")
-    )
-    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    # hashed-digest verify sides (r12, see _hashed_sides)
+    sa, sb = _hashed_sides(sh, a="new_doc", b="existing_doc")
     return (
         cand.join(sa, "new_doc")
         .join(sb, "existing_doc")
-        .select("new_doc", "existing_doc", jaccard.alias("jaccard"))
+        .select("new_doc", "existing_doc", _jac_h().alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -1573,15 +1608,20 @@ def minhash_jaccard_estimate(documents: DataFrame) -> DataFrame:
         "shingles",
         minhash_signature_pandas(F.col("shingles")).alias("sig"),
     )
+    from ..functions.columns import md5_int60_set
+
     cand = _band_candidate_pairs(_doc_bands_from(sh))
+    # hashed-digest shingle sets ride the join (r12, _hashed_sides
+    # rationale); the signature arrays must ride too, so the sides
+    # are built here rather than through the shared helper
     sa = sigd.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
+        md5_int60_set(F.col("shingles")).alias("sh_a"),
         F.col("sig").alias("sig_a"),
     )
     sb = sigd.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
+        md5_int60_set(F.col("shingles")).alias("sh_b"),
         F.col("sig").alias("sig_b"),
     )
     est = F.size(
@@ -1589,9 +1629,7 @@ def minhash_jaccard_estimate(documents: DataFrame) -> DataFrame:
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b
         )
     ) / F.lit(MINHASH_SIGS)
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    jac = _jac_h()
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -1692,8 +1730,8 @@ def dedup_threshold_sweep(documents: DataFrame) -> DataFrame:
     # LRU-evictable, harnesses clearCache() between queries)
     sh = _doc_shingles(documents).persist()
     cand = _band_candidate_pairs(_doc_bands_from(sh))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    # hashed-digest verify sides (r12, see _hashed_sides)
+    sa, sb = _hashed_sides(sh)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     binned = (
@@ -2266,20 +2304,15 @@ def fuzzy_decontam(documents: DataFrame) -> DataFrame:
         .select("corpus_doc", "eval_doc_id")
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("corpus_doc"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(
-        F.col("doc_id").alias("eval_doc_id"), F.col("shingles").alias("sh_b")
-    )
-    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    # hashed-digest verify sides (r12, see _hashed_sides)
+    sa, sb = _hashed_sides(sh, a="corpus_doc", b="eval_doc_id")
     return (
         cand.join(sa, "corpus_doc")
         .join(sb, "eval_doc_id")
         .select(
             F.col("corpus_doc").alias("doc_id"),
             "eval_doc_id",
-            jaccard.alias("jaccard"),
+            _jac_h().alias("jaccard"),
         )
         .where(F.col("jaccard") >= FUZZY_DECONTAM_THRESHOLD)
     )
@@ -2418,15 +2451,12 @@ def segment_minhash_dedup(documents: DataFrame) -> DataFrame:
     # reuse the shared banding + candidate machinery verbatim (reps are
     # keyed 'doc_id' for the duration; ids are sids)
     cand = _band_candidate_pairs(_doc_bands_from(reps))
-    sa = reps.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = reps.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    # hashed-digest verify sides (r12, see _hashed_sides)
+    sa, sb = _hashed_sides(reps)
     dropped = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .where(jac >= SEGMENT_JACCARD_THRESHOLD)
+        .where(_jac_h() >= SEGMENT_JACCARD_THRESHOLD)
         .select(F.col("doc_b").alias("rep_sid"))
         .distinct()
         .withColumn("near_dropped", F.lit(1))
@@ -2513,21 +2543,22 @@ def dedup_minhash_topk(documents: DataFrame) -> DataFrame:
     every band consumer (_band_candidate_pairs), the verify join
     touches candidate rows only, and the final window partitions by
     doc_id (never global).  The Jaccard is an integer ratio of
-    distinct shingle sets, so both engines agree bit-for-bit.
+    distinct shingle sets, so both engines agree bit-for-bit.  r12:
+    this op WAS the seventh decade-catch -- at sf100 it died ENOSPC
+    shipping raw shingle-string arrays onto 23M+ candidate rows (its
+    unfiltered jaccard output keeps every candidate, so nothing
+    row-reduces before the window); the verify join now ships 60-bit
+    digests (_hashed_sides), ~5x less shuffle.
     """
     from ..constants import SIM_TOPK_K
 
     sh = _doc_shingles(documents).persist()
     cand = _band_candidate_pairs(_doc_bands_from(sh))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    sa, sb = _hashed_sides(sh)
     pairs = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .select("doc_a", "doc_b", _jac_h().alias("jaccard"))
     )
     directed = pairs.select(
         F.col("doc_a").alias("doc_id"),

@@ -102,11 +102,36 @@ _SHINGLES = (
     "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
 )
 
+def _hex_fold_expr(h: str, n: int) -> str:
+    """Big-endian integer parse of ``n`` lowercase hex chars -- the
+    SQL twin of functions.columns._hexval folding (md5_int60 at
+    n=15).  Pure 64-bit integer arithmetic in both engines."""
+    e = "CAST(0 AS BIGINT)"
+    for i in range(1, n + 1):
+        e = (
+            f"({e} * 16 + (instr('0123456789abcdef', "
+            f"substring({h}, {i}, 1)) - 1))"
+        )
+    return e
+
+
+# element-wise 60-bit digest of a shingle array -- the twin of
+# functions.columns.md5_int60_set (r12: verify joins ship digests,
+# not strings).  Outer transform folds a 15-hex-char prefix computed
+# ONCE per element by the inner transform.
+_SHINGLES_H = (
+    "list_transform(list_transform(shingles, s -> substring(md5(s), 1, 15)), "
+    f"h -> {_hex_fold_expr('h', 15)})"
+)
+
 _DOC_SHINGLES_CTE = f"""
 toksed AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 sh AS (
     SELECT doc_id, {_SHINGLES} AS shingles
     FROM toksed WHERE len(toks) >= 3
+),
+shh AS (
+    SELECT doc_id, {_SHINGLES_H} AS shingles FROM sh
 )"""
 
 _SIG_COLS = ", ".join(
@@ -516,8 +541,8 @@ SELECT doc_a, doc_b, jaccard FROM (
            len(list_intersect(sa.shingles, sb.shingles))
            / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
     FROM cand
-    JOIN sh sa ON sa.doc_id = doc_a
-    JOIN sh sb ON sb.doc_id = doc_b
+    JOIN shh sa ON sa.doc_id = doc_a
+    JOIN shh sb ON sb.doc_id = doc_b
 ) WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
@@ -533,8 +558,8 @@ pairs AS (
            len(list_intersect(sa.shingles, sb.shingles))
            / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
     FROM cand
-    JOIN sh sa ON sa.doc_id = doc_a
-    JOIN sh sb ON sb.doc_id = doc_b
+    JOIN shh sa ON sa.doc_id = doc_a
+    JOIN shh sb ON sb.doc_id = doc_b
 ),
 directed AS (
     SELECT doc_a AS doc_id, doc_b AS neighbor_id, jaccard FROM pairs
@@ -1140,8 +1165,8 @@ pairs AS (
                len(list_intersect(sa.shingles, sb.shingles))
                / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
         FROM cand
-        JOIN sh sa ON sa.doc_id = doc_a
-        JOIN sh sb ON sb.doc_id = doc_b
+        JOIN shh sa ON sa.doc_id = doc_a
+        JOIN shh sb ON sb.doc_id = doc_b
     ) WHERE jaccard >= {JACCARD_THRESHOLD}
 ),
 edges AS (
@@ -2234,6 +2259,7 @@ WITH toksed AS (
 dsh AS (
     SELECT doc_id, {_SHINGLES} AS shingles FROM toksed WHERE len(toks) >= 3
 ),
+dshh AS (SELECT doc_id, {_SHINGLES_H} AS shingles FROM dsh),
 dsigs AS (SELECT doc_id, {_SIG_COLS} FROM dsh),
 dbands AS (
     {_BANDS_UNION.replace("FROM sigs", "FROM dsigs")}
@@ -2251,8 +2277,8 @@ dver AS (
                / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
                    AS jaccard
         FROM dcand
-        JOIN dsh sa ON sa.doc_id = doc_a
-        JOIN dsh sb ON sb.doc_id = doc_b
+        JOIN dshh sa ON sa.doc_id = doc_a
+        JOIN dshh sb ON sb.doc_id = doc_b
     ) WHERE jaccard >= {JACCARD_THRESHOLD}
 ),
 dup_docs AS (
@@ -2293,6 +2319,7 @@ reps AS (
     FROM classes c
     JOIN seghash s ON s.seg_hash = c.seg_hash AND s.sid = c.rep_sid
 ),
+repsh AS (SELECT sid, {_SHINGLES_H} AS shingles FROM reps),
 rsigs AS (SELECT sid, {_SIG_COLS} FROM reps),
 rbands AS (
     {_SEG_BANDS_UNION}
@@ -2310,8 +2337,8 @@ rdrop AS (
                / len(list_distinct(list_concat(ra.shingles, rb.shingles)))
                    AS jaccard
         FROM rcand
-        JOIN reps ra ON ra.sid = sid_a
-        JOIN reps rb ON rb.sid = sid_b
+        JOIN repsh ra ON ra.sid = sid_a
+        JOIN repsh rb ON rb.sid = sid_b
     ) WHERE jaccard >= {SEGMENT_JACCARD_THRESHOLD}
 ),
 occ AS (
@@ -2360,8 +2387,8 @@ SELECT new_doc, existing_doc, jaccard FROM (
            / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
                AS jaccard
     FROM cand
-    JOIN sh a ON a.doc_id = new_doc
-    JOIN sh b ON b.doc_id = existing_doc
+    JOIN shh a ON a.doc_id = new_doc
+    JOIN shh b ON b.doc_id = existing_doc
 ) WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
@@ -2514,8 +2541,8 @@ SELECT doc_a, doc_b,
 FROM cand
 JOIN sigs sa ON sa.doc_id = doc_a
 JOIN sigs sb ON sb.doc_id = doc_b
-JOIN sh ha ON ha.doc_id = doc_a
-JOIN sh hb ON hb.doc_id = doc_b
+JOIN shh ha ON ha.doc_id = doc_a
+JOIN shh hb ON hb.doc_id = doc_b
 """
 
 SQL["near_dup_rate_by_source"] = f"""{_MINHASH_CTES},
@@ -2531,8 +2558,8 @@ ver AS (
                len(list_intersect(sa.shingles, sb.shingles))
                / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
         FROM cand
-        JOIN sh sa ON sa.doc_id = doc_a
-        JOIN sh sb ON sb.doc_id = doc_b
+        JOIN shh sa ON sa.doc_id = doc_a
+        JOIN shh sb ON sb.doc_id = doc_b
     ) WHERE jaccard >= {JACCARD_THRESHOLD}
 ),
 dup AS (
@@ -2929,8 +2956,8 @@ ver AS (
                len(list_intersect(sa.shingles, sb.shingles))
                / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
         FROM cand
-        JOIN sh sa ON sa.doc_id = doc_a
-        JOIN sh sb ON sb.doc_id = doc_b
+        JOIN shh sa ON sa.doc_id = doc_a
+        JOIN shh sb ON sb.doc_id = doc_b
     ) WHERE jaccard >= {JACCARD_THRESHOLD}
 ),
 deg AS (
@@ -3118,8 +3145,8 @@ binned AS (
                 AS INT) AS bin,
            CAST(COUNT(*) AS BIGINT) AS n_pairs
     FROM cand
-    JOIN sh sa ON sa.doc_id = doc_a
-    JOIN sh sb ON sb.doc_id = doc_b
+    JOIN shh sa ON sa.doc_id = doc_a
+    JOIN shh sb ON sb.doc_id = doc_b
     GROUP BY 1
 )
 SELECT bin,
@@ -3225,8 +3252,8 @@ vp AS (
                len(list_intersect(sa.shingles, sb.shingles))
                / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS j
         FROM cand
-        JOIN sh sa ON sa.doc_id = doc_a
-        JOIN sh sb ON sb.doc_id = doc_b
+        JOIN shh sa ON sa.doc_id = doc_a
+        JOIN shh sb ON sb.doc_id = doc_b
     ) WHERE j >= {JACCARD_THRESHOLD}
 ),
 edges AS (
@@ -3398,8 +3425,8 @@ ver AS (
                len(list_intersect(sa.shingles, sb.shingles))
                / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
         FROM cand
-        JOIN sh sa ON sa.doc_id = doc_a
-        JOIN sh sb ON sb.doc_id = doc_b
+        JOIN shh sa ON sa.doc_id = doc_a
+        JOIN shh sb ON sb.doc_id = doc_b
     ) WHERE jaccard >= {JACCARD_THRESHOLD}
 ),
 deg AS (
@@ -4050,8 +4077,8 @@ ver AS (
                len(list_intersect(sa.shingles, sb.shingles))
                / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
         FROM cand
-        JOIN sh sa ON sa.doc_id = doc_a
-        JOIN sh sb ON sb.doc_id = doc_b
+        JOIN shh sa ON sa.doc_id = doc_a
+        JOIN shh sb ON sb.doc_id = doc_b
     ) WHERE jaccard >= {JACCARD_THRESHOLD}
 ),
 lab AS (
@@ -4097,8 +4124,8 @@ ver AS (
                len(list_intersect(sa.shingles, sb.shingles))
                / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
         FROM cand
-        JOIN sh sa ON sa.doc_id = doc_a
-        JOIN sh sb ON sb.doc_id = doc_b
+        JOIN shh sa ON sa.doc_id = doc_a
+        JOIN shh sb ON sb.doc_id = doc_b
     ) WHERE jaccard >= {JACCARD_THRESHOLD}
 ),
 dup AS (
@@ -4318,8 +4345,8 @@ SELECT doc_id, eval_doc_id, jaccard FROM (
            / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
                   AS DOUBLE) AS jaccard
     FROM cand
-    JOIN sh a ON a.doc_id = cand.doc_id
-    JOIN sh b ON b.doc_id = cand.eval_doc_id
+    JOIN shh a ON a.doc_id = cand.doc_id
+    JOIN shh b ON b.doc_id = cand.eval_doc_id
 ) WHERE jaccard >= {FUZZY_DECONTAM_THRESHOLD}
 """
 

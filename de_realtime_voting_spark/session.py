@@ -27,6 +27,20 @@ TUNED_CONF = {
     "spark.sql.streaming.statefulOperator.checkCorrectness.enabled": "true",
 }
 
+# JVM-launch conf (getOrCreate ignores it on a live session).
+# cleaner.periodicGC: ContextCleaner frees shuffle files and
+# localCheckpoint blocks only after a JVM GC surfaces their weak
+# references -- at the 30-MINUTE default, a session running many
+# queries back-to-back accumulates every finished query's checkpoint
+# blocks (the r12 sf100 catch: bpe_fertility_stats task-OOMed right
+# after bpe_train_merges in the same session, then passed alone at
+# 838 s -- the trainer's 7 per-step lineage cuts were still resident).
+# 60 s bounds the leak window at one forced GC a minute, noise at
+# this heap size.
+LAUNCH_CONF = {
+    "spark.cleaner.periodicGC.interval": "60s",
+}
+
 
 def get_spark(app_name: str = "de-realtime-voting-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -43,6 +57,8 @@ def get_spark(app_name: str = "de-realtime-voting-spark") -> SparkSession:
     builder = builder.config(
         "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     )
+    for k, v in LAUNCH_CONF.items():
+        builder = builder.config(k, v)
     for k, v in TUNED_CONF.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
