@@ -121,10 +121,10 @@ def simhash_token_bands(distinct_toks: Column) -> Column:
     Result type: array<array<int>>.
     """
     def parse_band(h: Column, b: int) -> Column:
-        v = F.lit(0)
-        for d in range(4):
-            v = v * 16 + _hexval(F.substring(h, 4 * b + d + 1, 1))
-        return v
+        # conv parse of the 4-char slice: same big-endian base-16
+        # value as the per-digit instr() fold (the oracle's mirror),
+        # one expression per band instead of four (r12)
+        return F.conv(F.substring(h, 4 * b + 1, 4), 16, 10).cast("int")
 
     hashed = F.transform(distinct_toks, lambda w: F.substring(F.md5(w), 1, 16))
     return F.transform(
@@ -170,12 +170,17 @@ def md5_mod_bucket(col: Column, m: int) -> Column:
     md5(cast(col as string)) -- the stable row hash behind the split
     buckets and the Count-Min rows.  Pure integer arithmetic; the
     oracle mirrors it with instr('0123..f', ...) digit extraction.
-    16 bits of hash feed the mod, so m must stay well under 65536."""
+    16 bits of hash feed the mod, so m must stay well under 65536.
+
+    Implementation (r12): one conv(hex, 16, 10) parse of the 4-char
+    prefix -- numerically identical to the per-digit instr() fold the
+    oracle mirrors (big-endian base-16 parse of the same substring),
+    but ONE md5 evaluation instead of four.  Lambda bodies and
+    interpreted projections get no common-subexpression elimination,
+    so the repeated-md5 shape was 4x the hash work in every hot path
+    (QC features: per token; DSIR: per bigram)."""
     h = F.md5(col.cast("string"))
-    v = F.lit(0)
-    for i in range(4):
-        v = v * 16 + _hexval(F.substring(h, i + 1, 1))
-    return v % m
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % m
 
 
 def md5_pct_bucket(col: Column) -> Column:
@@ -193,12 +198,16 @@ def md5_int60(col: Column) -> Column:
     Pure 64-bit integer arithmetic (16^15 = 2^60 < 2^63), digit fold
     identical to md5_mod_bucket's -- the oracle mirrors it with the
     same nested instr() fold, so both engines produce the identical
-    bigint for every string."""
-    h = F.md5(col)
-    v = F.lit(0).cast("long")
-    for i in range(15):
-        v = v * 16 + _hexval(F.substring(h, i + 1, 1))
-    return v
+    bigint for every string.
+
+    Implementation (r12): conv(hex_prefix, 16, 10) -- the same
+    big-endian base-16 parse (16^15 = 2^60 < 2^64, so conv's unsigned
+    64-bit arithmetic is exact and the cast to signed long lossless),
+    but ONE md5 evaluation instead of fifteen.  This expression runs
+    inside transform() lambdas (md5_int60_set) where Catalyst does NO
+    common-subexpression elimination: the instr-fold shape really
+    computed md5(s) 15 times per shingle, per verify-join side."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def md5_int60_set(arr: Column) -> Column:
