@@ -2079,15 +2079,23 @@ def _qc_train_weights(
     reassociation noise in the gradient sums (~1e-13 relative)
     cannot compound across iterations.
 
-    Scale shape: the feature frame is built once and persisted; each
-    iteration is one doc-keyed agg (margins) + one bucket-keyed agg
-    (gradients, QC_BUCKETS rows) over that frame -- 2 passes per
-    step, T*2 total, never a re-tokenize.  The margin join
-    broadcasts the QC_BUCKETS-row model; the gradient join is
-    doc-keyed (both sides already doc-keyed).  Iteration 1 runs the
-    same generic expressions with the all-zero model: 0.0 * x sums
-    to exactly 0.0 and sigmoid(0) is exactly 0.5 in IEEE, which is
-    what the oracle's closed-form first step hardcodes.
+    Scale shape (r12 restructure): the feature frame is packed ONCE
+    into one bounded array per doc (<= QC_BUCKETS struct<b,x> entries
+    whatever the doc length) and persisted; each iteration is then a
+    SINGLE pass -- the margin folds map-side over the doc's own array
+    with the 128-double model as an in-plan literal (no join, no
+    doc-keyed shuffle), and the bucket gradients + the bias gradient
+    come back in one 129-group aggregation (bias rides as bucket -1),
+    one action per step.  The r11 shape paid two joins, two shuffles
+    and two collects per step against an unpacked (doc, bucket) frame.
+    Numerics: the fold's summation order differs from the hash-agg's
+    only by float reassociation (~1e-13 relative), far under the
+    QC_ROUND=1e-6 publication grain both engines round to -- the same
+    tolerance argument the r11 plan already relied on (Spark's own
+    partial-agg order is nondeterministic).  Iteration 1 runs the
+    generic expressions with the all-zero model: 0.0 * x folds to
+    exactly 0.0 and sigmoid(0) is exactly 0.5 in IEEE, which is what
+    the oracle's closed-form first step hardcodes.
 
     ``iters``/``step_log`` exist for the depth A/B harness
     (tools/qc_depth_ab.py): iters overrides QC_ITERS, step_log (a
@@ -2100,41 +2108,40 @@ def _qc_train_weights(
 
     if iters is None:
         iters = QC_ITERS
-    spark = documents.sparkSession
-    # persist: every iteration's margin AND gradient pass re-reads the
-    # feature frame (released by the harnesses' per-query clearCache)
-    feats = _qc_features(documents).persist()
-    labels = feats.select("doc_id", "y").distinct()
-    n = labels.count()
+    # persist: every iteration's single pass re-reads the packed
+    # frame (released by the harnesses' per-query clearCache)
+    fd = (
+        _qc_features(documents)
+        .groupBy("doc_id", "lang", "source", "y")
+        .agg(F.collect_list(F.struct("b", "x")).alias("fx"))
+        .persist()
+    )
+    n = fd.count()
     w = [0.0] * QC_BUCKETS
     bias = 0.0
     for _ in range(iters):
         _t0 = _time.perf_counter()
-        w_df = spark.createDataFrame(
-            [(i, wi) for i, wi in enumerate(w)], "b int, w double"
+        r = _qc_resid(w, bias)
+        # one exploded struct stream: each doc emits its per-bucket
+        # gradient terms plus one bias term keyed b = -1
+        terms = F.concat(
+            F.transform(
+                "fx",
+                lambda e: F.struct(
+                    e["b"].alias("b"), (e["x"] * F.col("r")).alias("g")
+                ),
+            ),
+            F.array(F.struct(F.lit(-1).alias("b"), F.col("r").alias("g"))),
         )
-        margins = (
-            feats.join(F.broadcast(w_df), "b")
-            .groupBy("doc_id")
-            .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
-        )
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(bias) + F.col("s"))))
-        resid = labels.join(margins, "doc_id").select(
-            "doc_id", (p - F.col("y")).alias("r")
-        )
-        # persist: feeds the bucket gradients AND the bias gradient
-        resid = resid.persist()
-        try:
-            grads = {
-                row["b"]: row["g"]
-                for row in feats.join(resid, "doc_id")
-                .groupBy("b")
-                .agg(F.sum(F.col("x") * F.col("r")).alias("g"))
-                .collect()
-            }
-            gb = resid.agg(F.sum("r")).collect()[0][0]
-        finally:
-            resid.unpersist()
+        grads = {
+            row["b"]: row["g"]
+            for row in fd.select("fx", r.alias("r"))
+            .select(F.explode(terms).alias("t"))
+            .groupBy(F.col("t.b").alias("b"))
+            .agg(F.sum("t.g").alias("g"))
+            .collect()
+        }
+        gb = grads.pop(-1, 0.0)
         new_w = [
             _round_py(w[i] - QC_LR * grads.get(i, 0.0) / n, QC_ROUND)
             for i in range(QC_BUCKETS)
@@ -2148,7 +2155,23 @@ def _qc_train_weights(
             )
         w = new_w
         bias = _round_py(bias - QC_LR * gb / n, QC_ROUND)
-    return w, bias, feats
+    return w, bias, fd
+
+
+def _qc_resid(w: list[float], bias: float) -> "F.Column":
+    """Residual sigmoid(bias + w.x) - y over the packed feature
+    array ``fx`` -- the model enters as a literal array, so the
+    margin is a map-side fold with no join."""
+    w_arr = F.lit(w).cast("array<double>")
+    s = F.aggregate(
+        F.transform(
+            "fx", lambda e: e["x"] * F.element_at(w_arr, e["b"] + F.lit(1))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(float(bias)) + s)))
+    return p - F.col("y")
 
 
 def quality_classifier_train(documents: DataFrame) -> DataFrame:
@@ -2269,21 +2292,15 @@ def _qc_scores(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
     plus the persisted feature-frame handle, so a non-registry caller
     (curate.py's --quality-threshold stage) can unpersist it -- the
     registry harnesses release it via clearCache instead."""
-    from ..constants import QC_BUCKETS
-
-    w, bias, feats = _qc_train_weights(documents)
-    spark = documents.sparkSession
-    w_df = spark.createDataFrame(
-        [(i, w[i]) for i in range(QC_BUCKETS)], "b int, w double"
+    w, bias, fd = _qc_train_weights(documents)
+    # scoring = the same map-side fold as training, final model as a
+    # literal: sigmoid(bias + w.x) per non-target doc, no join, no
+    # shuffle (r12 -- was a broadcast join + doc-keyed agg).  On the
+    # y == 0 rows the residual IS the probability (p - 0, exact).
+    scores = fd.where(F.col("y") == 0).select(
+        "doc_id",
+        "lang",
+        "source",
+        rnd(_qc_resid(w, bias), 6).alias("quality_prob"),
     )
-    margins = (
-        feats.where(F.col("y") == 0)
-        .join(F.broadcast(w_df), "b")
-        .groupBy("doc_id", "lang", "source")
-        .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
-    )
-    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(bias) + F.col("s"))))
-    scores = margins.select(
-        "doc_id", "lang", "source", rnd(prob, 6).alias("quality_prob")
-    )
-    return scores, feats
+    return scores, fd
