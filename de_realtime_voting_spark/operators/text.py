@@ -1260,8 +1260,10 @@ def dsir_importance_score(documents: DataFrame) -> DataFrame:
     log-ratio table is a bona-fide broadcast model at any corpus
     size (the unigram-LM broadcast rationale without its top-K cap).
     One corpus scan builds the bucket stream (tokenize once, persist,
-    the bigram_logprob fold); model building is two bounded groupBys;
-    scoring is a map-side broadcast join + one doc-keyed agg.
+    the bigram_logprob fold); model building is ONE bounded groupBy
+    (conditional t/r sums); the 512-double model publishes as an
+    in-plan literal and scoring folds it map-side over each doc's
+    bigram array -- no explode, no join, no doc-keyed shuffle.
     Determinism: integer bucket counts, the log-ratio expression is
     mirrored token-for-token in the oracle, and the per-doc double
     avg rounds to 4 (the logprob-family convention).
@@ -1273,41 +1275,41 @@ def dsir_importance_score(documents: DataFrame) -> DataFrame:
     # oracle mirror -- _doc_toks_base/_bigrams_of)
     base = _doc_toks_base(documents)
     bigrams = _bigrams_of(F.col("toks"))
-    bg = base.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.explode(bigrams).alias("bigram"),
-    ).select(
-        "doc_id",
-        "lang",
-        "source",
-        md5_mod_bucket(F.col("bigram"), DSIR_BUCKETS).alias("b"),
-    )
-    t_cnt = (
-        bg.where(F.col("source") == EVAL_SOURCE)
+    # model pass (r12): ONE explode scan with conditional per-bucket
+    # sums replaces the two filtered groupBys (the t/r streams are a
+    # partition of the same bucket stream, so COUNT(*)-after-filter ==
+    # SUM(CASE) on the union -- identical integers); both totals then
+    # read the 512-row frame, never the corpus
+    cnts = (
+        base.select("source", F.explode(bigrams).alias("bigram"))
+        .select(
+            "source",
+            md5_mod_bucket(F.col("bigram"), DSIR_BUCKETS).alias("b"),
+        )
         .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("t_cnt"))
+        .agg(
+            F.sum(
+                F.when(F.col("source") == EVAL_SOURCE, 1).otherwise(0)
+            ).alias("t_cnt"),
+            F.sum(
+                F.when(F.col("source") != EVAL_SOURCE, 1).otherwise(0)
+            ).alias("r_cnt"),
+        )
     )
-    r_cnt = (
-        bg.where(F.col("source") != EVAL_SOURCE)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("r_cnt"))
+    totals = cnts.agg(
+        F.coalesce(F.sum("t_cnt"), F.lit(0)).alias("tt"),
+        F.coalesce(F.sum("r_cnt"), F.lit(0)).alias("rt"),
     )
-    t_total = t_cnt.agg(F.coalesce(F.sum("t_cnt"), F.lit(0)).alias("tt"))
-    r_total = r_cnt.agg(F.coalesce(F.sum("r_cnt"), F.lit(0)).alias("rt"))
     buckets = documents.sparkSession.range(DSIR_BUCKETS).select(
         F.col("id").cast("int").alias("b")
     )
-    # scalar-subquery idiom: 1-row totals broadcast onto the 512-row
-    # bucket table; the log-ratio expression is mirrored literally in
-    # the oracle (identical parenthesization, both operands cast to
-    # double before the division)
+    # the log-ratio expression is mirrored literally in the oracle
+    # (identical parenthesization, both operands cast to double before
+    # the division); values are COMPUTED BY SPARK here exactly as the
+    # old broadcast-join plan computed them, then published in-plan
     lr = (
-        buckets.join(t_cnt, "b", "left")
-        .join(r_cnt, "b", "left")
-        .crossJoin(F.broadcast(t_total))
-        .crossJoin(F.broadcast(r_total))
+        buckets.join(cnts, "b", "left")
+        .crossJoin(F.broadcast(totals))
         .select(
             "b",
             (
@@ -1322,13 +1324,35 @@ def dsir_importance_score(documents: DataFrame) -> DataFrame:
             ).alias("lr"),
         )
     )
+    # r12: the model is DSIR_BUCKETS doubles BY CONSTRUCTION (the
+    # hashing is the whole point) -- publish it as an in-plan literal
+    # (the QC-model idiom) and fold each doc's mean log-ratio map-side
+    # over its bigram array: no explode, no per-bucket broadcast join,
+    # no doc-keyed shuffle.  Summation order is the explode order the
+    # old Average agg consumed (doc rows are partition-contiguous
+    # behind _doc_toks_base's round-robin barrier), so the per-doc
+    # double sum -- and the 4-rounded publication -- are bit-identical.
+    lr_by_b = {int(r["b"]): float(r["lr"]) for r in lr.collect()}
+    lr_lit = F.array(*[F.lit(lr_by_b[i]) for i in range(DSIR_BUCKETS)])
+    n_bg = F.size("bigrams")
+    lr_sum = F.aggregate(
+        F.col("bigrams"),
+        F.lit(0.0),
+        lambda acc, bgm: acc
+        + F.element_at(lr_lit, md5_mod_bucket(bgm, DSIR_BUCKETS) + 1),
+    )
     return (
-        bg.where(F.col("source") != EVAL_SOURCE)
-        .join(F.broadcast(lr), "b")
-        .groupBy("doc_id", "lang", "source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            rnd(F.avg("lr"), 4).alias("dsir_logratio"),
+        base.where(F.col("source") != EVAL_SOURCE)
+        .select(
+            "doc_id", "lang", "source", bigrams.alias("bigrams")
+        )
+        .where(n_bg >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            n_bg.cast("bigint").alias("n_bigrams"),
+            rnd(lr_sum / n_bg, 4).alias("dsir_logratio"),
         )
     )
 
