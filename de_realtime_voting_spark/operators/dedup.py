@@ -2434,19 +2434,23 @@ def segment_minhash_dedup(documents: DataFrame) -> DataFrame:
             F.md5(F.concat_ws(" ", seg_toks)).alias("seg_hash"),
             word_shingles(seg_toks).alias("shingles"),
         )
-        .persist()  # feeds the class collapse, the rep join, and the report
+        .persist()  # feeds the class collapse and the occurrence report
     )
-    classes = segs.groupBy("seg_hash").agg(
-        F.min("sid").alias("rep_sid"), F.count(F.lit(1)).alias("n_occ")
+    # r12: class collapse + representative pick in ONE aggregation.
+    # min(struct(sid, shingles)) selects the smallest-sid occurrence
+    # (sids are globally unique -- doc_id*SEGMENT_SID_MULT+k -- so the
+    # shingles field never tie-breaks) and partial-aggregates map-side:
+    # duplicate segments collapse BEFORE the wire, where the old
+    # classes-agg + join-back-to-segs shape shuffled EVERY occurrence's
+    # shingle array a second time just to keep one per class (one
+    # Exchange + one join removed; n_occ was computed and never read).
+    classes = (
+        segs.groupBy("seg_hash")
+        .agg(F.min(F.struct("sid", "shingles")).alias("rep"))
+        .persist()  # feeds banding, both verify sides, and the occ join
     )
-    reps = (
-        classes.join(
-            segs.select("sid", "seg_hash", "shingles"),
-            ["seg_hash"],
-        )
-        .where(F.col("sid") == F.col("rep_sid"))
-        .select(F.col("rep_sid").alias("doc_id"), "shingles")
-        .persist()  # feeds banding AND both sides of the verify join
+    reps = classes.select(
+        F.col("rep.sid").alias("doc_id"), F.col("rep.shingles").alias("shingles")
     )
     # reuse the shared banding + candidate machinery verbatim (reps are
     # keyed 'doc_id' for the duration; ids are sids)
@@ -2463,7 +2467,10 @@ def segment_minhash_dedup(documents: DataFrame) -> DataFrame:
     )
     occ = (
         segs.select("lang", "source", "sid", "seg_hash")
-        .join(classes, ["seg_hash"])
+        .join(
+            classes.select("seg_hash", F.col("rep.sid").alias("rep_sid")),
+            ["seg_hash"],
+        )
         .join(dropped, ["rep_sid"], "left")
         .select(
             "lang",

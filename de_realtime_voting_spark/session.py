@@ -31,15 +31,21 @@ TUNED_CONF = {
 # cleaner.periodicGC: ContextCleaner frees shuffle files and
 # localCheckpoint blocks only after a JVM GC surfaces their weak
 # references -- at the 30-MINUTE default, a session running many
-# queries back-to-back accumulates every finished query's checkpoint
-# blocks (the r12 sf100 catch: bpe_fertility_stats task-OOMed right
-# after bpe_train_merges in the same session, then passed alone at
-# 838 s -- the trainer's 7 per-step lineage cuts were still resident).
-# 60 s bounds the leak window at one forced GC a minute, noise at
-# this heap size.
-LAUNCH_CONF = {
-    "spark.cleaner.periodicGC.interval": "60s",
-}
+# HEAVY queries back-to-back accumulates every finished query's
+# checkpoint blocks (the r12 sf100 catch: bpe_fertility_stats
+# task-OOMed right after bpe_train_merges in the same session, then
+# passed alone at 838 s -- the trainer's 7 per-step lineage cuts were
+# still resident).  But a forced full GC every minute is NOT noise on
+# the sf0.1 bench: the 186-query sweep measured 377.3 s with
+# interval=60s vs 261.6 s at Spark's default (r12 A/B) -- each System.gc()
+# stops all 32 executor threads, and short queries eat a pause per
+# minute for memory they never needed freed.  So the tightened
+# interval is OPT-IN for long single-session scale runs
+# (SPARK_GRAFT_PERIODIC_GC=60s; tools/scale_probe.py sets it), and the
+# bench keeps Spark's default so the driver's measurement is clean.
+LAUNCH_CONF: dict[str, str] = {}
+if os.environ.get("SPARK_GRAFT_PERIODIC_GC"):
+    LAUNCH_CONF["spark.cleaner.periodicGC.interval"] = os.environ["SPARK_GRAFT_PERIODIC_GC"]
 
 
 def get_spark(app_name: str = "de-realtime-voting-spark") -> SparkSession:

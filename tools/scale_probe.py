@@ -143,6 +143,11 @@ def fit_alpha(points: list[tuple[float, float]]) -> float:
 
 def main() -> None:
     names = sys.argv[1:] or DEFAULT
+    # Long single-session probe runs accumulate finished queries'
+    # localCheckpoint blocks until a JVM GC frees them (the sf100
+    # bpe task-OOM chain); opt in to the tight ContextCleaner GC
+    # interval here -- bench sessions keep Spark's default.
+    os.environ.setdefault("SPARK_GRAFT_PERIODIC_GC", "60s")
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
