@@ -128,29 +128,19 @@ def _collect_centroids(embeddings: DataFrame) -> list[tuple[int, list[float]]]:
     return [(cid, list(emb)) for cid, emb in IVF_TRAINED_CENTROIDS]
 
 
-def _assign_cells(embeddings: DataFrame, cents, *, barrier: bool = True) -> DataFrame:
+def _assign_cells(embeddings: DataFrame, cents) -> DataFrame:
     """(vec_id, embedding, cell, probes): nearest-centroid assignment
     via an Arrow-batched Pandas UDF -- map-side, no corpus shuffle,
     one numpy pass per batch instead of K*D interpreted lambda evals
     per row.  Bit-identical to the Catalyst form (_assign_cells_catalyst,
     kept below and pinned by tests): same float64 cast-then-accumulate
     order, same (neg_cos, cent_id) tie-break.
-
-    ``barrier=False`` skips the round-robin repartition for callers
-    that already hold a repartitioned (and usually persisted) corpus
-    frame -- multi-pass ops like ivf_retrain_report pay the exchange
-    once instead of once per assignment pass (r12).
     """
     from ..functions.pandas_udfs import make_cell_assigner
 
     assign = make_cell_assigner(cents, IVF_NPROBE)
-    src = embeddings
-    if barrier:
-        src = src.repartition(
-            embeddings.sparkSession.sparkContext.defaultParallelism
-        )
     return (
-        src
+        embeddings.repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
         .select("vec_id", "embedding", assign(F.col("embedding")).alias("a"))
         .select("vec_id", "embedding", F.col("a.cell").alias("cell"), F.col("a.probes").alias("probes"))
     )
@@ -229,16 +219,12 @@ def ann_ivf_topk(embeddings: DataFrame) -> DataFrame:
     return _ivf_topk_with(embeddings, cents)
 
 
-def _ivf_topk_with(
-    embeddings: DataFrame, cents, *, asg=None, barrier: bool = True
-) -> DataFrame:
+def _ivf_topk_with(embeddings: DataFrame, cents) -> DataFrame:
     """The IVF probe/top-k machinery under an EXPLICIT centroid set --
     factored out of ann_ivf_topk so ivf_retrain_report can run the
     same search path against a candidate quantizer (old vs retrained
     on one truth set) before it is promoted."""
-    assigned = (
-        asg if asg is not None else _assign_cells(embeddings, cents, barrier=barrier)
-    )
+    assigned = _assign_cells(embeddings, cents)
     q = (
         assigned.where(F.col("vec_id").isin(ANN_QUERY_IDS))
         .select(
@@ -272,27 +258,13 @@ def ann_recall_report(embeddings: DataFrame) -> DataFrame:
     # persist: ground truth feeds one semi-join per method; without it
     # the full brute-force scan runs |methods|+1 times.  Deliberately
     # not unpersisted (lazy plan outlives the function; LRU-evictable,
-    # harnesses clearCache() between queries).  r12: the corpus frame
-    # itself persists once behind one round-robin exchange -- the
-    # truth pass and both arms read it instead of re-scanning parquet
-    # (the ivf_retrain_report multi-pass discipline).
-    spark = embeddings.sparkSession
-    base = (
-        embeddings.select("vec_id", "embedding")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .persist()
-    )
-    cents = _collect_centroids(base)
-    bf = ann_bruteforce_topk(base).select("query_id", "neighbor_id").persist()
+    # harnesses clearCache() between queries).
+    bf = ann_bruteforce_topk(embeddings).select("query_id", "neighbor_id").persist()
     truth_k = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
-
-    def _ivf_arm(e):
-        return _ivf_topk_with(e, cents, barrier=False)
-
     arms = []
-    for method, fn in (("lsh", ann_lsh_topk), ("ivf", _ivf_arm)):
+    for method, fn in (("lsh", ann_lsh_topk), ("ivf", ann_ivf_topk)):
         hits = (
-            fn(base)
+            fn(embeddings)
             .select("query_id", "neighbor_id")
             .join(bf, ["query_id", "neighbor_id"], "left_semi")
             .groupBy("query_id")
@@ -1228,9 +1200,7 @@ def embedding_centroid_drift(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def _lloyd_step(
-    embeddings: DataFrame, cents, *, asg=None, barrier: bool = True
-) -> tuple[list, dict]:
+def _lloyd_step(embeddings: DataFrame, cents) -> tuple[list, dict]:
     """One published-artifact Lloyd pass: assign every vector to its
     nearest centroid (shared Arrow assigner), recompute per-cell
     per-dim means HALF-UP-rounded at IVF_RETRAIN_ROUND decimals (the
@@ -1248,9 +1218,7 @@ def _lloyd_step(
     """
     from ..constants import IVF_RETRAIN_ROUND
 
-    if asg is None:
-        asg = _assign_cells(embeddings, cents, barrier=barrier)
-    asg = asg.select("cell", "embedding")
+    asg = _assign_cells(embeddings, cents).select("cell", "embedding")
     dims = asg.select(
         "cell", F.posexplode("embedding").alias("dim", "v")
     ).select("cell", "dim", F.col("v").cast("double").alias("v"))
@@ -1308,9 +1276,7 @@ def ivf_retrain_report(embeddings: DataFrame) -> DataFrame:
     derived math (cosines, recalls, the gate) runs on K- or
     |queries|-row frames built from published literals, so both
     engines fold identical doubles in identical order.  Truth set and
-    arm frames persist -- each feeds two consumers; the corpus frame
-    itself persists once behind one round-robin exchange and every
-    pass reads it barrier-free (r12).
+    arm frames persist -- each feeds two consumers.
     """
     from ..constants import IVF_RETRAIN_ITERS
 
@@ -1320,26 +1286,10 @@ def ivf_retrain_report(embeddings: DataFrame) -> DataFrame:
     if not cents0:
         return spark.createDataFrame([], schema)
 
-    # r12: this op makes T+3 passes over the corpus (T Lloyd + the
-    # brute-force truth set + two probe arms).  Pay the scan and the
-    # round-robin exchange ONCE: persist the repartitioned two-column
-    # frame and run every pass barrier-free on it.  The cents0
-    # assignment is shared verbatim between Lloyd iteration 1 and the
-    # trained probe arm (same centroid set -> same deterministic
-    # assignment), so the Arrow assigner runs T+1 times, not T+2.
-    base = (
-        embeddings.select("vec_id", "embedding")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .persist()
-    )
-    asg0 = _assign_cells(base, cents0, barrier=False).persist()
-
     cur = cents0
     trail = []  # (iteration, prev centroids, new centroids, members)
     for it in range(1, IVF_RETRAIN_ITERS + 1):
-        new_cents, members = _lloyd_step(
-            base, cur, asg=(asg0 if it == 1 else None), barrier=False
-        )
+        new_cents, members = _lloyd_step(embeddings, cur)
         trail.append((it, cur, new_cents, members))
         cur = new_cents
 
@@ -1379,17 +1329,12 @@ def ivf_retrain_report(embeddings: DataFrame) -> DataFrame:
 
     # truth feeds both arms; each arm feeds its output rows AND the
     # gate means (same deliberate persist as ann_recall_report's bf).
-    bf = ann_bruteforce_topk(base).select("query_id", "neighbor_id").persist()
+    bf = ann_bruteforce_topk(embeddings).select("query_id", "neighbor_id").persist()
     truth_k = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
     arms = {}
     for name, cents in (("recall_trained", cents0), ("recall_retrained", cur)):
         hits = (
-            _ivf_topk_with(
-                base,
-                cents,
-                asg=(asg0 if name == "recall_trained" else None),
-                barrier=False,
-            )
+            _ivf_topk_with(embeddings, cents)
             .select("query_id", "neighbor_id")
             .join(bf, ["query_id", "neighbor_id"], "left_semi")
             .groupBy("query_id")
