@@ -26,7 +26,13 @@ def _queries(embeddings: DataFrame) -> DataFrame:
 
 
 def _topk(joined: DataFrame) -> DataFrame:
-    cos = cosine_similarity(F.col("q_emb"), F.col("embedding"))
+    # Arrow fold twin (r12): bit-identical to cosine_similarity
+    # (pinned ==), vectorized per batch -- the candidate x query
+    # cosine is the ANN family's hot loop (3 interpreted folds per
+    # candidate row otherwise)
+    from ..functions.pandas_udfs import cosine_fold_pandas
+
+    cos = cosine_fold_pandas(F.col("q_emb"), F.col("embedding"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         joined.select(
@@ -72,7 +78,9 @@ def knn_label_purity(embeddings: DataFrame) -> DataFrame:
     joined = embeddings.join(
         F.broadcast(q), F.col("vec_id") != F.col("query_id")
     )
-    cos = cosine_similarity(F.col("q_emb"), F.col("embedding"))
+    from ..functions.pandas_udfs import cosine_fold_pandas
+
+    cos = cosine_fold_pandas(F.col("q_emb"), F.col("embedding"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -1151,9 +1159,12 @@ def embedding_centroid_drift(embeddings: DataFrame) -> DataFrame:
     temporal complement to ivf_cell_balance's occupancy skew).
 
     Scale shape: map-side assignment (shared Arrow assigner), then
-    ONE (cell, dim) partial aggregation -- the posexplode fans out
-    |corpus| x DIM rows but map-side combine reduces them to
-    K x DIM = 4096 groups before the exchange -- and the centroid
+    ONE per-cell aggregation of DIM avg columns over element_at (the
+    embedding_kmeans_iter shape; r12 -- the former posexplode fanned
+    out |corpus| x DIM rows through a Generate and paid a second
+    (cell, dim) -> cell shuffle plus a collect_list/array_sort
+    reassembly) -- map-side combine reduces the corpus to K x (DIM+1)
+    partial buffers before the exchange -- and the centroid
     comparison runs on the K-row result against array literals.
     Mean components are half-up-rounded at 9 decimals BEFORE the
     cosine (published-artifact discipline, the quality-classifier
@@ -1170,24 +1181,22 @@ def embedding_centroid_drift(embeddings: DataFrame) -> DataFrame:
             "cell bigint, n_members bigint, corpus_share double, "
             "mean_centroid_cos double",
         )
-    asg = _assign_cells(embeddings, cents).select("vec_id", "embedding", "cell")
-    dims = asg.select(
-        "cell", F.posexplode("embedding").alias("dim", "v")
-    ).select("cell", "dim", F.col("v").cast("double").alias("v"))
-    per_dim = dims.groupBy("cell", "dim").agg(
-        rnd(F.avg("v"), 9).alias("m"), F.count(F.lit(1)).alias("n")
+    asg = _assign_cells(embeddings, cents).select("cell", "embedding")
+    per_cell = asg.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        *[
+            rnd(F.avg(F.element_at("embedding", i + 1).cast("double")), 9).alias(
+                f"m{i}"
+            )
+            for i in range(EMBEDDING_DIM)
+        ],
     )
-    per_cell = per_dim.groupBy("cell").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
-        ).alias("mean_emb"),
-        F.first("n").alias("n_members"),
-    )
+    mean_emb = F.array(*[F.col(f"m{i}") for i in range(EMBEDDING_DIM)])
     cent_df = embeddings.sparkSession.createDataFrame(
         [(cid, list(emb)) for cid, emb in cents], "cell bigint, c_emb array<double>"
     )
     total = per_cell.select(F.sum("n_members").alias("n_total"))
-    cos = cosine_similarity(F.col("mean_emb"), F.col("c_emb"))
+    cos = cosine_similarity(mean_emb, F.col("c_emb"))
     return (
         per_cell.join(F.broadcast(cent_df), "cell")
         .crossJoin(F.broadcast(total))
@@ -1209,33 +1218,40 @@ def _lloyd_step(embeddings: DataFrame, cents) -> tuple[list, dict]:
     A cell with no members keeps its previous centroid (standard
     Lloyd) and reports n=0.
 
-    Scale shape: one corpus pass -- map-side assignment, then the
-    (cell, dim) partial aggregation embedding_centroid_drift uses
-    (posexplode fans out |corpus| x DIM rows, map-side combine
-    reduces them to K x DIM groups before the exchange); the driver
-    collects only K x DIM rounded doubles per iteration (bounded
-    model state, the quality_classifier_train pattern).
+    Scale shape: one corpus pass -- map-side assignment, then ONE
+    per-cell aggregation of DIM avg columns over element_at (the
+    embedding_kmeans_iter shape, r12: the former posexplode fanned
+    out |corpus| x DIM rows through a Generate and paid a second
+    (cell, dim) -> cell shuffle plus a collect_list/array_sort
+    reassembly; the column aggregate averages the identical value
+    stream per dimension with map-side partial agg and no row
+    expansion); the driver collects only K x DIM rounded doubles per
+    iteration (bounded model state, the quality_classifier_train
+    pattern).
     """
     from ..constants import IVF_RETRAIN_ROUND
 
+    dim = len(cents[0][1])
     asg = _assign_cells(embeddings, cents).select("cell", "embedding")
-    dims = asg.select(
-        "cell", F.posexplode("embedding").alias("dim", "v")
-    ).select("cell", "dim", F.col("v").cast("double").alias("v"))
-    per_dim = dims.groupBy("cell", "dim").agg(
-        rnd(F.avg("v"), IVF_RETRAIN_ROUND).alias("m"),
+    per_cell = asg.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n"),
+        *[
+            rnd(
+                F.avg(F.element_at("embedding", i + 1).cast("double")),
+                IVF_RETRAIN_ROUND,
+            ).alias(f"m{i}")
+            for i in range(dim)
+        ],
     )
-    per_cell = per_dim.groupBy("cell").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
-        ).alias("mean_emb"),
-        F.first("n").alias("n"),
-    )
-    got = {
-        int(r["cell"]): ([float(x) for x in r["mean_emb"]], int(r["n"]))
-        for r in per_cell.collect()
-    }
+    got = {}
+    for r in per_cell.collect():
+        mean = [r[f"m{i}"] for i in range(dim)]
+        if any(m is None for m in mean):
+            # degenerate (empty member arrays): the old posexplode form
+            # produced no (cell, dim) rows -> cell kept its previous
+            # centroid with n=0; preserve that contract
+            continue
+        got[int(r["cell"])] = ([float(m) for m in mean], int(r["n"]))
     new_cents, members = [], {}
     for cid, old in cents:
         mean, n = got.get(cid, (list(old), 0))
