@@ -119,6 +119,52 @@ def make_pq_encoder(cb: list):
 
 
 @pandas_udf("double")
+def dot_product_fold_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
+    """BIT-IDENTICAL Arrow twin of functions.columns.dot_product
+    (pinned == in tests/test_functions.py): cast each float element
+    to float64 FIRST, multiply in float64, accumulate LEFT-TO-RIGHT
+    across dimensions -- the make_cell_assigner discipline.  einsum /
+    np.dot would use pairwise summation and drift in the last ulp,
+    so they are NOT used.  Exists for the pair-verify hot paths
+    (dedup_embedding_cosine / semantic_dedup pair cosines), where the
+    interpreted aggregate(zip_with(...)) fold walks an expression
+    tree per element per PAIR."""
+    if len(a) == 0:
+        return pd.Series(dtype="float64")
+    ma = np.stack(a.to_numpy()).astype(np.float64)
+    mb = np.stack(b.to_numpy()).astype(np.float64)
+    dots = np.zeros(len(a), dtype=np.float64)
+    for i in range(ma.shape[1]):  # left-to-right, matching the fold
+        dots += ma[:, i] * mb[:, i]
+    return pd.Series(dots)
+
+
+@pandas_udf("double")
+def cosine_fold_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
+    """BIT-IDENTICAL Arrow twin of functions.columns.cosine_similarity
+    (pinned == in tests/test_functions.py): three left-to-right
+    float64 folds (dot, |a|^2, |b|^2 -- same accumulation order as the
+    Catalyst aggregate()), then sqrt and one division in the identical
+    expression order dot / (sqrt(na) * sqrt(nb)).  For per-PAIR cosine
+    hot paths (ANN top-k verifies) where norms are not precomputed."""
+    if len(a) == 0:
+        return pd.Series(dtype="float64")
+    ma = np.stack(a.to_numpy()).astype(np.float64)
+    mb = np.stack(b.to_numpy()).astype(np.float64)
+    n = len(a)
+    dots = np.zeros(n, dtype=np.float64)
+    na = np.zeros(n, dtype=np.float64)
+    nb = np.zeros(n, dtype=np.float64)
+    for i in range(ma.shape[1]):  # left-to-right, matching the fold
+        ca = ma[:, i]
+        cb = mb[:, i]
+        dots += ca * cb
+        na += ca * ca
+        nb += cb * cb
+    return pd.Series(dots / (np.sqrt(na) * np.sqrt(nb)))
+
+
+@pandas_udf("double")
 def entropy_pandas(text: pd.Series) -> pd.Series:
     """Token-entropy twin of the Catalyst run-length fold
     (operators/text.py::_entropy_fold_column): same tokenization
@@ -228,37 +274,76 @@ def minhash_signature_pandas(shingles: pd.Series) -> pd.Series:
     a null ELEMENT is skipped (its permuted hash null-propagates and
     array_min ignores nulls).
 
-    Speed: a batch-level digest cache keyed on the shingle (the K
-    permutation values are computed once per distinct shingle per
-    batch) replaces K interpreted-HOF transform walks per row."""
+    Speed (r12, vectorized): digests are computed ONCE per distinct
+    shingle per batch (pd.factorize replaces the r5 dict cache), and
+    the per-row 128-bit minimum runs as numpy ``minimum.reduceat``
+    over the digests' (hi, lo) uint64 halves -- big-endian split, so
+    lexicographic (hi, lo) order IS the 128-bit integer order: min hi
+    per row segment, then min lo among entries at that hi.  This
+    removes the interpreted per-shingle-instance K-compare loop
+    (shingle instances outnumber distincts ~10x on Zipf text, so the
+    loop dominated the md5 calls; measured 1.6x on sf0.1 corpus
+    shingles, par on adversarial all-distinct input where md5 is the
+    floor either way)."""
     import hashlib
 
     from ..constants import MINHASH_SIGS
 
     K = MINHASH_SIGS
-    cache: dict[str, list[int]] = {}
-    out: list[list[str | None]] = []
-    for toks in shingles.to_numpy(dtype=object):
+    md5 = hashlib.md5
+    vals = shingles.to_numpy(dtype=object)
+    n = len(vals)
+    counts = np.zeros(n, dtype=np.int64)
+    flat: list = []
+    for i, toks in enumerate(vals):
         if toks is None or len(toks) == 0:
-            out.append([None] * K)
             continue
-        mins: list[int | None] = [None] * K
-        for s in toks:
-            if s is None:
-                continue
-            v = cache.get(s)
-            if v is None:
-                v = [
-                    int.from_bytes(
-                        hashlib.md5(f"{i}:{s}".encode("utf-8")).digest(),
-                        "big",
-                    )
-                    for i in range(K)
-                ]
-                cache[s] = v
-            for i in range(K):
-                m = mins[i]
-                if m is None or v[i] < m:
-                    mins[i] = v[i]
-        out.append([None if m is None else format(m, "032x") for m in mins])
+        clean = [s for s in toks if s is not None]
+        counts[i] = len(clean)
+        flat.extend(clean)
+    out = np.empty(n, dtype=object)
+    if not flat:
+        for i in range(n):
+            out[i] = [None] * K
+        return pd.Series(out)
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    prefs = [("%d:" % i).encode() for i in range(K)]
+    buf = bytearray(len(uniques) * K * 16)
+    pos = 0
+    for u in uniques:
+        ub = u.encode("utf-8")
+        for p in prefs:
+            buf[pos:pos + 16] = md5(p + ub).digest()
+            pos += 16
+    dmat = np.frombuffer(buf, dtype=">u8").reshape(len(uniques), K, 2)
+    hi = np.ascontiguousarray(dmat[:, :, 0])
+    lo = np.ascontiguousarray(dmat[:, :, 1])
+    nz = counts > 0
+    nz_counts = counts[nz]
+    starts = np.zeros(len(nz_counts), dtype=np.int64)
+    np.cumsum(nz_counts[:-1], out=starts[1:])
+    umax = np.uint64(0xFFFFFFFFFFFFFFFF)
+    min_h = np.empty((K, len(nz_counts)), dtype=np.uint64)
+    min_l = np.empty((K, len(nz_counts)), dtype=np.uint64)
+    for k in range(K):
+        h = hi[codes, k]
+        l = lo[codes, k]
+        mh = np.minimum.reduceat(h, starts)
+        # min lo among entries tied at the row's min hi (others masked
+        # to UINT64_MAX -- at least one unmasked entry always exists)
+        ml = np.minimum.reduceat(
+            np.where(h == np.repeat(mh, nz_counts), l, umax), starts
+        )
+        min_h[k] = mh
+        min_l[k] = ml
+    j = 0
+    for i in range(n):
+        if not nz[i]:
+            out[i] = [None] * K
+            continue
+        out[i] = [
+            format((int(min_h[k, j]) << 64) | int(min_l[k, j]), "032x")
+            for k in range(K)
+        ]
+        j += 1
     return pd.Series(out)

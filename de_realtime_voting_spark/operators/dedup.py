@@ -654,13 +654,23 @@ def _cluster_labels(documents: DataFrame, max_iter: int = 20) -> DataFrame:
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
         )
     )
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("label"))
-        .persist()
+    # Round 1 folded into the init (r12): with identity labels the
+    # first round's neighbor_min is just min(doc_b) per node -- the
+    # join against identity labels is the identity lookup -- so the
+    # initial label is least(doc_id, min neighbor) from ONE groupBy
+    # over the flat edge checkpoint.  Identical to the old
+    # identity-init + first loop round (every node appears on the
+    # doc_a side of the symmetric list, so the groupBy covers exactly
+    # the old distinct(doc_a) node set); the loop below then runs the
+    # remaining max_iter - 1 rounds, so the total propagation budget
+    # is unchanged.
+    labels = _lineage_cut(
+        edges.groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.min("doc_b").alias("nbr"))
+        .select("doc_id", F.least("doc_id", "nbr").alias("label"))
     )
-    for _ in range(max_iter):
+    changed = -1  # unknown until a loop round runs
+    for _ in range(max_iter - 1):
         neighbor_min = (
             edges.join(labels, edges["doc_b"] == labels["doc_id"])
             .groupBy("doc_a")
@@ -1099,7 +1109,14 @@ def _occ_capped_pairs(
             F.col("embedding").alias("emb_b"),
             F.col("norm").alias("norm_b"),
         )
-        cos_s = dot_product(F.col("emb_a"), F.col("emb_b")) / (
+        # Arrow fold twin (r12): bit-identical to the Catalyst
+        # dot_product (pinned ==), but one vectorized numpy pass per
+        # batch instead of an interpreted aggregate(zip_with()) tree
+        # walk per element per PAIR -- the pair-verify is this
+        # family's hot loop (O(sum block^2) cosines)
+        from ..functions.pandas_udfs import dot_product_fold_pandas
+
+        cos_s = dot_product_fold_pandas(F.col("emb_a"), F.col("emb_b")) / (
             F.col("norm_a") * F.col("norm_b")
         )
         return a.join(b, same_group & (F.col("vec_a") < F.col("vec_b"))).select(
@@ -1161,9 +1178,11 @@ def _occ_capped_pairs(
             )
             .where(F.col("nb").isNotNull())
         )
-        cos_b = dot_product(F.col("embedding"), F.col("nb.embedding")) / (
-            F.col("norm") * F.col("nb.norm")
-        )
+        from ..functions.pandas_udfs import dot_product_fold_pandas
+
+        cos_b = dot_product_fold_pandas(
+            F.col("embedding"), F.col("nb.embedding")
+        ) / (F.col("norm") * F.col("nb.norm"))
         return exploded.select(
             *part_cols,
             F.least(F.col("vec_id"), F.col("nb.vec_id")).alias("vec_a"),

@@ -427,3 +427,33 @@ def test_arrow_hash_udfs_null_elements_match_catalyst(spark):
     # well (2*c > 2) -- so the two rows agree exactly here, and the
     # property proven is "no crash + null adds no bits"
     assert bands[1] == bands[2]
+
+
+def test_fold_pandas_twins_bitwise_equal_catalyst(spark, sf_dir):
+    """The r12 Arrow fold twins (dot_product_fold_pandas /
+    cosine_fold_pandas) must equal the Catalyst folds BITWISE (==,
+    not approx): same cast-then-accumulate order, float64 throughout,
+    no pairwise summation anywhere."""
+    from de_realtime_voting_spark.functions.columns import dot_product
+    from de_realtime_voting_spark.functions.pandas_udfs import (
+        cosine_fold_pandas,
+        dot_product_fold_pandas,
+    )
+    from de_realtime_voting_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(128)
+    a = emb.select("vec_id", F.col("embedding").alias("a"))
+    b = emb.select(
+        (F.col("vec_id") + 1).alias("vec_id"), F.col("embedding").alias("b")
+    )
+    both = a.join(b, "vec_id")
+    rows = both.select(
+        dot_product(F.col("a"), F.col("b")).alias("dc"),
+        dot_product_fold_pandas(F.col("a"), F.col("b")).alias("da"),
+        cosine_similarity(F.col("a"), F.col("b")).alias("cc"),
+        cosine_fold_pandas(F.col("a"), F.col("b")).alias("ca"),
+    ).collect()
+    assert len(rows) > 100
+    for r in rows:
+        assert r["dc"] == r["da"], (r["dc"], r["da"])
+        assert r["cc"] == r["ca"], (r["cc"], r["ca"])
