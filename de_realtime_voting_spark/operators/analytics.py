@@ -860,12 +860,16 @@ def market_basket_pairs(lineitem: DataFrame, n_top: int = 20) -> DataFrame:
     (bought-together) over the order fact.
 
     Scale shape: baskets reduce to distinct (order, part) map-side;
-    the pair self-join keys on orderkey and its expansion is bounded
-    by ORDER WIDTH (lines per order -- single digits), never corpus
-    size, so candidate generation is linear in orders.  Support and
-    lift stay in integer arithmetic until one double division --
-    bit-identical cross-engine.  Top-N compiles to
-    TakeOrderedAndProject (per-partition partial top-N, no full sort).
+    pair generation collects each order's part list in ONE orderkey
+    shuffle and explodes pairs map-side (the _band_candidate_pairs
+    idiom, r12 -- the former a x b self-join shuffled the item frame
+    TWICE and sort-merge-joined it against itself for the identical
+    pair set).  Expansion stays bounded by ORDER WIDTH (lines per
+    order -- single digits), never corpus size, so candidate
+    generation is linear in orders.  Support and lift stay in integer
+    arithmetic until one double division -- bit-identical
+    cross-engine.  Top-N compiles to TakeOrderedAndProject
+    (per-partition partial top-N, no full sort).
     """
     items = lineitem.select("l_orderkey", "l_partkey").distinct()
     # scalar order count as a broadcast 1-row frame (the Q22/unigram
@@ -876,12 +880,19 @@ def market_basket_pairs(lineitem: DataFrame, n_top: int = 20) -> DataFrame:
     part_counts = items.groupBy(F.col("l_partkey").alias("part")).agg(
         F.count(F.lit(1)).alias("n_part")
     )
-    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
-    b = items.select(
-        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b")
+    # one orderkey shuffle; pairs explode map-side from each order's
+    # part list (each pair emitted once: part_a < part_b)
+    baskets = items.groupBy("l_orderkey").agg(
+        F.collect_list("l_partkey").alias("ps")
     )
     pair_counts = (
-        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("part_a") < F.col("part_b")))
+        baskets.select(F.explode("ps").alias("part_a"), "ps")
+        .select(
+            "part_a",
+            F.explode(F.filter("ps", lambda v: v > F.col("part_a"))).alias(
+                "part_b"
+            ),
+        )
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
