@@ -56,15 +56,23 @@ def _shuffle_width(spark) -> int:
 def _spread(df: DataFrame) -> DataFrame:
     """Documents/embeddings arrive as few parquet splits (small files,
     heavy rows).  Per-row signature work is CPU-bound, so spread it
-    across all cores first; at 100 TB the scan produces enough splits
-    naturally and this becomes a cheap no-op-ish rebalance."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    across all cores first.  r12: the spread is now CONDITIONAL -- at
+    100 TB the scan already produces thousands of splits and the old
+    unconditional repartition was a full corpus shuffle, not the
+    "no-op-ish rebalance" the r1 docstring claimed (see
+    functions.partitioning)."""
+    from ..functions.partitioning import spread_to_parallelism
+
+    return spread_to_parallelism(df)
 
 
-def _lineage_cut(df: DataFrame) -> DataFrame:
-    """Eagerly materialize ``df`` and truncate its lineage -- the
-    per-round reset the iterative loops below need so plan depth
-    stays O(1) instead of doubling per iteration.
+def _lineage_cut(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize ``df`` and truncate its lineage -- the per-round
+    reset the iterative loops below need so plan depth stays O(1)
+    instead of doubling per iteration.  ``eager=False`` defers the
+    checkpoint to the caller's next action (the bigstar fingerprint
+    fuse: the convergence agg materializes the round's edge set and
+    checkpoints it in ONE job instead of two).
 
     Storage choice is fault-tolerance policy: ``localCheckpoint``
     writes to EXECUTOR-LOCAL block storage, so on a real cluster any
@@ -79,8 +87,8 @@ def _lineage_cut(df: DataFrame) -> DataFrame:
     lose.  See SCALE.md (fault tolerance)."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def dedup_exact(documents: DataFrame) -> DataFrame:
@@ -905,9 +913,14 @@ def dedup_clusters_bigstar(documents: DataFrame, max_iter: int = 30) -> DataFram
             .union(m2.select(F.col("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
         )
+        # lazy cut + fused fingerprint (r12): the convergence agg is
+        # the round's first action anyway, so let IT materialize and
+        # checkpoint the new edge set -- one job per round instead of
+        # an eager-checkpoint job followed by the agg job
         new_edges = _lineage_cut(
             small.union(small.select(F.col("v").alias("u"), F.col("u").alias("v")))
-            .distinct()
+            .distinct(),
+            eager=False,
         )
         row = new_edges.agg(
             F.count(F.lit(1)).alias("n"),

@@ -144,11 +144,14 @@ def _assign_cells(embeddings: DataFrame, cents) -> DataFrame:
     kept below and pinned by tests): same float64 cast-then-accumulate
     order, same (neg_cos, cent_id) tie-break.
     """
+    from ..functions.partitioning import spread_to_parallelism
     from ..functions.pandas_udfs import make_cell_assigner
 
     assign = make_cell_assigner(cents, IVF_NPROBE)
+    # conditional spread (r12): small-SF scans need the parallelism,
+    # a production scan already has it and skips the corpus shuffle
     return (
-        embeddings.repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+        spread_to_parallelism(embeddings)
         .select("vec_id", "embedding", assign(F.col("embedding")).alias("a"))
         .select("vec_id", "embedding", F.col("a.cell").alias("cell"), F.col("a.probes").alias("probes"))
     )
