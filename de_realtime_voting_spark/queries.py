@@ -527,40 +527,53 @@ _DEFS: dict[str, QueryFn] = {
 
 # Registry ORDER matters operationally: external checkers iterate in
 # insertion order and may cap how many entries they verify per run
-# (the driver checks ~50).  Round-12 rotation, plan-changed-first:
-# the four ops whose PLAN changed this round lead
-# (unigram/bigram_logprob_score -- the head/tail LM-model split;
-# dedup_embedding_cosine/semantic_dedup -- the _occ_capped_pairs
-# small-SF short-circuit), then ALL 38 r8-vintage driver rows (the
-# stalest greens: dedup graph family, TPC-H block, ...), then 8
-# stalest-r9 fills -- 4+38+8 fills the 50-entry window, so after this
-# round no query's latest driver green predates r9.  Remaining r9,
-# then r10/r11 blocks follow (newest greens last).
+# (the driver checks ~50).  Round-12 (optimization round) rotation:
+# the first 50 entries are exactly the queries whose PLAN changed in
+# r12 -- the LM head/tail splits, the occupancy-cap short-circuit +
+# two-plane windowed pairing, the 60-bit digest verify joins and
+# vectorized MinHash signature (the whole minhash/near-dup family),
+# the md5 one-conv digit folds (simhash + mod-bucket consumers), the
+# Arrow fold-twin pair cosines (embedding dedup + ANN top-k family),
+# the Lloyd column-aggregate shape (retrain/drift), the QC packed
+# features, the DSIR in-plan model, the market-basket map-side pair
+# explode, and the min-label init fold -- so the driver window
+# re-earns every changed plan this round.  The remainder keeps the
+# r11-rotation relative order (stalest driver greens first).
 _PRIORITY: list[str] = [
     "unigram_logprob_score", "bigram_logprob_score", "dedup_embedding_cosine",
-    "semantic_dedup", "dedup_clusters", "dedup_clusters_bigstar",
-    "dedup_keep_canonical", "dedup_minhash_topk", "dedup_soft_weights",
-    "dedup_sorted_neighborhood", "dedup_threshold_sweep",
+    "semantic_dedup", "ivf_retrain_report", "embedding_centroid_drift",
+    "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk",
+    "ann_recall_report", "ann_hard_negatives", "ann_ivf_hard_negatives",
+    "knn_label_purity", "quality_classifier_train",
+    "quality_classifier_score", "dsir_importance_score", "corpus_dsir_sample",
+    "market_basket_pairs", "dedup_clusters", "dedup_clusters_bigstar",
+    "dedup_keep_canonical", "dedup_minhash_pairs", "dedup_minhash_bands",
+    "dedup_minhash_topk", "minhash_jaccard_estimate",
+    "minhash_band_collision_stats", "dedup_threshold_sweep", "fuzzy_decontam",
+    "segment_minhash_dedup", "dedup_incremental", "near_dup_pagerank",
+    "near_dup_triangles", "near_dup_graph_degree", "near_dup_rate_by_source",
+    "cross_source_dup_matrix", "dup_quality_report", "normalized_dedup_gain",
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_sorted_neighborhood",
+    "dedup_ngram_jaccard", "dedup_ngram_jaccard_scaled",
+    "token_heavy_hitters_cms", "token_bucket_drift",
+    "corpus_temperature_sample", "embedding_kmeans_iter", "ivf_cell_balance",
+    "ann_ivf_probe_sweep", "ann_pq_rerank_topk", "dedup_soft_weights",
     "doc_embed_inference", "doc_length_mad_outliers",
     "doc_winnowing_fingerprints", "domain_quality_topk",
-    "embedding_centroid_drift", "embedding_prototype_score",
-    "event_transition_matrix", "hot_key_join_salted", "near_dup_pagerank",
-    "q10_returned_items", "q12_ship_lag_priority", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_counts",
-    "q19_disjunctive_revenue", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_regional_revenue", "q6_forecast_revenue", "q7_nation_volume",
-    "q8_market_share", "q9_product_profit", "segment_dedup",
-    "segment_minhash_dedup", "source_capped_selection",
+    "embedding_prototype_score", "event_transition_matrix",
+    "hot_key_join_salted", "q10_returned_items", "q12_ship_lag_priority",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_part_supplier_counts", "q19_disjunctive_revenue",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "segment_dedup", "source_capped_selection",
     "source_temperature_weights", "text_entropy_score", "token_budget_select",
-    "top_brand_revenue", "votes_sessionized", "ann_bruteforce_topk",
-    "bpe_pair_counts", "benchmark_decontam", "corpus_dsir_sample",
-    "corpus_quality_keep", "corpus_source_mix", "curation_waterfall",
-    "customer_top_orders", "dedup_ngram_jaccard", "dedup_substring_spans",
-    "dsir_importance_score", "embedding_kmeans_iter", "funnel_conversion",
-    "ivf_cell_balance", "lapsed_voters", "leading_candidate_per_hour",
-    "market_basket_pairs", "minhash_jaccard_estimate", "near_dup_graph_degree",
-    "near_dup_rate_by_source", "ngram_containment", "one_vote_per_voter",
-    "order_fill_rate", "party_vote_share", "referential_integrity_audit",
+    "top_brand_revenue", "votes_sessionized", "bpe_pair_counts",
+    "benchmark_decontam", "corpus_quality_keep", "corpus_source_mix",
+    "curation_waterfall", "customer_top_orders", "dedup_substring_spans",
+    "funnel_conversion", "lapsed_voters", "leading_candidate_per_hour",
+    "ngram_containment", "one_vote_per_voter", "order_fill_rate",
+    "party_vote_share", "referential_integrity_audit",
     "repeat_buyers_by_nation", "source_url_dedup", "supplier_concentration",
     "supplier_lead_time", "token_zipf_stats", "turnout_by_location",
     "turnout_by_region", "turnout_by_segment", "turnout_grouping_sets",
@@ -568,39 +581,30 @@ _PRIORITY: list[str] = [
     "vote_weight_percentiles", "voter_party_loyalty", "voter_profile",
     "voter_retention_cohort", "votes_asof_prior_click", "votes_cube",
     "votes_enriched", "votes_in_launch_windows", "votes_minute_rate",
-    "votes_per_candidate", "votes_per_candidate_hourly", "ann_hard_negatives",
-    "ann_ivf_hard_negatives", "ann_pq_rerank_topk", "bloom_decontam",
+    "votes_per_candidate", "votes_per_candidate_hourly", "bloom_decontam",
     "bpe_fertility_stats", "bpe_train_merges", "contam_span_report",
     "customer_spend_deciles", "corpus_epoch_shuffle", "seq_pack_bestfit",
-    "ann_lsh_topk", "ann_pq_topk", "brand_price_trend",
-    "candidate_hourly_pivot", "corpus_stratified_sample", "corpus_train_split",
-    "cross_source_dup_matrix", "cumulative_daily_votes", "dedup_minhash_pairs",
-    "dedup_ngram_jaccard_scaled", "doc_chunk_windows",
-    "doc_field_completeness", "doc_length_percentile_filter_approx",
-    "dup_quality_report", "election_winner", "embedding_label_cohesion",
-    "embedding_pca_stats", "embedding_whitened_norms", "fuzzy_decontam",
-    "knn_label_purity", "minhash_band_collision_stats",
-    "multimodal_binary_stats", "multimodal_chunk_stats",
-    "normalized_dedup_gain", "q11_important_stock", "q20_excess_suppliers",
-    "q21_waiting_suppliers", "q22_idle_rich_customers", "q2_min_cost_supplier",
-    "repeated_span_excision", "seq_pack_stats", "span_excision_stats",
-    "text_quality_score", "token_bucket_drift", "token_distribution_drift",
+    "ann_pq_topk", "brand_price_trend", "candidate_hourly_pivot",
+    "corpus_stratified_sample", "corpus_train_split",
+    "cumulative_daily_votes", "doc_chunk_windows", "doc_field_completeness",
+    "doc_length_percentile_filter_approx", "election_winner",
+    "embedding_label_cohesion", "embedding_pca_stats",
+    "embedding_whitened_norms", "multimodal_binary_stats",
+    "multimodal_chunk_stats", "q11_important_stock", "q20_excess_suppliers",
+    "q21_waiting_suppliers", "q22_idle_rich_customers",
+    "q2_min_cost_supplier", "repeated_span_excision", "seq_pack_stats",
+    "span_excision_stats", "text_quality_score", "token_distribution_drift",
     "vote_key_skew", "voter_value_quartiles", "votes_approx_stats",
-    "ann_ivf_probe_sweep", "ann_ivf_topk", "ann_recall_report",
     "bpe_fertility_stats_batched", "bpe_train_merges_batched",
-    "corpus_span_excised", "corpus_temperature_sample", "dedup_edit_distance",
-    "dedup_exact", "dedup_incremental", "dedup_minhash_bands", "dedup_simhash",
-    "dedup_simhash_pairs", "doc_embedding_stats", "doc_fingerprint",
-    "doc_length_percentile_filter", "embedding_lsh_buckets",
-    "embedding_norm_outliers", "embedding_quantization_stats",
-    "events_json_props", "invalid_vote_rate", "ivf_retrain_report",
-    "large_volume_orders", "nation_acctbal", "near_dup_triangles", "ngram_top",
-    "order_priority_count", "quality_classifier_score",
-    "quality_classifier_train", "registered_non_voters",
-    "repeated_ngram_spans", "small_quantity_revenue",
-    "supplier_nation_revenue", "text_bpe_tokens", "text_c4_filters",
-    "text_lang_id", "text_redact_pii", "text_repetition_score",
-    "text_token_count", "tfidf_top_terms", "token_heavy_hitters_cms",
+    "corpus_span_excised", "dedup_edit_distance", "dedup_exact",
+    "doc_embedding_stats", "doc_fingerprint", "doc_length_percentile_filter",
+    "embedding_lsh_buckets", "embedding_norm_outliers",
+    "embedding_quantization_stats", "events_json_props", "invalid_vote_rate",
+    "large_volume_orders", "nation_acctbal", "ngram_top",
+    "order_priority_count", "registered_non_voters", "repeated_ngram_spans",
+    "small_quantity_revenue", "supplier_nation_revenue", "text_bpe_tokens",
+    "text_c4_filters", "text_lang_id", "text_redact_pii",
+    "text_repetition_score", "text_token_count", "tfidf_top_terms",
     "unique_voters_per_candidate", "vocab_coverage",
     "voter_registration_stats", "voter_stickiness", "votes_anomaly_zscore",
     "votes_sliding_window", "votes_value_stats",
