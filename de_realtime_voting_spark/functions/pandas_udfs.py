@@ -17,9 +17,23 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Module-level decorators use DataType OBJECTS, not type strings:
+# parsing a type string requires an active SparkContext, and this
+# module must stay importable on executor Python workers (a UDF
+# that references a plain module-level helper is pickled by
+# REFERENCE, so the worker imports the module; r13).
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
     """Batch cosine over two array columns: one numpy matmul per
     Arrow batch instead of one expression-tree walk per row."""
@@ -30,7 +44,7 @@ def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(dots / norms)
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def l2_norm_pandas(a: pd.Series) -> pd.Series:
     ma = np.stack(a.to_numpy()).astype(np.float64)
     return pd.Series(np.linalg.norm(ma, axis=1))
@@ -84,6 +98,74 @@ def make_cell_assigner(cents: list, nprobe: int):
     return assign
 
 
+def make_dual_cell_assigner(cents_a: list, cents_b: list, nprobe: int):
+    """TWO nearest-centroid assignments (two independent centroid
+    sets) in ONE Arrow pass over the corpus -- the ivf_retrain_report
+    probe-arm fuse (r13): the trained-vs-retrained recall arms each
+    needed their own full corpus scan + assignment; this computes both
+    assignments from one scan.
+
+    Bit-identical to running ``make_cell_assigner(cents_a, nprobe)``
+    and ``make_cell_assigner(cents_b, nprobe)`` separately (pinned in
+    tests): the shared ``vsq`` accumulates the identical left-to-right
+    float64 fold, and each set's dots/argsort/tie-break are the
+    unchanged single-assigner computation over its own centroid
+    matrix.
+    """
+    import math
+
+    ids_a = np.array([cid for cid, _ in cents_a], dtype=np.int64)
+    mat_a = np.array([emb for _, emb in cents_a], dtype=np.float64)
+    nrm_a = np.array(
+        [math.sqrt(sum(x * x for x in emb)) for _, emb in cents_a], dtype=np.float64
+    )
+    ids_b = np.array([cid for cid, _ in cents_b], dtype=np.int64)
+    mat_b = np.array([emb for _, emb in cents_b], dtype=np.float64)
+    nrm_b = np.array(
+        [math.sqrt(sum(x * x for x in emb)) for _, emb in cents_b], dtype=np.float64
+    )
+
+    @pandas_udf(
+        "struct<cell_a:bigint, probes_a:array<bigint>, "
+        "cell_b:bigint, probes_b:array<bigint>>"
+    )
+    def assign2(emb: pd.Series) -> pd.DataFrame:
+        if len(emb) == 0:
+            return pd.DataFrame(
+                {
+                    "cell_a": pd.Series(dtype="int64"),
+                    "probes_a": [],
+                    "cell_b": pd.Series(dtype="int64"),
+                    "probes_b": [],
+                }
+            )
+        m = np.stack(emb.to_numpy()).astype(np.float64)  # n x D
+        n, d = m.shape
+        dots_a = np.zeros((n, len(ids_a)), dtype=np.float64)
+        dots_b = np.zeros((n, len(ids_b)), dtype=np.float64)
+        vsq = np.zeros(n, dtype=np.float64)
+        for i in range(d):  # left-to-right, matching Catalyst aggregate()
+            col = m[:, i]
+            dots_a += col[:, None] * mat_a[None, :, i]
+            dots_b += col[:, None] * mat_b[None, :, i]
+            vsq += col * col
+        vn = np.sqrt(vsq)[:, None]
+        neg_a = -(dots_a / (vn * nrm_a[None, :]))
+        neg_b = -(dots_b / (vn * nrm_b[None, :]))
+        oa = np.argsort(neg_a, axis=1, kind="stable")
+        ob = np.argsort(neg_b, axis=1, kind="stable")
+        return pd.DataFrame(
+            {
+                "cell_a": ids_a[oa[:, 0]],
+                "probes_a": list(ids_a[oa[:, :nprobe]]),
+                "cell_b": ids_b[ob[:, 0]],
+                "probes_b": list(ids_b[ob[:, :nprobe]]),
+            }
+        )
+
+    return assign2
+
+
 def make_pq_encoder(cb: list):
     """Vectorized product-quantization encoder, bit-identical to the
     Catalyst reference (operators/similarity._pq_codes_catalyst).
@@ -118,7 +200,42 @@ def make_pq_encoder(cb: list):
     return encode
 
 
-@pandas_udf("double")
+def _fold_rows_like_catalyst(a_vals, b_vals, cosine: bool) -> pd.Series:
+    """Row-at-a-time fallback for degenerate batches (null or
+    ragged-length arrays), reproducing the Catalyst
+    ``aggregate(zip_with(a, b, *))`` null semantics exactly: a null
+    ARRAY, a null ELEMENT, or a length mismatch (zip_with pads the
+    shorter side with nulls) all null-propagate through the fold to
+    SQL NULL (ADVICE r12 -- np.stack would raise / astype would turn
+    None into NaN).  The dense fast paths below never take this
+    branch."""
+    import math
+
+    out = []
+    for x, y in zip(a_vals, b_vals):
+        if x is None or y is None or len(x) != len(y):
+            out.append(None)
+            continue
+        dot = na = nb = 0.0
+        ok = True
+        for xi, yi in zip(x, y):
+            if xi is None or yi is None:
+                ok = False
+                break
+            xf, yf = float(xi), float(yi)
+            dot += xf * yf
+            na += xf * xf
+            nb += yf * yf
+        if not ok:
+            out.append(None)
+        elif cosine:
+            out.append(dot / (math.sqrt(na) * math.sqrt(nb)))
+        else:
+            out.append(dot)
+    return pd.Series(out, dtype="float64")
+
+
+@pandas_udf(DoubleType())
 def dot_product_fold_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
     """BIT-IDENTICAL Arrow twin of functions.columns.dot_product
     (pinned == in tests/test_functions.py): cast each float element
@@ -128,29 +245,60 @@ def dot_product_fold_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
     so they are NOT used.  Exists for the pair-verify hot paths
     (dedup_embedding_cosine / semantic_dedup pair cosines), where the
     interpreted aggregate(zip_with(...)) fold walks an expression
-    tree per element per PAIR."""
+    tree per element per PAIR.
+
+    Inputs are dense uniform-length non-null arrays on every current
+    consumer; degenerate batches (null array, ragged lengths, null
+    elements) fall back to the row-wise Catalyst-semantics fold
+    (ADVICE r12) instead of raising or NaN-coercing."""
     if len(a) == 0:
         return pd.Series(dtype="float64")
-    ma = np.stack(a.to_numpy()).astype(np.float64)
-    mb = np.stack(b.to_numpy()).astype(np.float64)
+    av, bv = a.to_numpy(), b.to_numpy()
+    try:
+        ma = np.stack(av).astype(np.float64)
+        mb = np.stack(bv).astype(np.float64)
+    except (ValueError, TypeError):  # null or ragged-length arrays
+        return _fold_rows_like_catalyst(av, bv, cosine=False)
+    if (
+        ma.ndim != 2  # a batch of all-null arrays stacks 1-D
+        or mb.ndim != 2
+        or ma.shape[1] != mb.shape[1]  # uniform-per-side, mismatched widths
+        or np.isnan(ma).any()
+        or np.isnan(mb).any()  # null elements -> NaN via astype
+    ):
+        return _fold_rows_like_catalyst(av, bv, cosine=False)
     dots = np.zeros(len(a), dtype=np.float64)
     for i in range(ma.shape[1]):  # left-to-right, matching the fold
         dots += ma[:, i] * mb[:, i]
     return pd.Series(dots)
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def cosine_fold_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
     """BIT-IDENTICAL Arrow twin of functions.columns.cosine_similarity
     (pinned == in tests/test_functions.py): three left-to-right
     float64 folds (dot, |a|^2, |b|^2 -- same accumulation order as the
     Catalyst aggregate()), then sqrt and one division in the identical
     expression order dot / (sqrt(na) * sqrt(nb)).  For per-PAIR cosine
-    hot paths (ANN top-k verifies) where norms are not precomputed."""
+    hot paths (ANN top-k verifies) where norms are not precomputed.
+    Degenerate batches (null/ragged/null-element arrays) take the
+    row-wise Catalyst-semantics fallback, as in the dot twin."""
     if len(a) == 0:
         return pd.Series(dtype="float64")
-    ma = np.stack(a.to_numpy()).astype(np.float64)
-    mb = np.stack(b.to_numpy()).astype(np.float64)
+    av, bv = a.to_numpy(), b.to_numpy()
+    try:
+        ma = np.stack(av).astype(np.float64)
+        mb = np.stack(bv).astype(np.float64)
+    except (ValueError, TypeError):  # null or ragged-length arrays
+        return _fold_rows_like_catalyst(av, bv, cosine=True)
+    if (
+        ma.ndim != 2  # a batch of all-null arrays stacks 1-D
+        or mb.ndim != 2
+        or ma.shape[1] != mb.shape[1]  # uniform-per-side, mismatched widths
+        or np.isnan(ma).any()
+        or np.isnan(mb).any()  # null elements -> NaN via astype
+    ):
+        return _fold_rows_like_catalyst(av, bv, cosine=True)
     n = len(a)
     dots = np.zeros(n, dtype=np.float64)
     na = np.zeros(n, dtype=np.float64)
@@ -164,7 +312,7 @@ def cosine_fold_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(dots / (np.sqrt(na) * np.sqrt(nb)))
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def entropy_pandas(text: pd.Series) -> pd.Series:
     """Token-entropy twin of the Catalyst run-length fold
     (operators/text.py::_entropy_fold_column): same tokenization
@@ -195,7 +343,7 @@ def entropy_pandas(text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-@pandas_udf("struct<b0:int,b1:int,b2:int,b3:int>")
+@pandas_udf(StructType([StructField(n, IntegerType()) for n in ("b0", "b1", "b2", "b3")]))
 def simhash_bands_pandas(dt: pd.Series) -> pd.DataFrame:
     """64-bit SimHash as 4 x 16-bit bands over a DISTINCT-token array
     column -- the Arrow twin of operators/dedup.py::
@@ -258,7 +406,7 @@ def simhash_bands_pandas(dt: pd.Series) -> pd.DataFrame:
                          "b2": out[:, 2], "b3": out[:, 3]}).astype("int32")
 
 
-@pandas_udf("array<string>")
+@pandas_udf(ArrayType(StringType()))
 def minhash_signature_pandas(shingles: pd.Series) -> pd.Series:
     """MinHash signature over a shingle-array column -- the Arrow
     twin of functions.columns.minhash_signature (pinned equal in

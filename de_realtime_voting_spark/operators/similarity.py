@@ -261,41 +261,121 @@ def ann_recall_report(embeddings: DataFrame) -> DataFrame:
 
     Scale shape: ground truth is the brute-force op (bounded broadcast
     query set, corpus streams map-side) computed ONCE and persisted --
-    it feeds one semi-join per method; each approximate arm reuses its
-    registry op unchanged; hit counting is a (query, neighbor) semi-
-    join against the k x |queries|-row truth set (tiny, broadcast by
-    AQE); output is |methods| x |queries| rows.
+    it feeds one semi-join per method; hit counting is a (query,
+    neighbor) semi-join against the k x |queries|-row truth set (tiny,
+    broadcast by AQE); output is |methods| x |queries| rows.
+
+    r13 fuse (the ivf_retrain_report template): ONE corpus pass
+    computes BOTH index keys (LSH bucket -- a cheap Catalyst
+    expression -- and the Arrow IVF cell/probes); candidates carry an
+    arm tag map-side (bounded 2-way explode, no shuffle), one
+    broadcast equi-join on (arm, key) replaces the two per-arm joins,
+    and one per-(arm, query) top-k window replaces the two per-query
+    windows.  Per (arm, query) the candidate set, cosines (row-wise
+    identical Arrow fold) and (cosine desc, id asc) tie-break are
+    exactly ann_lsh_topk's / ann_ivf_topk's, so hits and recalls are
+    unchanged; the registry arm ops themselves are untouched.
     """
+    from ..constants import LSH_NUM_PLANES
+    from ..functions.partitioning import spread_to_parallelism
+    from ..functions.pandas_udfs import cosine_fold_pandas, make_cell_assigner
+
     # persist: ground truth feeds one semi-join per method; without it
     # the full brute-force scan runs |methods|+1 times.  Deliberately
     # not unpersisted (lazy plan outlives the function; LRU-evictable,
     # harnesses clearCache() between queries).
     bf = ann_bruteforce_topk(embeddings).select("query_id", "neighbor_id").persist()
     truth_k = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
-    arms = []
-    for method, fn in (("lsh", ann_lsh_topk), ("ivf", ann_ivf_topk)):
-        hits = (
-            fn(embeddings)
-            .select("query_id", "neighbor_id")
-            .join(bf, ["query_id", "neighbor_id"], "left_semi")
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_hit"))
+
+    cents = _collect_centroids(embeddings)
+    assign = make_cell_assigner(cents, IVF_NPROBE)
+    base = (
+        spread_to_parallelism(embeddings)
+        .select(
+            "vec_id",
+            "embedding",
+            lsh_bucket(F.col("embedding")).alias("bucket"),
+            assign(F.col("embedding")).alias("a"),
         )
-        arms.append(
-            truth_k.join(hits, "query_id", "left").select(
-                F.lit(method).alias("method"),
-                "query_id",
-                "k",
-                F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
-                rnd(
-                    F.coalesce("n_hit", F.lit(0)) / F.col("k"), 6
-                ).alias("recall"),
+        .select(
+            "vec_id",
+            "embedding",
+            "bucket",
+            F.col("a.cell").alias("cell"),
+            F.col("a.probes").alias("probes"),
+        )
+    )
+    qsrc = base.where(F.col("vec_id").isin(ANN_QUERY_IDS))
+    lsh_probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(2**p)) for p in range(LSH_NUM_PLANES)],
+    )
+    q_all = qsrc.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.lit("lsh").alias("arm_q"),
+        F.explode(lsh_probes).alias("probe_key"),
+    ).unionByName(
+        qsrc.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.lit("ivf").alias("arm_q"),
+            F.explode("probes").alias("probe_key"),
+        )
+    )
+    cand = base.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                F.struct(F.lit("lsh").alias("arm"), F.col("bucket").alias("key")),
+                F.struct(F.lit("ivf").alias("arm"), F.col("cell").alias("key")),
             )
+        ).alias("ac"),
+    ).select(
+        "vec_id",
+        "embedding",
+        F.col("ac.arm").alias("arm"),
+        F.col("ac.key").alias("key"),
+    )
+    joined = cand.join(
+        F.broadcast(q_all),
+        (F.col("arm") == F.col("arm_q"))
+        & (F.col("key") == F.col("probe_key"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = cosine_fold_pandas(F.col("q_emb"), F.col("embedding"))
+    w = Window.partitionBy("arm", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    topk = (
+        joined.select(
+            "arm",
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
         )
-    out = arms[0]
-    for arm in arms[1:]:
-        out = out.unionByName(arm)
-    return out
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+    )
+    hits = (
+        topk.select("arm", "query_id", "neighbor_id")
+        .join(bf, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("arm", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    grid = truth_k.select(
+        "query_id",
+        "k",
+        F.explode(F.array(F.lit("lsh"), F.lit("ivf"))).alias("arm"),
+    )
+    return grid.join(hits, ["arm", "query_id"], "left").select(
+        F.col("arm").alias("method"),
+        "query_id",
+        "k",
+        F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+        rnd(F.coalesce("n_hit", F.lit(0)) / F.col("k"), 6).alias("recall"),
+    )
 
 
 def embedding_kmeans_iter(embeddings: DataFrame) -> DataFrame:
@@ -1290,13 +1370,21 @@ def ivf_retrain_report(embeddings: DataFrame) -> DataFrame:
         rounding BEFORE the sign test so cross-engine reassociation
         noise on an exactly-tied recall cannot flip the gate.
 
-    Scale shape: T+3 bounded corpus passes (T Lloyd + brute-force
-    truth + two probe arms), each map-side-assign + one shuffle; all
+    Scale shape: T+2 bounded corpus passes (T Lloyd + brute-force
+    truth + ONE fused dual-quantizer probe pass -- r13: the two
+    recall arms shared a single corpus scan via the Arrow dual
+    assigner instead of one full pass each), each map-side-assign +
+    one shuffle; the truth pass is independent of the Lloyd loop, so
+    it materializes on a driver thread WHILE the Lloyd collect
+    barriers run (guide's overlap-independent-jobs pattern) -- the
+    serial critical path is max(T Lloyd, truth) + 1 fused pass.  All
     derived math (cosines, recalls, the gate) runs on K- or
     |queries|-row frames built from published literals, so both
-    engines fold identical doubles in identical order.  Truth set and
-    arm frames persist -- each feeds two consumers.
+    engines fold identical doubles in identical order.  Truth set
+    and the fused recall frame persist -- each feeds two consumers.
     """
+    from pyspark import InheritableThread
+
     from ..constants import IVF_RETRAIN_ITERS
 
     spark = embeddings.sparkSession
@@ -1305,12 +1393,33 @@ def ivf_retrain_report(embeddings: DataFrame) -> DataFrame:
     if not cents0:
         return spark.createDataFrame([], schema)
 
+    # truth feeds both recall arms AND the gate means; persisted (the
+    # ann_recall_report idiom) and materialized CONCURRENTLY with the
+    # Lloyd iterations below -- it depends only on the input corpus,
+    # not on any retrained centroid, so its corpus pass overlaps the
+    # Lloyd collect barriers instead of serializing after them.
+    bf = ann_bruteforce_topk(embeddings).select("query_id", "neighbor_id").persist()
+    bf_err: list = []
+
+    def _materialize_truth() -> None:
+        try:
+            bf.count()  # populates the persisted blocks
+        except Exception as e:  # surfaced after join() below
+            bf_err.append(e)
+
+    bf_thread = InheritableThread(target=_materialize_truth)
+    bf_thread.start()
+
     cur = cents0
     trail = []  # (iteration, prev centroids, new centroids, members)
     for it in range(1, IVF_RETRAIN_ITERS + 1):
         new_cents, members = _lloyd_step(embeddings, cur)
         trail.append((it, cur, new_cents, members))
         cur = new_cents
+
+    bf_thread.join()
+    if bf_err:
+        raise bf_err[0]
 
     step_rows = [
         (it, cid, prev_emb, new_emb, members[cid])
@@ -1346,37 +1455,126 @@ def ivf_retrain_report(embeddings: DataFrame) -> DataFrame:
         rnd(cosine_similarity(F.col("c0"), F.col("ct")), 6).alias("value"),
     )
 
-    # truth feeds both arms; each arm feeds its output rows AND the
-    # gate means (same deliberate persist as ann_recall_report's bf).
-    bf = ann_bruteforce_topk(embeddings).select("query_id", "neighbor_id").persist()
+    # fused probe arms (r13): ONE corpus scan computes BOTH the
+    # trained (cents0) and retrained (cur) assignments via the Arrow
+    # dual assigner; candidates carry an arm tag map-side (a bounded
+    # 2-way explode of (arm, cell) structs -- no shuffle), one
+    # broadcast equi-join on (arm, cell) replaces the two per-arm
+    # joins, and one per-(arm, query) top-k window replaces the two
+    # per-query windows.  Per (arm, query) partition the candidate
+    # set, cosine values (row-wise identical Arrow fold) and
+    # (cosine desc, id asc) tie-break are exactly the per-arm
+    # _ivf_topk_with computation, so ranks -- and therefore hits and
+    # recalls -- are unchanged.
+    from ..functions.partitioning import spread_to_parallelism
+    from ..functions.pandas_udfs import cosine_fold_pandas, make_dual_cell_assigner
+
     truth_k = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
-    arms = {}
-    for name, cents in (("recall_trained", cents0), ("recall_retrained", cur)):
-        hits = (
-            _ivf_topk_with(embeddings, cents)
-            .select("query_id", "neighbor_id")
-            .join(bf, ["query_id", "neighbor_id"], "left_semi")
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_hit"))
+    dual = make_dual_cell_assigner(cents0, cur, IVF_NPROBE)
+    asg2 = (
+        spread_to_parallelism(embeddings)
+        .select("vec_id", "embedding", dual(F.col("embedding")).alias("a"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("a.cell_a").alias("cell_t"),
+            F.col("a.probes_a").alias("probes_t"),
+            F.col("a.cell_b").alias("cell_r"),
+            F.col("a.probes_b").alias("probes_r"),
         )
-        arms[name] = (
-            truth_k.join(hits, "query_id", "left")
-            .select(
-                F.lit(name).alias("component"),
-                F.col("query_id").cast("bigint").alias("cell"),
-                F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n"),
-                (F.coalesce("n_hit", F.lit(0)) / F.col("k")).alias("recall"),
+    )
+    qsrc = asg2.where(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "probes_t",
+        "probes_r",
+    )
+    q_all = qsrc.select(
+        "query_id",
+        "q_emb",
+        F.lit("t").alias("arm_q"),
+        F.explode("probes_t").alias("probe_cell"),
+    ).unionByName(
+        qsrc.select(
+            "query_id",
+            "q_emb",
+            F.lit("r").alias("arm_q"),
+            F.explode("probes_r").alias("probe_cell"),
+        )
+    )
+    cand = asg2.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                F.struct(F.lit("t").alias("arm"), F.col("cell_t").alias("cell")),
+                F.struct(F.lit("r").alias("arm"), F.col("cell_r").alias("cell")),
             )
-            .persist()
+        ).alias("ac"),
+    ).select(
+        "vec_id",
+        "embedding",
+        F.col("ac.arm").alias("arm"),
+        F.col("ac.cell").alias("cell"),
+    )
+    joined = cand.join(
+        F.broadcast(q_all),
+        (F.col("arm") == F.col("arm_q"))
+        & (F.col("cell") == F.col("probe_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = cosine_fold_pandas(F.col("q_emb"), F.col("embedding"))
+    w = Window.partitionBy("arm", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    topk = (
+        joined.select(
+            "arm",
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
         )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+    )
+    hits = (
+        topk.select("arm", "query_id", "neighbor_id")
+        .join(bf, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("arm", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    # every query appears in both arms (0-hit queries included), as in
+    # the per-arm truth_k left joins; persisted ONCE so the two output
+    # arms and the two gate means all read the same materialization.
+    grid = truth_k.select(
+        "query_id", "k", F.explode(F.array(F.lit("t"), F.lit("r"))).alias("arm")
+    )
+    recalls = (
+        grid.join(hits, ["arm", "query_id"], "left")
+        .select(
+            "arm",
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n"),
+            (F.coalesce("n_hit", F.lit(0)) / F.col("k")).alias("recall"),
+        )
+        .persist()
+    )
     arm_out = [
-        arm.select("component", "cell", "n", rnd(F.col("recall"), 6).alias("value"))
-        for arm in arms.values()
+        recalls.where(F.col("arm") == tag).select(
+            F.lit(name).alias("component"),
+            F.col("query_id").cast("bigint").alias("cell"),
+            "n",
+            rnd(F.col("recall"), 6).alias("value"),
+        )
+        for name, tag in (("recall_trained", "t"), ("recall_retrained", "r"))
     ]
     delta = rnd(F.col("ar") - F.col("at"), 6)
     gate = (
-        arms["recall_retrained"].agg(F.avg("recall").alias("ar"))
-        .crossJoin(arms["recall_trained"].agg(F.avg("recall").alias("at")))
+        recalls.where(F.col("arm") == "r")
+        .agg(F.avg("recall").alias("ar"))
+        .crossJoin(
+            recalls.where(F.col("arm") == "t").agg(F.avg("recall").alias("at"))
+        )
         .select(
             F.lit("gate").alias("component"),
             F.lit(-1).cast("bigint").alias("cell"),

@@ -2140,15 +2140,22 @@ def _qc_train_weights(
         .agg(F.collect_list(F.struct("b", "x")).alias("fx"))
         .persist()
     )
-    n = fd.count()
+    # the doc count rides step 1's gradient aggregation as bucket -2
+    # (one 1.0 term per doc -- SUM of n ones is the exact integer n as
+    # a double for any realistic n), so the pre-loop count() action --
+    # a full extra pass whose only other job was materializing the
+    # persisted frame step 1 would materialize anyway -- is gone (r13,
+    # guide "don't compute what you can fold").
+    n: int | None = None
     w = [0.0] * QC_BUCKETS
     bias = 0.0
     for _ in range(iters):
         _t0 = _time.perf_counter()
         r = _qc_resid(w, bias)
         # one exploded struct stream: each doc emits its per-bucket
-        # gradient terms plus one bias term keyed b = -1
-        terms = F.concat(
+        # gradient terms plus one bias term keyed b = -1 (and, on the
+        # first step only, the count term keyed b = -2)
+        term_arrays = [
             F.transform(
                 "fx",
                 lambda e: F.struct(
@@ -2156,7 +2163,12 @@ def _qc_train_weights(
                 ),
             ),
             F.array(F.struct(F.lit(-1).alias("b"), F.col("r").alias("g"))),
-        )
+        ]
+        if n is None:
+            term_arrays.append(
+                F.array(F.struct(F.lit(-2).alias("b"), F.lit(1.0).alias("g")))
+            )
+        terms = F.concat(*term_arrays)
         grads = {
             row["b"]: row["g"]
             for row in fd.select("fx", r.alias("r"))
@@ -2165,6 +2177,8 @@ def _qc_train_weights(
             .agg(F.sum("t.g").alias("g"))
             .collect()
         }
+        if n is None:
+            n = int(grads.pop(-2, 0.0))
         gb = grads.pop(-1, 0.0)
         new_w = [
             _round_py(w[i] - QC_LR * grads.get(i, 0.0) / n, QC_ROUND)
@@ -2186,6 +2200,13 @@ def _qc_resid(w: list[float], bias: float) -> "F.Column":
     """Residual sigmoid(bias + w.x) - y over the packed feature
     array ``fx`` -- the model enters as a literal array, so the
     margin is a map-side fold with no join."""
+    if bias == 0.0 and not any(w):
+        # all-zero model (gradient step 1): every fold term is
+        # x * 0.0 = +0.0 (x > 0), the fold is exactly +0.0, and
+        # sigmoid(0) is exactly 0.5 in IEEE -- skip the per-element
+        # fold entirely; this is the identical closed form the
+        # oracle's first step hardcodes (r13).
+        return F.lit(0.5) - F.col("y")
     w_arr = F.lit(w).cast("array<double>")
     s = F.aggregate(
         F.transform(

@@ -1,0 +1,174 @@
+"""Round-13 optimization pins.
+
+Each test pins an r13 optimization's equivalence claim:
+- the Arrow DUAL cell assigner (the ivf_retrain_report probe-arm
+  fuse) is bit-identical to running the single assigner twice;
+- the fused ivf_retrain_report output matches the pre-fuse per-arm
+  formulation row-for-row (the two _ivf_topk_with passes it replaced);
+- the fold twins' degenerate-batch fallback (ADVICE r12) reproduces
+  Catalyst null semantics instead of raising/NaN-coercing;
+- _cluster_labels with max_iter=1 no longer claims "-1 labels still
+  changing" (ADVICE r12), and the every-2nd-round convergence check
+  reaches the identical fixpoint as a per-round check.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from de_realtime_voting_spark.sources import load_table
+
+
+def test_dual_cell_assigner_bitwise_equals_two_singles(spark, sf_dir):
+    from de_realtime_voting_spark.constants import IVF_NPROBE
+    from de_realtime_voting_spark.functions.pandas_udfs import (
+        make_cell_assigner,
+        make_dual_cell_assigner,
+    )
+    from de_realtime_voting_spark.ivf_model import IVF_TRAINED_CENTROIDS
+
+    cents_a = [(cid, list(emb)) for cid, emb in IVF_TRAINED_CENTROIDS]
+    # a genuinely different second set: perturbed + re-rounded, the
+    # shape a retrained quantizer takes
+    cents_b = [
+        (cid, [round(x + 0.01 * ((i % 3) - 1), 4) for i, x in enumerate(emb)])
+        for cid, emb in cents_a
+    ]
+    emb = load_table(spark, sf_dir, "embeddings").limit(256)
+    dual = make_dual_cell_assigner(cents_a, cents_b, IVF_NPROBE)
+    sa = make_cell_assigner(cents_a, IVF_NPROBE)
+    sb = make_cell_assigner(cents_b, IVF_NPROBE)
+    rows = emb.select(
+        dual(F.col("embedding")).alias("d"),
+        sa(F.col("embedding")).alias("a"),
+        sb(F.col("embedding")).alias("b"),
+    ).collect()
+    assert len(rows) > 100
+    for r in rows:
+        assert r["d"]["cell_a"] == r["a"]["cell"]
+        assert list(r["d"]["probes_a"]) == list(r["a"]["probes"])
+        assert r["d"]["cell_b"] == r["b"]["cell"]
+        assert list(r["d"]["probes_b"]) == list(r["b"]["probes"])
+
+
+def test_ivf_retrain_report_matches_per_arm_formulation(spark, sf_dir):
+    """The fused dual-assignment probe pass must reproduce the
+    pre-r13 per-arm recall rows exactly: recompute each arm with the
+    unchanged _ivf_topk_with path and compare the recall components
+    row-for-row."""
+    from de_realtime_voting_spark.constants import IVF_RETRAIN_ITERS
+    from de_realtime_voting_spark.operators.similarity import (
+        _collect_centroids,
+        _ivf_topk_with,
+        _lloyd_step,
+        ann_bruteforce_topk,
+        ivf_retrain_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r["component"], r["cell"]): (r["n"], r["value"])
+        for r in ivf_retrain_report(emb).collect()
+        if r["component"] in ("recall_trained", "recall_retrained")
+    }
+
+    # reference: the r12 per-arm formulation (two independent
+    # _ivf_topk_with passes against the same truth set)
+    cents0 = _collect_centroids(emb)
+    cur = cents0
+    for _ in range(IVF_RETRAIN_ITERS):
+        cur, _members = _lloyd_step(emb, cur)
+    bf = ann_bruteforce_topk(emb).select("query_id", "neighbor_id").persist()
+    truth_k = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    want = {}
+    for name, cents in (("recall_trained", cents0), ("recall_retrained", cur)):
+        hits = (
+            _ivf_topk_with(emb, cents)
+            .select("query_id", "neighbor_id")
+            .join(bf, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        for r in truth_k.join(hits, "query_id", "left").collect():
+            n = int(r["n_hit"] or 0)
+            want[(name, r["query_id"])] = (n, round(n / r["k"], 6))
+    bf.unpersist()
+    assert set(got) == set(want)
+    for key, (n, val) in want.items():
+        assert got[key][0] == n, (key, got[key], (n, val))
+        assert got[key][1] == pytest.approx(val, abs=1e-9), (key, got[key], val)
+
+
+def test_fold_twins_degenerate_batches_match_catalyst(spark):
+    """Null array / ragged lengths / null element must produce SQL
+    NULL from the Arrow twins exactly as the Catalyst
+    aggregate(zip_with(...)) folds do (ADVICE r12)."""
+    from de_realtime_voting_spark.functions import cosine_similarity, dot_product
+    from de_realtime_voting_spark.functions.pandas_udfs import (
+        cosine_fold_pandas,
+        dot_product_fold_pandas,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),   # dense
+            (2, None, [1.0, 2.0, 3.0]),                # null array
+            (3, [1.0, 2.0], [1.0, 2.0, 3.0]),          # ragged
+            (4, [1.0, None, 3.0], [1.0, 2.0, 3.0]),    # null element
+        ],
+        "id bigint, a array<double>, b array<double>",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            dot_product(F.col("a"), F.col("b")).alias("dc"),
+            dot_product_fold_pandas(F.col("a"), F.col("b")).alias("da"),
+            cosine_similarity(F.col("a"), F.col("b")).alias("cc"),
+            cosine_fold_pandas(F.col("a"), F.col("b")).alias("ca"),
+        ).collect()
+    }
+    assert rows[1]["da"] == rows[1]["dc"] and rows[1]["dc"] is not None
+    assert rows[1]["ca"] == rows[1]["cc"]
+    for rid in (2, 3, 4):
+        assert rows[rid]["dc"] is None, rid
+        assert rows[rid]["da"] is None, rid
+        assert rows[rid]["cc"] is None, rid
+        assert rows[rid]["ca"] is None, rid
+
+
+def test_cluster_labels_maxiter1_warning_is_honest(spark, sf_dir):
+    """max_iter=1 runs only the folded init round; the non-convergence
+    warning must say the count is unverified, not '-1 labels still
+    changing' (ADVICE r12)."""
+    from de_realtime_voting_spark.operators.dedup import _cluster_labels
+
+    docs = load_table(spark, sf_dir, "documents")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        _cluster_labels(docs, max_iter=1).collect()
+    msgs = [str(w.message) for w in caught if w.category is RuntimeWarning]
+    assert msgs, "expected the convergence-unverified warning"
+    assert any("unverified" in m for m in msgs)
+    assert not any("-1 labels" in m for m in msgs)
+
+
+def test_cluster_labels_every_2nd_round_check_same_fixpoint(spark, sf_dir):
+    """The r13 every-2nd-round convergence check must land on the
+    identical label fixpoint as an exhaustive iteration budget."""
+    from de_realtime_voting_spark.operators.dedup import _cluster_labels
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {
+        (r["doc_id"]): r["label"]
+        for r in _cluster_labels(docs, max_iter=20).collect()
+    }
+    b = {
+        (r["doc_id"]): r["label"]
+        for r in _cluster_labels(docs, max_iter=40).collect()
+    }
+    assert a == b
+    assert len(a) > 0
