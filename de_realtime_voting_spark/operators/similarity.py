@@ -396,17 +396,18 @@ def embedding_kmeans_iter(embeddings: DataFrame) -> DataFrame:
         )
     dim = len(cents[0][1])
     assigned = _assign_cells(embeddings, cents)
+    from ..functions.columns import dim_avg_cols
+
     means = assigned.groupBy(F.col("cell").alias("cent_id")).agg(
         F.count(F.lit(1)).alias("n_members"),
-        *[
-            F.avg(F.element_at("embedding", i + 1).cast("double")).alias(f"m{i}")
-            for i in range(dim)
-        ],
+        # SQL-string builds (plan-identical, ~10x fewer py4j calls --
+        # the 64-expression list was driver-build-bound; r13)
+        *dim_avg_cols("embedding", dim),
     )
     cent_df = embeddings.sparkSession.createDataFrame(
         [(cid, emb) for cid, emb in cents], "cent_id bigint, c_emb array<double>"
     )
-    new_emb = F.array(*[F.col(f"m{i}") for i in range(dim)])
+    new_emb = F.expr("array(" + ", ".join(f"m{i}" for i in range(dim)) + ")")
     drift = cosine_similarity(new_emb, F.col("c_emb"))
     return (
         means.join(F.broadcast(cent_df), "cent_id")
@@ -585,11 +586,18 @@ def embedding_pca_stats(embeddings: DataFrame) -> DataFrame:
     """
     from ..constants import EMBEDDING_DIM
 
-    el = lambda i: F.element_at("embedding", i + 1).cast("double")  # noqa: E731
+    from ..functions.columns import dim_avg_cols, el_sql
+
+    # SQL-string builds (plan-identical, ~10x fewer py4j calls; r13)
     row = embeddings.agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        *[F.avg(el(i)).alias(f"m{i}") for i in range(EMBEDDING_DIM)],
-        *[F.avg(el(i) * el(i)).alias(f"s{i}") for i in range(EMBEDDING_DIM)],
+        *dim_avg_cols("embedding", EMBEDDING_DIM),
+        *[
+            F.expr(
+                f"avg({el_sql('embedding', i + 1)} * {el_sql('embedding', i + 1)})"
+            ).alias(f"s{i}")
+            for i in range(EMBEDDING_DIM)
+        ],
     )
     stack = F.expr(
         "stack({n}, {cols}) AS (dim, mean_d, e2_d)".format(
@@ -846,12 +854,16 @@ def embedding_label_cohesion(embeddings: DataFrame) -> DataFrame:
     """
     from ..constants import EMBEDDING_DIM
 
-    el = lambda i: F.element_at("embedding", i + 1).cast("double")  # noqa: E731
+    from ..functions.columns import dim_avg_cols
+
     cents = embeddings.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        *[F.avg(el(i)).alias(f"m{i}") for i in range(EMBEDDING_DIM)],
+        # SQL-string builds (plan-identical, ~10x fewer py4j calls; r13)
+        *dim_avg_cols("embedding", EMBEDDING_DIM),
     )
-    cent_arr = F.array(*[F.col(f"m{i}") for i in range(EMBEDDING_DIM)])
+    cent_arr = F.expr(
+        "array(" + ", ".join(f"m{i}" for i in range(EMBEDDING_DIM)) + ")"
+    )
     cent_df = cents.select("label", "n_vecs", cent_arr.alias("centroid"))
     cos = cosine_similarity(F.col("embedding"), F.col("centroid"))
     return (
@@ -915,17 +927,27 @@ def embedding_whitened_norms(embeddings: DataFrame) -> DataFrame:
     """
     from ..constants import EMBEDDING_DIM, WHITEN_EPS
 
-    el = lambda i: F.element_at("embedding", i + 1).cast("double")  # noqa: E731
+    from ..functions.columns import el_sql, rnd_sql
+
+    # SQL-string builds (plan-identical, ~10x fewer py4j calls; r13)
+    def _avg(i):
+        return f"avg({el_sql('embedding', i + 1)})"
+
     stats = F.broadcast(
         embeddings.agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.array(
-                *[rnd(F.avg(el(i)), 6) for i in range(EMBEDDING_DIM)]
+                *[F.expr(rnd_sql(_avg(i), 6)) for i in range(EMBEDDING_DIM)]
             ).alias("mu"),
             F.array(
                 *[
-                    rnd(
-                        F.avg(el(i) * el(i)) - F.avg(el(i)) * F.avg(el(i)), 6
+                    F.expr(
+                        rnd_sql(
+                            f"(avg({el_sql('embedding', i + 1)} * "
+                            f"{el_sql('embedding', i + 1)}) - "
+                            f"({_avg(i)} * {_avg(i)}))",
+                            6,
+                        )
                     )
                     for i in range(EMBEDDING_DIM)
                 ]
@@ -1265,16 +1287,16 @@ def embedding_centroid_drift(embeddings: DataFrame) -> DataFrame:
             "mean_centroid_cos double",
         )
     asg = _assign_cells(embeddings, cents).select("cell", "embedding")
+    from ..functions.columns import dim_avg_cols
+
     per_cell = asg.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_members"),
-        *[
-            rnd(F.avg(F.element_at("embedding", i + 1).cast("double")), 9).alias(
-                f"m{i}"
-            )
-            for i in range(EMBEDDING_DIM)
-        ],
+        # SQL-string builds (plan-identical, ~10x fewer py4j calls; r13)
+        *dim_avg_cols("embedding", EMBEDDING_DIM, round_to=9),
     )
-    mean_emb = F.array(*[F.col(f"m{i}") for i in range(EMBEDDING_DIM)])
+    mean_emb = F.expr(
+        "array(" + ", ".join(f"m{i}" for i in range(EMBEDDING_DIM)) + ")"
+    )
     cent_df = embeddings.sparkSession.createDataFrame(
         [(cid, list(emb)) for cid, emb in cents], "cell bigint, c_emb array<double>"
     )
@@ -1316,15 +1338,12 @@ def _lloyd_step(embeddings: DataFrame, cents) -> tuple[list, dict]:
 
     dim = len(cents[0][1])
     asg = _assign_cells(embeddings, cents).select("cell", "embedding")
+    from ..functions.columns import dim_avg_cols
+
     per_cell = asg.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n"),
-        *[
-            rnd(
-                F.avg(F.element_at("embedding", i + 1).cast("double")),
-                IVF_RETRAIN_ROUND,
-            ).alias(f"m{i}")
-            for i in range(dim)
-        ],
+        # SQL-string builds (plan-identical, ~10x fewer py4j calls; r13)
+        *dim_avg_cols("embedding", dim, round_to=IVF_RETRAIN_ROUND),
     )
     got = {}
     for r in per_cell.collect():

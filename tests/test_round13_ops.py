@@ -140,6 +140,63 @@ def test_fold_twins_degenerate_batches_match_catalyst(spark):
         assert rows[rid]["ca"] is None, rid
 
 
+def test_dim_agg_sql_builds_plan_identical(spark, sf_dir):
+    """The r13 SQL-string expression builds (dim_avg_cols / rnd_sql /
+    el_sql) must produce the BIT-IDENTICAL analyzed plan as the py4j
+    constructor chain they replaced -- same functions, same implicit
+    casts, same rounding tree."""
+    import re
+
+    from de_realtime_voting_spark.functions.columns import (
+        dim_avg_cols,
+        el_sql,
+        rnd_sql,
+        round_half_up,
+    )
+
+    df = load_table(spark, sf_dir, "embeddings")
+    el = lambda i: F.element_at("embedding", i + 1).cast("double")  # noqa: E731
+
+    def analyzed(frame):
+        return re.sub(r"#\d+", "#", frame._jdf.queryExecution().analyzed().toString())
+
+    # plain means
+    old = df.agg(*[F.avg(el(i)).alias(f"m{i}") for i in range(8)])
+    new = df.agg(*dim_avg_cols("embedding", 8))
+    assert analyzed(old) == analyzed(new)
+    # half-up-rounded means (two grains used by the embedding family)
+    for g in (6, 9):
+        old_r = df.agg(
+            *[round_half_up(F.avg(el(i)), g).alias(f"m{i}") for i in range(4)]
+        )
+        new_r = df.agg(*dim_avg_cols("embedding", 4, round_to=g))
+        assert analyzed(old_r) == analyzed(new_r), g
+    # second-moment expression (embedding_pca_stats s{i})
+    old_s = df.agg(F.avg(el(0) * el(0)).alias("s0"))
+    new_s = df.agg(
+        F.expr(f"avg({el_sql('embedding', 1)} * {el_sql('embedding', 1)})").alias(
+            "s0"
+        )
+    )
+    assert analyzed(old_s) == analyzed(new_s)
+    # variance expression (embedding_whitened_norms va)
+    old_v = df.agg(
+        round_half_up(F.avg(el(0) * el(0)) - F.avg(el(0)) * F.avg(el(0)), 6).alias(
+            "v"
+        )
+    )
+    new_v = df.agg(
+        F.expr(
+            rnd_sql(
+                f"(avg({el_sql('embedding', 1)} * {el_sql('embedding', 1)}) - "
+                f"(avg({el_sql('embedding', 1)}) * avg({el_sql('embedding', 1)})))",
+                6,
+            )
+        ).alias("v")
+    )
+    assert analyzed(old_v) == analyzed(new_v)
+
+
 def test_cluster_labels_maxiter1_warning_is_honest(spark, sf_dir):
     """max_iter=1 runs only the folded init round; the non-convergence
     warning must say the count is unverified, not '-1 labels still
