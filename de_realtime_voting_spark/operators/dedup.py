@@ -248,13 +248,24 @@ def _hashed_sides(sh: DataFrame, a: str = "doc_a", b: str = "doc_b"):
     parity is exact by construction, collisions included."""
     from ..functions.columns import md5_int60_set
 
-    sa = sh.select(
-        F.col("doc_id").alias(a), md5_int60_set(F.col("shingles")).alias("sh_a")
-    )
-    sb = sh.select(
-        F.col("doc_id").alias(b), md5_int60_set(F.col("shingles")).alias("sh_b")
-    )
+    # r13: when the caller's (persisted) frame already carries the
+    # digest column (`dig`, see _with_digests), both sides read it
+    # from cache instead of re-hashing every shingle once per side --
+    # the per-shingle md5 fold ran TWICE per consumer query otherwise.
+    dig = F.col("dig") if "dig" in sh.columns else md5_int60_set(F.col("shingles"))
+    sa = sh.select(F.col("doc_id").alias(a), dig.alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias(b), dig.alias("sh_b"))
     return sa, sb
+
+
+def _with_digests(sh: DataFrame) -> DataFrame:
+    """(doc_id, shingles, dig): the shingle frame with its 60-bit
+    digest sets computed ONCE -- persisted by callers so the verify
+    sides (_hashed_sides) read the digests from cache instead of
+    re-folding md5 over every shingle per side (r13)."""
+    from ..functions.columns import md5_int60_set
+
+    return sh.withColumn("dig", md5_int60_set(F.col("shingles")))
 
 
 def _jac_h():
@@ -281,7 +292,8 @@ def dedup_minhash_pairs(documents: DataFrame) -> DataFrame:
     """
     # shingles feed the band join AND both sides of the verify join;
     # persist so the signature computation runs once, not three times
-    sh = _doc_shingles(documents).persist()
+    # (digests ride the cache too -- _with_digests, r13)
+    sh = _with_digests(_doc_shingles(documents)).persist()
     cand = _band_candidate_pairs(_doc_bands_from(sh))
     sa, sb = _hashed_sides(sh)
     return (
@@ -990,7 +1002,7 @@ def dedup_incremental(documents: DataFrame) -> DataFrame:
     from ..constants import INCREMENTAL_EXISTING_PCT
     from ..functions.columns import md5_pct_bucket
 
-    sh = _doc_shingles(documents).persist()
+    sh = _with_digests(_doc_shingles(documents)).persist()
     bands = _doc_bands_from(sh).withColumn(
         "is_existing", md5_pct_bucket(F.col("doc_id")) < INCREMENTAL_EXISTING_PCT
     )
@@ -1654,28 +1666,28 @@ def minhash_jaccard_estimate(documents: DataFrame) -> DataFrame:
     # persist feeds banding AND both verify sides; deliberately not
     # unpersisted (lazy plan outlives the function; LRU-evictable,
     # harnesses clearCache() between queries)
-    sh = _doc_shingles(documents).persist()
+    sh = _with_digests(_doc_shingles(documents)).persist()
     from ..functions.pandas_udfs import minhash_signature_pandas
 
     sigd = sh.select(
         "doc_id",
         "shingles",
+        "dig",
         minhash_signature_pandas(F.col("shingles")).alias("sig"),
     )
-    from ..functions.columns import md5_int60_set
-
     cand = _band_candidate_pairs(_doc_bands_from(sh))
     # hashed-digest shingle sets ride the join (r12, _hashed_sides
     # rationale); the signature arrays must ride too, so the sides
-    # are built here rather than through the shared helper
+    # are built here rather than through the shared helper (digests
+    # read from the cached frame, computed once -- r13)
     sa = sigd.select(
         F.col("doc_id").alias("doc_a"),
-        md5_int60_set(F.col("shingles")).alias("sh_a"),
+        F.col("dig").alias("sh_a"),
         F.col("sig").alias("sig_a"),
     )
     sb = sigd.select(
         F.col("doc_id").alias("doc_b"),
-        md5_int60_set(F.col("shingles")).alias("sh_b"),
+        F.col("dig").alias("sh_b"),
         F.col("sig").alias("sig_b"),
     )
     est = F.size(
@@ -1781,8 +1793,9 @@ def dedup_threshold_sweep(documents: DataFrame) -> DataFrame:
 
     # persist: shingles feed the band join AND both verify sides;
     # deliberately not unpersisted (lazy plan outlives the function;
-    # LRU-evictable, harnesses clearCache() between queries)
-    sh = _doc_shingles(documents).persist()
+    # LRU-evictable, harnesses clearCache() between queries); digests
+    # ride the cache (_with_digests, r13)
+    sh = _with_digests(_doc_shingles(documents)).persist()
     cand = _band_candidate_pairs(_doc_bands_from(sh))
     # hashed-digest verify sides (r12, see _hashed_sides)
     sa, sb = _hashed_sides(sh)
@@ -2338,7 +2351,7 @@ def fuzzy_decontam(documents: DataFrame) -> DataFrame:
     """
     from ..constants import EVAL_SOURCE, FUZZY_DECONTAM_THRESHOLD
 
-    sh = _doc_shingles(documents).persist()
+    sh = _with_digests(_doc_shingles(documents)).persist()
     src = documents.select("doc_id", (F.col("source") == EVAL_SOURCE).alias("is_eval"))
     bands = _doc_bands_from(sh).join(src, "doc_id")
     ev = bands.where(F.col("is_eval")).select(
@@ -2498,13 +2511,20 @@ def segment_minhash_dedup(documents: DataFrame) -> DataFrame:
     # classes-agg + join-back-to-segs shape shuffled EVERY occurrence's
     # shingle array a second time just to keep one per class (one
     # Exchange + one join removed; n_occ was computed and never read).
+    from ..functions.columns import md5_int60_set
+
     classes = (
         segs.groupBy("seg_hash")
         .agg(F.min(F.struct("sid", "shingles")).alias("rep"))
+        # digest computed ONCE into the cache; both verify sides read
+        # it instead of re-folding md5 per side (_with_digests, r13)
+        .withColumn("dig", md5_int60_set(F.col("rep.shingles")))
         .persist()  # feeds banding, both verify sides, and the occ join
     )
     reps = classes.select(
-        F.col("rep.sid").alias("doc_id"), F.col("rep.shingles").alias("shingles")
+        F.col("rep.sid").alias("doc_id"),
+        F.col("rep.shingles").alias("shingles"),
+        "dig",
     )
     # reuse the shared banding + candidate machinery verbatim (reps are
     # keyed 'doc_id' for the duration; ids are sids)
@@ -2613,7 +2633,8 @@ def dedup_minhash_topk(documents: DataFrame) -> DataFrame:
     """
     from ..constants import SIM_TOPK_K
 
-    sh = _doc_shingles(documents).persist()
+    # digests ride the cache (_with_digests, r13)
+    sh = _with_digests(_doc_shingles(documents)).persist()
     cand = _band_candidate_pairs(_doc_bands_from(sh))
     sa, sb = _hashed_sides(sh)
     pairs = (

@@ -197,6 +197,80 @@ def test_dim_agg_sql_builds_plan_identical(spark, sf_dir):
     assert analyzed(old_v) == analyzed(new_v)
 
 
+def test_digest_jaccard_equals_string_jaccard_fixtures(spark):
+    """VERDICT r12 item 9: an INDEPENDENT pin for the 60-bit-digest
+    Jaccard equivalence (the r12 change edited query and oracle twin
+    in lockstep, so parity alone cannot catch a mistake in it).
+    Crafted shingle sets -- disjoint, identical, overlapping,
+    dup-heavy (arrays with repeated elements), near-miss singletons --
+    must give bit-identical Jaccard from string sets and digest
+    sets."""
+    from de_realtime_voting_spark.functions.columns import md5_int60_set
+
+    rows = [
+        (1, ["a b c", "b c d", "c d e"], ["a b c", "b c d", "c d e"]),  # identical
+        (2, ["a b c", "b c d"], ["x y z", "y z w"]),                    # disjoint
+        (3, ["a b c", "b c d", "c d e"], ["b c d", "c d e", "d e f"]),  # overlap
+        (4, ["a b c", "a b c", "b c d"], ["a b c", "b c d", "b c d"]),  # dup-heavy
+        (5, ["a b c"], ["a b c "]),                                     # near-miss
+        (6, ["über x y", "x y z"], ["über x y", "p q r"]),     # unicode
+    ]
+    df = spark.createDataFrame(rows, "id bigint, sa array<string>, sb array<string>")
+    # the op's exact Jaccard shape (_jac_h): array_intersect/union ARE
+    # set operations, so raw arrays go in on both sides, as in the op
+    j_str = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
+    j_dig = F.size(F.array_intersect("da", "db")) / F.size(F.array_union("da", "db"))
+    got = df.select(
+        "id",
+        "sa",
+        "sb",
+        md5_int60_set(F.col("sa")).alias("da"),
+        md5_int60_set(F.col("sb")).alias("db"),
+    ).select("id", j_str.alias("js"), j_dig.alias("jd")).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        assert r["js"] == r["jd"], (r["id"], r["js"], r["jd"])
+
+
+def test_verify_join_digest_sides_equal_legacy_string_sides(spark):
+    """VERDICT r12 item 9, cross-check arm: re-run ONE full verify
+    join (dedup_minhash_pairs' exact shape) with the LEGACY raw
+    string-set sides and assert identical output rows to the shipped
+    digest-side op at sf0.01."""
+    from de_realtime_voting_spark.constants import JACCARD_THRESHOLD
+    from de_realtime_voting_spark.operators.dedup import (
+        _band_candidate_pairs,
+        _doc_bands_from,
+        _doc_shingles,
+        dedup_minhash_pairs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_minhash_pairs(docs).collect()
+    }
+    # legacy formulation: raw distinct string sets on both sides
+    sh = _doc_shingles(docs).persist()
+    cand = _band_candidate_pairs(_doc_bands_from(sh))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .collect()
+    }
+    sh.unpersist()
+    assert got == want and len(got) > 0
+
+
 def test_cluster_labels_maxiter1_warning_is_honest(spark, sf_dir):
     """max_iter=1 runs only the folded init round; the non-convergence
     warning must say the count is unverified, not '-1 labels still
