@@ -11,6 +11,38 @@ from de_realtime_voting_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# ---------------------------------------------------------------------------
+# Fast-lane profile (r13, VERDICT r12 item 7): the full suite outgrew
+# the driver's pytest window (46 min; VERIFY_r12 cut off at 91% with
+# zero failures).  Tests marked `slow` -- the handful of exhaustive
+# parity sweeps and soak tests that dominate the runtime -- are
+# SKIPPED by default and run when SPARK_GRAFT_FULL_TESTS=1 is set.
+# No test is deleted or weakened: the full suite is one env var away,
+# and the fast lane keeps at least one representative of every
+# operator family.
+# ---------------------------------------------------------------------------
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: exhaustive sweep/soak test, skipped unless "
+        "SPARK_GRAFT_FULL_TESTS=1 (fast-lane profile, r13)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    import os
+
+    if os.environ.get("SPARK_GRAFT_FULL_TESTS") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="slow sweep: run with SPARK_GRAFT_FULL_TESTS=1 (fast-lane, r13)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
 
 @pytest.fixture(scope="session")
 def spark():

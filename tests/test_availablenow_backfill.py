@@ -67,6 +67,7 @@ def _vote_stream(spark, src: str):
     )
 
 
+@pytest.mark.slow  # soak/duration test: fast-lane skips it (r13, conftest)
 def test_watermarked_agg_availablenow_backfill_equals_continuous(
     spark, sf_dir, time_split_json
 ):
@@ -221,6 +222,7 @@ def test_stateful_tally_availablenow_backfill_equals_continuous(
         shutil.rmtree(root, ignore_errors=True)
 
 
+@pytest.mark.slow  # soak/duration test: fast-lane skips it (r13, conftest)
 def test_stream_stream_join_availablenow_backfill_equals_continuous(
     spark, sf_dir, time_split_json
 ):

@@ -57,6 +57,7 @@ def _vote_schema():
     ])
 
 
+@pytest.mark.slow  # soak/duration test: fast-lane skips it (r13, conftest)
 def test_join_state_evicts_over_time(rocksdb_spark, tmp_path):
     """4 join-horizons of stream at fixed rate: the join buffers must
     hold ~one horizon at the end, not the whole history — the
@@ -85,6 +86,7 @@ def test_join_state_evicts_over_time(rocksdb_spark, tmp_path):
     assert m["state_rows"] <= 2 * 2 * horizon_rows, m
 
 
+@pytest.mark.slow  # soak/duration test: fast-lane skips it (r13, conftest)
 def test_join_state_time_flat_across_horizons(rocksdb_spark, tmp_path):
     """The horizon-SCALING assertion (r7): at FIXED rate, feeding the
     stream-stream join for ~8 horizons instead of ~4 must leave the
