@@ -527,7 +527,15 @@ _DEFS: dict[str, QueryFn] = {
 
 # Registry ORDER matters operationally: external checkers iterate in
 # insertion order and may cap how many entries they verify per run
-# (the driver checks ~50).  Round-12 (optimization round) rotation:
+# (the driver checks ~50).  Round-13 (optimization round) rotation:
+# the first 50 entries are the queries whose plan or UDF internals
+# changed in r13 -- the dual-quantizer/recall-arm fuses, the
+# single-join label-propagation rounds, the QC count-fold, the
+# SQL-string wide-aggregate builds (plan-identical, but re-earned
+# anyway), the digest-cache verify joins and every graph consumer
+# riding them, and the Arrow fold-twin guard consumers -- plus the
+# ten STALEST rows (last driver green r11), so no query's driver
+# green ages past two rounds.  Previous rotation note (r12):
 # the first 50 entries are exactly the queries whose PLAN changed in
 # r12 -- the LM head/tail splits, the occupancy-cap short-circuit +
 # two-plane windowed pairing, the 60-bit digest verify joins and
@@ -540,24 +548,29 @@ _DEFS: dict[str, QueryFn] = {
 # re-earns every changed plan this round.  The remainder keeps the
 # r11-rotation relative order (stalest driver greens first).
 _PRIORITY: list[str] = [
-    "unigram_logprob_score", "bigram_logprob_score", "dedup_embedding_cosine",
-    "semantic_dedup", "ivf_retrain_report", "embedding_centroid_drift",
-    "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk",
-    "ann_recall_report", "ann_hard_negatives", "ann_ivf_hard_negatives",
-    "knn_label_purity", "quality_classifier_train",
-    "quality_classifier_score", "dsir_importance_score", "corpus_dsir_sample",
-    "market_basket_pairs", "dedup_clusters", "dedup_clusters_bigstar",
-    "dedup_keep_canonical", "dedup_minhash_pairs", "dedup_minhash_bands",
-    "dedup_minhash_topk", "minhash_jaccard_estimate",
-    "minhash_band_collision_stats", "dedup_threshold_sweep", "fuzzy_decontam",
-    "segment_minhash_dedup", "dedup_incremental", "near_dup_pagerank",
-    "near_dup_triangles", "near_dup_graph_degree", "near_dup_rate_by_source",
+    "ivf_retrain_report", "ann_recall_report", "dedup_clusters",
+    "dedup_keep_canonical", "quality_classifier_train",
+    "quality_classifier_score", "embedding_pca_stats",
+    "embedding_whitened_norms", "embedding_label_cohesion",
+    "embedding_kmeans_iter", "embedding_centroid_drift", "token_bucket_drift",
+    "dsir_importance_score", "corpus_dsir_sample", "dedup_minhash_pairs",
+    "dedup_minhash_bands", "dedup_minhash_topk", "dedup_incremental",
+    "dedup_threshold_sweep", "fuzzy_decontam", "minhash_jaccard_estimate",
+    "segment_minhash_dedup", "near_dup_pagerank", "near_dup_triangles",
+    "near_dup_graph_degree", "near_dup_rate_by_source",
     "cross_source_dup_matrix", "dup_quality_report", "normalized_dedup_gain",
-    "dedup_simhash", "dedup_simhash_pairs", "dedup_sorted_neighborhood",
-    "dedup_ngram_jaccard", "dedup_ngram_jaccard_scaled",
-    "token_heavy_hitters_cms", "token_bucket_drift",
-    "corpus_temperature_sample", "embedding_kmeans_iter", "ivf_cell_balance",
-    "ann_ivf_probe_sweep", "ann_pq_rerank_topk", "dedup_soft_weights",
+    "dedup_clusters_bigstar", "dedup_embedding_cosine", "semantic_dedup",
+    "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk",
+    "ann_hard_negatives", "ann_ivf_hard_negatives", "knn_label_purity",
+    "ann_ivf_probe_sweep", "ann_pq_rerank_topk", "bloom_decontam",
+    "bpe_fertility_stats", "bpe_train_merges", "contam_span_report",
+    "customer_spend_deciles", "dedup_substring_spans", "funnel_conversion",
+    "lapsed_voters", "leading_candidate_per_hour", "ngram_containment",
+    "unigram_logprob_score", "bigram_logprob_score", "market_basket_pairs",
+    "minhash_band_collision_stats", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_sorted_neighborhood", "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_scaled", "token_heavy_hitters_cms",
+    "corpus_temperature_sample", "ivf_cell_balance", "dedup_soft_weights",
     "doc_embed_inference", "doc_length_mad_outliers",
     "doc_winnowing_fingerprints", "domain_quality_topk",
     "embedding_prototype_score", "event_transition_matrix",
@@ -570,10 +583,8 @@ _PRIORITY: list[str] = [
     "source_temperature_weights", "text_entropy_score", "token_budget_select",
     "top_brand_revenue", "votes_sessionized", "bpe_pair_counts",
     "benchmark_decontam", "corpus_quality_keep", "corpus_source_mix",
-    "curation_waterfall", "customer_top_orders", "dedup_substring_spans",
-    "funnel_conversion", "lapsed_voters", "leading_candidate_per_hour",
-    "ngram_containment", "one_vote_per_voter", "order_fill_rate",
-    "party_vote_share", "referential_integrity_audit",
+    "curation_waterfall", "customer_top_orders", "one_vote_per_voter",
+    "order_fill_rate", "party_vote_share", "referential_integrity_audit",
     "repeat_buyers_by_nation", "source_url_dedup", "supplier_concentration",
     "supplier_lead_time", "token_zipf_stats", "turnout_by_location",
     "turnout_by_region", "turnout_by_segment", "turnout_grouping_sets",
@@ -581,20 +592,17 @@ _PRIORITY: list[str] = [
     "vote_weight_percentiles", "voter_party_loyalty", "voter_profile",
     "voter_retention_cohort", "votes_asof_prior_click", "votes_cube",
     "votes_enriched", "votes_in_launch_windows", "votes_minute_rate",
-    "votes_per_candidate", "votes_per_candidate_hourly", "bloom_decontam",
-    "bpe_fertility_stats", "bpe_train_merges", "contam_span_report",
-    "customer_spend_deciles", "corpus_epoch_shuffle", "seq_pack_bestfit",
-    "ann_pq_topk", "brand_price_trend", "candidate_hourly_pivot",
-    "corpus_stratified_sample", "corpus_train_split",
-    "cumulative_daily_votes", "doc_chunk_windows", "doc_field_completeness",
-    "doc_length_percentile_filter_approx", "election_winner",
-    "embedding_label_cohesion", "embedding_pca_stats",
-    "embedding_whitened_norms", "multimodal_binary_stats",
-    "multimodal_chunk_stats", "q11_important_stock", "q20_excess_suppliers",
-    "q21_waiting_suppliers", "q22_idle_rich_customers",
-    "q2_min_cost_supplier", "repeated_span_excision", "seq_pack_stats",
-    "span_excision_stats", "text_quality_score", "token_distribution_drift",
-    "vote_key_skew", "voter_value_quartiles", "votes_approx_stats",
+    "votes_per_candidate", "votes_per_candidate_hourly",
+    "corpus_epoch_shuffle", "seq_pack_bestfit", "ann_pq_topk",
+    "brand_price_trend", "candidate_hourly_pivot", "corpus_stratified_sample",
+    "corpus_train_split", "cumulative_daily_votes", "doc_chunk_windows",
+    "doc_field_completeness", "doc_length_percentile_filter_approx",
+    "election_winner", "multimodal_binary_stats", "multimodal_chunk_stats",
+    "q11_important_stock", "q20_excess_suppliers", "q21_waiting_suppliers",
+    "q22_idle_rich_customers", "q2_min_cost_supplier",
+    "repeated_span_excision", "seq_pack_stats", "span_excision_stats",
+    "text_quality_score", "token_distribution_drift", "vote_key_skew",
+    "voter_value_quartiles", "votes_approx_stats",
     "bpe_fertility_stats_batched", "bpe_train_merges_batched",
     "corpus_span_excised", "dedup_edit_distance", "dedup_exact",
     "doc_embedding_stats", "doc_fingerprint", "doc_length_percentile_filter",
