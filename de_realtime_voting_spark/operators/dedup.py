@@ -912,10 +912,16 @@ def dedup_clusters_bigstar(documents: DataFrame, max_iter: int = 30) -> DataFram
     # at sf0.1).  The checkpoint truncates lineage up front, so every
     # round optimizes a plan over a flat cached relation; _lineage_cut
     # upgrades to a reliable checkpoint when a dir is configured.
+    # No distinct() and no u != v filter on the initial edge set:
+    # dedup_minhash_pairs emits DISTINCT pairs with doc_a < doc_b
+    # (banded candidates end in distinct(), the verify join preserves
+    # multiplicity-1), so the union with its reversal is duplicate-
+    # free and self-loop-free BY CONSTRUCTION.  The r13 sf100 rounds
+    # probe measured the redundant distinct at ~200 s (602 s vs the
+    # label-prop loop's 393 s edge checkpoint over the same pairs) --
+    # one full edge-list shuffle for nothing.
     edges = _lineage_cut(
         pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
     )
     fingerprint = None
     for _ in range(max_iter):
@@ -1857,13 +1863,16 @@ def near_dup_pagerank(documents: DataFrame) -> DataFrame:
     # referenced in every iteration's join; a lazy plan would carry
     # the whole shingle/band pipeline into each round's analysis
     # (the measured 8x round-1 pathology -- see _lineage_cut)
+    # no distinct(): dedup_minhash_pairs emits distinct doc_a < doc_b
+    # pairs, so the symmetric union is duplicate-free by construction
+    # (the r13 sf100 probe costed the same redundant distinct in the
+    # bigstar prelude at ~200 s -- a full edge-list shuffle)
     edges = _lineage_cut(
         pairs.union(
             pairs.select(
                 F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
             )
         )
-        .distinct()
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
